@@ -1,0 +1,90 @@
+package graft.qcew
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wage-series serving layer (SURVEY S7-S8, P7-P12, J1-J2, A3, A5, O1;
+  * reference `data_process.py:190-274`, `graph.py:13-124`).
+  *
+  * Loads per-time-frame wage CSVs, derives `time_period`, enriches with
+  * the NAICS description dimension, excludes invalid codes, and serves
+  * the two consumer shapes: a per-period aggregate of one measure and
+  * the distinct-industry picklist.
+  *
+  * Spark-first design notes:
+  *   - Both dimension tables are tiny (10^2..10^3 rows): the
+  *     description join is an explicit `broadcast` hash join and the
+  *     invalid-code exclusion a broadcast `left_anti` join — no shuffle
+  *     of the fact side, which is what survives a 100 TB fact table.
+  *   - The enriched frame feeds two actions (aggregate + picklist), so
+  *     callers should `cache()` it (see [[WagesData.cached]]).
+  */
+object Wages {
+
+  /** Time frames of the three wage CSVs (reference `data_process.py:207-221`). */
+  sealed trait TimeFrame { def keyCol: String }
+  case object Yearly extends TimeFrame { val keyCol = "year" }
+  case object FiscalYearly extends TimeFrame { val keyCol = "f_year" }
+  case object Quarterly extends TimeFrame { val keyCol = "year" }
+
+  /** NAICS description dimension (fixture CSV standing in for the
+    * reference's Excel sheet 1; documented deviation, FIXTURES.md §2).
+    * Schema: naics_code, naics_desc.
+    */
+  def readNaicsDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema("naics_code STRING, naics_desc STRING").csv(path)
+
+  /** Invalid-code exclusion list (Excel sheet 2 equivalent). */
+  def readInvalidCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema("naics_data STRING").csv(path)
+
+  /** Derive `time_period` for a wage frame: year / fiscal year as int,
+    * quarterly as "YYYY-qN" (reference `data_process.py:209-221`).
+    */
+  def withTimePeriod(df: DataFrame, frame: TimeFrame): DataFrame = frame match {
+    case Yearly       => df.withColumn("time_period", col("year").cast("int"))
+    case FiscalYearly => df.withColumn("time_period", col("f_year").cast("int"))
+    case Quarterly    => df.withColumn("time_period",
+      concat(col("year").cast("int").cast("string"), lit("-q"),
+             col("qtr").cast("int").cast("string")))
+  }
+
+  /** Enrich a wage frame: naics_4digit prefix, broadcast left join to
+    * descriptions, drop code "0", anti-join invalid codes
+    * (reference `data_process.py:223-242`).
+    */
+  def enrich(wages: DataFrame, naicsDim: DataFrame, invalid: DataFrame): DataFrame = {
+    val dim = naicsDim.select(
+      col("naics_code").cast("string").as("naics_4digit"),
+      col("naics_desc"))
+    wages
+      .withColumn("naics_4digit", substring(col("naics_code").cast("string"), 1, 4))
+      .join(broadcast(dim), Seq("naics_4digit"), "left")
+      .filter(col("naics_4digit") =!= "0")
+      .join(broadcast(invalid.select(col("naics_data").as("naics_4digit"))),
+        Seq("naics_4digit"), "left_anti")
+  }
+
+  /** Serving query (reference `data_process.py:244-274`): label the
+    * industry, drop null/blank measures, filter one industry, aggregate
+    * the measure per time period, sort. Returns (series, picklist).
+    */
+  def filterWages(enriched: DataFrame, measure: String, naicsDesc: String)
+      : (DataFrame, DataFrame) = {
+    val labeled = enriched.withColumn("naics_desc",
+      concat(lit("(N"), col("naics_4digit"), lit(") "), col("naics_desc")))
+    val series = labeled
+      .filter(col(measure).isNotNull &&
+        trim(col(measure).cast("string")) =!= "")
+      .filter(col("naics_desc") === naicsDesc)
+      .groupBy("time_period")
+      .agg(sum(col(measure).cast("double")).as("nominas"))
+      .orderBy("time_period")
+    val picklist = labeled.select("naics_desc")
+      .filter(col("naics_desc").isNotNull)
+      .distinct().orderBy("naics_desc")
+    (series, picklist)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.qcew._
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+class QcewModulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLatin1(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.ISO_8859_1))
+
+  test("ingestFile: mode naming, idempotent skip, empty warn") {
+    val raw = Files.createTempDirectory("raw")
+    val out = Files.createTempDirectory("proc")
+    val lines = (1 to 5).map(_ => QcewFixtures.record(2021, 3, "541511", "1", "1", "1", "10")) :+
+      QcewFixtures.record(2020, 1, "111419", "1", "1", "1", "10") // minority (year,qtr)
+    writeLatin1(raw, "a.txt", lines)
+    val p1 = Ingest.ingestFile(spark, raw.resolve("a.txt").toString, out.toString)
+    assert(p1.exists(_.endsWith("pr-qcew-2021-3.parquet"))) // mode-named
+    val before = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p1.get)).toMillis
+    val p2 = Ingest.ingestFile(spark, raw.resolve("a.txt").toString, out.toString)
+    assert(p2 == p1) // skip, not rewrite
+    writeLatin1(raw, "empty.txt", Seq.empty)
+    assert(Ingest.ingestFile(spark, raw.resolve("empty.txt").toString, out.toString).isEmpty)
+    val served = Ingest.readProcessed(spark, out.toString)
+    assert(served.count() == 6)
+  }
+
+  test("ingestAll: partitioned lake, partition pruning works") {
+    val raw = Files.createTempDirectory("rawall")
+    val out = Files.createTempDirectory("lake")
+    writeLatin1(raw, "a.txt",
+      (1 to 3).map(_ => QcewFixtures.record(2021, 1, "541511", "1", "1", "1", "10")))
+    writeLatin1(raw, "b.txt",
+      (1 to 2).map(_ => QcewFixtures.record(2022, 2, "111419", "1", "1", "1", "10")))
+    val lake = Ingest.ingestAll(spark, raw.toString + "/*.txt", out.toString)
+    assert(lake.count() == 5)
+    val pruned = spark.read.parquet(out.toString).filter($"year" === 2021)
+    assert(pruned.count() == 3)
+    // partition pruning visible in the physical plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+
+  test("modeOf: most frequent wins, ties to smallest") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    assert(Ingest.modeOf(df, "v").contains("a"))
+  }
+
+  test("wages: time_period derivations") {
+    val q = Seq((2020, 1), (2020, 4)).toDF("year", "qtr")
+    val got = Wages.withTimePeriod(q, Wages.Quarterly)
+      .select("time_period").as[String].collect().sorted
+    assert(got.sameElements(Array("2020-q1", "2020-q4")))
+    val y = Wages.withTimePeriod(Seq(Tuple1(2020)).toDF("year"), Wages.Yearly)
+    assert(y.select("time_period").as[Int].head() == 2020)
+  }
+
+  test("wages: enrich joins dim, drops invalid and code 0, keeps unmatched") {
+    val wages = Seq(
+      ("541511", 100.0), ("111419", 50.0), ("0", 1.0), ("999999", 7.0)
+    ).toDF("naics_code", "total_wages")
+    val dim = Seq(("5415", "Computer Systems"), ("1114", "Greenhouse")).toDF("naics_code", "naics_desc")
+    val invalid = Seq("1114").toDF("naics_data")
+    val got = Wages.enrich(wages, dim, invalid)
+    val rows = got.select("naics_4digit", "naics_desc").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("5415", Some("Computer Systems")), ("9999", None)))
+  }
+
+  test("wages: filterWages aggregates one industry per period; picklist distinct sorted") {
+    val wages = Seq(
+      (2020, 1, "541511", 100.0), (2020, 1, "541512", 50.0),
+      (2020, 2, "541511", 70.0), (2020, 2, "111419", 999.0)
+    ).toDF("year", "qtr", "naics_code", "total_wages")
+    val dim = Seq(("5415", "Computer Systems"), ("1114", "Greenhouse")).toDF("naics_code", "naics_desc")
+    val invalid = spark.emptyDataset[String].toDF("naics_data")
+    val enriched = Wages.enrich(Wages.withTimePeriod(wages, Wages.Quarterly), dim, invalid)
+    val (series, picklist) = Wages.filterWages(enriched, "total_wages", "(N5415) Computer Systems")
+    val s = series.as[(String, Double)].collect()
+    assert(s.sameElements(Array(("2020-q1", 150.0), ("2020-q2", 70.0))))
+    assert(picklist.as[String].collect()
+      .sameElements(Array("(N1114) Greenhouse", "(N5415) Computer Systems")))
+  }
+
+  test("series: diff and pct change via lag, per key") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 12.0), ("b", 1, 100.0), ("b", 2, 50.0))
+      .toDF("k", "t", "v")
+    val got = Series.withDiffs(df, "v", Seq("k"), Seq("t"))
+      .orderBy("k", "t").select("v_diff", "v_diff_p").collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 5.0 && math.abs(got(1).getDouble(1) - 0.5) < 1e-12)
+    assert(got(2).getDouble(0) == -3.0)
+    assert(got(3).isNullAt(0)) // new key restarts
+    assert(got(4).getDouble(0) == -50.0 && got(4).getDouble(1) == -0.5)
+  }
+
+  test("resample: monthly expansion 3x rows, sum preserved, correct months/dates") {
+    val df = Seq((2020L, 1L, 10L, 20L, 30L), (2020L, 2L, 1L, 2L, 3L))
+      .toDF("year", "qtr", "first_month_employment", "second_month_employment", "third_month_employment")
+    val m = Resample.monthly(df)
+    assert(m.count() == 6)
+    assert(m.agg(sum("employment")).head().getLong(0) == 66L)
+    val months = m.orderBy("month").select("month").as[Int].collect()
+    assert(months.sameElements(Array(1, 2, 3, 4, 5, 6)))
+    val d = m.filter($"month" === 4).select($"date".cast("string")).head().getString(0)
+    assert(d == "2020-04-01")
+    val y = Resample.yearlyMean(m).select("employment").as[Double].head()
+    assert(math.abs(y - 11.0) < 1e-9)
+    val qm = Resample.quarterlyMean(m).orderBy("qtr").select("employment").as[Double].collect()
+    assert(qm.sameElements(Array(20.0, 2.0)))
+  }
+}
