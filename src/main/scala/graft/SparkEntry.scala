@@ -1,13 +1,591 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.qcew.{NaicsAgg, Resample, Series}
+import graft.ext.{Dedup, EventsStream, Multimodal, Similarity, TextStats}
+
+/** Driver contract — see SURVEY.md §7.
+  *
+  * Every operator shape from SURVEY.md §2 (scan/projection, fixed-width
+  * parse, non-strict cast, flagship agg+suppression, dim join, anti/semi
+  * join, lag-window series, top-k, unpivot, mode, distinct picklist,
+  * time-period concat, resample, union, null-filters, events window) plus
+  * the training-data extensions (exact/minhash/LSH/simhash/jaccard dedup,
+  * cosine top-k, embedding buckets, text quality/lang-id, multimodal
+  * metadata, structured streaming) is expressed as a named query over the
+  * driver's testdata tables, with a matching DuckDB oracle in
+  * [[oracleSql]].
+  *
+  * Determinism discipline: every query ends in a total `orderBy` over a
+  * unique key, and every float aggregate is `round`ed identically on both
+  * sides (sums of ~1e7 rounded at 1e-2..1e-6 absorb reassociation drift).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_flagship_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- SQL-snippet builders shared with the oracles ------------------
+
+  /** Standalone-word occurrence count, DuckDB form of
+    * [[TextStats.wordCount]]: pieces of the padded haystack minus one.
+    */
+  private def sqlWordCount(word: String): String =
+    s"(len(string_split(' ' || lower(text) || ' ', ' $word ')) - 1)"
+
+  private def sqlLangVotes(lang: String): String =
+    TextStats.stopwords(lang).map(sqlWordCount).mkString(" + ")
+
+  /** DuckDB mirror of [[Dedup.simhash16]]'s per-bit expression. */
+  private def sqlSimhashBit(b: Int): String =
+    s"(((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) % 2 * 2 - 1)"
+
+  /** Shared CTE: tokens / 3-gram shingles / 4-perm minhash signatures of
+    * `documents` (DuckDB mirror of [[Dedup.minhashSignatures]]).
+    */
+  private val sqlMinhashCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+      |         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  // --------------------------------------------------------------------
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S5/S6: parquet scan with projection + pushed filter
+    "q_scan_prune" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P1/P2: fixed-width field extraction + non-strict numeric cast
+    "q_fixedwidth_parse" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          trim(substring(col("text"), 1, 12)).as("f1"),
+          trim(substring(col("text"), 13, 12)).as("f2"),
+          expr("try_cast(trim(substring(text, 25, 8)) AS BIGINT)").as("num"))
+        .orderBy("doc_id")
+    }),
+
+    // A1/A2/P3/P4/P6: the QCEW flagship aggregate (via NaicsAgg), mapped
+    // onto orders: priority-prefix plays naics4, totalprice plays wages.
+    "q_flagship_agg" -> ((s, dir) => {
+      val records = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("year"),
+        quarter(col("o_orderdate")).as("qtr"),
+        col("o_orderpriority").as("naics_code"),
+        col("o_totalprice").as("first_month_employment"),
+        (col("o_totalprice") * 0.5).as("second_month_employment"),
+        (col("o_totalprice") * 0.25).as("third_month_employment"),
+        floor(col("o_totalprice")).as("total_wages"))
+      NaicsAgg.aggregate(records, minGroupSize = 4L)
+        .select(
+          col("year"), col("qtr"), col("naics4"), col("total_wages"),
+          round(col("total_employment"), 4).as("total_employment"),
+          col("dummy"),
+          round(col("fondo_contributions"), 4).as("fondo_contributions"),
+          round(col("medicare_contributions"), 4).as("medicare_contributions"),
+          round(col("ssn_contributions"), 4).as("ssn_contributions"))
+        .orderBy("year", "qtr", "naics4")
+    }),
+
+    // J1: broadcast dimension enrichment (customer -> nation -> region)
+    "q_dim_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("acctbal_sum"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J2/P12: anti-join (customers with no orders)
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // semi-join (parts that appear in lineitem)
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // W1: first-difference / pct-change series via lag (Series module)
+    "q_window_diff" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      Series.withDiffs(rev, "rev", Seq("l_returnflag"), Seq("ym"))
+        .select(col("l_returnflag"), col("ym"), col("rev"),
+          round(col("rev_diff"), 2).as("rev_diff"),
+          round(col("rev_diff_p"), 6).as("rev_diff_p"))
+        .orderBy("l_returnflag", "ym")
+    }),
+
+    // top-k per group via row_number window
+    "q_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // R1: wide->long unpivot via posexplode
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(array(col("l_quantity"), col("l_discount"), col("l_tax")))
+            .as(Seq("k", "v")))
+        .orderBy("l_orderkey", "l_linenumber", "k")
+    }),
+
+    // A4: deterministic statistical mode (tie-break: smallest value)
+    "q_mode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag").count()
+        .orderBy(desc("count"), asc("l_returnflag"))
+        .limit(1)
+        .select(col("l_returnflag").as("mode_val"))
+    }),
+
+    // A5/P8: distinct labeled picklist
+    "q_distinct_picklist" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(concat(lit("(N"), col("p_brand"), lit(") "), col("p_type")).as("label"))
+        .distinct()
+        .orderBy("label")
+    }),
+
+    // P7/A3: time-period concat + per-period aggregate
+    "q_time_period" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("time_period",
+          concat(year(col("o_orderdate")).cast("string"), lit("-q"),
+            quarter(col("o_orderdate")).cast("string")))
+        .groupBy("time_period")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_amt"))
+        .orderBy("time_period")
+    }),
+
+    // R1/A8/P15: quarterly->monthly posexplode resample + yearly mean
+    "q_resample_yearly" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).as("year"),
+        quarter(col("l_shipdate")).as("qtr"),
+        col("l_quantity").as("m1"),
+        (col("l_discount") * 100).as("m2"),
+        (col("l_tax") * 100).as("m3"))
+      Resample.yearlyMean(Resample.monthly(base, "m1", "m2", "m3"))
+        .select(col("year"), round(col("employment"), 4).as("employment"), col("date"))
+        .orderBy("year")
+    }),
+
+    // U1: union of two sources
+    "q_union" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
+        .unionByName(
+          t(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("src")))
+        .orderBy("src", "name")
+    }),
+
+    // P10/P11: null/blank + inequality filters, then aggregate
+    "q_filter_nulls" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull &&
+          col("c_mktsegment") =!= "BUILDING" &&
+          trim(col("c_name").cast("string")) =!= "")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // events: batch tumbling-hour aggregate (streaming's batch twin)
+    "q_events_hourly" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ext: true Structured Streaming path (memory sink), same oracle as
+    // the batch form — the stream must converge to the batch answer.
+    "q_events_stream" -> ((s, dir) => {
+      EventsStream.runStreamOnce(s, s"$dir/events.parquet")
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"),
+          round(col("total_value").cast("double"), 2).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ext dedup: exact duplicate groups (on a 20-char prefix fingerprint
+    // so the synthetic corpus actually collides)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(
+          t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 20).as("text")))
+        .orderBy("fingerprint")
+    }),
+
+    // ext dedup: normalized content fingerprint per doc
+    "q_dedup_normfp" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.normalizedFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ext dedup: MinHash signatures (k=4 perms, 3-gram shingles)
+    "q_minhash" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), k = 4, n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs
+    "q_lsh_pairs" -> ((s, dir) => {
+      val sig = Dedup.minhashSignatures(t(s, dir, "documents"), k = 4, n = 3)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+        .orderBy("id1", "id2")
+    }),
+
+    // ext dedup: exact pairwise n-gram Jaccard on a bounded subset
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 100), n = 3, threshold = 0.03)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ext dedup: 16-bit SimHash per doc
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash16(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // ext text: quality features + composite score
+    "q_text_quality" -> ((s, dir) => {
+      TextStats.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ext text: heuristic language ID + BPE-ish token count
+    "q_lang_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.langId(col("text")).as("lang_id"),
+          TextStats.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    // ext similarity: exact brute-force cosine top-k (k=3, 5 queries)
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext similarity: IVF-style sign-bucket histogram (the ANN partitioner)
+    "q_embed_bucket" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(Similarity.signBucket(col("embedding"), 4).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // ext multimodal: per-partition batched decode (stub codec) metadata
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeBatches(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image"))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
+    // ext multimodal: frame-sampling plumbing (no SQL oracle: binary
+    // chunking; rows-only check)
+    "q_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image"),
+          frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same tables, same column names,
+    * same rounding, same total order).
+    */
+  def oracleSql: Map[String, String] = {
+    val eventsHourlySql =
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+    val punct = "[!-/:-@\\[-`{-~]"
+    val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
+
+    Map(
+      "q_scan_prune" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q_fixedwidth_parse" ->
+        """SELECT doc_id, trim(substring(text, 1, 12)) AS f1, trim(substring(text, 13, 12)) AS f2,
+          |       TRY_CAST(trim(substring(text, 25, 8)) AS BIGINT) AS num
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_flagship_agg" ->
+        """WITH rec AS (
+          |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+          |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+          |         substring(o_orderpriority, 1, 4) AS naics4,
+          |         (o_totalprice + o_totalprice * 0.5 + o_totalprice * 0.25) / 3.0 AS te,
+          |         CAST(floor(o_totalprice) AS BIGINT) AS tw
+          |  FROM orders WHERE substring(o_orderpriority, 1, 4) <> '')
+          |SELECT year, qtr, naics4, CAST(sum(tw) AS BIGINT) AS total_wages,
+          |       round(avg(te), 4) AS total_employment, count(*) AS dummy,
+          |       round(sum(tw) * 0.014, 4) AS fondo_contributions,
+          |       round(sum(tw) * 0.0145, 4) AS medicare_contributions,
+          |       round(sum(tw) * 0.062, 4) AS ssn_contributions
+          |FROM rec GROUP BY 1, 2, 3 HAVING count(*) > 4 ORDER BY year, qtr, naics4""".stripMargin,
+
+      "q_dim_join" ->
+        """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal_sum
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_anti_join" ->
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_semi_join" ->
+        """SELECT p_brand, count(*) AS n_parts FROM part
+          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_window_diff" ->
+        """WITH rev AS (
+          |  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ym,
+          |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT l_returnflag, ym, rev,
+          |       round(rev - lag(rev) OVER w, 2) AS rev_diff,
+          |       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS rev_diff_p
+          |FROM rev WINDOW w AS (PARTITION BY l_returnflag ORDER BY ym)
+          |ORDER BY l_returnflag, ym""".stripMargin,
+
+      "q_topk_window" ->
+        """SELECT o_orderpriority,
+          |       CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk,
+          |       o_orderkey, o_totalprice
+          |FROM orders QUALIFY rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+      "q_unpivot" ->
+        """SELECT l_orderkey, l_linenumber, CAST(0 AS INTEGER) AS k, l_quantity AS v FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber, CAST(1 AS INTEGER), l_discount FROM lineitem
+          |UNION ALL SELECT l_orderkey, l_linenumber, CAST(2 AS INTEGER), l_tax FROM lineitem
+          |ORDER BY l_orderkey, l_linenumber, k""".stripMargin,
+
+      "q_mode" ->
+        """SELECT l_returnflag AS mode_val FROM lineitem
+          |GROUP BY 1 ORDER BY count(*) DESC, l_returnflag LIMIT 1""".stripMargin,
+
+      "q_distinct_picklist" ->
+        """SELECT DISTINCT '(N' || p_brand || ') ' || p_type AS label
+          |FROM part ORDER BY label""".stripMargin,
+
+      "q_time_period" ->
+        """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-q' || CAST(quarter(o_orderdate) AS VARCHAR) AS time_period,
+          |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_resample_yearly" ->
+        """WITH monthly AS (
+          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year, l_quantity AS employment FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_discount * 100 FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
+          |SELECT year, round(avg(employment), 4) AS employment, make_date(year, 1, 1) AS date
+          |FROM monthly GROUP BY year ORDER BY year""".stripMargin,
+
+      "q_union" ->
+        """SELECT c_name AS name, 'customer' AS src FROM customer
+          |UNION ALL SELECT s_name, 'supplier' FROM supplier
+          |ORDER BY src, name""".stripMargin,
+
+      "q_filter_nulls" ->
+        """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+          |FROM customer
+          |WHERE c_acctbal IS NOT NULL AND c_mktsegment <> 'BUILDING'
+          |  AND trim(CAST(c_name AS VARCHAR)) <> ''
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_events_hourly" -> eventsHourlySql,
+      "q_events_stream" -> eventsHourlySql,
+
+      "q_dedup_exact" ->
+        """SELECT md5(substring(text, 1, 20)) AS fingerprint, min(doc_id) AS canonical_id,
+          |       count(*) AS n_dups
+          |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+      "q_dedup_normfp" ->
+        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_minhash" ->
+        s"""WITH $sqlMinhashCtes
+           |SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id""".stripMargin,
+
+      "q_lsh_pairs" ->
+        s"""WITH $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig)
+           |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |ORDER BY id1, id2""".stripMargin,
+
+      "q_jaccard_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT DISTINCT id, shingle FROM (
+          |    SELECT doc_id AS id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |    FROM toks)),
+          |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          |inter AS (
+          |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+          |SELECT id1, id2,
+          |       round(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+          |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+          |WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.03
+          |ORDER BY id1, id2""".stripMargin,
+
+      "q_simhash" -> {
+        val sums = (0 until 16).map(b => s"sum(${sqlSimhashBit(b)}) AS s$b").mkString(",\n         ")
+        val assemble = (0 until 16)
+          .map(b => s"CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id,
+           |         $sums
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+      },
+
+      "q_text_quality" -> {
+        val stopHits = allStopwords.map(sqlWordCount).mkString(" + ")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         CAST(length(text) AS INTEGER) AS n_chars,
+           |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tok,
+           |         CAST(len(regexp_extract_all(text, '$punct')) AS INTEGER) AS n_punct,
+           |         ($stopHits) AS stop_hits
+           |  FROM documents)
+           |SELECT doc_id, n_tok AS n_tokens,
+           |       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END, 6) AS punct_ratio,
+           |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE) / n_tok END, 6) AS stopword_ratio,
+           |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END, 6) AS mean_word_len,
+           |       round(CAST(CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END
+           |           + CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) <= 0.2 THEN 0.3 ELSE 0.0 END
+           |           + CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+           |         AS DOUBLE), 2) AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
+
+      "q_lang_tokens" ->
+        s"""WITH v AS (
+           |  SELECT doc_id,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr,
+           |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CASE WHEN greatest(en, es, fr) <= 0 THEN 'und'
+           |            WHEN fr > greatest(en, es) THEN 'fr'
+           |            WHEN es > en THEN 'es' ELSE 'en' END AS lang_id,
+           |       n_bpeish
+           |FROM v ORDER BY doc_id""".stripMargin,
+
+      "q_sim_topk" ->
+        """WITH q AS (
+          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |s AS (
+          |  SELECT query_id, e.vec_id AS neighbor_id,
+          |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv) AS c
+          |  FROM embeddings e, q WHERE e.vec_id <> query_id)
+          |SELECT query_id,
+          |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+          |       neighbor_id, round(c, 6) AS cosine
+          |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_embed_bucket" -> {
+        val bucket = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""SELECT CAST($bucket AS INTEGER) AS bucket, count(*) AS n
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id AS media_id, 'image' AS kind,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |       CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
+          |       CAST(64 + (octet_length(encode(text)) * 31) % 131 AS INTEGER) AS height,
+          |       CAST(1 AS INTEGER) AS n_frames,
+          |       md5(text) AS checksum
+          |FROM documents ORDER BY media_id""".stripMargin
+      // q_frame_sample: no oracle (binary chunking) -> rows-only check
+    )
+  }
 }

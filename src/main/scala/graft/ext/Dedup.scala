@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Portability note: every hash here is built from `md5` so results are
+  * reproducible across engines (the DuckDB oracle computes the same
+  * hex). `xxhash64` would be faster but is Spark-specific; for a 100 TB
+  * run swap [[hashExpr]] to `xxhash64` — the operator shapes are
+  * hash-agnostic.
+  *
+  * Scale design:
+  *   - Exact dedup is one hash-aggregate: map-side combine collapses
+  *     duplicates before the shuffle, so shuffle volume is bounded by
+  *     the number of DISTINCT fingerprints per partition (not rows).
+  *   - MinHash/LSH avoids the O(n²) pair space: signatures are a
+  *     narrow per-doc aggregate over exploded shingles; candidate
+  *     generation is an equi-join on (band, bandHash) — only docs
+  *     sharing a band bucket ever meet. Hot buckets (boilerplate docs)
+  *     are the skew risk: AQE skew-join handles moderate skew, and
+  *     `maxBucketSize` hard-caps pathological buckets.
+  *   - Pairwise n-gram Jaccard is exact verification, meant to run on
+  *     LSH candidates (or small corpora), never the full cross product.
+  */
+object Dedup {
+
+  /** Whitespace word tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles joined by single spaces: one array per doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Cross-engine-stable 'permutation' hash for MinHash: hex md5 of
+    * `"{perm}:{shingle}"`. Lexicographic min over shingles of a doc is
+    * a valid min-wise signature per permutation.
+    */
+  def hashExpr(perm: Int, shingle: Column): Column =
+    md5(concat(lit(s"$perm:"), shingle))
+
+  /** Exact duplicate groups: fingerprint by md5(text); returns one row
+    * per duplicated fingerprint with the canonical (min) doc id and
+    * the duplicate count. (SURVEY extension: exact dedup.)
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** Normalized fingerprint: md5 over lowercased, whitespace-collapsed
+    * text — catches trivially-reformatted duplicates.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** MinHash signatures: `k` columns `mh0..mh{k-1}`, each the min over
+    * the doc's distinct `n`-gram shingles of an independent hash.
+    * One explode + one hash-aggregate; docs with fewer than `n` tokens
+    * get null signatures (callers may filter).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    val aggs = (0 until k).map(i => min(hashExpr(i, col("shingle"))).as(s"mh$i"))
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: emits (id, band, band_hash)
+    * where `band_hash` concatenates `rowsPerBand` adjacent signature
+    * columns. Docs sharing any (band, band_hash) are candidates.
+    */
+  def lshBands(signatures: DataFrame, k: Int, rowsPerBand: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH bands: self-equi-join on
+    * (band, band_hash), `id1 < id2`, distinct. `maxBucketSize` drops
+    * degenerate buckets (e.g. empty-shingle docs) that would otherwise
+    * produce quadratic blowup at scale.
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String = "doc_id",
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sized = bands.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    // explode the (small, capped) bucket into ordered pairs
+    sized
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard via a shingle inverted index:
+    * docs sharing >= 1 shingle meet in the join; similarity =
+    * |A∩B| / (|A|+|B|-|A∩B|). Returns pairs with `jaccard >= threshold`.
+    * Run on LSH candidates at scale; exact and oracle-friendly.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash from md5 nibbles of word tokens: bit j of the
+    * signature is the sign of Σ_tokens (2·bit_j(md5(token)) − 1).
+    * Cheap, oracle-portable; at production scale widen to 64 bits and
+    * swap in xxhash64.
+    */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until 16).map { b =>
+      // nibble value of hex char ⌊b/4⌋, then bit (3 - b%4) of that nibble
+      val bit = expr(
+        s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    tok.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b => (when(col(s"s$b") >= 0, 1).otherwise(0) * lit(1 << b)).as(s"b$b"))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two small int signatures (bit_count of
+    * xor) — pairs with distance <= d are near-duplicates.
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b).cast("long"))
+}

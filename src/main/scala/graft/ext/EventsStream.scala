@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Event-stream analytics (SURVEY §2.10 extension): tumbling-window
+  * aggregates in both batch form (oracle-able with `date_trunc`) and
+  * true Structured Streaming form (watermark + windowed state).
+  *
+  * Scale design: the streaming aggregate keys state by
+  * (window, event_type) — bounded cardinality; the 10-minute watermark
+  * bounds state retention, so executors hold O(windows-in-flight ×
+  * types), independent of throughput.
+  */
+object EventsStream {
+
+  /** Read the events table. The driver's parquet stores `ts` as
+    * TIMESTAMP(NANOS), which Spark's reader rejects by default
+    * (PARQUET_TYPE_ILLEGAL); read nanos as long (legacy conf) and
+    * convert to a microsecond timestamp — lossless at any granularity
+    * the analytics use.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Batch tumbling-hour aggregate — the exact batch equivalent of the
+    * streaming query, expressible in DuckDB as date_trunc('hour', ts).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Streaming form: parquet source → watermark → tumbling window. */
+  def hourlyStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema // bounded: schema inference once
+    // the streaming file source wants a directory: stream the parent,
+    // glob-filtered to this file
+    val p = java.nio.file.Paths.get(path)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getFileName.toString)
+      .parquet(p.getParent.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Run the streaming query synchronously over the (bounded) input and
+    * return the completed result from the in-memory sink — the local
+    * smoke harness for the streaming path.
+    */
+  def runStreamOnce(spark: SparkSession, path: String,
+                    queryName: String = "events_hourly"): DataFrame = {
+    val q: StreamingQuery = hourlyStream(spark, path).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

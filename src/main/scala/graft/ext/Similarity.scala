@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * bucketed variant as the scale path.
+  *
+  * Scale design:
+  *   - The query set is broadcast (it is small by construction); the
+  *     corpus is streamed once — similarity is a narrow, codegen'd
+  *     per-row expression (`zip_with` + `aggregate`), no UDF.
+  *   - Top-k uses TWO phases: a per-shuffle-partition top-k first
+  *     (window over (query, physical partition) — keys are balanced by
+  *     construction), then a global top-k over the tiny survivor set
+  *     (k × #partitions rows per query). A single global window per
+  *     query would funnel the whole corpus through |Q| reducers.
+  *   - The IVF variant prunes the corpus with a coarse quantizer
+  *     (bucket = sign pattern of leading components); each query probes
+  *     only its bucket — an equi-join both sides can partition on.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two float arrays, accumulated in
+    * double, strictly left-to-right (deterministic across engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k most
+    * cosine-similar corpus vectors. Queries broadcast; two-phase top-k.
+    * Ties broken by ascending corpus id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-phase top-k over a scored (query_id, neighbor_id, cosine)
+    * frame. Phase 1 prunes within each physical partition (no data
+    * movement beyond the final k×P survivors).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(desc("cosine"), asc("neighbor_id"))
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("r", row_number().over(local)).filter(col("r") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .drop("r")
+  }
+
+  /** Coarse IVF-style quantizer: bucket id = sign bits of the first
+    * `bits` components. Cheap, deterministic, oracle-portable.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) >= 0.0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: probe only the query's coarse bucket. Recall is
+    * traded for a corpus-pruning equi-join; exactness is restored by
+    * multi-probing (not implemented — scale path demonstrator).
+    */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: corpus self-join within coarse
+    * buckets, keep pairs with cosine >= threshold. The bucket join
+    * bounds the pair space; at 100 TB add multi-probe + AQE skew join.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 4,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

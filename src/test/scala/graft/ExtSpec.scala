@@ -1,0 +1,151 @@
+package graft
+
+import graft.ext._
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"${SparkSpec.sf0001}/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"${SparkSpec.sf0001}/embeddings.parquet").cache()
+
+  test("dedup: exact duplicates found with canonical min id") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDuplicates(d).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("canonical_id") == 1L)
+    assert(got(0).getAs[Long]("n_dups") == 3L)
+  }
+
+  test("dedup: shingles produce n-grams; short docs give empty array") {
+    val d = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val sh = d.select(Dedup.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("the quick brown", "quick brown fox"))
+    val short = Seq((1L, "hi there")).toDF("doc_id", "text")
+    assert(short.select(Dedup.shingles($"text", 3)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("dedup: minhash identical docs share signatures; lsh finds the pair") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this unrelated document here")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(d, k = 8, n = 3)
+    val rows = sig.orderBy("doc_id").collect()
+    (1 to 8).foreach { i => assert(rows(0).getString(i) == rows(1).getString(i)) }
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 8, 2)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("dedup: ngram jaccard exact on known sets") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter=1, union=3
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0).collect()
+    assert(got.length == 1)
+    assert(math.abs(got(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("dedup: simhash equal for identical docs, differs for unrelated; hamming=0 on dup") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zq xw vv uu tt ss rr")).toDF("doc_id", "text")
+    val s = Dedup.simhash16(d).orderBy("doc_id").collect()
+    assert(s(0).getInt(1) == s(1).getInt(1))
+    val df = Dedup.simhash16(d)
+    val h = df.as("a").join(df.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(Dedup.hamming($"a.simhash", $"b.simhash").as("h"), $"a.doc_id", $"b.doc_id")
+      .filter($"a.doc_id" === 1 && $"b.doc_id" === 2)
+      .select("h").as[Long].head()
+    assert(h == 0L)
+  }
+
+  test("similarity: cosine of identical vector is 1, orthogonal is 0") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(d, d.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("neighbor_id") == 3L)
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(got(1).getAs[Long]("neighbor_id") == 2L)
+    assert(math.abs(got(1).getAs[Double]("cosine")) < 1e-12)
+  }
+
+  test("similarity: brute force topk on real embeddings is deterministic and ranked") {
+    val q = embs.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(embs, q, k = 5)
+    val rows = got.orderBy("query_id", "rank").collect()
+    assert(rows.length == 15)
+    rows.grouped(5).foreach { g =>
+      val sims = g.map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("similarity: bucketed ANN returns a subset of brute-force candidates with same scores") {
+    val q = embs.filter($"vec_id" < 2)
+    val bf = Similarity.bruteForceTopK(embs, q, k = 50)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bk = Similarity.bucketedTopK(embs, q, k = 10, bits = 2).collect()
+    assert(bk.nonEmpty)
+    bk.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(v => assert(math.abs(v - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("textstats: langid votes, token counts, quality bands") {
+    val d = Seq(
+      (1L, "the cat and the dog sat in the house of wonder"),
+      (2L, "el perro y la casa de la gente en una ciudad con sol"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextStats.langId($"text").as("lang"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got(0)._2 == "en" && got(1)._2 == "es" && got(2)._2 == "und")
+    val counts = d.filter($"doc_id" === 1).select(
+      TextStats.wsTokenCount($"text"), TextStats.bpeishTokenCount($"text")).head()
+    assert(counts.getInt(0) == 11)
+    assert(counts.getInt(1) == 11) // pure words, no punct
+    val q = TextStats.withQuality(d).select("quality_score").as[Double].collect()
+    assert(q.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("textstats: fingerprints stable under case/whitespace noise") {
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fp = d.select(TextStats.fingerprint($"text").as("f")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+    val msf = d.select(TextStats.minShingleFingerprint($"text").as("f")).as[String].collect()
+    assert(msf(0) == msf(1))
+  }
+
+  test("multimodal: byte meta, batched stub decode, frame sampling shapes") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", kind = "video")
+    val meta = Multimodal.withByteMeta(media)
+    assert(meta.filter($"byte_len" =!= length($"payload".cast("string"))).count() == 0)
+    val decoded = Multimodal.decodeBatches(media)
+    val r = decoded.filter($"media_id" === 0).head()
+    assert(r.width >= 64 && r.height >= 64 && r.n_frames >= 1)
+    assert(decoded.count() == docs.count())
+    val frames = Multimodal.sampleFrames(media.limit(5), frameBytes = 16, stride = 2)
+    val f = frames.collect()
+    assert(f.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 16))
+  }
+
+  test("events: streaming hourly agg matches batch hourly agg") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val batch = EventsStream.hourlyStats(EventsStream.readEvents(spark, path))
+      .withColumn("hour", $"hour".cast("string"))
+      .collect().map(_.toSeq).toSet
+    val stream = EventsStream.runStreamOnce(spark, path)
+      .orderBy("hour", "event_type")
+      .withColumn("hour", $"hour".cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+}
