@@ -57,11 +57,12 @@ object SparkEntry {
       |sh AS (
       |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
       |  FROM toks),
+      |hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |         min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-      |         min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-      |  FROM sh GROUP BY doc_id)""".stripMargin
+      |         min(substring(h, 1, 8)) AS mh0, min(substring(h, 9, 8)) AS mh1,
+      |         min(substring(h, 17, 8)) AS mh2, min(substring(h, 25, 8)) AS mh3
+      |  FROM hs GROUP BY doc_id)""".stripMargin
 
   // --------------------------------------------------------------------
 
