@@ -217,6 +217,17 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // grouping sets: rollup over (year, qtr) with subtotal + grand rows
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("qtr", quarter(col("o_orderdate")))
+        .rollup("year", "qtr")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_amt"))
+        .orderBy(asc_nulls_first("year"), asc_nulls_first("qtr"))
+    }),
+
     // U1: union of two sources
     "q_union" -> ((s, dir) => {
       t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
@@ -451,6 +462,15 @@ object SparkEntry {
           |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
           |SELECT year, round(avg(employment), 4) AS employment, make_date(year, 1, 1) AS date
           |FROM monthly GROUP BY year ORDER BY year""".stripMargin,
+
+      "q_rollup" ->
+        """WITH o AS (
+          |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+          |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr, o_totalprice
+          |  FROM orders)
+          |SELECT year, qtr, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
+          |FROM o GROUP BY ROLLUP (year, qtr)
+          |ORDER BY year ASC NULLS FIRST, qtr ASC NULLS FIRST""".stripMargin,
 
       "q_union" ->
         """SELECT c_name AS name, 'customer' AS src FROM customer
