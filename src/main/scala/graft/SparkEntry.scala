@@ -91,13 +91,16 @@ object SparkEntry {
     // A1/A2/P3/P4/P6: the QCEW flagship aggregate (via NaicsAgg), mapped
     // onto orders: priority-prefix plays naics4, totalprice plays wages.
     "q_flagship_agg" -> ((s, dir) => {
+      // integer-valued employment inputs: the downstream avg then sums
+      // exactly (< 2^53) in any order, so Spark and DuckDB agree to the
+      // last bit — no rounding-boundary flakes across scale factors
       val records = t(s, dir, "orders").select(
         year(col("o_orderdate")).as("year"),
         quarter(col("o_orderdate")).as("qtr"),
         col("o_orderpriority").as("naics_code"),
-        col("o_totalprice").as("first_month_employment"),
-        (col("o_totalprice") * 0.5).as("second_month_employment"),
-        (col("o_totalprice") * 0.25).as("third_month_employment"),
+        floor(col("o_totalprice")).as("first_month_employment"),
+        floor(col("o_totalprice")).as("second_month_employment"),
+        floor(col("o_totalprice")).as("third_month_employment"),
         floor(col("o_totalprice")).as("total_wages"))
       NaicsAgg.aggregate(records, minGroupSize = 4L)
         .select(
@@ -392,7 +395,7 @@ object SparkEntry {
           |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
           |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
           |         substring(o_orderpriority, 1, 4) AS naics4,
-          |         (o_totalprice + o_totalprice * 0.5 + o_totalprice * 0.25) / 3.0 AS te,
+          |         (floor(o_totalprice) + floor(o_totalprice) + floor(o_totalprice)) / 3.0 AS te,
           |         CAST(floor(o_totalprice) AS BIGINT) AS tw
           |  FROM orders WHERE substring(o_orderpriority, 1, 4) <> '')
           |SELECT year, qtr, naics4, CAST(sum(tw) AS BIGINT) AS total_wages,
