@@ -292,9 +292,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs
+    // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs.
+    // Signatures are the expensive artifact (one shingle explode + hash
+    // agg over the full corpus): persist them so banding consumes the
+    // cached table instead of recomputing from raw text — the physical
+    // plan shows one InMemoryTableScan per band, zero second shingle
+    // passes. On a real pipeline this would be a parquet signature
+    // table written once and joined many times.
     "q_lsh_pairs" -> ((s, dir) => {
-      val sig = Dedup.minhashSignatures(t(s, dir, "documents"), k = 4, n = 3)
+      val sig = Dedup.minhashSignatures(t(s, dir, "documents"), k = 4, n = 3).persist()
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
         .orderBy("id1", "id2")
     }),
@@ -503,13 +509,20 @@ object SparkEntry {
         s"""WITH $sqlMinhashCtes
            |SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id""".stripMargin,
 
+      // NOTE: the sized CTE mirrors lshCandidatePairs' maxBucketSize=1000
+      // cap so Spark and oracle agree even if a band bucket blows up at
+      // larger scale factors (boilerplate-heavy corpora).
       "q_lsh_pairs" ->
         s"""WITH $sqlMinhashCtes,
            |bands AS (
            |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
-           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig)
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |sized AS (
+           |  SELECT band, bh FROM bands GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 1000)
            |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |JOIN sized s ON s.band = a.band AND s.bh = a.bh
            |ORDER BY id1, id2""".stripMargin,
 
       "q_jaccard_pairs" ->

