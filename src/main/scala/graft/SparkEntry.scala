@@ -47,6 +47,29 @@ object SparkEntry {
   private def sqlSimhashBit(b: Int): String =
     s"(((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) % 2 * 2 - 1)"
 
+  /** The fixed seeded hyperplanes shared by every ANN query (and
+    * inlined, literal-for-literal, into the DuckDB oracles below).
+    */
+  private val annPlanes = Similarity.defaultPlanes(dim = 64, nPlanes = 4)
+
+  /** DuckDB mirror of [[Similarity.planeDot]]: the same explicit
+    * left-associated sum over the same double literals. Java's
+    * Double.toString round-trips, so the SQL parser reconstructs
+    * bit-identical plane coefficients and the IEEE arithmetic — hence
+    * the sign decision — matches Spark exactly.
+    */
+  private def sqlPlaneDot(plane: Seq[Double], vecExpr: String): String =
+    plane.zipWithIndex
+      .map { case (p, j) => s"CAST($vecExpr[${j + 1}] AS DOUBLE) * $p" }
+      .mkString(" + ")
+
+  /** DuckDB mirror of [[Similarity.hyperplaneBucket]] over [[annPlanes]]. */
+  private def sqlHyperplaneBucket(vecExpr: String): String =
+    annPlanes.zipWithIndex
+      .map { case (pl, i) =>
+        s"(CASE WHEN ${sqlPlaneDot(pl, vecExpr)} >= 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+
   /** Shared CTE: tokens / 3-gram shingles / 4-perm minhash signatures of
     * `documents` (DuckDB mirror of [[Dedup.minhashSignatures]]).
     */
@@ -126,10 +149,13 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
-    // J2/P12: anti-join (customers with no orders)
+    // J2/P12: anti-join — customers with no high-value order. The
+    // threshold keeps the result non-empty at every test SF (round 1's
+    // plain "customers with no orders" was vacuously empty: every
+    // customer in the generated data has orders).
     "q_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"),
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 250000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
@@ -347,12 +373,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ext similarity: IVF-style sign-bucket histogram (the ANN partitioner)
+    // ext similarity: random-hyperplane bucket histogram (the ANN
+    // partitioner). Seeded hyperplane signs, not raw leading-component
+    // signs: real embedding dims are correlated/non-centered, which
+    // skews naive sign buckets badly.
     "q_embed_bucket" -> ((s, dir) => {
       t(s, dir, "embeddings")
-        .groupBy(Similarity.signBucket(col("embedding"), 4).as("bucket"))
+        .groupBy(Similarity.hyperplaneBucket(col("embedding"), annPlanes).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    }),
+
+    // ext similarity: bucketed (LSH) ANN top-k — probe only the query's
+    // hyperplane bucket; exact cosine within the bucket
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext similarity: embedding near-duplicate pairs via bucketed
+    // self-join (cosine >= threshold within shared bucket)
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
+          threshold = 0.2, planes = annPlanes)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
     }),
 
     // ext multimodal: per-partition batched decode (stub codec) metadata
@@ -419,7 +467,8 @@ object SparkEntry {
 
       "q_anti_join" ->
         """SELECT c_custkey, c_name, c_mktsegment FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
           |ORDER BY c_custkey""".stripMargin,
 
       "q_semi_join" ->
@@ -606,13 +655,35 @@ object SparkEntry {
           |       neighbor_id, round(c, 6) AS cosine
           |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-      "q_embed_bucket" -> {
-        val bucket = (0 until 4)
-          .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
-        s"""SELECT CAST($bucket AS INTEGER) AS bucket, count(*) AS n
-           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
-      },
+      "q_embed_bucket" ->
+        s"""SELECT CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket, count(*) AS n
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_ann_topk" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+           |       neighbor_id, round(c, 6) AS cosine
+           |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS id1, bb.vec_id AS id2,
+           |       round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+           |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           |WHERE list_cosine_similarity(a.v, bb.v) >= 0.2
+           |ORDER BY id1, id2""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS media_id, 'image' AS kind,

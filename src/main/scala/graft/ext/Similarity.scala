@@ -69,24 +69,49 @@ object Similarity {
       .drop("r")
   }
 
-  /** Coarse IVF-style quantizer: bucket id = sign bits of the first
-    * `bits` components. Cheap, deterministic, oracle-portable.
+  /** Fixed seeded random hyperplanes for the LSH quantizer: `nPlanes`
+    * Gaussian vectors of `dim` components. Deterministic (seed fixed),
+    * so the same planes can be inlined as literals into an external
+    * SQL oracle. Random hyperplanes give balanced buckets on real
+    * (correlated, non-centered) embedding distributions where raw
+    * leading-component signs would be grossly skewed.
     */
-  def signBucket(vec: Column, bits: Int): Column =
-    (0 until bits)
-      .map(i => when(element_at(vec, i + 1) >= 0.0f, lit(1 << i)).otherwise(lit(0)))
+  def defaultPlanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Dot of `vec` with a constant plane, as an explicit left-associated
+    * sum of per-component products in double. Strict left-to-right IEEE
+    * evaluation means any engine writing the same expression computes
+    * the identical bits — so the *sign* (the bucket decision) can never
+    * drift across engines, even for dots near zero.
+    */
+  def planeDot(vec: Column, plane: Seq[Double]): Column =
+    plane.zipWithIndex
+      .map { case (p, j) => element_at(vec, j + 1).cast("double") * lit(p) }
+      .reduce(_ + _)
+
+  /** Signed-random-projection bucket: bit `i` of the bucket id is the
+    * sign of the dot with plane `i` (SimHash for dense vectors).
+    */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (pl, i) => when(planeDot(vec, pl) >= 0.0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
 
   /** Bucketed ANN: probe only the query's coarse bucket. Recall is
     * traded for a corpus-pruning equi-join; exactness is restored by
-    * multi-probing (not implemented — scale path demonstrator).
+    * multi-probing (probe the nearest Hamming-1 buckets too — not
+    * implemented; scale path demonstrator).
     */
-  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   planes: Seq[Seq[Double]],
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
@@ -98,10 +123,11 @@ object Similarity {
     * buckets, keep pairs with cosine >= threshold. The bucket join
     * bounds the pair space; at 100 TB add multi-probe + AQE skew join.
     */
-  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 4,
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            planes: Seq[Seq[Double]],
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

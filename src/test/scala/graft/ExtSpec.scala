@@ -104,11 +104,35 @@ class ExtSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(embs, q, k = 50)
       .select("query_id", "neighbor_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val bk = Similarity.bucketedTopK(embs, q, k = 10, bits = 2).collect()
+    val bk = Similarity.bucketedTopK(embs, q, k = 10,
+      planes = Similarity.defaultPlanes(64, 2)).collect()
     assert(bk.nonEmpty)
     bk.foreach { r =>
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       bf.get(key).foreach(v => assert(math.abs(v - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("similarity: hyperplane buckets are populated and not grossly skewed") {
+    val planes = Similarity.defaultPlanes(64, 4)
+    val hist = embs
+      .groupBy(Similarity.hyperplaneBucket($"embedding", planes).as("bucket"))
+      .count().collect()
+    val total = hist.map(_.getLong(1)).sum
+    assert(hist.length >= 12, s"only ${hist.length}/16 buckets populated")
+    // no bucket holds more than half the corpus (raw first-4-dim sign
+    // buckets on correlated embeddings fail this badly)
+    assert(hist.map(_.getLong(1)).max < total / 2)
+  }
+
+  test("similarity: near-dup pairs are symmetric-free, thresholded, bucket-bounded") {
+    val planes = Similarity.defaultPlanes(64, 4)
+    val pairs = Similarity.embeddingNearDupPairs(embs, threshold = 0.2, planes = planes)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+      assert(r.getAs[Double]("cosine") >= 0.2)
     }
   }
 
