@@ -331,6 +331,17 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ext dedup: cluster resolution — LSH candidate pairs -> connected
+    // components -> per-doc cluster id + canonical flag (the last step
+    // of a real training-data dedup pipeline)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+      Dedup.resolveClusters(docs, pairs)
+        .orderBy("doc_id")
+    }),
+
     // ext dedup: exact pairwise n-gram Jaccard on a bounded subset
     "q_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
@@ -573,6 +584,35 @@ object SparkEntry {
            |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
            |JOIN sized s ON s.band = a.band AND s.bh = a.bh
            |ORDER BY id1, id2""".stripMargin,
+
+      // Transitive closure via recursive CTE: reach(id, r) holds every
+      // node r reachable from id over the (capped, mirrored) LSH pair
+      // graph; the component label is the least reachable id.
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |sized AS (
+           |  SELECT band, bh FROM bands GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  JOIN sized s ON s.band = a.band AND s.bh = a.bh),
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+           |labels AS (SELECT id, min(r) AS min_r FROM reach GROUP BY id)
+           |SELECT d.doc_id,
+           |       COALESCE(least(l.min_r, d.doc_id), d.doc_id) AS cluster_id,
+           |       COALESCE(least(l.min_r, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+           |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       "q_jaccard_pairs" ->
         """WITH toks AS (

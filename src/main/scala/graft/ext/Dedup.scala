@@ -206,4 +206,63 @@ object Dedup {
     * xor) — pairs with distance <= d are near-duplicates.
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b).cast("long"))
+
+  /** Connected components over an undirected pair set by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the min of its own and its neighbors'
+    * labels; at fixpoint the label is the component's minimum id.
+    *
+    * Scale design: the graph is the CANDIDATE PAIR set (LSH survivors),
+    * orders of magnitude smaller than the corpus — each round is one
+    * equi-join + hash-aggregate over it. Rounds needed = component
+    * diameter; near-dup components are dense (near-cliques), so 3-5
+    * rounds typically converge and `maxIter` hard-bounds pathology.
+    * `localCheckpoint` truncates plan lineage each round so Catalyst
+    * planning stays O(1) per iteration (a production run on a real
+    * cluster would use `checkpoint` to reliable storage instead).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val edges = pairs
+      .select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = prop
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = prop
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Final dedup step a training-data pipeline runs: resolve candidate
+    * near-dup pairs into cluster assignments for EVERY doc. Docs in no
+    * pair are their own singleton cluster; `cluster_id` is the minimum
+    * doc id of the component and `is_canonical` marks the one doc per
+    * cluster to keep.
+    */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col(idCol))
+  }
 }

@@ -63,6 +63,27 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("dedup: connected components resolve transitive chains and singletons") {
+    // path graph 1-2-3-4-5 (diameter 4, needs several propagation
+    // rounds), separate pair (20,21), singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (20L, 21L))
+      .toDF("id1", "id2")
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 9L, 20L, 21L)).toDF("doc_id")
+    val got = Dedup.resolveClusters(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 1L, false), (9L, 9L, true), (20L, 20L, true), (21L, 20L, false)))
+  }
+
+  test("dedup: connected components on empty pair set leaves all docs singleton") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val got = Dedup.resolveClusters(docs, pairs).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getBoolean(2)))
+  }
+
   test("dedup: simhash equal for identical docs, differs for unrelated; hamming=0 on dup") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zq xw vv uu tt ss rr")).toDF("doc_id", "text")
