@@ -15,17 +15,30 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object EventsStream {
 
+  /** A session clone with the nanos-as-long legacy conf enabled.
+    * `newSession` shares the SparkContext and cached blocks but has its
+    * own SQL conf, so the conf change is visible ONLY to reads built
+    * here — a plain `spark.conf.set` would silently change the schema
+    * (timestamp -> long) of every later nano-timestamp parquet read in
+    * the caller's session (round-1 review finding). The conf must live
+    * on the session (not save/restored around the read) because Spark
+    * consults it again at physical planning time.
+    */
+  private def nanosSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   /** Read the events table. The driver's parquet stores `ts` as
     * TIMESTAMP(NANOS), which Spark's reader rejects by default
-    * (PARQUET_TYPE_ILLEGAL); read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp — lossless at any granularity
-    * the analytics use.
+    * (PARQUET_TYPE_ILLEGAL); read nanos as long (legacy conf, scoped to
+    * a cloned session) and convert to a microsecond timestamp —
+    * lossless at any granularity the analytics use.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    nanosSession(spark).read.parquet(path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Batch tumbling-hour aggregate — the exact batch equivalent of the
     * streaming query, expressible in DuckDB as date_trunc('hour', ts).
@@ -38,14 +51,16 @@ object EventsStream {
         sum(col("value").cast("decimal(20,4)")).as("total_value"))
       .orderBy("hour", "event_type")
 
-  /** Streaming form: parquet source → watermark → tumbling window. */
+  /** Streaming form: parquet source → watermark → tumbling window.
+    * Built on a conf-isolated session clone (see [[nanosSession]]).
+    */
   def hourlyStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema // bounded: schema inference once
+    val s = nanosSession(spark)
+    val schema = s.read.parquet(path).schema // bounded: schema inference once
     // the streaming file source wants a directory: stream the parent,
     // glob-filtered to this file
     val p = java.nio.file.Paths.get(path)
-    spark.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("pathGlobFilter", p.getFileName.toString)
       .parquet(p.getParent.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -63,13 +78,16 @@ object EventsStream {
     */
   def runStreamOnce(spark: SparkSession, path: String,
                     queryName: String = "events_hourly"): DataFrame = {
-    val q: StreamingQuery = hourlyStream(spark, path).writeStream
+    val stream = hourlyStream(spark, path)
+    val q: StreamingQuery = stream.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    // the memory sink registers its temp view in the stream's (cloned)
+    // session — read it from there
+    stream.sparkSession.table(queryName)
   }
 }

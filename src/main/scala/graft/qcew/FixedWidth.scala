@@ -61,4 +61,15 @@ object FixedWidth {
       d.withColumn(c, expr(s"try_cast($c as double)"))
     }
   }
+
+  /** Geospatial column (SURVEY §2.12; reference README's "geospatial
+    * ETL" geom): pack (longitude, latitude) into a `geom` struct — the
+    * offline stand-in for `ST_Point(lon, lat)`, in (x, y) order so a
+    * real spatial engine can consume it unchanged. Null when either
+    * coordinate is missing, mirroring ST_Point's null propagation.
+    */
+  def withGeom(df: DataFrame): DataFrame =
+    df.withColumn("geom",
+      when(col("longitude").isNotNull && col("latitude").isNotNull,
+        struct(col("longitude").as("lon"), col("latitude").as("lat"))))
 }

@@ -1,9 +1,9 @@
 package graft.qcew
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
-import java.nio.file.{Files, Paths}
 
 /** ETL driver: raw fixed-width tree → partitioned parquet lake
   * (SURVEY S2-S5, A4; reference `data_process.py:35-95`).
@@ -67,7 +67,12 @@ object Ingest {
       val year = modeOf(parsed, "year").getOrElse("unknown")
       val qtr  = modeOf(parsed, "qtr").getOrElse("unknown")
       val out = s"$processedDir/pr-qcew-$year-$qtr.parquet"
-      if (Files.exists(Paths.get(out))) {
+      // Hadoop FileSystem, not java.nio: the idempotence check must see
+      // HDFS/S3/GCS paths on a real cluster, where Files.exists would
+      // silently always-miss and re-ingest every file.
+      val outPath = new HPath(out)
+      val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(outPath)) {
         log.info(s"skip (exists): $out"); Some(out)
       } else {
         parsed.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
@@ -77,8 +82,15 @@ object Ingest {
   }
 
   /** Serve the processed lake (SURVEY S5/S6): multi-file parquet scan;
-    * Catalyst prunes columns/partitions from downstream selects.
+    * Catalyst prunes columns/partitions from downstream selects. Also
+    * registers the frame as a temp view (SURVEY S9; reference
+    * `data_viz.py:15-16` serves SQL-string consumers via
+    * `spark.table("qcew")`) — pass `viewName = None` to skip.
     */
-  def readProcessed(spark: SparkSession, processedDir: String): DataFrame =
-    spark.read.parquet(s"$processedDir/pr-qcew-*.parquet")
+  def readProcessed(spark: SparkSession, processedDir: String,
+                    viewName: Option[String] = Some("qcew")): DataFrame = {
+    val df = spark.read.parquet(s"$processedDir/pr-qcew-*.parquet")
+    viewName.foreach(df.createOrReplaceTempView)
+    df
+  }
 }

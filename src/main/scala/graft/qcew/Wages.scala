@@ -70,20 +70,27 @@ object Wages {
   /** Serving query (reference `data_process.py:244-274`): label the
     * industry, drop null/blank measures, filter one industry, aggregate
     * the measure per time period, sort. Returns (series, picklist).
+    *
+    * The picklist derives from the SAME measure-filtered frame as the
+    * series (the reference reassigns `df` with the null/blank filter
+    * before taking unique `naics_desc`, `data_process.py:256-267`), so
+    * industries whose measure is entirely null/blank don't appear; null
+    * labels (unmatched dim rows) are kept, as the reference's `unique`
+    * keeps them.
     */
   def filterWages(enriched: DataFrame, measure: String, naicsDesc: String)
       : (DataFrame, DataFrame) = {
     val labeled = enriched.withColumn("naics_desc",
       concat(lit("(N"), col("naics_4digit"), lit(") "), col("naics_desc")))
-    val series = labeled
+    val measured = labeled
       .filter(col(measure).isNotNull &&
         trim(col(measure).cast("string")) =!= "")
+    val series = measured
       .filter(col("naics_desc") === naicsDesc)
       .groupBy("time_period")
       .agg(sum(col(measure).cast("double")).as("nominas"))
       .orderBy("time_period")
-    val picklist = labeled.select("naics_desc")
-      .filter(col("naics_desc").isNotNull)
+    val picklist = measured.select("naics_desc")
       .distinct().orderBy("naics_desc")
     (series, picklist)
   }

@@ -28,6 +28,9 @@ class QcewModulesSpec extends SparkSpec {
     assert(Ingest.ingestFile(spark, raw.resolve("empty.txt").toString, out.toString).isEmpty)
     val served = Ingest.readProcessed(spark, out.toString)
     assert(served.count() == 6)
+    // S9: the lake is addressable by SQL-string consumers via the view
+    assert(spark.sql("SELECT count(*) AS n FROM qcew").head().getLong(0) == 6)
+    assert(spark.table("qcew").columns.contains("naics_code"))
   }
 
   test("ingestAll: partitioned lake, partition pruning works") {
@@ -85,6 +88,40 @@ class QcewModulesSpec extends SparkSpec {
     assert(s.sameElements(Array(("2020-q1", 150.0), ("2020-q2", 70.0))))
     assert(picklist.as[String].collect()
       .sameElements(Array("(N1114) Greenhouse", "(N5415) Computer Systems")))
+  }
+
+  test("fixedwidth: geom struct packs (lon, lat), null when a coordinate is missing") {
+    val df = Seq(
+      (Some(18.2208), Some(-66.5901)),
+      (None: Option[Double], Some(-66.0)),
+      (Some(18.0), None: Option[Double])
+    ).toDF("latitude", "longitude")
+    val got = FixedWidth.withGeom(df).select("geom.lon", "geom.lat").collect()
+    assert(got(0).getDouble(0) == -66.5901 && got(0).getDouble(1) == 18.2208)
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+  }
+
+  test("wages: picklist excludes all-null-measure industries, keeps null labels") {
+    val wages = Seq(
+      (2020, 1, "541511", Some(100.0)),            // normal
+      (2020, 1, "111419", None: Option[Double]),   // measure all null -> out
+      (2020, 2, "999999", Some(7.0))               // unmatched dim -> null label kept
+    ).toDF("year", "qtr", "naics_code", "total_wages")
+    val dim = Seq(("5415", "Computer Systems"), ("1114", "Greenhouse")).toDF("naics_code", "naics_desc")
+    val invalid = spark.emptyDataset[String].toDF("naics_data")
+    val enriched = Wages.enrich(Wages.withTimePeriod(wages, Wages.Quarterly), dim, invalid)
+    val (_, picklist) = Wages.filterWages(enriched, "total_wages", "(N5415) Computer Systems")
+    val labels = picklist.collect().map(r => Option(r.getString(0))).toSet
+    assert(labels == Set(Some("(N5415) Computer Systems"), None))
+  }
+
+  test("events: readEvents does not leak the nanos conf into the caller session") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = graft.ext.EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(key) == before, "caller session conf mutated")
   }
 
   test("series: diff and pct change via lag, per key") {
