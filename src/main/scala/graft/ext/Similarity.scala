@@ -25,6 +25,9 @@ object Similarity {
 
   /** Element-wise dot product of two float arrays, accumulated in
     * double, strictly left-to-right (deterministic across engines).
+    * Generic over array length, but the `aggregate`/`zip_with`
+    * higher-order functions evaluate INTERPRETED — never put this on a
+    * pair-join hot path; use [[dotNative]] there.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -39,17 +42,46 @@ object Similarity {
     when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
   }
 
+  /** [[dot]] as a native codegen loop ([[graft.functions.DotFloat]]):
+    * the per-pair kernel for the similarity hot paths. Identical
+    * left-to-right accumulation, bit-equal to [[dot]] (unit-asserted),
+    * ~10× faster on pair joins (HOFs evaluate interpreted; a statically
+    * unrolled sum at dim 64 overflows the JIT's method budget).
+    */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotFloat(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Cosine from a precomputed dot and precomputed norms (see
+    * [[withNorm]]): on an n²-ish pair join, norms are per-VECTOR work
+    * and must not be recomputed per PAIR.
+    */
+  def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d === 0.0, lit(null)).otherwise(dotAB / d)
+  }
+
+  /** Append the vector's L2 norm (native codegen loop) as `normCol`. */
+  def withNorm(df: DataFrame, vecCol: String = "embedding",
+               normCol: String = "nrm"): DataFrame =
+    df.withColumn(normCol, sqrt(dotNative(col(vecCol), col(vecCol))))
+
   /** Exact brute-force top-k: for each query vector, the k most
     * cosine-similar corpus vectors. Queries broadcast; two-phase top-k.
-    * Ties broken by ascending corpus id for determinism.
+    * Ties broken by ascending corpus id for determinism. Similarity is
+    * the native codegen dot with norms computed per vector, not per pair.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = withNorm(queries, vecCol, "q_nrm")
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("q_nrm"))
+    val scored = withNorm(corpus, vecCol, "c_nrm")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("c_nrm"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineFromParts(
+        dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
       .select("query_id", "neighbor_id", "cosine")
     topKPerQuery(scored, k)
   }
@@ -108,13 +140,16 @@ object Similarity {
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    planes: Seq[Seq[Double]],
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val c = withNorm(corpus, vecCol, "c_nrm")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("c_nrm"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = withNorm(queries, vecCol, "q_nrm")
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("q_nrm"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosineFromParts(
+        dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
       .select("query_id", "neighbor_id", "cosine")
     topKPerQuery(scored, k)
   }
@@ -126,13 +161,16 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             planes: Seq[Seq[Double]],
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol), col(vecCol), col("nrm"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+        cosineFromParts(
+          dotNative(col(s"a.$vecCol"), col(s"b.$vecCol")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

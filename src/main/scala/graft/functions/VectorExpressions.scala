@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-vector dot product — the
+  * per-PAIR kernel of every similarity operator.
+  *
+  * Why an Expression and not Column algebra: at dim=64 the alternatives
+  * both lose. The `aggregate(zip_with(...))` higher-order form
+  * evaluates interpreted (no codegen), and a statically unrolled
+  * 64-term `element_at` sum generates a method so large that HotSpot's
+  * JIT bails out, leaving it running in the bytecode interpreter
+  * (measured: unrolled is ~2x SLOWER than the HOF form at dim 64).
+  * `doGenCode` here emits a tight primitive loop instead — a small,
+  * JIT- and SIMD-friendly method, ~10x the HOF form on pair joins.
+  *
+  * Accumulation is strictly left-to-right in double, identical to the
+  * HOF form (bit-equality unit-asserted), so cross-engine oracle parity
+  * is unaffected.
+  *
+  * Assumes non-null array ELEMENTS (embedding vectors); a null element
+  * contributes its slot's raw bytes, as `getFloat` does not null-check
+  * — callers with nullable elements must pre-clean.
+  */
+case class DotFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFloat =
+    copy(left = newLeft, right = newRight)
+}

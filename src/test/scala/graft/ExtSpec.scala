@@ -134,6 +134,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("similarity: native dot is bit-equal to the HOF dot on real embeddings") {
+    val pairs = embs.as("a").join(embs.as("b"),
+      $"a.vec_id" + 1 === $"b.vec_id")
+    val mismatch = pairs.select(
+        Similarity.dot($"a.embedding", $"b.embedding").as("hof"),
+        Similarity.dotNative($"a.embedding", $"b.embedding").as("native"))
+      .filter(not($"hof" <=> $"native")).count()
+    assert(mismatch == 0)
+    // interpreted eval path (no codegen) must agree too
+    val one = embs.filter($"vec_id" === 0)
+      .select(Similarity.dot($"embedding", $"embedding").as("hof"),
+        Similarity.dotNative($"embedding", $"embedding").as("native"))
+      .head()
+    assert(one.getDouble(0) == one.getDouble(1))
+  }
+
   test("similarity: hyperplane buckets are populated and not grossly skewed") {
     val planes = Similarity.defaultPlanes(64, 4)
     val hist = embs
