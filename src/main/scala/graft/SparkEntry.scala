@@ -355,6 +355,12 @@ object SparkEntry {
       Dedup.simhash16(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // ext dedup: production-width 64-bit SimHash (md5-slice form so the
+    // oracle can mirror it; simhashXx is the Spark-only fast path)
+    "q_simhash64" -> ((s, dir) => {
+      Dedup.simhash64(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
     // ext text: quality features + composite score
     "q_text_quality" -> ((s, dir) => {
       TextStats.withQuality(t(s, dir, "documents"))
@@ -400,6 +406,18 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext similarity: multi-probe ANN — each query also probes its
+    // Hamming-1 neighbor buckets, recovering neighbors lost to a single
+    // plane-sign flip
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 8), k = 3,
+          planes = annPlanes, multiProbe = true)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -646,6 +664,44 @@ object SparkEntry {
            |  FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash FROM bits ORDER BY doc_id""".stripMargin
       },
+
+      "q_simhash64" -> {
+        val sums = (0 until 64).map(b => s"sum(${sqlSimhashBit(b)}) AS s$b").mkString(",\n         ")
+        // disjoint bit powers: plain addition assembles the exact
+        // two's-complement BIGINT (bit 63's power is Long.MinValue)
+        val assemble = (0 until 64)
+          .map(b => s"CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id,
+           |         $sums
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+      },
+
+      "q_ann_multiprobe" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 8),
+           |probes AS (
+           |  SELECT vec_id, v, bucket AS probe FROM q
+           |  UNION ALL SELECT vec_id, v, xor(bucket, 1) FROM q
+           |  UNION ALL SELECT vec_id, v, xor(bucket, 2) FROM q
+           |  UNION ALL SELECT vec_id, v, xor(bucket, 4) FROM q
+           |  UNION ALL SELECT vec_id, v, xor(bucket, 8) FROM q),
+           |s AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, p.v) AS c
+           |  FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.vec_id)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+           |       neighbor_id, round(c, 6) AS cosine
+           |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
       "q_text_quality" -> {
         val stopHits = allStopwords.map(sqlWordCount).mkString(" + ")

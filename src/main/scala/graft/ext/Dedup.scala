@@ -207,6 +207,52 @@ object Dedup {
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b).cast("long"))
 
+  /** Production-width 64-bit SimHash: bit `b` of the signature is the
+    * sign of Σ_tokens (2·bit_b(md5(token)) − 1), over all 64 bits of
+    * the first 16 hex chars of the digest. One token explode + one
+    * 64-column hash-aggregate, all codegen'd. Disjoint bit powers sum
+    * to the exact two's-complement long (bit 63 contributes
+    * Long.MinValue), so the assembled signature is oracle-portable as
+    * BIGINT arithmetic. Swap md5 for xxhash64 (same shape, one call
+    * instead of a digest slice) when cross-engine parity is not needed
+    * — see [[simhashXx]].
+    */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      val bit = expr(
+        s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    tok.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** [[simhash64]] on Spark's native `xxhash64` instead of an md5
+    * slice: one 64-bit hash call per token (no hex decode), the fastest
+    * form for a Spark-only 100-TB run. Not DuckDB-oracle-able (no
+    * common xxhash64), so it is unit-gated: same clustering behavior,
+    * engine-specific bits.
+    */
+  def simhashXx(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"s$b")
+    }
+    tok.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Connected components over an undirected pair set by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the min of its own and its neighbors'

@@ -132,20 +132,28 @@ object Similarity {
       .map { case (pl, i) => when(planeDot(vec, pl) >= 0.0, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
 
-  /** Bucketed ANN: probe only the query's coarse bucket. Recall is
-    * traded for a corpus-pruning equi-join; exactness is restored by
-    * multi-probing (probe the nearest Hamming-1 buckets too — not
-    * implemented; scale path demonstrator).
+  /** Bucketed ANN: probe the query's coarse bucket, and with
+    * `multiProbe` also every Hamming-1 neighbor bucket (one plane-sign
+    * flip away) — the standard recall fix for signed-random-projection
+    * LSH: a near neighbor on the wrong side of ONE hyperplane is still
+    * found. Each corpus vector lives in exactly one bucket and the
+    * probe set is distinct, so no pair dedup is needed; probe fan-out
+    * multiplies only the (small, broadcast) query side.
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                   planes: Seq[Seq[Double]],
+                   planes: Seq[Seq[Double]], multiProbe: Boolean = false,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = withNorm(corpus, vecCol, "c_nrm")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("c_nrm"),
         hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val q = withNorm(queries, vecCol, "q_nrm")
+    val q0 = withNorm(queries, vecCol, "q_nrm")
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("q_nrm"),
-        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+        hyperplaneBucket(col(vecCol), planes).as("b0"))
+    val q =
+      if (!multiProbe) q0.withColumnRenamed("b0", "bucket")
+      else q0.select(col("query_id"), col("q_vec"), col("q_nrm"),
+        explode(array(col("b0") +:
+          planes.indices.map(i => col("b0").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineFromParts(

@@ -97,6 +97,42 @@ class ExtSpec extends SparkSpec {
     assert(h == 0L)
   }
 
+  test("dedup: 64-bit simhash (md5 and xxhash64 forms) cluster duplicates") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zq xw vv uu tt ss rr")).toDF("doc_id", "text")
+    for (fn <- Seq(Dedup.simhash64 _, Dedup.simhashXx _)) {
+      val s = fn(d, "doc_id", "text").orderBy("doc_id").collect()
+      assert(s(0).getLong(1) == s(1).getLong(1))
+      assert(s(0).getLong(1) != s(2).getLong(1))
+    }
+    // md5 form agrees with the 16-bit demo on the low 16 bits' structure:
+    // identical docs -> hamming 0
+    val df = Dedup.simhash64(d)
+    val h = df.as("a").join(df.as("b"), $"a.doc_id" === 1 && $"b.doc_id" === 2)
+      .select(Dedup.hamming($"a.simhash", $"b.simhash")).as[Long].head()
+    assert(h == 0L)
+  }
+
+  test("similarity: multi-probe ANN recall covers single-probe and adds neighbors") {
+    val planes = Similarity.defaultPlanes(64, 4)
+    val q = embs.filter($"vec_id" < 4)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = keys(Similarity.bucketedTopK(embs, q, k = 50, planes))
+    val multi = keys(Similarity.bucketedTopK(embs, q, k = 50, planes, multiProbe = true))
+    assert(multi.size > single.size, "multi-probe should reach more candidates")
+    // scores still exact: spot-check against brute force
+    val bf = Similarity.bruteForceTopK(embs, q, k = 200)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.bucketedTopK(embs, q, k = 10, planes, multiProbe = true).collect()
+      .foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        bf.get(key).foreach(v => assert(math.abs(v - r.getAs[Double]("cosine")) < 1e-12))
+      }
+  }
+
   test("similarity: cosine of identical vector is 1, orthogonal is 0") {
     val d = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
