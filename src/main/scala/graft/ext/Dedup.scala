@@ -269,9 +269,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
-    val edges = pairs
+    // persist the pair set FIRST: the symmetrizing union below reads it
+    // twice, and `pairs` is typically an expensive LSH plan
+    val p = pairs.persist()
+    val edges = p
       .select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .union(p.select(col(id2Col).as("src"), col(id1Col).as("dst")))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
@@ -292,6 +295,7 @@ object Dedup {
       labels = prop
       i += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels
   }

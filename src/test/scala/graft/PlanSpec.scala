@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (pushdown, broadcast, cache reuse, native kernels) must be visible
+  * in the executed plan, not just asserted in comments. These guard
+  * against regressions that stay correct but silently lose the plan
+  * shape that survives 100x data.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = SparkSpec.sf0001
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_prune: filter and projection reach the parquet scan") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      "quantity filter not pushed to scan")
+    assert(!p.contains("l_comment"), "unprojected column still read")
+  }
+
+  test("q_dim_join: both dimension joins broadcast") {
+    val p = plan("q_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_anti_join: anti join broadcasts the filtered orders side") {
+    val p = plan("q_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q_lsh_pairs: banding consumes cached signatures, no re-shingle") {
+    val df = SparkEntry.queries("q_lsh_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), "signatures not served from cache")
+    spark.catalog.clearCache()
+  }
+
+  test("q_embed_neardup: native dot kernel present, no interpreted HOF") {
+    val p = plan("q_embed_neardup")
+    assert(p.contains("dot_f32"), "native DotFloat kernel missing from plan")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF cosine on hot path")
+  }
+
+  test("q_flagship_agg: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_flagship_agg")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+}
