@@ -246,6 +246,21 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // A9: quarterly mean resample (intended semantics of the reference's
+    // buggy groupby key, SURVEY A9 — previously unit-only)
+    "q_resample_quarterly" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).as("year"),
+        quarter(col("l_shipdate")).as("qtr"),
+        col("l_quantity").as("m1"),
+        (col("l_discount") * 100).as("m2"),
+        (col("l_tax") * 100).as("m3"))
+      Resample.quarterlyMean(Resample.monthly(base, "m1", "m2", "m3"))
+        .select(col("year"), col("qtr"),
+          round(col("employment"), 4).as("employment"), col("date"))
+        .orderBy("year", "qtr")
+    }),
+
     // grouping sets: rollup over (year, qtr) with subtotal + grand rows
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -549,6 +564,18 @@ object SparkEntry {
           |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
           |SELECT year, round(avg(employment), 4) AS employment, make_date(year, 1, 1) AS date
           |FROM monthly GROUP BY year ORDER BY year""".stripMargin,
+
+      "q_resample_quarterly" ->
+        """WITH monthly AS (
+          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+          |         CAST(quarter(l_shipdate) AS INTEGER) AS qtr, l_quantity AS employment FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER),
+          |         CAST(quarter(l_shipdate) AS INTEGER), l_discount * 100 FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER),
+          |         CAST(quarter(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
+          |SELECT year, qtr, round(avg(employment), 4) AS employment,
+          |       make_date(year, (qtr - 1) * 3 + 1, 1) AS date
+          |FROM monthly GROUP BY year, qtr ORDER BY year, qtr""".stripMargin,
 
       "q_rollup" ->
         """WITH o AS (

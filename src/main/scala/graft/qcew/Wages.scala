@@ -27,18 +27,35 @@ object Wages {
   case object FiscalYearly extends TimeFrame { val keyCol = "f_year" }
   case object Quarterly extends TimeFrame { val keyCol = "year" }
 
-  /** NAICS description dimension (fixture CSV standing in for the
-    * reference's Excel sheet 1; documented deviation, FIXTURES.md §2).
-    * Schema: naics_code, naics_desc.
+  /** NAICS description dimension from CSV. Schema: naics_code,
+    * naics_desc.
     */
   def readNaicsDim(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true")
       .schema("naics_code STRING, naics_desc STRING").csv(path)
 
-  /** Invalid-code exclusion list (Excel sheet 2 equivalent). */
+  /** Invalid-code exclusion list from CSV. */
   def readInvalidCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true")
       .schema("naics_data STRING").csv(path)
+
+  /** The reference's actual source shape (S7): one workbook, sheet 1 =
+    * NAICS descriptions, sheet 2 = invalid codes
+    * (`data_process.py:194-198`), via the zero-dependency
+    * [[graft.sources.Xlsx]] reader. First two columns of sheet 1 are
+    * code/description whatever the headers say, matching the
+    * positional consumption in the reference.
+    */
+  def readNaicsDimXlsx(spark: SparkSession, path: String): DataFrame = {
+    val df = graft.sources.Xlsx.read(spark, path, sheetId = 1)
+    df.select(col(df.columns(0)).as("naics_code"), col(df.columns(1)).as("naics_desc"))
+  }
+
+  /** Sheet 2 of the same workbook: the invalid-code list. */
+  def readInvalidCodesXlsx(spark: SparkSession, path: String): DataFrame = {
+    val df = graft.sources.Xlsx.read(spark, path, sheetId = 2)
+    df.select(col(df.columns(0)).as("naics_data"))
+  }
 
   /** Derive `time_period` for a wage frame: year / fiscal year as int,
     * quarterly as "YYYY-qN" (reference `data_process.py:209-221`).
