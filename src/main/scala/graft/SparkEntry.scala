@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Dedup, EventsStream, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, EventsStream, Multimodal, Sessionize, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -312,6 +312,18 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // ext: gap-based sessionization (batch twin of the
+    // flatMapGroupsWithState streaming form; 5-minute gap)
+    "q_sessionize" -> ((s, dir) => {
+      Sessionize.sessionizeBatch(
+          EventsStream.readEvents(s, s"$dir/events.parquet"), gapSeconds = 300)
+        .select(col("event_type"), col("sess_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("event_type", "sess_id")
+    }),
+
     // ext dedup: exact duplicate groups (on a 20-char prefix fingerprint
     // so the synthetic corpus actually collides)
     "q_dedup_exact" -> ((s, dir) => {
@@ -600,6 +612,28 @@ object SparkEntry {
 
       "q_events_hourly" -> eventsHourlySql,
       "q_events_stream" -> eventsHourlySql,
+
+      // New-session flag at gaps > 300s; cumulative sum numbers the
+      // sessions per key. Tie rows (equal ts) are order-insensitive:
+      // their gap is 0, so session membership and min/max/count agree
+      // whatever the within-tie order.
+      "q_sessionize" ->
+        """WITH e AS (
+          |  SELECT event_type, ts, lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
+          |  FROM events),
+          |m AS (
+          |  SELECT event_type, ts,
+          |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300 THEN 1 ELSE 0 END AS new_sess
+          |  FROM e),
+          |s AS (
+          |  SELECT event_type, ts,
+          |         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+          |  FROM m)
+          |SELECT event_type, CAST(sess_id AS BIGINT) AS sess_id,
+          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          |       count(*) AS n_events
+          |FROM s GROUP BY event_type, sess_id ORDER BY event_type, sess_id""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(substring(text, 1, 20)) AS fingerprint, min(doc_id) AS canonical_id,

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.ext._
 import org.apache.spark.sql.functions._
 
@@ -247,6 +249,55 @@ class ExtSpec extends SparkSpec {
     val f = frames.collect()
     assert(f.forall(_.getAs[Int]("frame_idx") % 2 == 0))
     assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 16))
+  }
+
+  test("sessionize: stream emits exactly the closed sessions of a known fixture") {
+    import java.sql.Timestamp
+    val t0 = 1700000000L * 1000 // ms
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    val fixture = Seq(
+      ("a", ts(0)), ("a", ts(60)), ("a", ts(120)), // session 1: closed by next
+      ("a", ts(1000)),                             // session 2: closed by timeout
+      ("b", ts(50)), ("b", ts(80)),                // session 3: closed by timeout
+      ("b", ts(2000))                              // open at stream end: NOT emitted
+    ).toDF("event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("sessfix")
+    fixture.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val file = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val got = graft.ext.Sessionize.runSessionStreamOnce(spark, file, gapSeconds = 300)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("a", ts(0), ts(120), 3L),
+      ("a", ts(1000), ts(1000), 1L),
+      ("b", ts(50), ts(80), 2L)))
+  }
+
+  test("sessionize: streamed sessions are a subset of the batch sessions") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val batch = graft.ext.Sessionize.sessionizeBatch(
+        EventsStream.readEvents(spark, path), gapSeconds = 300)
+      .select("event_type", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // stream over the same (converted-timestamp) events
+    val dir = java.nio.file.Files.createTempDirectory("sessreal")
+    EventsStream.readEvents(spark, path).select("ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val file = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val streamed = graft.ext.Sessionize.runSessionStreamOnce(spark, file, gapSeconds = 300)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not found in batch: ${(streamed -- batch).take(3)}")
+    // nearly all sessions close (only the per-key trailing ones stay open)
+    assert(streamed.size >= batch.size - 5)
   }
 
   test("events: streaming hourly agg matches batch hourly agg") {
