@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Dedup, EventsStream, Multimodal, Sessionize, Similarity, TextStats}
+import graft.ext.{Dedup, EventsStream, Multimodal, ScaleOps, Sessionize, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -312,6 +312,20 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // ext: salted join — l_returnflag has only 3 values, the textbook
+    // skewed key; the salt spreads each hot key across reducers while
+    // the output stays identical to the plain join (what the oracle
+    // checks)
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      val dim = li.select("l_returnflag").distinct()
+        .withColumn("flag_label", concat(lit("F_"), col("l_returnflag")))
+      ScaleOps.saltedJoin(li, dim, "l_returnflag", salts = 8)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("flag_label")
+    }),
+
     // ext: gap-based sessionization (batch twin of the
     // flatMapGroupsWithState streaming form; 5-minute gap)
     "q_sessionize" -> ((s, dir) => {
@@ -612,6 +626,13 @@ object SparkEntry {
 
       "q_events_hourly" -> eventsHourlySql,
       "q_events_stream" -> eventsHourlySql,
+
+      "q_salted_join" ->
+        """WITH dim AS (
+          |  SELECT DISTINCT l_returnflag, 'F_' || l_returnflag AS flag_label FROM lineitem)
+          |SELECT flag_label, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem JOIN dim USING (l_returnflag)
+          |GROUP BY flag_label ORDER BY flag_label""".stripMargin,
 
       // New-session flag at gaps > 300s; cumulative sum numbers the
       // sessions per key. Tie rows (equal ts) are order-insensitive:

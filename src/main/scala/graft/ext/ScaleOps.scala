@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as first-class operators: salted joins for skewed
+  * keys and bucketed (co-located) table joins. These change the
+  * PHYSICAL plan only — outputs are identical to the naive forms, which
+  * is what makes them oracle-able.
+  */
+object ScaleOps {
+
+  /** Equi-join where the fact side's key distribution is skewed (few
+    * hot keys would otherwise funnel into few reducers). The fact side
+    * gets a deterministic salt from its physical partition id — cheap,
+    * no row hashing, stable under retries — and the (small relative to
+    * fact) dim side is replicated across all `salts` values, so each
+    * hot key spreads over up to `salts` reducers. Output equals the
+    * plain join; only the shuffle layout changes. The dim side is
+    * shuffle-hash-hinted because a broadcast would bypass the shuffle
+    * this operator exists to spread — drop the hint if the dim can
+    * broadcast (then you don't need salting at all).
+    *
+    * This complements AQE's skew-join (which splits oversized
+    * partitions after the fact): salting prevents the skew from
+    * materializing, and works for the aggregate-after-join pattern AQE
+    * can't always rescue.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("_salt", pmod(spark_partition_id(), lit(salts)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact
+      .join(saltedDim.hint("shuffle_hash"), Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Write a table bucketed (and sorted) on the join key: repeated
+    * joins on that key then shuffle NOTHING — both sides are already
+    * hash-partitioned on disk. This is the persisted form of
+    * co-location; worth it whenever a big table is joined on the same
+    * key many times (fact-to-fact joins, incremental pipelines).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+}
