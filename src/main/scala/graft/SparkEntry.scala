@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Dedup, EventsStream, Multimodal, ScaleOps, Sessionize, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, ScaleOps, Sessionize, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -310,6 +310,25 @@ object SparkEntry {
           col("event_type"), col("n_events"),
           round(col("total_value").cast("double"), 2).as("total_value"))
         .orderBy("hour", "event_type")
+    }),
+
+    // ext: as-of join — each event picks up the latest SPARSE daily
+    // total (only every-3rd-calendar-day kept, so matches genuinely
+    // look back) of its type; DuckDB's native ASOF LEFT JOIN is the
+    // oracle
+    "q_asof_join" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      AsofJoin.asofJoinLast(
+          ev.select("event_id", "ts", "event_type"), daily,
+          keyCols = Seq("event_type"), leftTime = "ts", rightTime = "day",
+          payloadCols = Seq("day", "day_total"))
+        .select(col("event_id"), col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("asof_day"), col("day_total"))
+        .orderBy("event_id")
     }),
 
     // ext: salted join — l_returnflag has only 3 values, the textbook
@@ -626,6 +645,16 @@ object SparkEntry {
 
       "q_events_hourly" -> eventsHourlySql,
       "q_events_stream" -> eventsHourlySql,
+
+      "q_asof_join" ->
+        """WITH d AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day, round(sum(value), 2) AS day_total
+          |  FROM events GROUP BY 1, 2 HAVING day(date_trunc('day', ts)) % 3 = 0)
+          |SELECT e.event_id, e.event_type,
+          |       strftime(d.day, '%Y-%m-%d') AS asof_day, d.day_total
+          |FROM events e ASOF LEFT JOIN d
+          |  ON e.event_type = d.event_type AND e.ts >= d.day
+          |ORDER BY event_id""".stripMargin,
 
       "q_salted_join" ->
         """WITH dim AS (

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the LATEST right row with
+  * `rightTime <= leftTime` on the same key — the lookup every
+  * time-series enrichment needs (latest rate, latest snapshot, latest
+  * completed aggregate) and one Spark has no built-in operator for.
+  *
+  * Implementation is the union-and-carry pattern, not a join: tag both
+  * inputs, union them, and per key let a `last(_, ignoreNulls)` window
+  * running in (time, side) order carry the most recent right payload
+  * forward into each left row. ONE shuffle (by key) + ONE sort — the
+  * same cost as a sort-merge join, with no range-condition blowup; at
+  * equal timestamps the right row sorts first, making the match
+  * inclusive. Right rows must be unique per (key, time) — aggregate
+  * first if not (otherwise "latest" is ill-defined in any engine).
+  *
+  * Scale: the window partitions by the join key; use high-cardinality
+  * keys (user, instrument) at scale — low-cardinality keys concentrate
+  * per-key sort work exactly as they would in any as-of engine.
+  */
+object AsofJoin {
+
+  def asofJoinLast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nonKeyLeft = leftCols.filterNot(keyCols.contains)
+    // align both sides on: keys ++ left-only cols ++ payload ++ (_t, _src)
+    val lAligned = left.select(
+      (keyCols ++ nonKeyLeft).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        col(leftTime).as("_t") :+ lit(1).as("_src"): _*)
+    val rAligned = right.select(
+      keyCols.map(col) ++
+        nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col) :+
+        col(rightTime).as("_t") :+ lit(0).as("_src"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_src") === 1).drop("_t", "_src")
+  }
+
+  /** Convenience guard: true when `right` is unique per (key, time) —
+    * the precondition for a well-defined as-of match.
+    */
+  def rightIsUnique(right: DataFrame, keyCols: Seq[String], rightTime: String): Boolean =
+    right.groupBy((keyCols :+ rightTime).map(col): _*)
+      .count().filter(col("count") > 1).isEmpty
+}

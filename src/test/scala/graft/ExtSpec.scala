@@ -251,6 +251,30 @@ class ExtSpec extends SparkSpec {
     assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 16))
   }
 
+  test("asof join: latest right row at-or-before each left time, per key") {
+    val left = Seq(
+      (1L, 5, "a"), (2L, 10, "a"), (3L, 15, "a"),  // t=10 exact match incl.
+      (4L, 9, "b"),                                 // before any b row -> null
+      (5L, 30, "b")
+    ).toDF("id", "t", "k")
+    val right = Seq(
+      ("a", 10, 1.0), ("a", 14, 2.0),
+      ("b", 20, 9.0)
+    ).toDF("k", "rt", "v")
+    assert(AsofJoin.rightIsUnique(right, Seq("k"), "rt"))
+    val got = AsofJoin.asofJoinLast(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(got.toSeq == Seq(
+      (1L, None),          // t=5 before first a row
+      (2L, Some(1.0)),     // t=10 inclusive match
+      (3L, Some(2.0)),     // t=15 takes rt=14
+      (4L, None),
+      (5L, Some(9.0))))
+    val dup = right.unionByName(Seq(("a", 10, 3.0)).toDF("k", "rt", "v"))
+    assert(!AsofJoin.rightIsUnique(dup, Seq("k"), "rt"))
+  }
+
   test("sessionize: stream emits exactly the closed sessions of a known fixture") {
     import java.sql.Timestamp
     val t0 = 1700000000L * 1000 // ms
