@@ -63,6 +63,30 @@ object SparkEntry {
       .map { case (p, j) => s"CAST($vecExpr[${j + 1}] AS DOUBLE) * $p" }
       .mkString(" + ")
 
+  /** Shared CTE chain: gap-based sessions of `events` at a 300 s gap
+    * (DuckDB mirror of [[Sessionize.sessionizeBatch]]). Ends in `sess`
+    * = (event_type, sess_id, session_start, session_end, n_events).
+    * Tie rows (equal ts) are order-insensitive: their gap is 0, so
+    * session membership and min/max/count agree whatever the
+    * within-tie order.
+    */
+  private val sqlSessionCtes =
+    """e AS (
+      |  SELECT event_type, ts, lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, ts,
+      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT event_type, ts,
+      |         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m),
+      |sess AS (
+      |  SELECT event_type, CAST(sess_id AS BIGINT) AS sess_id,
+      |         min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+      |  FROM s GROUP BY event_type, sess_id)""".stripMargin
+
   /** DuckDB mirror of [[Similarity.hyperplaneBucket]] over [[annPlanes]]. */
   private def sqlHyperplaneBucket(vecExpr: String): String =
     annPlanes.zipWithIndex
@@ -328,6 +352,24 @@ object SparkEntry {
           payloadCols = Seq("day", "day_total"))
         .select(col("event_id"), col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("asof_day"), col("day_total"))
+        .orderBy("event_id")
+    }),
+
+    // ext: range join — assign each event to its containing session
+    // interval via the binned equi-join rewrite (1-hour bins); every
+    // event lands in exactly one session, which the BETWEEN-join oracle
+    // re-derives independently
+    "q_range_join" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val sess = Sessionize.sessionizeBatch(ev, gapSeconds = 300)
+        .select(col("event_type"), col("sess_id"),
+          col("session_start"), col("session_end"))
+      AsofJoin.rangeJoinBinned(
+          ev.select("event_id", "ts", "event_type"), sess,
+          keyCols = Seq("event_type"), leftTime = "ts",
+          rightStart = "session_start", rightEnd = "session_end",
+          binSeconds = 3600)
+        .select(col("event_id"), col("event_type"), col("sess_id"))
         .orderBy("event_id")
     }),
 
@@ -663,27 +705,23 @@ object SparkEntry {
           |FROM lineitem JOIN dim USING (l_returnflag)
           |GROUP BY flag_label ORDER BY flag_label""".stripMargin,
 
-      // New-session flag at gaps > 300s; cumulative sum numbers the
-      // sessions per key. Tie rows (equal ts) are order-insensitive:
-      // their gap is 0, so session membership and min/max/count agree
-      // whatever the within-tie order.
       "q_sessionize" ->
-        """WITH e AS (
-          |  SELECT event_type, ts, lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
-          |  FROM events),
-          |m AS (
-          |  SELECT event_type, ts,
-          |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300 THEN 1 ELSE 0 END AS new_sess
-          |  FROM e),
-          |s AS (
-          |  SELECT event_type, ts,
-          |         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
-          |  FROM m)
-          |SELECT event_type, CAST(sess_id AS BIGINT) AS sess_id,
-          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-          |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-          |       count(*) AS n_events
-          |FROM s GROUP BY event_type, sess_id ORDER BY event_type, sess_id""".stripMargin,
+        s"""WITH $sqlSessionCtes
+           |SELECT event_type, sess_id,
+           |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           |       n_events
+           |FROM sess ORDER BY event_type, sess_id""".stripMargin,
+
+      // The oracle is the semantic definition (inequality BETWEEN
+      // join); the Spark side is the binned equi-join rewrite.
+      "q_range_join" ->
+        s"""WITH $sqlSessionCtes
+           |SELECT ev.event_id, ev.event_type, sess.sess_id
+           |FROM events ev JOIN sess
+           |  ON ev.event_type = sess.event_type
+           | AND ev.ts BETWEEN sess.session_start AND sess.session_end
+           |ORDER BY event_id""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(substring(text, 1, 20)) AS fingerprint, min(doc_id) AS canonical_id,

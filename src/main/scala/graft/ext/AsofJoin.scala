@@ -54,4 +54,28 @@ object AsofJoin {
   def rightIsUnique(right: DataFrame, keyCols: Seq[String], rightTime: String): Boolean =
     right.groupBy((keyCols :+ rightTime).map(col): _*)
       .count().filter(col("count") > 1).isEmpty
+
+  /** Range (interval) join: left rows against right [start, end]
+    * intervals on the same key, point-in-interval semantics. A naive
+    * theta-join degenerates to per-key cross products; here both sides
+    * bin their times (intervals explode across the bins they span, a
+    * point lands in exactly one bin) so the planner gets an EQUI-join
+    * on (key, bin) and the residual between-filter runs per bin, not
+    * per key. Pick `binSeconds` ≳ typical interval length: explode
+    * factor is len/bin + 1 while bigger bins widen the candidate set —
+    * the usual time-binning tradeoff. No dedup is needed: a left row
+    * meets each interval only in the row's own bin.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightStart: String, rightEnd: String,
+                      binSeconds: Long): DataFrame = {
+    val lb = left.withColumn("_bin",
+      floor(col(leftTime).cast("double") / binSeconds))
+    val rb = right.withColumn("_bin", explode(sequence(
+      floor(col(rightStart).cast("double") / binSeconds),
+      floor(col(rightEnd).cast("double") / binSeconds))))
+    lb.join(rb, keyCols :+ "_bin", "inner")
+      .filter(col(leftTime) >= col(rightStart) && col(leftTime) <= col(rightEnd))
+      .drop("_bin")
+  }
 }

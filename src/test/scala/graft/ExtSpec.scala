@@ -275,6 +275,23 @@ class ExtSpec extends SparkSpec {
     assert(!AsofJoin.rightIsUnique(dup, Seq("k"), "rt"))
   }
 
+  test("range join: bin-crossing intervals, boundary inclusivity, no duplicates") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val left = Seq((1L, ts(50), "a"), (2L, ts(100), "a"), (3L, ts(150), "a"),
+      (4L, ts(100), "b")).toDF("id", "t", "k")
+    // interval [40,100] spans bins 0 and 1 at bin=60; [100,160] touches at t=100
+    val right = Seq(("a", ts(40), ts(100), 10L), ("a", ts(100), ts(160), 20L),
+      ("b", ts(0), ts(99), 30L)).toDF("k", "lo", "hi", "iv")
+    val got = AsofJoin.rangeJoinBinned(left, right, Seq("k"), "t", "lo", "hi", binSeconds = 60)
+      .select("id", "iv").orderBy("id", "iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 10L),            // mid-interval
+      (2L, 10L), (2L, 20L), // boundary t=100 inclusive in both
+      (3L, 20L)))           // id 4: b@100 outside [0,99] -> dropped
+  }
+
   test("sessionize: stream emits exactly the closed sessions of a known fixture") {
     import java.sql.Timestamp
     val t0 = 1700000000L * 1000 // ms
