@@ -31,7 +31,10 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // noop sink, NOT count(): count() lets Catalyst prune every
+      // computed output column, so the expressions being benchmarked
+      // would never run; noop consumes full rows with no driver collect
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = {
@@ -63,11 +66,13 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmapD(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val total = warm.values.sum
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

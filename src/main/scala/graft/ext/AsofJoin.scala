@@ -29,23 +29,31 @@ object AsofJoin {
                    payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val nonKeyLeft = leftCols.filterNot(keyCols.contains)
-    // align both sides on: keys ++ left-only cols ++ payload ++ (_t, _src)
+    // The payload travels as ONE struct, not per-column: carrying each
+    // column independently with last(ignoreNulls) would skip a
+    // legitimately-null value in the newest right row and stitch
+    // together fields from DIFFERENT right rows. The struct itself is
+    // non-null exactly on right rows, so the carry picks whole rows and
+    // interior nulls survive — true ASOF semantics.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val lAligned = left.select(
-      (keyCols ++ nonKeyLeft).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+      (keyCols ++ nonKeyLeft).map(col) :+
+        lit(null).cast(payloadType).as("_payload") :+
         col(leftTime).as("_t") :+ lit(1).as("_src"): _*)
     val rAligned = right.select(
       keyCols.map(col) ++
-        nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col) :+
+        nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_payload") :+
         col(rightTime).as("_t") :+ lit(0).as("_src"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_src") === 1).drop("_t", "_src")
+    lAligned.unionByName(rAligned)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+      .select((keyCols ++ nonKeyLeft).map(col) ++
+        payloadCols.map(c => col(s"_payload.$c").as(c)): _*)
   }
 
   /** Convenience guard: true when `right` is unique per (key, time) —

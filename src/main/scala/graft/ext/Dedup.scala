@@ -180,27 +180,38 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Shared SimHash shape: explode tokens, hash each, sum the ±1 bit
+    * contributions per signature position, assemble the sign pattern.
+    * Variants differ only in the per-token hash column, the per-bit
+    * extractor, and the assembled power's type.
+    */
+  private def simhashAgg(docs: DataFrame, width: Int, hashOfToken: Column => Column,
+                         bitOfHash: Int => Column, power: Int => Column, zero: Column,
+                         idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", hashOfToken(col("t")))
+    val bitSums = (0 until width).map(b => sum(bitOfHash(b) * 2 - 1).as(s"s$b"))
+    tok.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until width).map(b => when(col(s"s$b") >= 0, power(b)).otherwise(zero))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Bit `b` of an md5 hex digest: nibble value of hex char ⌊b/4⌋,
+    * then bit (3 − b%4) of that nibble.
+    */
+  private def md5Bit(b: Int): Column = expr(
+    s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
+
   /** 16-bit SimHash from md5 nibbles of word tokens: bit j of the
     * signature is the sign of Σ_tokens (2·bit_j(md5(token)) − 1).
     * Cheap, oracle-portable; at production scale widen to 64 bits and
     * swap in xxhash64.
     */
   def simhash16(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val bitSums = (0 until 16).map { b =>
-      // nibble value of hex char ⌊b/4⌋, then bit (3 - b%4) of that nibble
-      val bit = expr(
-        s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
-      sum(bit * 2 - 1).as(s"s$b")
-    }
-    tok.groupBy(idCol)
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 16).map(b => (when(col(s"s$b") >= 0, 1).otherwise(0) * lit(1 << b)).as(s"b$b"))
-          .reduce(_ + _).as("simhash"))
-  }
+                textCol: String = "text"): DataFrame =
+    simhashAgg(docs, 16, md5, md5Bit, b => lit(1 << b), lit(0), idCol, textCol)
 
   /** Hamming distance between two small int signatures (bit_count of
     * xor) — pairs with distance <= d are near-duplicates.
@@ -218,20 +229,8 @@ object Dedup {
     * — see [[simhashXx]].
     */
   def simhash64(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val bitSums = (0 until 64).map { b =>
-      val bit = expr(
-        s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) % 2")
-      sum(bit * 2 - 1).as(s"s$b")
-    }
-    tok.groupBy(idCol)
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                textCol: String = "text"): DataFrame =
+    simhashAgg(docs, 64, md5, md5Bit, b => lit(1L << b), lit(0L), idCol, textCol)
 
   /** [[simhash64]] on Spark's native `xxhash64` instead of an md5
     * slice: one 64-bit hash call per token (no hex decode), the fastest
@@ -240,18 +239,10 @@ object Dedup {
     * engine-specific bits.
     */
   def simhashXx(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"s$b")
-    }
-    tok.groupBy(idCol)
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                textCol: String = "text"): DataFrame =
+    simhashAgg(docs, 64, t => xxhash64(t),
+      b => shiftright(col("h"), b).bitwiseAND(1L),
+      b => lit(1L << b), lit(0L), idCol, textCol)
 
   /** Connected components over an undirected pair set by iterative
     * min-label propagation: every node starts labeled with its own id;
@@ -267,7 +258,7 @@ object Dedup {
     * planning stays O(1) per iteration (a production run on a real
     * cluster would use `checkpoint` to reliable storage instead).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
     // persist the pair set FIRST: the symmetrizing union below reads it
     // twice, and `pairs` is typically an expensive LSH plan
@@ -297,6 +288,12 @@ object Dedup {
     }
     p.unpersist()
     edges.unpersist()
+    // correctness-first: a silent non-converged result would be WRONG
+    // labels (components split in two), not slow labels — fail loudly
+    // and let the caller raise maxIter (rounds needed = graph diameter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "component diameter exceeds maxIter — raise it")
     labels
   }
 
@@ -307,8 +304,8 @@ object Dedup {
     * cluster to keep.
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame,
-                      idCol: String = "doc_id"): DataFrame = {
-    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+                      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter).withColumnRenamed("id", idCol)
     docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")
       .select(col(idCol),

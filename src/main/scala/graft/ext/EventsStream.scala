@@ -51,18 +51,38 @@ object EventsStream {
         sum(col("value").cast("decimal(20,4)")).as("total_value"))
       .orderBy("hour", "event_type")
 
-  /** Streaming form: parquet source → watermark → tumbling window.
-    * Built on a conf-isolated session clone (see [[nanosSession]]).
+  /** Streaming parquet source for ONE file: the file source wants a
+    * directory, so stream the parent glob-filtered to the file name.
+    * Shared by every bounded-stream harness in this package.
     */
-  def hourlyStream(spark: SparkSession, path: String): DataFrame = {
-    val s = nanosSession(spark)
+  private[ext] def singleFileStream(s: SparkSession, path: String): DataFrame = {
     val schema = s.read.parquet(path).schema // bounded: schema inference once
-    // the streaming file source wants a directory: stream the parent,
-    // glob-filtered to this file
     val p = java.nio.file.Paths.get(path)
     s.readStream.schema(schema)
       .option("pathGlobFilter", p.getFileName.toString)
       .parquet(p.getParent.toString)
+  }
+
+  /** Run a bounded streaming frame to completion into a memory sink
+    * and return the sink table (registered in the frame's session).
+    */
+  private[ext] def runToMemory(stream: org.apache.spark.sql.Dataset[_],
+                               queryName: String, mode: OutputMode): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    stream.sparkSession.table(queryName)
+  }
+
+  /** Streaming form: parquet source → watermark → tumbling window.
+    * Built on a conf-isolated session clone (see [[nanosSession]]).
+    */
+  def hourlyStream(spark: SparkSession, path: String): DataFrame = {
+    singleFileStream(nanosSession(spark), path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -77,17 +97,6 @@ object EventsStream {
     * smoke harness for the streaming path.
     */
   def runStreamOnce(spark: SparkSession, path: String,
-                    queryName: String = "events_hourly"): DataFrame = {
-    val stream = hourlyStream(spark, path)
-    val q: StreamingQuery = stream.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // the memory sink registers its temp view in the stream's (cloned)
-    // session — read it from there
-    stream.sparkSession.table(queryName)
-  }
+                    queryName: String = "events_hourly"): DataFrame =
+    runToMemory(hourlyStream(spark, path), queryName, OutputMode.Complete())
 }

@@ -29,6 +29,12 @@ object ScaleOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full joins would emit one null-fact row PER UNMATCHED DIM
+    // REPLICA (up to `salts` spurious rows per dim key) — only
+    // fact-preserving join types are sound under dim replication
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedJoin supports fact-preserving join types only (inner/left/left_semi/left_anti), got $joinType")
     val saltedFact = fact.withColumn("_salt", pmod(spark_partition_id(), lit(salts)))
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))

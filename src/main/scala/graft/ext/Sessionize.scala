@@ -59,12 +59,8 @@ object Sessionize {
   def sessionizeStream(spark: SparkSession, path: String,
                        gapSeconds: Int): Dataset[SessionOut] = {
     import spark.implicits._
-    val schema = spark.read.parquet(path).schema
-    val p = java.nio.file.Paths.get(path)
     val gapMicros = gapSeconds * 1000000L
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getFileName.toString)
-      .parquet(p.getParent.toString)
+    EventsStream.singleFileStream(spark, path)
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
       .withWatermark("ts", "0 seconds")
       .as[(Timestamp, String)]
@@ -113,15 +109,7 @@ object Sessionize {
     * (closed) sessions.
     */
   def runSessionStreamOnce(spark: SparkSession, path: String, gapSeconds: Int,
-                           queryName: String = "sessions"): DataFrame = {
-    val stream = sessionizeStream(spark, path, gapSeconds)
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    stream.sparkSession.table(queryName)
-  }
+                           queryName: String = "sessions"): DataFrame =
+    EventsStream.runToMemory(
+      sessionizeStream(spark, path, gapSeconds), queryName, OutputMode.Append)
 }

@@ -102,6 +102,7 @@ object Xlsx {
     var cellType = ""
     var inV = false
     var inIs = false
+    var sawValue = false
     val sb = new StringBuilder
     def put(idx: Int, value: String): Unit = {
       while (cells.length <= idx) cells += null
@@ -110,13 +111,15 @@ object Xlsx {
     def flushCell(): Unit = {
       if (colIdx >= 0) {
         val raw = sb.toString
-        val v = cellType match {
-          case "s" => shared.lift(raw.trim.toInt).orNull
-          case _ => raw
-        }
+        val v =
+          if (!sawValue) null // styled blank (<c s="1"/>): no value part
+          else cellType match {
+            case "s" => shared.lift(raw.trim.toInt).orNull
+            case _ => raw
+          }
         put(colIdx, v)
       }
-      colIdx = -1; cellType = ""; sb.clear()
+      colIdx = -1; cellType = ""; sawValue = false; sb.clear()
     }
     foreachEvent(bytes) { r =>
       r.getEventType match {
@@ -128,8 +131,8 @@ object Xlsx {
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
             sb.clear()
           case "is" => inIs = true
-          case "v" => inV = true
-          case "t" if inIs => inV = true
+          case "v" => inV = true; sawValue = true
+          case "t" if inIs => inV = true; sawValue = true
           case _ =>
         }
         case XMLStreamConstants.CHARACTERS if inV =>

@@ -275,6 +275,34 @@ class ExtSpec extends SparkSpec {
     assert(!AsofJoin.rightIsUnique(dup, Seq("k"), "rt"))
   }
 
+  test("asof join: null payload in the newest right row is NOT skipped or mixed") {
+    // right at t=20 has v1=null: the match at t=25 must return
+    // (null, 30), not resurrect v1=1.0 from t=10 or mix rows
+    val left = Seq((1L, 25, "a")).toDF("id", "t", "k")
+    val right = Seq(("a", 10, Some(1.0), Some(2.0)), ("a", 20, None, Some(30.0)))
+      .toDF("k", "rt", "v1", "v2")
+    val r = AsofJoin.asofJoinLast(left, right, Seq("k"), "t", "rt", Seq("v1", "v2"))
+      .select("v1", "v2").head()
+    assert(r.isNullAt(0), s"stale v1 resurrected: ${r.get(0)}")
+    assert(r.getDouble(1) == 30.0)
+  }
+
+  test("similarity: native dot returns null on mismatched dims (matches HOF)") {
+    val d = Seq((1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("id", "a", "b")
+    val r = d.select(Similarity.dotNative($"a", $"b").as("n"),
+      Similarity.dot($"a", $"b").as("h")).head()
+    assert(r.isNullAt(0), "truncated partial dot instead of null")
+    assert(r.isNullAt(1))
+  }
+
+  test("scaleops: saltedJoin rejects dim-preserving join types") {
+    val f = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      graft.ext.ScaleOps.saltedJoin(f, f, "k", 4, joinType = "right"))
+    intercept[IllegalArgumentException](
+      graft.ext.ScaleOps.saltedJoin(f, f, "k", 4, joinType = "full_outer"))
+  }
+
   test("range join: bin-crossing intervals, boundary inclusivity, no duplicates") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000)

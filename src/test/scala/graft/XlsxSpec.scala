@@ -29,7 +29,7 @@ class XlsxSpec extends SparkSpec {
       |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>note</t></is></c></row>
       |<row r="2"><c r="A2"><v>5415</v></c><c r="B2" t="s"><v>2</v></c></row>
       |<row r="3"><c r="A3"><v>1114</v></c><c r="B3" t="inlineStr"><is><t>Greenhouse</t></is></c><c r="C3"><v>7</v></c></row>
-      |<row r="4"><c r="A4"><v>9999</v></c><c r="C4"><v>8</v></c></row>
+      |<row r="4"><c r="A4"><v>9999</v></c><c r="B4" s="1"/><c r="C4"><v>8</v></c></row>
       |</sheetData></worksheet>""".stripMargin
 
   private val sheet2 =
@@ -60,7 +60,7 @@ class XlsxSpec extends SparkSpec {
     val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows(0) == (("5415", "Computer Systems", null)))  // shared + rich text
     assert(rows(1) == (("1114", "Greenhouse", "7")))         // inline string + number
-    assert(rows(2) == (("9999", null, "8")))                 // interior gap -> null
+    assert(rows(2) == (("9999", null, "8")))                 // styled blank -> null
   }
 
   test("xlsx: second sheet addressable; missing sheet fails loudly") {
