@@ -463,6 +463,25 @@ object SparkEntry {
       Dedup.simhash64(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // ext capstone: the composed training-data pipeline — quality gate,
+    // exact dedup keeping the first doc per normalized fingerprint,
+    // then per-language corpus stats. Every stage is an already-oracled
+    // operator; this gates their COMPOSITION.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val kept = TextStats.withQuality(t(s, dir, "documents"))
+        .filter(col("quality_score") >= 0.7)
+        .select("doc_id", "text")
+      val w = Window.partitionBy(Dedup.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      val canon = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      canon
+        .select(TextStats.langId(col("text")).as("lang_id"),
+          TextStats.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpeish").cast("long").as("total_tokens"))
+        .orderBy("lang_id")
+    }),
+
     // ext text: quality features + composite score
     "q_text_quality" -> ((s, dir) => {
       TextStats.withQuality(t(s, dir, "documents"))
@@ -564,6 +583,22 @@ object SparkEntry {
 
     val punct = "[!-/:-@\\[-`{-~]"
     val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
+
+    // quality features + score, shared by q_text_quality and the
+    // composite q_corpus_pipeline (DuckDB mirror of TextStats.withQuality)
+    val sqlQualityFeatureCte =
+      s"""f AS (
+         |  SELECT doc_id, text,
+         |         CAST(length(text) AS INTEGER) AS n_chars,
+         |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tok,
+         |         CAST(len(regexp_extract_all(text, '$punct')) AS INTEGER) AS n_punct,
+         |         (${allStopwords.map(sqlWordCount).mkString(" + ")}) AS stop_hits
+         |  FROM documents)""".stripMargin
+    val sqlQualityScore =
+      """round(CAST(CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END
+        |           + CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) <= 0.2 THEN 0.3 ELSE 0.0 END
+        |           + CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+        |         AS DOUBLE), 2)""".stripMargin
 
     Map(
       "q_scan_prune" ->
@@ -852,25 +887,41 @@ object SparkEntry {
            |       neighbor_id, round(c, 6) AS cosine
            |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-      "q_text_quality" -> {
-        val stopHits = allStopwords.map(sqlWordCount).mkString(" + ")
-        s"""WITH f AS (
-           |  SELECT doc_id,
-           |         CAST(length(text) AS INTEGER) AS n_chars,
-           |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tok,
-           |         CAST(len(regexp_extract_all(text, '$punct')) AS INTEGER) AS n_punct,
-           |         ($stopHits) AS stop_hits
-           |  FROM documents)
+      "q_text_quality" ->
+        s"""WITH $sqlQualityFeatureCte
            |SELECT doc_id, n_tok AS n_tokens,
            |       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END, 6) AS punct_ratio,
            |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE) / n_tok END, 6) AS stopword_ratio,
            |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END, 6) AS mean_word_len,
-           |       round(CAST(CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END
-           |           + CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) <= 0.2 THEN 0.3 ELSE 0.0 END
-           |           + CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-           |         AS DOUBLE), 2) AS quality_score
-           |FROM f ORDER BY doc_id""".stripMargin
-      },
+           |       $sqlQualityScore AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin,
+
+      // capstone composite: the pipeline an actual training-data run
+      // executes — quality gate -> exact dedup keep-first -> per-language
+      // corpus stats — all from already-oracled pieces
+      "q_corpus_pipeline" ->
+        s"""WITH $sqlQualityFeatureCte,
+           |kept AS (
+           |  SELECT doc_id, text FROM f WHERE $sqlQualityScore >= 0.7),
+           |canon AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |           row_number() OVER (
+           |             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |             ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |lv AS (
+           |  SELECT doc_id,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr,
+           |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
+           |  FROM canon)
+           |SELECT CASE WHEN greatest(en, es, fr) <= 0 THEN 'und'
+           |            WHEN fr > greatest(en, es) THEN 'fr'
+           |            WHEN es > en THEN 'es' ELSE 'en' END AS lang_id,
+           |       count(*) AS n_docs, CAST(sum(n_bpeish) AS BIGINT) AS total_tokens
+           |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_lang_tokens" ->
         s"""WITH v AS (
