@@ -463,6 +463,35 @@ object SparkEntry {
       Dedup.simhash64(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // ext: deterministic stratified hash sampling — md5-prefix
+    // membership, not rand(): reproducible across reruns and engines,
+    // the way production corpus subsets are cut. 'en' docs kept at
+    // 2/16, everything else at 4/16.
+    "q_hash_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val isEn = TextStats.langId(col("text")) === "en"
+      docs
+        .filter(when(isEn, bucket.isin("0", "1"))
+          .otherwise(bucket.isin("0", "1", "2", "3")))
+        .select(col("doc_id"),
+          TextStats.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ext: exact order statistics + linear relationship aggregates
+    // (percentile_cont semantics match DuckDB's quantile_cont; corr is
+    // the textbook Pearson definition in both engines)
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+        .orderBy("l_returnflag")
+    }),
+
     // ext capstone: the composed training-data pipeline — quality gate,
     // exact dedup keeping the first doc per normalized fingerprint,
     // then per-language corpus stats. Every stage is an already-oracled
@@ -886,6 +915,32 @@ object SparkEntry {
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
            |       neighbor_id, round(c, 6) AS cosine
            |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_hash_sample" ->
+        s"""WITH lv AS (
+           |  SELECT doc_id,
+           |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM documents),
+           |lang AS (
+           |  SELECT doc_id, bucket,
+           |         CASE WHEN greatest(en, es, fr) <= 0 THEN 'und'
+           |              WHEN fr > greatest(en, es) THEN 'fr'
+           |              WHEN es > en THEN 'es' ELSE 'en' END AS lang_id
+           |  FROM lv)
+           |SELECT doc_id, lang_id FROM lang
+           |WHERE CASE WHEN lang_id = 'en' THEN bucket IN ('0', '1')
+           |           ELSE bucket IN ('0', '1', '2', '3') END
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_percentiles" ->
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+          |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_quality" ->
         s"""WITH $sqlQualityFeatureCte
