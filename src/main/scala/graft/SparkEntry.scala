@@ -296,6 +296,26 @@ object SparkEntry {
         .orderBy(asc_nulls_first("year"), asc_nulls_first("qtr"))
     }),
 
+    // grouping sets: full cube over (year, qtr)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("qtr", quarter(col("o_orderdate")))
+        .cube("year", "qtr")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_amt"))
+        .orderBy(asc_nulls_first("year"), asc_nulls_first("qtr"))
+    }),
+
+    // reshape: long->wide pivot (returnflag rows x linestatus columns)
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_extendedprice"), 2))
+        .orderBy("l_returnflag")
+    }),
+
     // U1: union of two sources
     "q_union" -> ((s, dir) => {
       t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
@@ -736,6 +756,21 @@ object SparkEntry {
           |SELECT year, qtr, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
           |FROM o GROUP BY ROLLUP (year, qtr)
           |ORDER BY year ASC NULLS FIRST, qtr ASC NULLS FIRST""".stripMargin,
+
+      "q_cube" ->
+        """WITH o AS (
+          |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+          |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr, o_totalprice
+          |  FROM orders)
+          |SELECT year, qtr, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
+          |FROM o GROUP BY CUBE (year, qtr)
+          |ORDER BY year ASC NULLS FIRST, qtr ASC NULLS FIRST""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT l_returnflag,
+          |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS F,
+          |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS O
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_union" ->
         """SELECT c_name AS name, 'customer' AS src FROM customer
