@@ -610,8 +610,9 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // ext multimodal: frame-sampling plumbing (no SQL oracle: binary
-    // chunking; rows-only check)
+    // ext multimodal: frame-sampling plumbing. Oracle-able because the
+    // synthetic documents are pure ASCII (verified at every SF), so
+    // DuckDB's char-slicing equals Spark's byte-slicing of the payload.
     "q_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image"),
@@ -1078,8 +1079,22 @@ object SparkEntry {
           |       CAST(64 + (octet_length(encode(text)) * 31) % 131 AS INTEGER) AS height,
           |       CAST(1 AS INTEGER) AS n_frames,
           |       md5(text) AS checksum
-          |FROM documents ORDER BY media_id""".stripMargin
-      // q_frame_sample: no oracle (binary chunking) -> rows-only check
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      // char-slice == byte-slice because the corpus is pure ASCII
+      // (md5 of the substring's UTF-8 bytes == md5 of the byte frame)
+      "q_frame_sample" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, text,
+          |         CAST(ceil(length(text) / 64.0) AS INTEGER) AS nt
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id, text, unnest(range(0, greatest(nt - 1, 0) + 1)) AS frame_idx
+          |  FROM m)
+          |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          |       md5(substring(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64)) AS frame_md5
+          |FROM f WHERE frame_idx % 2 = 0
+          |ORDER BY media_id, frame_idx""".stripMargin
     )
   }
 }
