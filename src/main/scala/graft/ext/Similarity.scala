@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *   - The query set is broadcast (it is small by construction); the
-  *     corpus is streamed once — similarity is a narrow, codegen'd
-  *     per-row expression (`zip_with` + `aggregate`), no UDF.
+  *     corpus is streamed once — similarity is a narrow per-row
+  *     expression (the native [[graft.functions.DotFloat]] codegen
+  *     loop, with norms precomputed per vector), no UDF.
   *   - Top-k uses TWO phases: a per-shuffle-partition top-k first
   *     (window over (query, physical partition) — keys are balanced by
   *     construction), then a global top-k over the tiny survivor set
