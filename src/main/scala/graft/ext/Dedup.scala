@@ -250,16 +250,34 @@ object Dedup {
     * labels; at fixpoint the label is the component's minimum id.
     *
     * Scale design: the graph is the CANDIDATE PAIR set (LSH survivors),
-    * orders of magnitude smaller than the corpus — each round is one
-    * equi-join + hash-aggregate over it. Rounds needed = component
-    * diameter; near-dup components are dense (near-cliques), so 3-5
-    * rounds typically converge and `maxIter` hard-bounds pathology.
-    * `localCheckpoint` truncates plan lineage each round so Catalyst
-    * planning stays O(1) per iteration (a production run on a real
-    * cluster would use `checkpoint` to reliable storage instead).
+    * orders of magnitude smaller than the corpus. Each round is ONE
+    * Spark action: the propagation aggregate carries the node's
+    * previous label alongside the new one, an `observe` metric counts
+    * changed rows inside the same job, and the eager checkpoint that
+    * materializes the round IS the convergence check — no second
+    * join/isEmpty action per round (round 2's bench showed the loop was
+    * driver-latency-bound, cold == warm). The small label frame is
+    * broadcast into the edge join, so the only shuffle per round is the
+    * label aggregate, over `numPartitions` partitions sized to the pair
+    * graph, not the corpus. Rounds needed = component diameter;
+    * near-dup components are dense (near-cliques), so 3-5 rounds
+    * typically converge and `maxIter` hard-bounds pathology.
+    *
+    * `checkpointDir`: on a real cluster pass a reliable-storage path —
+    * per-round lineage truncation then survives executor loss;
+    * unset, `localCheckpoint` (executor memory) is used, which is fine
+    * for local/bench runs but ties the result to executor lifetimes.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+                          id1Col: String = "id1", id2Col: String = "id2",
+                          numPartitions: Int = 4,
+                          checkpointDir: Option[String] = None,
+                          broadcastLabels: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // persist the pair set FIRST: the symmetrizing union below reads it
     // twice, and `pairs` is typically an expensive LSH plan
     val p = pairs.persist()
@@ -267,23 +285,31 @@ object Dedup {
       .select(col(id1Col).as("src"), col(id2Col).as("dst"))
       .union(p.select(col(id2Col).as("src"), col(id1Col).as("dst")))
       .distinct()
+      // the pair graph is tiny relative to the corpus: a handful of
+      // partitions keeps every per-round task count O(1)
+      .coalesce(numPartitions)
       .persist()
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .distinct()
-      .localCheckpoint(true)
+    var labels = snapshot(
+      edges.select(col("src").as("id"), col("src").as("label")).distinct())
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      converged = prop
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev"))
-        .isEmpty
-      labels = prop
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
+      // broadcastLabels: right for LSH-survivor graphs (labels = node
+      // set of the pair graph, tiny); turn OFF for pair graphs whose
+      // node set exceeds broadcast limits — the join then shuffles
+      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val prop = edges.join(lbl, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("id"), col("label"), lit(true).as("own")))
+        // every id has exactly one own=true row, so `prev` is the
+        // node's current label and min("label") the propagated one
+        .groupBy("id").agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
+        .observe(obs, count(when(col("label") < col("prev"), 1)).as("n_changed"))
+        .select(col("id"), col("label"))
+      labels = snapshot(prop) // the round's ONE action; fills the metric
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       i += 1
     }
     p.unpersist()
@@ -301,11 +327,15 @@ object Dedup {
     * near-dup pairs into cluster assignments for EVERY doc. Docs in no
     * pair are their own singleton cluster; `cluster_id` is the minimum
     * doc id of the component and `is_canonical` marks the one doc per
-    * cluster to keep.
+    * cluster to keep. `checkpointDir` forwards to
+    * [[connectedComponents]] for reliable-storage lineage truncation on
+    * real clusters.
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame,
-                      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
-    val cc = connectedComponents(pairs, maxIter).withColumnRenamed("id", idCol)
+                      idCol: String = "doc_id", maxIter: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol)
     docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")
       .select(col(idCol),

@@ -69,12 +69,13 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaRow]
       .mapPartitions { rows =>
-        // real codec: init libraries ONCE here, per partition
+        // init ONCE per partition (the point of mapPartitions); digest()
+        // resets the instance after each call, so reuse is safe
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val (w, h, f) = FakeCodec.decode(r.payload, r.kind)
           MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f,
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(r.payload).map("%02x".format(_)).mkString)
+            md5.digest(r.payload).map("%02x".format(_)).mkString)
         }
       }
   }

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order statistics that survive 100 TB.
+  *
+  * Spark's exact `percentile` aggregate is an ImperativeAggregate that
+  * buffers a value→count map PER GROUP in executor memory — fine at
+  * bench scale, an OOM at datalake scale. The two alternatives here:
+  *
+  *   - [[exactQuantiles]]: exact percentile_cont semantics in two
+  *     scalable passes — a hash-aggregate collapses rows to
+  *     (group, value, count) with map-side combine (shuffle volume =
+  *     distinct values, not rows), then a cumulative-count window over
+  *     the sorted distinct values locates the ranks each quantile
+  *     needs. The per-group sort is Spark's external (spilling) sort
+  *     over DISTINCT values only; per-row state is O(1). Interpolation
+  *     reproduces Spark's `percentile` formula bit-for-bit:
+  *     `(hi - pos)·v_lo + (pos - lo)·v_hi` at `pos = p·(n-1)`.
+  *   - [[approxQuantiles]]: `approx_percentile` (Greenwald-Khanna
+  *     sketch, mergeable, bounded memory) for when an error bound is
+  *     acceptable: rank error ≤ n / accuracy — at the default
+  *     accuracy 10000 the returned value's rank is within 0.01 % of
+  *     the exact one.
+  */
+object Quantiles {
+
+  /** Exact interpolated quantiles (percentile_cont / Spark
+    * `percentile` semantics, nulls ignored) per group. Returns one row
+    * per group with `outCols(i)` holding the `ps(i)` quantile.
+    * Groups whose values are all null are omitted (the exact aggregate
+    * would return null rows for them).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     ps: Seq[Double], outCols: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == outCols.size, "one output column per quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles must be in [0,1]")
+    val keys = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+
+    // pass 1: rows -> (group, value, count). Map-side combine bounds the
+    // shuffle by distinct values; no per-group in-memory map anywhere.
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ v.as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+
+    // pass 2: cumulative counts over the sorted distinct values. The
+    // value at 0-based rank r is the row with _start <= r < _end.
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = counts
+      .withColumn("_end", sum(col("_c")).over(wCum))
+      .withColumn("_start", col("_end") - col("_c"))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+
+    // per-row rank targets: pos_i = p_i * (n-1), lo/hi its floor/ceil
+    def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
+    def covers(r: Column): Column = col("_start") <= r && r < col("_end")
+    val needed = ps.map(p => covers(floor(pos(p))) || covers(ceil(pos(p)))).reduce(_ || _)
+
+    // one filter keeps only the handful of rows carrying a needed rank;
+    // the final aggregate is over ≤ 2·|ps| rows per group
+    val picked = ranked.filter(needed)
+      .groupBy(keys: _*)
+      .agg(
+        max(col("_n")).as("_n"),
+        ps.zipWithIndex.flatMap { case (p, i) =>
+          Seq(max(when(covers(floor(pos(p))), col("_v"))).as(s"_lo_$i"),
+            max(when(covers(ceil(pos(p))), col("_v"))).as(s"_hi_$i"))
+        }: _*)
+
+    // Spark `percentile` interpolation, reproduced exactly:
+    // lower when pos is integral, else (hi-pos)*v_lo + (pos-lo)*v_hi
+    val outs = ps.zip(outCols).zipWithIndex.map { case ((p, name), i) =>
+      val position = pos(p)
+      val lo = floor(position)
+      val hi = ceil(position)
+      when(hi === lo, col(s"_lo_$i"))
+        .otherwise((hi.cast("double") - position) * col(s"_lo_$i") +
+          (position - lo.cast("double")) * col(s"_hi_$i"))
+        .as(name)
+    }
+    picked.select(keys ++ outs: _*)
+  }
+
+  /** Sketch-based quantiles: bounded-memory, mergeable, the default at
+    * raw 100 TB scale. Rank error ≤ n/accuracy (Greenwald-Khanna) —
+    * document the bound at the call site when serving results.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      ps: Seq[Double], outCols: Seq[String],
+                      accuracy: Int = 10000): DataFrame = {
+    require(ps.size == outCols.size, "one output column per quantile")
+    val aggs = ps.zip(outCols).map { case (p, name) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -114,6 +114,28 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Plane count sized to the corpus: ⌈log2(n / targetBucketSize)⌉
+    * hyperplanes put the EXPECTED bucket population at
+    * ~targetBucketSize, so a bucketed self-join's pair cost stays
+    * ~n·targetBucketSize (linear in n) instead of n²/2^planes going
+    * quadratic when the plane count is a fixed literal. Clamped to ≥ 1.
+    */
+  def planesForCount(n: Long, targetBucketSize: Long = 1000L): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
+  /** [[defaultPlanes]] with the plane count derived from the corpus
+    * size via [[planesForCount]].
+    */
+  def planesForCorpus(corpus: DataFrame, targetBucketSize: Long = 1000L,
+                      vecCol: String = "embedding", seed: Long = 42L): Seq[Seq[Double]] = {
+    // two calibration jobs (count + head for the dimension) — trivial
+    // next to the pair join they right-size
+    val n = corpus.count()
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    defaultPlanes(dim, planesForCount(n, targetBucketSize), seed)
+  }
+
   /** Dot of `vec` with a constant plane, as an explicit left-associated
     * sum of per-component products in double. Strict left-to-right IEEE
     * evaluation means any engine writing the same expression computes
@@ -163,9 +185,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** [[bucketedTopK]] with the plane count derived from the corpus
+    * size ([[planesForCorpus]]): buckets stay ~targetBucketSize as the
+    * corpus grows, keeping probe cost per query bounded.
+    */
+  def bucketedTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                       targetBucketSize: Long = 1000L, multiProbe: Boolean = false,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bucketedTopK(corpus, queries, k,
+      planesForCorpus(corpus, targetBucketSize, vecCol), multiProbe, idCol, vecCol)
+
+  /** [[embeddingNearDupPairs]] with the plane count derived from the
+    * corpus size ([[planesForCorpus]]): total pair work stays
+    * ~n·targetBucketSize (linear) as n grows instead of quadratic at a
+    * fixed plane count.
+    */
+  def embeddingNearDupPairsAuto(corpus: DataFrame, threshold: Double,
+                                targetBucketSize: Long = 1000L,
+                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupPairs(corpus, threshold,
+      planesForCorpus(corpus, targetBucketSize, vecCol), idCol, vecCol)
+
   /** Embedding near-duplicate pairs: corpus self-join within coarse
     * buckets, keep pairs with cosine >= threshold. The bucket join
     * bounds the pair space; at 100 TB add multi-probe + AQE skew join.
+    * Size `planes` to the corpus ([[planesForCorpus]] /
+    * [[embeddingNearDupPairsAuto]]) — a fixed plane count goes
+    * quadratic as n grows past 2^planes · bucket_target.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             planes: Seq[Seq[Double]],

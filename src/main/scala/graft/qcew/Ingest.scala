@@ -45,11 +45,14 @@ object Ingest {
   def ingestAll(spark: SparkSession, rawGlob: String, outDir: String,
                 filesPerPartition: Int = 1): DataFrame = {
     val parsed = FixedWidth.parse(FixedWidth.readRaw(spark, rawGlob))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parsed
       // co-locate each output partition's rows; AQE coalesces small ones
       .repartition(col("year"), col("qtr"))
       .write.mode(SaveMode.Overwrite)
+      // writer-level option, NOT spark.conf.set: a session-conf mutation
+      // would silently flip overwrite semantics for every later write in
+      // the caller's session
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "qtr")
       .parquet(outDir)
     spark.read.parquet(outDir)

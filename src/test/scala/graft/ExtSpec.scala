@@ -78,6 +78,14 @@ class ExtSpec extends SparkSpec {
       (5L, 1L, false), (9L, 9L, true), (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("dedup: connected components with a reliable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("ccchk").toString
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("dedup: connected components on empty pair set leaves all docs singleton") {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     val docs = Seq(1L, 2L).toDF("doc_id")
@@ -198,6 +206,31 @@ class ExtSpec extends SparkSpec {
     // no bucket holds more than half the corpus (raw first-4-dim sign
     // buckets on correlated embeddings fail this badly)
     assert(hist.map(_.getLong(1)).max < total / 2)
+  }
+
+  test("similarity: corpus-derived plane count keeps pair work sub-quadratic") {
+    // derivation: ⌈log2(n/target)⌉, clamped to >= 1
+    assert(Similarity.planesForCount(500, 1000) == 1)
+    assert(Similarity.planesForCount(2000, 1000) == 1)
+    assert(Similarity.planesForCount(16000, 1000) == 4)
+    assert(Similarity.planesForCount(1000000, 1000) == 10)
+    // empirical: with derived planes, Σ bucket² (the bucketed self-join's
+    // pair work) must grow sub-quadratically when the corpus doubles —
+    // a fixed plane count would grow it ~4×
+    val target = 50L
+    def pairWork(n: Int): Double = {
+      val c = embs.filter($"vec_id" < n)
+      val planes = Similarity.planesForCorpus(c, target)
+      assert(planes.length == Similarity.planesForCount(n, target))
+      c.groupBy(Similarity.hyperplaneBucket($"embedding", planes).as("b"))
+        .count().collect().map(r => math.pow(r.getLong(1).toDouble, 2)).sum
+    }
+    val half = pairWork(250)
+    val full = pairWork(500)
+    assert(full / half < 3.0,
+      s"pair work grew ${full / half}x on a 2x corpus — quadratic, planes not scaling")
+    // and buckets stay near the target occupancy, not n
+    assert(full <= 3.0 * 500 * target, s"Σ bucket² = $full exceeds ~n·target")
   }
 
   test("similarity: near-dup pairs are symmetric-free, thresholded, bucket-bounded") {
