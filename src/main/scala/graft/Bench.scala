@@ -17,6 +17,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val loadStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +44,11 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // optional comma-separated filter for local iteration; the driver
+    // leaves it unset so the archived bench always covers every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -72,7 +78,14 @@ object Bench {
       m.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val total = warm.values.sum
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}""")
+    // environment telemetry: a contended host inflates every query
+    // uniformly (round-3 archive ran ~8x the quiet-host times); the
+    // load average before/after lets a reader separate machine noise
+    // from plan regressions
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadEnd = os.getSystemLoadAverage
+    val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -700,6 +700,102 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ext similarity: IVF index build — every vector assigned to the
+    // nearest (max-cosine) of the 4 seed centroids. Centroids
+    // broadcast; the argmax is a map-side-combined hash aggregate, so
+    // shuffle volume is one row per vector regardless of centroid count.
+    "q_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAssign(spread(emb), emb.filter(col("vec_id") < 4))
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // ext similarity: IVF ANN search — queries probe their 2 nearest
+    // centroids' inverted lists; exact cosine ranks the candidates.
+    // The data-adaptive quantizer counterpart of the hyperplane-bucket
+    // ANN above (same partitionable equi-join shape).
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(spread(emb), emb.filter(col("vec_id") < 4),
+          emb.filter(col("vec_id") < 8), k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext streaming: stateful dropDuplicates over the event stream —
+    // first row per (user_id, event_type) — reduced to distinct-key
+    // counts per type, the stream-order-independent summary (WHICH
+    // duplicate survives depends on batch order; the key set doesn't).
+    "q_stream_dedup" -> ((s, dir) => {
+      EventsStream.runDedupOnce(s, s"$dir/events.parquet")
+        .orderBy("event_type")
+    }),
+
+    // multi-way join: the classic pricing-summary shape — selective dim
+    // filter broadcast into the orders join, then a shuffle join on the
+    // fact key and a top-N. Revenue is floored per lineitem before the
+    // sum: exact int64 arithmetic both engines, immune to
+    // partition-order reassociation drift.
+    "q_mway_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01"))
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum("rev").cast("long").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+    }),
+
+    // multiple exact count-distincts per group (Catalyst Expand: one
+    // pass over the input fans out per distinct aggregate, partial
+    // aggregation bounds the shuffle by distinct keys)
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // rank-family windows: ntile quartiles + percent_rank + cume_dist.
+    // The window order includes the unique key so ntile's row order —
+    // and therefore every output — is total and engine-independent.
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // ext text: winnowing-style rolling fingerprint — min md5 over
+    // strided character 8-gram windows of normalized text; one narrow
+    // codegen'd expression, no shuffle
+    "q_doc_fingerprint" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextStats.minShingleFingerprint(col("text"), w = 8, stride = 4).as("fp8"))
+        .orderBy("doc_id")
+    }),
+
     // ext multimodal: per-partition batched decode (stub codec) metadata
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeBatches(
@@ -1195,6 +1291,91 @@ object SparkEntry {
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
            |WHERE list_cosine_similarity(a.v, bb.v) >= 0.2
            |ORDER BY id1, id2""".stripMargin,
+
+      // IVF assignment: the argmax is re-derived as a per-vector
+      // row_number over (cosine DESC, centroid_id) — same tie-break as
+      // the Spark struct-max
+      "q_ivf_assign" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+          |s AS (
+          |  SELECT e.vec_id, centroid_id, list_cosine_similarity(v, cv) AS cc
+          |  FROM e, c)
+          |SELECT vec_id, centroid_id, round(cc, 6) AS centroid_cos
+          |FROM (SELECT vec_id, centroid_id, cc,
+          |             row_number() OVER (PARTITION BY vec_id
+          |                                ORDER BY cc DESC, centroid_id) AS rn
+          |      FROM s) WHERE rn = 1
+          |ORDER BY vec_id""".stripMargin,
+
+      "q_ivf_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+          |sc AS (
+          |  SELECT e.vec_id, cid, list_cosine_similarity(v, cv) AS cc,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |                            ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+          |  FROM e, c),
+          |asg AS (SELECT vec_id AS neighbor_id, cid FROM sc WHERE rn = 1),
+          |probe AS (SELECT vec_id AS query_id, cid FROM sc WHERE vec_id < 8 AND rn <= 2),
+          |s AS (
+          |  SELECT p.query_id, a.neighbor_id,
+          |         list_cosine_similarity(eq.v, en.v) AS cos_qn
+          |  FROM probe p
+          |  JOIN asg a ON p.cid = a.cid
+          |  JOIN e eq ON eq.vec_id = p.query_id
+          |  JOIN e en ON en.vec_id = a.neighbor_id
+          |  WHERE a.neighbor_id <> p.query_id)
+          |SELECT query_id,
+          |       CAST(row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos_qn DESC, neighbor_id) AS INTEGER) AS rank,
+          |       neighbor_id, round(cos_qn, 6) AS cosine
+          |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      // the deterministic reduction of streaming dedup: surviving keys
+      // = distinct keys, whatever the batch arrival order
+      "q_stream_dedup" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_mway_join" ->
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < DATE '1996-01-01'
+          |  AND l_shipdate > DATE '1996-01-01'
+          |GROUP BY 1, 2
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q_count_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_ntile" ->
+        """SELECT o_orderpriority, o_orderkey,
+          |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       round(cume_dist() OVER w, 6) AS cum_dist
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+      // Spark sequence(1, n, 4) is inclusive of the stop; DuckDB
+      // range(1, n + 1, 4) exclusive — same index set
+      "q_doc_fingerprint" ->
+        """WITH n AS (
+          |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+          |  FROM documents)
+          |SELECT doc_id,
+          |       list_min([md5(substring(norm, i, 8))
+          |                 for i in range(1, greatest(length(norm) - 7, 1) + 1, 4)]) AS fp8
+          |FROM n ORDER BY doc_id""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS media_id, 'image' AS kind,

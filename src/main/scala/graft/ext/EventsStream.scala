@@ -99,4 +99,30 @@ object EventsStream {
   def runStreamOnce(spark: SparkSession, path: String,
                     queryName: String = "events_hourly"): DataFrame =
     runToMemory(hourlyStream(spark, path), queryName, OutputMode.Complete())
+
+  /** Streaming dedup: first occurrence per (user_id, event_type) via
+    * stateful `dropDuplicates`. State is one entry per distinct key —
+    * for an UNBOUNDED key universe switch to
+    * `dropDuplicatesWithinWatermark`, which expires key state once the
+    * watermark passes it (the standard bounded-state form); on this
+    * bounded demo stream exact dedup keeps the oracle simple.
+    */
+  def dedupStream(spark: SparkSession, path: String): DataFrame =
+    singleFileStream(nanosSession(spark), path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Run [[dedupStream]] to completion and reduce it to its
+    * deterministic summary: distinct-key counts per event_type. WHICH
+    * duplicate row survives depends on micro-batch arrival order, but
+    * the surviving KEY SET is exactly the distinct keys — so the
+    * per-type count is the stream-order-independent (and
+    * oracle-checkable) answer.
+    */
+  def runDedupOnce(spark: SparkSession, path: String,
+                   queryName: String = "events_dedup"): DataFrame =
+    runToMemory(dedupStream(spark, path), queryName, OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
 }

@@ -206,6 +206,79 @@ object Similarity {
     embeddingNearDupPairs(corpus, threshold,
       planesForCorpus(corpus, targetBucketSize, vecCol), idCol, vecCol)
 
+  /** IVF coarse assignment: each vector joins the (small, broadcast)
+    * centroid set and keeps its `nProbe` highest-cosine centroids —
+    * `nProbe = 1` is the index-build assignment, `nProbe > 1` the
+    * query-time probe list. The argmax is a hash aggregate of
+    * `max(struct(cosine, centroid))` when nProbe = 1 (map-side combine
+    * collapses the k-fan-out before the shuffle, so shuffle volume is
+    * one row per vector); the general nProbe path is a per-vector
+    * row_number window (vec ids are high-cardinality, so the sort
+    * spreads across reducers). Ties and null cosines (zero vectors)
+    * break toward the smallest centroid id, deterministically.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, nProbe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val cent = withNorm(centroids, vecCol, "ct_nrm")
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("ct_vec"), col("ct_nrm"))
+    val scored = withNorm(vecs, vecCol, "v_nrm")
+      .select(col(idCol), col(vecCol), col("v_nrm"))
+      .join(broadcast(cent))
+      .withColumn("centroid_cos", cosineFromParts(
+        dotNative(col(vecCol), col("ct_vec")), col("v_nrm"), col("ct_nrm")))
+      // rank key: null cosine (zero vector) sorts below every real one;
+      // -centroid_id second so the struct MAX picks the smallest id on ties
+      .withColumn("_rk", struct(coalesce(col("centroid_cos"), lit(-2.0)),
+        -col("centroid_id")))
+    if (nProbe == 1)
+      scored
+        .groupBy(col(idCol))
+        .agg(max(struct(col("_rk"), col("centroid_id"), col("centroid_cos"))).as("best"))
+        .select(col(idCol), col("best.centroid_id").as("centroid_id"),
+          col("best.centroid_cos").as("centroid_cos"))
+    else {
+      // struct order is lexicographic: cosine desc, then -id desc = id asc
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_rk").desc)
+      scored
+        .withColumn("probe_rank", row_number().over(w))
+        .filter(col("probe_rank") <= nProbe)
+        .select(col(idCol), col("probe_rank"), col("centroid_id"), col("centroid_cos"))
+    }
+  }
+
+  /** IVF-style ANN search: corpus vectors are pre-assigned to their
+    * nearest centroid's inverted list ([[ivfAssign]], nProbe = 1); each
+    * query probes its `nProbe` nearest lists and ranks candidates by
+    * exact cosine. The centroid equi-join replaces the hyperplane
+    * bucket equi-join of [[bucketedTopK]] — same partitionable shape,
+    * but the quantizer adapts to the data (centroids sit where the
+    * vectors are) instead of being data-oblivious random planes.
+    * Centroid count at real scale: ~√n lists keeps list length and
+    * probe cost both ~√n; train centroids upstream (sampled k-means)
+    * and pass them in — assignment itself never iterates here.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lists = ivfAssign(corpus, centroids, nProbe = 1, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(withNorm(corpus, vecCol, "c_nrm")
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("c_nrm")),
+        Seq("neighbor_id"))
+    val probes = ivfAssign(queries, centroids, nProbe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("centroid_id"))
+      .join(withNorm(queries, vecCol, "q_nrm")
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("q_nrm")),
+        Seq("query_id"))
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineFromParts(
+        dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .select("query_id", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: corpus self-join within coarse
     * buckets, keep pairs with cosine >= threshold. The bucket join
     * bounds the pair space; at 100 TB add multi-probe + AQE skew join.

@@ -113,11 +113,14 @@ object TextStats {
   /** Rolling-hash shingle fingerprint (winnowing-style): the minimum
     * md5 over character `w`-gram windows of the normalized text — a
     * compact near-dup signature computed in one narrow expression.
+    * `stride > 1` samples every stride-th window start — ~stride× less
+    * hash work per document for a still-content-defined signature
+    * (insertions shift which windows are sampled only locally).
     */
-  def minShingleFingerprint(text: Column, w: Int = 8): Column = {
+  def minShingleFingerprint(text: Column, w: Int = 8, stride: Int = 1): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     array_min(transform(
-      sequence(lit(1), greatest(length(norm) - (w - 1), lit(1))),
+      sequence(lit(1), greatest(length(norm) - (w - 1), lit(1)), lit(stride)),
       i => md5(substring(norm, i, lit(w)))))
   }
 }

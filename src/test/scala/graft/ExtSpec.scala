@@ -414,4 +414,75 @@ class ExtSpec extends SparkSpec {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("events: streaming dedup summary equals batch COUNT(DISTINCT)") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val batch = EventsStream.readEvents(spark, path)
+      .groupBy("event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = EventsStream.runDedupOnce(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("similarity: IVF assignment is the brute-force argmax; probes rank by cosine") {
+    val cents = embs.filter($"vec_id" < 4)
+    // reference argmax: score every (vector, centroid) pair with the
+    // interpreted HOF cosine, pick max cosine / min id per vector
+    val ref = embs.as("v").crossJoin(cents.as("c"))
+      .select($"v.vec_id".as("vec_id"), $"c.vec_id".as("cid"),
+        Similarity.cosine($"v.embedding", $"c.embedding").as("cos"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (vid, rows) =>
+        vid -> rows.maxBy(r => (r.getDouble(2), -r.getLong(1))).getLong(1) }
+    val got = Similarity.ivfAssign(embs, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // the nProbe window path's rank-1 row agrees with the aggregate path
+    val probe1 = Similarity.ivfAssign(embs, cents, nProbe = 2)
+      .filter($"probe_rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(probe1 == got)
+  }
+
+  test("similarity: IVF topk candidates come only from probed lists, scores exact") {
+    val cents = embs.filter($"vec_id" < 4)
+    val queries = embs.filter($"vec_id" < 8)
+    val lists = Similarity.ivfAssign(embs, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.ivfAssign(queries, cents, nProbe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.ivfTopK(embs, cents, queries, k = 3, nProbe = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(probes(q).contains(lists(n)), s"neighbor $n of query $q not in a probed list")
+      assert(c == brute((q, n)), s"IVF cosine for ($q,$n) differs from brute force")
+    }
+  }
+
+  test("textstats: strided min-shingle fingerprint stable, whitespace-invariant") {
+    val d = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "The  quick\tbrown   fox jumps  over the lazy dog"), // ws noise only
+      (3L, "an entirely different document about spark engines")
+    ).toDF("doc_id", "text")
+    val fp = d.select($"doc_id",
+        TextStats.minShingleFingerprint($"text", w = 8, stride = 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L)) // normalization collapses whitespace runs
+    assert(fp(1L) != fp(3L))
+    // stride 1 samples a superset of windows: its min is <= the strided min
+    val full = d.filter($"doc_id" === 1)
+      .select(TextStats.minShingleFingerprint($"text", w = 8, stride = 1))
+      .head().getString(0)
+    assert(full <= fp(1L))
+  }
 }
