@@ -70,4 +70,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_salt"))
     assert(!p.contains("BroadcastHashJoin"))
   }
+
+  test("q_mway_join: customer filter broadcast; no cartesian anywhere") {
+    val p = plan("q_mway_join")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer side not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p.contains("EqualTo(c_mktsegment"), "segment filter not pushed to scan")
+  }
+
+  test("q_count_distinct: Expand fan-out with partial aggregation") {
+    val p = plan("q_count_distinct")
+    assert(p.contains("Expand"), "multi-distinct should plan through Expand")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q_ivf_topk: probe side broadcast, native dot kernel, no cartesian") {
+    val p = plan("q_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), "probe list join not broadcast")
+    assert(p.contains("dot_f32"), "native DotFloat kernel missing from plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_doc_fingerprint: narrow plan — no shuffle before the final sort") {
+    val p = plan("q_doc_fingerprint")
+    // exactly the spread() repartition and the orderBy range exchange
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "fingerprint should be a narrow projection, not a shuffling plan")
+  }
 }
