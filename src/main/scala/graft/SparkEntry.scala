@@ -339,6 +339,23 @@ object SparkEntry {
         .orderBy(asc_nulls_first("year"), asc_nulls_first("qtr"))
     }),
 
+    // grouping sets: EXPLICIT set list — (year), (qtr), grand total —
+    // with grouping() flags distinguishing "NULL because aggregated
+    // away" from a genuinely null key (the third family member next to
+    // rollup and cube, via the typed Dataset API)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("qtr", quarter(col("o_orderdate")))
+        .groupingSets(Seq(Seq(col("year")), Seq(col("qtr")), Seq()),
+          col("year"), col("qtr"))
+        .agg(grouping(col("year")).cast("int").as("g_year"),
+          grouping(col("qtr")).cast("int").as("g_qtr"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_amt"))
+        .orderBy(asc_nulls_first("year"), asc_nulls_first("qtr"))
+    }),
+
     // reshape: long->wide pivot (returnflag rows x linestatus columns)
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -734,6 +751,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ext streaming: conversion funnel — click → purchase by the same
+    // user within 10 minutes. The batch twin of the stream-stream
+    // inner join (EventsStream.funnelStream, unit-gated equal): an
+    // equi-join on the high-cardinality user key with the time window
+    // as a residual predicate. Sub-second-exact deltas: timestamps are
+    // microsecond-resolution, so round(.,6) on fractional epoch
+    // seconds is the identity on both engines.
+    "q_event_funnel" -> ((s, dir) => {
+      EventsStream.funnelBatch(
+          EventsStream.readEvents(s, s"$dir/events.parquet"), windowSec = 600)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          round(col("purchase_ts").cast("double") - col("click_ts").cast("double"), 6)
+            .as("secs_to_convert"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // multi-way join: the classic pricing-summary shape — selective dim
     // filter broadcast into the orders join, then a shuffle join on the
     // fact key and a top-N. Revenue is floored per lineitem before the
@@ -962,6 +995,18 @@ object SparkEntry {
           |  FROM orders)
           |SELECT year, qtr, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
           |FROM o GROUP BY CUBE (year, qtr)
+          |ORDER BY year ASC NULLS FIRST, qtr ASC NULLS FIRST""".stripMargin,
+
+      "q_grouping_sets" ->
+        """WITH o AS (
+          |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+          |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr, o_totalprice
+          |  FROM orders)
+          |SELECT year, qtr,
+          |       CAST(GROUPING(year) AS INTEGER) AS g_year,
+          |       CAST(GROUPING(qtr) AS INTEGER) AS g_qtr,
+          |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_amt
+          |FROM o GROUP BY GROUPING SETS ((year), (qtr), ())
           |ORDER BY year ASC NULLS FIRST, qtr ASC NULLS FIRST""".stripMargin,
 
       "q_pivot" ->
@@ -1339,6 +1384,14 @@ object SparkEntry {
       "q_stream_dedup" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_event_funnel" ->
+        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          |       round(epoch(p.ts) - epoch(c.ts), 6) AS secs_to_convert
+          |FROM events c JOIN events p ON c.user_id = p.user_id
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |  AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600
+          |ORDER BY click_id, purchase_id""".stripMargin,
 
       "q_mway_join" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -113,6 +113,62 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Conversion funnel, batch form: click → purchase by the same user
+    * within `windowSec`. The plan is an equi-join on the
+    * high-cardinality user key with the time range as a residual
+    * predicate — the exact shape Spark's stream-stream join executes,
+    * so the batch result is the semantic spec for [[funnelStream]].
+    * Time deltas compare `cast(ts as double)` (fractional epoch
+    * seconds), the cross-engine-stable form.
+    */
+  def funnelBatch(events: DataFrame, windowSec: Int = 600): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys,
+      col("user_id") === col("p_user") &&
+        (col("purchase_ts").cast("double") - col("click_ts").cast("double"))
+          .between(0, windowSec))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Conversion funnel, stream-stream form: inner join of two streams
+    * derived from the same source (a supported self-join). Both sides
+    * carry watermarks and the join condition bounds purchase_ts
+    * relative to click_ts, so each side's buffered state expires as
+    * the watermark passes — state is O(events in the join window), not
+    * O(stream). Inner joins emit exactly the batch-join rows for
+    * bounded input, which the unit test asserts against
+    * [[funnelBatch]].
+    */
+  def funnelStream(spark: SparkSession, path: String,
+                   windowSec: Int = 600): DataFrame = {
+    val ev = singleFileStream(nanosSession(spark), path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Run [[funnelStream]] to completion (memory sink). */
+  def runFunnelOnce(spark: SparkSession, path: String, windowSec: Int = 600,
+                    queryName: String = "events_funnel"): DataFrame =
+    runToMemory(funnelStream(spark, path, windowSec), queryName, OutputMode.Append())
+
   /** Run [[dedupStream]] to completion and reduce it to its
     * deterministic summary: distinct-key counts per event_type. WHICH
     * duplicate row survives depends on micro-batch arrival order, but

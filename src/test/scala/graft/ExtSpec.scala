@@ -427,6 +427,19 @@ class ExtSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("events: stream-stream funnel join emits exactly the batch join rows") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))
+    val batch = EventsStream.funnelBatch(
+        EventsStream.readEvents(spark, path), windowSec = 3600)
+      .collect().map(key).toSet
+    val streamed = EventsStream.runFunnelOnce(spark, path, windowSec = 3600)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // 3600 s window: non-vacuous even at sf0.001
+  }
+
   test("similarity: IVF assignment is the brute-force argmax; probes rank by cosine") {
     val cents = embs.filter($"vec_id" < 4)
     // reference argmax: score every (vector, centroid) pair with the
