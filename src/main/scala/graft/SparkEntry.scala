@@ -829,6 +829,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal: hash-derived feature vector — the SQL-only
+    // feature path (bit-identical to the batched mapPartitions stub,
+    // unit-asserted); features are exact multiples of 1/256 so the
+    // cross-engine compare is drift-free
+    "q_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(spread(t(s, dir, "documents")), "doc_id", "text", "image")
+      val f = Multimodal.sqlFeatures(col("payload"), 4)
+      media.select(col("media_id") +:
+          (0 until 4).map(j => round(element_at(f, j + 1), 6).as(s"f$j")): _*)
+        .orderBy("media_id")
+    }),
+
     // ext multimodal: per-partition batched decode (stub codec) metadata
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeBatches(
@@ -1429,6 +1441,19 @@ object SparkEntry {
           |       list_min([md5(substring(norm, i, 8))
           |                 for i in range(1, greatest(length(norm) - 7, 1) + 1, 4)]) AS fp8
           |FROM n ORDER BY doc_id""".stripMargin,
+
+      // hex-pair parse of the md5 digest (DuckDB has no hex→int conv;
+      // two instr lookups per byte reconstruct it exactly)
+      "q_media_features" -> {
+        def hexv(p: Int) = s"(instr('0123456789abcdef', substring(h, $p, 1)) - 1)"
+        val feats = (0 until 4).map { j =>
+          s"round((${hexv(2 * j + 1)} * 16 + ${hexv(2 * j + 2)}) / 256.0, 6) AS f$j"
+        }.mkString(",\n          |       ")
+        s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+           |SELECT media_id,
+           |       $feats
+           |FROM m ORDER BY media_id""".stripMargin
+      },
 
       "q_multimodal_meta" ->
         """SELECT doc_id AS media_id, 'image' AS kind,

@@ -481,6 +481,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: batched feature extraction matches the SQL feature path; resize exact") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text", "image")
+    val batched = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(r => r.media_id -> r.features.toSeq.map(_.toDouble)).toMap
+    val sqlPath = media.select($"media_id", Multimodal.sqlFeatures($"payload", 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(batched == sqlPath) // both are exact multiples of 1/256
+    assert(batched.values.forall(f => f.size == 8 && f.forall(v => v >= 0.0 && v < 1.0)))
+
+    val resized = Multimodal.resizeTo(media, outW = 8, outH = 4).collect()
+    assert(resized.forall(_.payload.length == 32))
+    val orig = media.select($"media_id", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.foreach { r => // cyclic-pad stub: out[i] == in[i mod len]
+      val in = orig(r.media_id)
+      assert(r.payload.zipWithIndex.forall { case (b, i) => b == in(i % in.length) })
+    }
+  }
+
   test("textstats: strided min-shingle fingerprint stable, whitespace-invariant") {
     val d = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
