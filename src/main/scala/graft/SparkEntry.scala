@@ -373,6 +373,44 @@ object SparkEntry {
         .orderBy("src", "name")
     }),
 
+    // set operations: INTERSECT / EXCEPT (distinct set semantics both
+    // engines; Catalyst plans them as semi/anti joins under a distinct).
+    // Customers with vs without a >250k order — the same non-vacuous
+    // split the anti-join query uses.
+    "q_setops" -> ((s, dir) => {
+      val all = t(s, dir, "customer").select("c_custkey")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("c_custkey"))
+      all.intersect(big).withColumn("op", lit("has_big_order"))
+        .unionByName(all.except(big).withColumn("op", lit("no_big_order")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }),
+
+    // scalar subquery via the SQL surface (S9 serving): the single-row
+    // aggregate plans as a broadcast into the filter. max() is exact
+    // and order-independent, so the 0.9x threshold is bit-identical
+    // across engines — no drift at the comparison boundary.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+              |WHERE o_totalprice >= CAST(0.9 AS DOUBLE) * (SELECT max(o_totalprice) FROM orders_v)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // date arithmetic family: add/diff/last_day/day-of-week in one
+    // projection (DuckDB numbers Sunday 0 where Spark says 1 — the
+    // oracle shifts)
+    "q_date_math" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")
+    }),
+
     // P10/P11: null/blank + inequality filters, then aggregate
     "q_filter_nulls" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1031,6 +1069,29 @@ object SparkEntry {
         """SELECT c_name AS name, 'customer' AS src FROM customer
           |UNION ALL SELECT s_name, 'supplier' FROM supplier
           |ORDER BY src, name""".stripMargin,
+
+      "q_setops" ->
+        """WITH big AS (
+          |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000)
+          |SELECT 'has_big_order' AS op, c_custkey FROM
+          |  (SELECT c_custkey FROM customer INTERSECT SELECT c_custkey FROM big)
+          |UNION ALL
+          |SELECT 'no_big_order', c_custkey FROM
+          |  (SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM big)
+          |ORDER BY op, c_custkey""".stripMargin,
+
+      "q_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice >= CAST(0.9 AS DOUBLE) * (SELECT max(o_totalprice) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q_date_math" ->
+        """SELECT o_orderkey,
+          |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+          |       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+          |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+          |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
       "q_filter_nulls" ->
         """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal

@@ -64,4 +64,38 @@ class QuantilesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: exactQuantiles == exact percentile on random multisets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // duplicate-heavy, negative, and fractional values — the shapes that
+    // break naive rank arithmetic (cumulative counts, interpolation)
+    val genVal = Gen.frequency(
+      3 -> Gen.choose(-100, 100).map(_.toDouble),
+      2 -> Gen.oneOf(0.0, 1.0, 1.0, -2.5, 3.25),
+      1 -> Gen.choose(-1e6, 1e6))
+    val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val names = ps.indices.map(i => s"q$i")
+    (1L to 8L).foreach { seed =>
+      val vals = Gen.listOfN(60, genVal)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 3}", v) }
+        .toDF("k", "v")
+      val got = Quantiles.exactQuantiles(df, "v", Seq("k"), ps, names)
+        .orderBy("k").collect()
+      val want = df.groupBy("k")
+        .agg(expr(s"percentile(v, ${ps.head})").as(names.head),
+          ps.tail.zip(names.tail).map { case (p, n) =>
+            expr(s"percentile(v, $p)").as(n) }: _*)
+        .orderBy("k").collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) =>
+        names.indices.foreach { i =>
+          assert(g.getDouble(i + 1) == w.getDouble(i + 1),
+            s"seed $seed group ${g.getString(0)} p=${ps(i)}: " +
+              s"${g.getDouble(i + 1)} != ${w.getDouble(i + 1)}")
+        }
+      }
+    }
+  }
 }
