@@ -78,12 +78,20 @@ object EventsStream {
     stream.sparkSession.table(queryName)
   }
 
+  /** The streaming twin of [[readEvents]]: bounded parquet stream over
+    * the events file, nanos conf scoped to a session clone, `ts`
+    * converted to a microsecond timestamp. Every streaming operator in
+    * this module starts here.
+    */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame =
+    singleFileStream(nanosSession(spark), path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** Streaming form: parquet source → watermark → tumbling window.
     * Built on a conf-isolated session clone (see [[nanosSession]]).
     */
   def hourlyStream(spark: SparkSession, path: String): DataFrame = {
-    singleFileStream(nanosSession(spark), path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    readEventsStream(spark, path)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -108,10 +116,38 @@ object EventsStream {
     * bounded demo stream exact dedup keeps the oracle simple.
     */
   def dedupStream(spark: SparkSession, path: String): DataFrame =
-    singleFileStream(nanosSession(spark), path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    readEventsStream(spark, path)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** Production file sink: `foreachBatch` writing each micro-batch to
+    * a `batch_id=N` partition with overwrite — the standard idempotent
+    * exactly-once-per-batch pattern. A replayed batch (restart between
+    * sink write and offset commit) OVERWRITES its own partition instead
+    * of appending duplicates; `partitionOverwriteMode=dynamic` at the
+    * writer level (never session conf) keeps other partitions intact.
+    * Returns the completed query; read the sink back with
+    * `spark.read.parquet(outDir)`.
+    */
+  def sinkToParquetIdempotent(stream: DataFrame, outDir: String,
+                              checkpointDir: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
 
   /** Conversion funnel, batch form: click → purchase by the same user
     * within `windowSec`. The plan is an equi-join on the
@@ -146,8 +182,7 @@ object EventsStream {
     */
   def funnelStream(spark: SparkSession, path: String,
                    windowSec: Int = 600): DataFrame = {
-    val ev = singleFileStream(nanosSession(spark), path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = readEventsStream(spark, path)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))

@@ -440,6 +440,27 @@ class ExtSpec extends SparkSpec {
     assert(batch.nonEmpty) // 3600 s window: non-vacuous even at sf0.001
   }
 
+  test("events: foreachBatch parquet sink is idempotent under batch replay") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val expected = EventsStream.readEvents(spark, path).count()
+
+    // first run writes every micro-batch to its batch_id partition
+    EventsStream.sinkToParquetIdempotent(
+      EventsStream.readEventsStream(spark, path), out,
+      java.nio.file.Files.createTempDirectory("ckpt1").toString)
+    val after1 = spark.read.parquet(out).count()
+    assert(after1 == expected)
+
+    // fresh checkpoint = full batch REPLAY into the same sink: every
+    // partition is overwritten in place, so row count must not grow
+    EventsStream.sinkToParquetIdempotent(
+      EventsStream.readEventsStream(spark, path), out,
+      java.nio.file.Files.createTempDirectory("ckpt2").toString)
+    val after2 = spark.read.parquet(out).count()
+    assert(after2 == expected, s"replayed batches duplicated rows: $after2 != $expected")
+  }
+
   test("similarity: IVF assignment is the brute-force argmax; probes rank by cosine") {
     val cents = embs.filter($"vec_id" < 4)
     // reference argmax: score every (vector, centroid) pair with the
