@@ -805,6 +805,17 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // ext streaming: the REAL stream-stream join run to completion —
+    // same oracle as the batch twin above (inner joins emit exactly
+    // the batch rows on bounded input)
+    "q_event_funnel_stream" -> ((s, dir) => {
+      EventsStream.runFunnelOnce(s, s"$dir/events.parquet", windowSec = 600)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          round(col("purchase_ts").cast("double") - col("click_ts").cast("double"), 6)
+            .as("secs_to_convert"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // multi-way join: the classic pricing-summary shape — selective dim
     // filter broadcast into the orders join, then a shuffle join on the
     // fact key and a top-N. Revenue is floored per lineitem before the
@@ -907,6 +918,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+    // shared by the batch twin and the real stream-stream join run
+    val funnelSql =
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       round(epoch(p.ts) - epoch(c.ts), 6) AS secs_to_convert
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600
+        |ORDER BY click_id, purchase_id""".stripMargin
 
     val punct = "[!-/:-@\\[-`{-~]"
     val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
@@ -1458,13 +1478,8 @@ object SparkEntry {
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q_event_funnel" ->
-        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-          |       round(epoch(p.ts) - epoch(c.ts), 6) AS secs_to_convert
-          |FROM events c JOIN events p ON c.user_id = p.user_id
-          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-          |  AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600
-          |ORDER BY click_id, purchase_id""".stripMargin,
+      "q_event_funnel" -> funnelSql,
+      "q_event_funnel_stream" -> funnelSql,
 
       "q_mway_join" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

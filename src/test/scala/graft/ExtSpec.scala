@@ -521,6 +521,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct (HLL++) lands within its rsd bound on real keys") {
+    val li = spark.read.parquet(s"${SparkSpec.sf0001}/lineitem.parquet")
+    val rsd = 0.02
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", rsd).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    // HLL++ standard error = rsd; 5 sigma is a deterministic-enough gate
+    assert(math.abs(approx - exact) <= math.max(1, (5 * rsd * exact).toLong),
+      s"approx $approx vs exact $exact beyond 5x rsd")
+  }
+
   test("textstats: strided min-shingle fingerprint stable, whitespace-invariant") {
     val d = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
