@@ -240,6 +240,23 @@ object SparkEntry {
         .orderBy("l_returnflag", "ym")
     }),
 
+    // explicit window FRAME: trailing 3-month moving average over the
+    // monthly revenue series. Revenue is floored per lineitem (exact
+    // int64, like q_mway_join), so the frame averages integer-valued
+    // doubles — exact under ANY summation order, immune to the
+    // segment-tree frame evaluation some engines use for sliding sums.
+    "q_moving_avg" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("rev"))
+      val w = Window.partitionBy("l_returnflag").orderBy("ym").rowsBetween(-2, 0)
+      rev.select(col("l_returnflag"), col("ym"), col("rev"),
+          round(avg("rev").over(w), 4).as("rev_ma3"))
+        .orderBy("l_returnflag", "ym")
+    }),
+
     // top-k per group via row_number window
     "q_topk_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -1002,6 +1019,16 @@ object SparkEntry {
           |       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS rev_diff_p
           |FROM rev WINDOW w AS (PARTITION BY l_returnflag ORDER BY ym)
           |ORDER BY l_returnflag, ym""".stripMargin,
+
+      "q_moving_avg" ->
+        """WITH rev AS (
+          |  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ym,
+          |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT l_returnflag, ym, rev,
+          |       round(avg(rev) OVER (PARTITION BY l_returnflag ORDER BY ym
+          |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rev_ma3
+          |FROM rev ORDER BY l_returnflag, ym""".stripMargin,
 
       "q_topk_window" ->
         """SELECT o_orderpriority,
