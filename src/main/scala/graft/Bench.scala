@@ -47,8 +47,12 @@ object Bench {
     // optional comma-separated filter for local iteration; the driver
     // leaves it unset so the archived bench always covers every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // reverse: diagnostic for order-dependent slowdowns (cumulative JVM
+    // state vs per-query cost) — driver leaves it unset
+    val reverse = sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1")
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val names = if (reverse) names0.reverse else names0
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
