@@ -524,6 +524,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ext: as-of join with a TOLERANCE bound (pandas merge_asof
+    // tolerance): same sparse-daily lookup as q_asof_join, but matches
+    // staler than 2 days are nulled — only the latest match can ever
+    // qualify, so gating it IS tolerance semantics
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val daily = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      AsofJoin.asofJoinLast(
+          ev.select("event_id", "ts", "user_id"), daily,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "day",
+          payloadCols = Seq("day", "day_total"),
+          toleranceSec = Some(172800L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("asof_day"), col("day_total"))
+        .orderBy("event_id")
+    }),
+
     // ext: range join — assign each event to its containing session
     // interval via the binned equi-join rewrite (1-hour bins), keyed by
     // high-cardinality user_id; every event lands in exactly one of its
@@ -1179,6 +1199,21 @@ object SparkEntry {
           |  FROM events GROUP BY 1, 2 HAVING day(date_trunc('day', ts)) % 3 = 0)
           |SELECT e.event_id, e.user_id,
           |       strftime(d.day, '%Y-%m-%d') AS asof_day, d.day_total
+          |FROM events e ASOF LEFT JOIN d
+          |  ON e.user_id = d.user_id AND e.ts >= d.day
+          |ORDER BY event_id""".stripMargin,
+
+      // the tolerance gate nulls the ASOF match when it is staler than
+      // the bound — the latest match is the only one that could qualify
+      "q_asof_tolerance" ->
+        """WITH d AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 2) AS day_total
+          |  FROM events GROUP BY 1, 2 HAVING day(date_trunc('day', ts)) % 3 = 0)
+          |SELECT e.event_id, e.user_id,
+          |       CASE WHEN epoch(e.ts) - epoch(d.day) <= 172800
+          |            THEN strftime(d.day, '%Y-%m-%d') END AS asof_day,
+          |       CASE WHEN epoch(e.ts) - epoch(d.day) <= 172800
+          |            THEN d.day_total END AS day_total
           |FROM events e ASOF LEFT JOIN d
           |  ON e.user_id = d.user_id AND e.ts >= d.day
           |ORDER BY event_id""".stripMargin,

@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** `toleranceSec`: when set, a carried match older than the bound
+    * (leftTime − rightTime > tolerance) is nulled out — pandas
+    * merge_asof's `tolerance`. Only the LATEST match can ever qualify
+    * (any earlier right row is older still), so gating the carried row
+    * is exactly tolerance semantics, not an approximation.
+    */
   def asofJoinLast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTime: String, rightTime: String,
-                   payloadCols: Seq[String]): DataFrame = {
+                   payloadCols: Seq[String],
+                   toleranceSec: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val nonKeyLeft = leftCols.filterNot(keyCols.contains)
     // The payload travels as ONE struct, not per-column: carrying each
@@ -34,9 +41,11 @@ object AsofJoin {
     // legitimately-null value in the newest right row and stitch
     // together fields from DIFFERENT right rows. The struct itself is
     // non-null exactly on right rows, so the carry picks whole rows and
-    // interior nulls survive — true ASOF semantics.
+    // interior nulls survive — true ASOF semantics. The right time
+    // rides along as `_rt` so the tolerance gate can compare it.
     val payloadType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)))
+      payloadCols.map(c => right.schema(c).copy(name = c)) :+
+        right.schema(rightTime).copy(name = "_rt"))
     val lAligned = left.select(
       (keyCols ++ nonKeyLeft).map(col) :+
         lit(null).cast(payloadType).as("_payload") :+
@@ -44,13 +53,21 @@ object AsofJoin {
     val rAligned = right.select(
       keyCols.map(col) ++
         nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payloadCols.map(col): _*).as("_payload") :+
+        struct(payloadCols.map(col) :+ col(rightTime).as("_rt"): _*).as("_payload") :+
         col(rightTime).as("_t") :+ lit(0).as("_src"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lAligned.unionByName(rAligned)
+    val carried = lAligned.unionByName(rAligned)
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+    val gated = toleranceSec match {
+      case Some(tol) => carried.withColumn("_payload",
+        when(col("_payload").isNotNull &&
+          col("_t").cast("double") - col("_payload._rt").cast("double") <= tol,
+          col("_payload")))
+      case None => carried
+    }
+    gated
       .filter(col("_src") === 1)
       .select((keyCols ++ nonKeyLeft).map(col) ++
         payloadCols.map(c => col(s"_payload.$c").as(c)): _*)

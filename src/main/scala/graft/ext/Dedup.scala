@@ -126,6 +126,25 @@ object Dedup {
     * where `band_hash` concatenates `rowsPerBand` adjacent signature
     * columns. Docs sharing any (band, band_hash) are candidates.
     */
+  /** Rows-per-band for a banding scheme targeting a Jaccard
+    * `threshold`: among the (b, r) factorizations of `nHashes`, pick
+    * the r whose S-curve midpoint (1/b)^(1/r) — the similarity at
+    * which a pair's candidate probability crosses ~50 % — is closest
+    * to the target. Low thresholds → many narrow bands (high recall on
+    * weak similarity); high thresholds → few wide bands (precision).
+    * The principled way to set [[lshBands]]' parameter instead of
+    * hand-picking it.
+    */
+  def rowsPerBandForThreshold(nHashes: Int, threshold: Double): Int = {
+    require(nHashes >= 1, "need at least one hash")
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0,1)")
+    (1 to nHashes).filter(nHashes % _ == 0)
+      .minBy { r =>
+        val b = nHashes / r
+        math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+      }
+  }
+
   def lshBands(signatures: DataFrame, k: Int, rowsPerBand: Int,
                idCol: String = "doc_id"): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")

@@ -284,6 +284,43 @@ class ExtSpec extends SparkSpec {
     assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 16))
   }
 
+  test("dedup: connected components fails loudly when diameter exceeds maxIter") {
+    // a chain 1-2-3-...-8 has diameter 7: min-label propagation needs
+    // ~7 rounds, so maxIter=2 must throw rather than return split labels
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    val labels = Dedup.connectedComponents(chain, maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 8 && labels.forall(_._2 == 1L))
+  }
+
+  test("dedup: rows-per-band tracks the target threshold monotonically") {
+    val rs = Seq(0.05, 0.3, 0.6, 0.9).map(Dedup.rowsPerBandForThreshold(8, _))
+    assert(rs == rs.sorted, s"rows per band not monotone in threshold: $rs")
+    assert(Dedup.rowsPerBandForThreshold(8, 0.1) == 1)  // b=8: midpoint 0.125
+    assert(Dedup.rowsPerBandForThreshold(8, 0.5) == 2)  // b=4: midpoint 0.5
+    assert(8 % Dedup.rowsPerBandForThreshold(8, 0.75) == 0)
+  }
+
+  test("asof tolerance: stale matches null out, fresh ones survive") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "k", ts("2024-01-10 00:00:00")),
+      (2L, "k", ts("2024-01-02 00:00:00"))).toDF("event_id", "key", "t")
+    val right = Seq(("k", ts("2024-01-01 00:00:00"), 5.0)).toDF("key", "rt", "v")
+    val got = AsofJoin.asofJoinLast(left, right, Seq("key"), "t", "rt",
+        Seq("rt", "v"), toleranceSec = Some(86400L))
+      .orderBy("event_id").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("v")), "9-day-stale match must be null")
+    assert(got(1).getDouble(got(1).fieldIndex("v")) == 5.0, "1-day-old match must survive")
+    // and without tolerance both match
+    val plain = AsofJoin.asofJoinLast(left, right, Seq("key"), "t", "rt", Seq("rt", "v"))
+      .collect()
+    assert(plain.forall(r => !r.isNullAt(r.fieldIndex("v"))))
+  }
+
   test("asof join: latest right row at-or-before each left time, per key") {
     val left = Seq(
       (1L, 5, "a"), (2L, 10, "a"), (3L, 15, "a"),  // t=10 exact match incl.
