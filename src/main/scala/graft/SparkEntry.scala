@@ -905,6 +905,20 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // ext text: TF/DF — top-3 terms per doc by term frequency with the
+    // corpus document frequency joined back (the distributed TF-IDF
+    // skeleton; tf/df are exact ints so the ranking is engine-exact —
+    // the idf float enters only where a caller accepts float output)
+    "q_tf_df" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("term"))
+      TextStats.termDocFrequency(
+          spread(t(s, dir, "documents").filter(col("doc_id") < 100)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // ext text: winnowing-style rolling fingerprint — min md5 over
     // strided character 8-gram windows of normalized text; one narrow
     // codegen'd expression, no shuffle
@@ -1568,6 +1582,20 @@ object SparkEntry {
           |FROM orders
           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+      "q_tf_df" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS term
+           |  FROM documents WHERE doc_id < 100),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |r AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |         row_number() OVER (PARTITION BY tf.doc_id
+           |                            ORDER BY tf.tf DESC, tf.term) AS rnk
+           |  FROM tf JOIN df USING (term))
+           |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
       // Spark sequence(1, n, 4) is inclusive of the stop; DuckDB
       // range(1, n + 1, 4) exclusive — same index set

@@ -110,6 +110,24 @@ object TextStats {
     */
   def fingerprint(text: Column): Column = Dedup.normalizedFingerprint(text)
 
+  /** Term-frequency / document-frequency skeleton (the distributed
+    * TF-IDF shape): explode tokens once, aggregate tf per (doc, term)
+    * and df per term with map-side combine, then join df back on the
+    * term — shuffle volume is bounded by vocabulary and (doc, term)
+    * pairs, never raw tokens. Returns (doc, term, tf, df). The idf
+    * float (`ln(N/df)`) is left to the caller: tf and df are exact
+    * integers, so pipelines that rank by (tf, df) stay engine-exact,
+    * and `ln` — whose last-bit rounding is not pinned by IEEE — enters
+    * only where the caller accepts float output.
+    */
+  def termDocFrequency(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+  }
+
   /** Rolling-hash shingle fingerprint (winnowing-style): the minimum
     * md5 over character `w`-gram windows of the normalized text — a
     * compact near-dup signature computed in one narrow expression.

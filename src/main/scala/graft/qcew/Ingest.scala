@@ -58,6 +58,26 @@ object Ingest {
     spark.read.parquet(outDir)
   }
 
+  /** Small-file compaction: rewrite a partitioned lake so each
+    * (year, qtr) partition holds `filesPerPartition` files. Streaming
+    * appends and incremental ingests accumulate small files that
+    * degrade scan planning (one task per file, footer reads dominate);
+    * periodic compaction is the standard maintenance job. Written to a
+    * FRESH directory, then swapped by the caller — compact-in-place
+    * would corrupt the lake on failure midway.
+    */
+  def compact(spark: SparkSession, lakeDir: String, outDir: String): DataFrame = {
+    spark.read.parquet(lakeDir)
+      // hash-repartition on the partition keys: each (year, qtr)'s rows
+      // land in one task -> one file per partition. For partitions too
+      // big for one file, cap with .option("maxRecordsPerFile", n).
+      .repartition(col("year"), col("qtr"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "qtr")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Reference-shaped per-file path: parse one file, name output by
     * mode(year)/mode(qtr), skip if the output already exists, warn on
     * empty input (reference `data_process.py:47-91`).

@@ -49,6 +49,28 @@ class QcewModulesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
   }
 
+  test("compact: many small files collapse to one per partition, data identical") {
+    val raw = Files.createTempDirectory("rawc")
+    val out = Files.createTempDirectory("lakec")
+    val compacted = Files.createTempDirectory("lakec2")
+    writeLatin1(raw, "a.txt",
+      (1 to 4).map(_ => QcewFixtures.record(2021, 1, "541511", "1", "1", "1", "10")))
+    // fragment the lake: one parquet file per input row
+    FixedWidth.parse(FixedWidth.readRaw(spark, raw.toString + "/*.txt"))
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("year", "qtr").parquet(out.toString)
+    val before = spark.read.parquet(out.toString)
+    assert(before.inputFiles.length > 1, "fixture should be fragmented")
+    val after = Ingest.compact(spark, out.toString, compacted.toString)
+    assert(after.inputFiles.length == 1, "one (year,qtr) partition -> one file")
+    assert(after.count() == before.count())
+    // content identical modulo row order
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"naics_code", $"year", $"qtr").collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    assert(key(after).toSeq == key(before).toSeq)
+  }
+
   test("modeOf: most frequent wins, ties to smallest") {
     val df = Seq("b", "b", "a", "a", "c").toDF("v")
     assert(Ingest.modeOf(df, "v").contains("a"))
