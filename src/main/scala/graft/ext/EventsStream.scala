@@ -82,10 +82,22 @@ object EventsStream {
     * the events file, nanos conf scoped to a session clone, `ts`
     * converted to a microsecond timestamp. Every streaming operator in
     * this module starts here.
+    *
+    * The clone also caps `spark.sql.shuffle.partitions` (= state-store
+    * instances per stateful operator) at 8: per-micro-batch fixed cost
+    * scales with state partitions, which dominates bounded local
+    * streams. A production deployment sizes it to key cardinality ×
+    * state size instead — state REPARTITIONING requires a new
+    * checkpoint, so pick it before going live. Scoped to the clone;
+    * batch queries keep the session's parallelism.
     */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame =
-    singleFileStream(nanosSession(spark), path)
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    val s = nanosSession(spark)
+    val current = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    s.conf.set("spark.sql.shuffle.partitions", math.min(8, current))
+    singleFileStream(s, path)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Streaming form: parquet source → watermark → tumbling window.
     * Built on a conf-isolated session clone (see [[nanosSession]]).
