@@ -247,6 +247,66 @@ object Similarity {
     }
   }
 
+  /** Distributed Lloyd's k-means for IVF centroid training. Each
+    * iteration: assign every vector to its nearest centroid
+    * ([[ivfAssign]] — broadcast centroids, map-side-combined argmax),
+    * then recompute centroids as the element-wise mean via posexplode →
+    * (cluster, dim) hash aggregate — shuffle volume k × dim, never the
+    * corpus. Empty clusters keep their previous centroid. Seeds default
+    * to the first k vectors in id order (deterministic); at real scale
+    * train on a hash-sampled subset ([[graft.SparkEntry]]'s
+    * q_hash_sample pattern) — Lloyd's needs only a representative
+    * sample, not the corpus.
+    *
+    * Float caveat: cluster means average floats, so the trained
+    * centroids carry partition-order drift (~1e-7) — fine for a
+    * QUANTIZER (assignment near a cluster boundary is arbitrary anyway)
+    * but not for a cross-engine oracle gate; the unit gate asserts
+    * inertia (1 − cosine to assigned centroid) is non-increasing.
+    */
+  def kmeansTrain(corpus: DataFrame, k: Int, iters: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    // centroid frames carry (idCol, vecCol) — the shape ivfAssign expects
+    val seedW = Window.orderBy(col(idCol))
+    var centroids = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(row_number().over(seedW).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint(eager = true)
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, centroids, nProbe = 1,
+        idCol = idCol, vecCol = vecCol)
+        .select(col(idCol), col("centroid_id"))
+        .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("centroid_id")
+        // array_sort on (dim, m) structs restores dimension order after
+        // the unordered collect
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id").as(idCol),
+          transform(col("dm"), s => s.getField("m").cast("float")).as(vecCol))
+      // clusters that captured no vectors keep their previous centroid
+      centroids = means
+        .unionByName(centroids.join(means.select(idCol), Seq(idCol), "left_anti"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    centroids
+  }
+
+  /** Mean cosine distance (1 − cosine) of every vector to its assigned
+    * centroid — the convergence metric for [[kmeansTrain]].
+    */
+  def inertia(corpus: DataFrame, centroids: DataFrame,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+    ivfAssign(corpus, centroids, nProbe = 1, idCol, vecCol)
+      .agg(avg(lit(1.0) - coalesce(col("centroid_cos"), lit(0.0))))
+      .head().getDouble(0)
+
   /** IVF-style ANN search: corpus vectors are pre-assigned to their
     * nearest centroid's inverted list ([[ivfAssign]], nProbe = 1); each
     * query probes its `nProbe` nearest lists and ranks candidates by

@@ -519,6 +519,22 @@ class ExtSpec extends SparkSpec {
     assert(probe1 == got)
   }
 
+  test("similarity: k-means training converges (inertia non-increasing), trained IVF works") {
+    val seeds = Similarity.kmeansTrain(embs, k = 4, iters = 0)
+    val trained = Similarity.kmeansTrain(embs, k = 4, iters = 3)
+    assert(trained.count() == 4)
+    // every trained centroid keeps the corpus dimensionality
+    assert(trained.select(size($"embedding")).collect().forall(_.getInt(0) ==
+      embs.select(size($"embedding")).head().getInt(0)))
+    val i0 = Similarity.inertia(embs, seeds)
+    val i3 = Similarity.inertia(embs, trained)
+    assert(i3 <= i0 + 1e-9, s"training increased inertia: $i0 -> $i3")
+    // trained centroids plug straight into the IVF search path
+    val topk = Similarity.ivfTopK(embs, trained, embs.filter($"vec_id" < 3),
+      k = 2, nProbe = 2).collect()
+    assert(topk.nonEmpty && topk.forall(_.getInt(topk.head.fieldIndex("rank")) <= 2))
+  }
+
   test("similarity: IVF topk candidates come only from probed lists, scores exact") {
     val cents = embs.filter($"vec_id" < 4)
     val queries = embs.filter($"vec_id" < 8)

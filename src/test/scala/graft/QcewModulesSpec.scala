@@ -71,6 +71,19 @@ class QcewModulesSpec extends SparkSpec {
     assert(key(after).toSeq == key(before).toSeq)
   }
 
+  test("lake schema evolution: mergeSchema unions partition schemas, old rows null") {
+    val lake = Files.createTempDirectory("evolve")
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$lake/year=2021")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score") // new column added later
+      .write.parquet(s"$lake/year=2022")
+    val merged = spark.read.option("mergeSchema", "true").parquet(lake.toString)
+    assert(merged.columns.toSet == Set("id", "v", "score", "year"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "pre-evolution rows read as null")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("modeOf: most frequent wins, ties to smallest") {
     val df = Seq("b", "b", "a", "a", "c").toDF("v")
     assert(Ingest.modeOf(df, "v").contains("a"))
