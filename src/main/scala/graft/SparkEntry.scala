@@ -911,8 +911,10 @@ object SparkEntry {
     // the idf float enters only where a caller accepts float output)
     "q_tf_df" -> ((s, dir) => {
       val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("term"))
+      // no spread(): the 100-doc slice is tiny — a 32-way repartition
+      // would cost more than the explode it feeds
       TextStats.termDocFrequency(
-          spread(t(s, dir, "documents").filter(col("doc_id") < 100)))
+          t(s, dir, "documents").filter(col("doc_id") < 100))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
