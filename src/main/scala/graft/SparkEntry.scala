@@ -698,6 +698,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // discrete percentiles: actual data values (no interpolation), so
+    // the cross-engine compare is drift-free by construction even on
+    // raw doubles — the disc twin of q_percentiles' cont path. Spark's
+    // percentile_disc buffers per-group values (fine at bench scale);
+    // the 100 TB path is Quantiles.approxQuantiles, whose sketch also
+    // returns actual data values (SCALING.md)
+    "q_percentile_disc" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_disc"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     // ext capstone: the composed training-data pipeline — quality gate,
     // exact dedup keeping the first doc per normalized fingerprint,
     // then per-language corpus stats. Every stage is an already-oracled
@@ -1412,6 +1427,12 @@ object SparkEntry {
           |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
           |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
           |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_percentile_disc" ->
+        """SELECT l_returnflag,
+          |       quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+          |       quantile_disc(l_extendedprice, 0.95) AS p95_disc
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_quality" ->
