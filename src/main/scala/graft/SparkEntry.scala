@@ -390,6 +390,19 @@ object SparkEntry {
         .orderBy("src", "name")
     }),
 
+    // ordered string aggregation: listagg WITHIN GROUP — the picklist/
+    // label-rollup shape (deterministic because the order-by key is the
+    // aggregated value itself)
+    "q_listagg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     // set operations: INTERSECT / EXCEPT (distinct set semantics both
     // engines; Catalyst plans them as semi/anti joins under a distinct).
     // Customers with vs without a >250k order — the same non-vacuous
@@ -1167,6 +1180,13 @@ object SparkEntry {
         """SELECT c_name AS name, 'customer' AS src FROM customer
           |UNION ALL SELECT s_name, 'supplier' FROM supplier
           |ORDER BY src, name""".stripMargin,
+
+      "q_listagg" ->
+        """SELECT r_name,
+          |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+          |       count(*) AS n_nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_setops" ->
         """WITH big AS (
