@@ -713,16 +713,13 @@ object SparkEntry {
 
     // discrete percentiles: actual data values (no interpolation), so
     // the cross-engine compare is drift-free by construction even on
-    // raw doubles — the disc twin of q_percentiles' cont path. Spark's
-    // percentile_disc buffers per-group values (fine at bench scale);
-    // the 100 TB path is Quantiles.approxQuantiles, whose sketch also
-    // returns actual data values (SCALING.md)
+    // raw doubles — the disc twin of q_percentiles' cont path, running
+    // the SAME scale machinery (distinct-value counts + cumulative
+    // window; no per-group value map, unlike Spark's percentile_disc
+    // aggregate, which this reproduces bit-for-bit — unit-gated)
     "q_percentile_disc" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_disc"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_disc"))
+      Quantiles.exactQuantilesDisc(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50_disc", "p95_disc"))
         .orderBy("l_returnflag")
     }),
 

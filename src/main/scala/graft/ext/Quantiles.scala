@@ -27,6 +27,28 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Shared pass 1+2 of both exact forms: collapse rows to
+    * (group, value, count) with map-side combine, then cumulative
+    * counts over the sorted distinct values — the value at 0-based
+    * rank r is the row with _start <= r < _end; _n is the group size.
+    */
+  private def rankedCounts(df: DataFrame, valueCol: String,
+                           groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ v.as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    counts
+      .withColumn("_end", sum(col("_c")).over(wCum))
+      .withColumn("_start", col("_end") - col("_c"))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+  }
+
   /** Exact interpolated quantiles (percentile_cont / Spark
     * `percentile` semantics, nulls ignored) per group. Returns one row
     * per group with `outCols(i)` holding the `ps(i)` quantile.
@@ -38,24 +60,7 @@ object Quantiles {
     require(ps.nonEmpty && ps.size == outCols.size, "one output column per quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles must be in [0,1]")
     val keys = groupCols.map(col)
-    val v = col(valueCol).cast("double")
-
-    // pass 1: rows -> (group, value, count). Map-side combine bounds the
-    // shuffle by distinct values; no per-group in-memory map anywhere.
-    val counts = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(keys :+ v.as("_v"): _*)
-      .agg(count(lit(1)).as("_c"))
-
-    // pass 2: cumulative counts over the sorted distinct values. The
-    // value at 0-based rank r is the row with _start <= r < _end.
-    val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keys: _*)
-    val ranked = counts
-      .withColumn("_end", sum(col("_c")).over(wCum))
-      .withColumn("_start", col("_end") - col("_c"))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val ranked = rankedCounts(df, valueCol, groupCols)
 
     // per-row rank targets: pos_i = p_i * (n-1), lo/hi its floor/ceil
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
@@ -85,6 +90,37 @@ object Quantiles {
         .as(name)
     }
     picked.select(keys ++ outs: _*)
+  }
+
+  /** Exact DISCRETE quantiles (percentile_disc semantics: the smallest
+    * actual value whose cumulative distribution reaches p) through the
+    * same scalable counts + cumulative-window machinery — no per-group
+    * value map. The qualifying value's cumulative interval satisfies
+    * `_start < p·n <= _end` (p = 0 degenerates to the first value);
+    * exactly one interval qualifies, located by one filter over the
+    * distinct values. Unit-gated bit-equal to Spark's `percentile_disc`
+    * aggregate.
+    */
+  def exactQuantilesDisc(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                         ps: Seq[Double], outCols: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == outCols.size, "one output column per quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles must be in [0,1]")
+    val keys = groupCols.map(col)
+    val ranked = rankedCounts(df, valueCol, groupCols)
+    def cond(p: Double): Column =
+      if (p == 0.0) col("_start") === 0L
+      else {
+        val t = lit(p) * col("_n").cast("double")
+        col("_start").cast("double") < t && t <= col("_end").cast("double")
+      }
+    val needed = ps.map(cond).reduce(_ || _)
+    ranked.filter(needed)
+      .groupBy(keys: _*)
+      .agg(
+        min(when(cond(ps.head), col("_v"))).as(outCols.head),
+        ps.tail.zip(outCols.tail).map { case (p, name) =>
+          min(when(cond(p), col("_v"))).as(name)
+        }: _*)
   }
 
   /** Sketch-based quantiles: bounded-memory, mergeable, the default at

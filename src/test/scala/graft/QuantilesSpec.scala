@@ -65,6 +65,44 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesDisc reproduces percentile_disc bit-for-bit (real + random data)") {
+    val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val names = ps.indices.map(i => s"q$i")
+    def want(df: org.apache.spark.sql.DataFrame, keyCol: String) = df.groupBy(keyCol)
+      .agg(
+        expr(s"percentile_disc(${ps.head}) WITHIN GROUP (ORDER BY v)").as(names.head),
+        ps.tail.zip(names.tail).map { case (p, n) =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n) }: _*)
+    val liv = li.select($"l_returnflag".as("k"), $"l_extendedprice".as("v"))
+    val gotLi = Quantiles.exactQuantilesDisc(liv, "v", Seq("k"), ps, names)
+      .orderBy("k").collect()
+    val wantLi = want(liv, "k").orderBy("k").collect()
+    gotLi.zip(wantLi).foreach { case (g, w) =>
+      names.indices.foreach { i =>
+        assert(g.getDouble(i + 1) == w.getDouble(i + 1),
+          s"disc p=${ps(i)} group ${g.getString(0)}: ${g.getDouble(i + 1)} != ${w.getDouble(i + 1)}")
+      }
+    }
+    // duplicate-heavy random multisets (the boundary-arithmetic stress)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genVal = Gen.frequency(2 -> Gen.choose(-5, 5).map(_.toDouble),
+      1 -> Gen.oneOf(0.0, 1.5, 1.5, -2.25))
+    (1L to 8L).foreach { seed =>
+      val vals = Gen.listOfN(40, genVal).apply(Gen.Parameters.default, Seed(seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 3}", v) }.toDF("k", "v")
+      val got = Quantiles.exactQuantilesDisc(df, "v", Seq("k"), ps, names)
+        .orderBy("k").collect()
+      val w = want(df, "k").orderBy("k").collect()
+      got.zip(w).foreach { case (g, ww) =>
+        names.indices.foreach { i =>
+          assert(g.getDouble(i + 1) == ww.getDouble(i + 1),
+            s"seed $seed disc p=${ps(i)} ${g.getString(0)}: ${g.getDouble(i + 1)} != ${ww.getDouble(i + 1)}")
+        }
+      }
+    }
+  }
+
   test("property: exactQuantiles == exact percentile on random multisets") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
