@@ -1,0 +1,29 @@
+package graft
+
+/** Spark 4 ships with ANSI mode ON; the Verify/Bench harnesses pin it
+  * off for oracle parity, but library code must not depend on that —
+  * dirty casts go through try_cast, date/string comparisons must be
+  * ANSI-legal. This spec runs the cast- and coercion-heavy queries in
+  * an ANSI session clone (one full all-query sweep ran clean; this
+  * keeps the representative subset gated in CI time).
+  */
+class AnsiSmokeSpec extends SparkSpec {
+
+  private val subset = Seq(
+    "q_fixedwidth_parse", // try_cast of trimmed substrings
+    "q_flagship_agg",     // floor/avg/sum numeric tower
+    "q_mway_join",        // string-literal date comparison
+    "q_date_math",        // date arithmetic + string cast
+    "q_props_extract",    // from_json / get_json_object int casts
+    "q_scalar_subquery",  // SQL-surface decimal literal cast
+    "q_moving_avg")       // long agg + frame avg
+
+  test("cast-heavy queries run under ANSI mode") {
+    val ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    subset.foreach { name =>
+      val n = SparkEntry.queries(name)(ansi, SparkSpec.sf0001).count()
+      assert(n > 0, s"$name returned no rows under ANSI")
+    }
+  }
+}
