@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, TextStats}
+import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -492,6 +492,19 @@ object SparkEntry {
           round(avg("k_typed"), 4).as("k_avg"),
           count(col("k_adhoc")).as("n_with_k"))
         .orderBy("event_type")
+    }),
+
+    // ext: time-series gap fill + forward fill (TimeFill scaladoc for
+    // the one-shuffle lead+explode design). A rare deterministic slice
+    // of events (user_id % 97) gives genuinely sparse daily counts;
+    // missing days are manufactured carrying the previous observation.
+    "q_gapfill" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("user_id") % 97 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      TimeFill.forwardFillDaily(daily, Seq("event_type"), "d", Seq("n"))
+        .orderBy("event_type", "d")
     }),
 
     // J3: the reference README declares (but never ships) a join of the
@@ -1227,6 +1240,19 @@ object SparkEntry {
           |       round(avg(k), 4) AS k_avg,
           |       count(k) AS n_with_k
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_gapfill" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+          |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+          |stepped AS (
+          |  SELECT *, lead(d) OVER (PARTITION BY event_type ORDER BY d) AS next_d FROM daily)
+          |SELECT event_type, CAST(g AS DATE) AS d, n, CAST(g AS DATE) <> d AS is_filled
+          |FROM stepped,
+          |     unnest(generate_series(CAST(d AS TIMESTAMP),
+          |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),
+          |                            INTERVAL 1 DAY)) AS t(g)
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_naics_external_join" ->
         """WITH agg AS (

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series gap filling + forward fill (extends SURVEY §2.8's
+  * resample family; reference resamples sparse quarterly series,
+  * `data_viz.py:26-86`, but has no densification step — this is the
+  * missing half of resampling for any downstream consumer that needs a
+  * dense series: charting, window features, training-data curricula).
+  *
+  * Scale design — the operator is ONE window shuffle, no join:
+  * instead of building a dense calendar spine and left-joining the
+  * observations onto it (two shuffles: one for the join, one for the
+  * forward-fill window), each observation looks up its successor with
+  * `lead` and emits itself PLUS one row per missing day before that
+  * successor via `sequence` + `explode`. Forward-fill is then implicit
+  * — every emitted row already carries its source observation's values
+  * — so no second `last(ignoreNulls)` window pass is needed. Output
+  * size is the dense series (bounded by keys × days-in-range), and the
+  * explode is narrow, so the plan is: shuffle by key, sort by date,
+  * emit — the minimal work the semantics admit at any scale.
+  *
+  * The fill range per key is [min(date), max(date)] of that key's own
+  * observations — leading/trailing absence is not invented.
+  */
+object TimeFill {
+
+  /** Densify a per-key daily series and forward-fill the value columns.
+    *
+    * @param df        one row per (keys, dateCol) — aggregate first
+    * @param keys      partition keys (high-cardinality keys scale best;
+    *                  a handful of keys means a handful of reducers)
+    * @param dateCol   a `DateType` column; the output keeps its name
+    * @param valueCols columns carried forward into filled rows
+    * @return keys ++ dateCol ++ valueCols ++ `is_filled` (true on rows
+    *         manufactured for missing days)
+    */
+  def forwardFillDaily(df: DataFrame, keys: Seq[String], dateCol: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    df.withColumn("_next", lead(col(dateCol), 1).over(w))
+      .withColumn("_g",
+        explode(sequence(
+          col(dateCol),
+          coalesce(date_sub(col("_next"), 1), col(dateCol)),
+          expr("interval 1 day"))))
+      .select(
+        keys.map(col) ++
+          Seq(col("_g").as(dateCol)) ++
+          valueCols.map(col) :+
+          (col("_g") =!= col(dateCol)).as("is_filled"): _*)
+  }
+
+  /** Reference implementation via the classic two-shuffle shape —
+    * dense spine left-joined to the observations, then
+    * `last(ignoreNulls)` over an unbounded-preceding frame. Kept as
+    * the equivalence witness for the unit test (and for callers whose
+    * spine comes from an external calendar table rather than the
+    * data's own min..max).
+    */
+  private[graft] def forwardFillViaSpine(df: DataFrame, keys: Seq[String],
+                                         dateCol: String,
+                                         valueCols: Seq[String]): DataFrame = {
+    val spine = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(dateCol)).as("_d0"), max(col(dateCol)).as("_d1"))
+      .select(keys.map(col) :+
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as(dateCol): _*)
+    val marked = df.withColumn("_obs", lit(true))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = spine.join(marked, keys :+ dateCol, "left")
+    valueCols
+      .foldLeft(filled)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .withColumn("is_filled", col("_obs").isNull)
+      .drop("_obs")
+  }
+}

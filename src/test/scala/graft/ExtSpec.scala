@@ -603,4 +603,30 @@ class ExtSpec extends SparkSpec {
       .head().getString(0)
     assert(full <= fp(1L))
   }
+
+  test("timefill: lead+explode forward fill equals the spine-join witness; gaps carry values") {
+    val obs = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-04", 40L), ("a", "2024-01-05", 50L),
+      ("b", "2024-02-10", 7L), ("b", "2024-02-13", 9L),
+      ("c", "2024-03-01", 1L) // single observation: no gap rows
+    ).toDF("k", "d", "n").withColumn("d", $"d".cast("date"))
+
+    val fast = TimeFill.forwardFillDaily(obs, Seq("k"), "d", Seq("n"))
+    val spine = TimeFill.forwardFillViaSpine(obs, Seq("k"), "d", Seq("n"))
+    assert(fast.unionByName(spine).except(fast.intersect(spine)).isEmpty,
+      "one-shuffle path diverges from spine-join witness")
+
+    val byKey = fast.collect().map(r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    // a: 01-01..01-05 dense, gap days 02/03 carry n=10
+    assert(byKey.filter(_._1 == "a").map(t => (t._2, t._3, t._4)).toSeq == Seq(
+      ("2024-01-01", 10L, false), ("2024-01-02", 10L, true), ("2024-01-03", 10L, true),
+      ("2024-01-04", 40L, false), ("2024-01-05", 50L, false)))
+    // b: two gap days carrying 7
+    assert(byKey.count(t => t._1 == "b" && t._4) == 2)
+    assert(byKey.filter(t => t._1 == "b" && t._4).forall(_._3 == 7L))
+    // c: lone observation emits exactly itself
+    assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
+  }
 }
