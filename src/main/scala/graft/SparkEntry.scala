@@ -507,6 +507,19 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    // ext: same densification with linear interpolation — per-row
+    // scalar arithmetic (v + (next_v - v) * elapsed/gap) written with
+    // the identical operation tree in the oracle, so doubles are
+    // bit-stable cross-engine with no rounding needed.
+    "q_interpolate" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("user_id") % 97 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      TimeFill.interpolateDaily(daily, Seq("event_type"), "d", "n")
+        .orderBy("event_type", "d")
+    }),
+
     // J3: the reference README declares (but never ships) a join of the
     // flagship table against an external "hactable" on
     // unique_naics_code — the J1 broadcast-enrichment pattern on the
@@ -1248,6 +1261,25 @@ object SparkEntry {
           |stepped AS (
           |  SELECT *, lead(d) OVER (PARTITION BY event_type ORDER BY d) AS next_d FROM daily)
           |SELECT event_type, CAST(g AS DATE) AS d, n, CAST(g AS DATE) <> d AS is_filled
+          |FROM stepped,
+          |     unnest(generate_series(CAST(d AS TIMESTAMP),
+          |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),
+          |                            INTERVAL 1 DAY)) AS t(g)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_interpolate" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+          |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+          |stepped AS (
+          |  SELECT event_type, d, n,
+          |         lead(d) OVER w AS next_d, lead(n) OVER w AS next_n
+          |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          |SELECT event_type, CAST(g AS DATE) AS d,
+          |       CASE WHEN next_d IS NULL THEN CAST(n AS DOUBLE)
+          |            ELSE CAST(n AS DOUBLE) + (CAST(next_n AS DOUBLE) - CAST(n AS DOUBLE))
+          |                 * (CAST(CAST(g AS DATE) - d AS DOUBLE) / CAST(next_d - d AS DOUBLE)) END AS n,
+          |       CAST(g AS DATE) <> d AS is_filled
           |FROM stepped,
           |     unnest(generate_series(CAST(d AS TIMESTAMP),
           |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),

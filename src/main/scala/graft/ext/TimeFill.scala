@@ -53,6 +53,38 @@ object TimeFill {
           (col("_g") =!= col(dateCol)).as("is_filled"): _*)
   }
 
+  /** Densify a per-key daily series with LINEAR INTERPOLATION between
+    * consecutive observations (pandas `interpolate(method="time")`
+    * semantics on a daily grid). Same one-shuffle lead+explode shape as
+    * [[forwardFillDaily]]: each observation also fetches its
+    * successor's value, and every manufactured day computes
+    * `v + (next_v - v) * elapsed/gap` — per-row scalar arithmetic, no
+    * order-dependent accumulation, so results are bit-stable across
+    * engines and partitionings. Trailing observations (no successor)
+    * emit only themselves; output value is DoubleType.
+    */
+  def interpolateDaily(df: DataFrame, keys: Seq[String], dateCol: String,
+                       valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    val v = col(valueCol).cast("double")
+    val nextV = col("_nv").cast("double")
+    val frac = datediff(col("_g"), col(dateCol)).cast("double") /
+      datediff(col("_next"), col(dateCol)).cast("double")
+    df.withColumn("_next", lead(col(dateCol), 1).over(w))
+      .withColumn("_nv", lead(col(valueCol), 1).over(w))
+      .withColumn("_g",
+        explode(sequence(
+          col(dateCol),
+          coalesce(date_sub(col("_next"), 1), col(dateCol)),
+          expr("interval 1 day"))))
+      .select(
+        keys.map(col) ++
+          Seq(col("_g").as(dateCol),
+            when(col("_next").isNull, v)
+              .otherwise(v + (nextV - v) * frac).as(valueCol)) :+
+          (col("_g") =!= col(dateCol)).as("is_filled"): _*)
+  }
+
   /** Reference implementation via the classic two-shuffle shape —
     * dense spine left-joined to the observations, then
     * `last(ignoreNulls)` over an unbounded-preceding frame. Kept as

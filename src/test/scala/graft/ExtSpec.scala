@@ -629,4 +629,20 @@ class ExtSpec extends SparkSpec {
     // c: lone observation emits exactly itself
     assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
   }
+
+  test("timefill: linear interpolation hits exact anchor-to-anchor values") {
+    val obs = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-04", 40L), ("a", "2024-01-06", 30L),
+      ("c", "2024-03-01", 5L)
+    ).toDF("k", "d", "n").withColumn("d", $"d".cast("date"))
+    val got = TimeFill.interpolateDaily(obs, Seq("k"), "d", "n")
+      .collect().map(r =>
+        (r.getString(0), r.getDate(1).toString, r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 10.0, false), ("a", "2024-01-02", 20.0, true),
+      ("a", "2024-01-03", 30.0, true), ("a", "2024-01-04", 40.0, false),
+      ("a", "2024-01-05", 35.0, true), ("a", "2024-01-06", 30.0, false),
+      ("c", "2024-03-01", 5.0, false)))
+  }
 }
