@@ -520,6 +520,37 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    // ext: CDC snapshot compaction — latest event per user as ONE
+    // map-side-combining hash aggregate (max_by over struct ordering),
+    // not a window sort; ScaleOps.latestByKey scaladoc for why.
+    "q_latest_by_key" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+      ScaleOps.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
+    // ext: PII scrub — the corpus tables carry no PII (pure word-salad,
+    // probed), so the demo MANUFACTURES email/phone/IP-bearing text
+    // from event ids deterministically in both engines, then runs the
+    // real redaction operator over it. The unit test covers genuine
+    // handwritten PII fixtures.
+    "q_pii_redact" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 211 === 0)
+      val raw = concat(
+        col("event_type"), lit(": contact u"), col("user_id").cast("string"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("user_id") % 256).cast("string"),
+        lit("."), (col("event_id") % 256).cast("string"))
+      ev.select(col("event_id"), TextStats.redactPii(raw).as("redacted"))
+        .orderBy("event_id")
+    }),
+
     // J3: the reference README declares (but never ships) a join of the
     // flagship table against an external "hactable" on
     // unique_naics_code — the J1 broadcast-enrichment pattern on the
@@ -1285,6 +1316,30 @@ object SparkEntry {
           |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),
           |                            INTERVAL 1 DAY)) AS t(g)
           |ORDER BY 1, 2""".stripMargin,
+
+      "q_latest_by_key" ->
+        """WITH ranked AS (
+          |  SELECT user_id, event_id, event_type, ts, value,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id, event_type,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value
+          |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q_pii_redact" ->
+        """WITH raw AS (
+          |  SELECT event_id,
+          |         event_type || ': contact u' || CAST(user_id AS VARCHAR) ||
+          |         '@example.com or +1 (555) 010-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+          |         ' from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS text
+          |  FROM events WHERE event_id % 211 = 0)
+          |SELECT event_id,
+          |       regexp_replace(
+          |         regexp_replace(
+          |           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          |         '\+?[0-9][0-9().\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+          |FROM raw ORDER BY event_id""".stripMargin,
 
       "q_naics_external_join" ->
         """WITH agg AS (

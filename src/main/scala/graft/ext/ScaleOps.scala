@@ -55,4 +55,28 @@ object ScaleOps {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Latest-record-per-key snapshot compaction — the CDC/changelog
+    * "dedupe to latest" every lakehouse pipeline runs. Implemented as
+    * ONE hash aggregate: `max_by(struct(payload), struct(orderCols))`
+    * keeps, per key, the whole row with the lexicographically-largest
+    * ordering tuple. This beats the classic
+    * `row_number() OVER (PARTITION BY key ORDER BY ord DESC) = 1`
+    * window at scale: the aggregate combines map-side (each input
+    * partition contributes at most one candidate row per key before
+    * the shuffle) and never materializes a per-key sort, while the
+    * window form must shuffle EVERY version of every row and sort each
+    * key group. Ordering ties keep one arbitrary winner — pass a
+    * tiebreaker column (e.g. a unique id) as the last orderCol to make
+    * the winner deterministic.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestByKey needs at least one ordering column")
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
 }

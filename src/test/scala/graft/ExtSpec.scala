@@ -630,6 +630,23 @@ class ExtSpec extends SparkSpec {
     assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
   }
 
+  test("textstats: redactPii scrubs emails, IPs, phones; leaves clean text alone") {
+    val d = Seq(
+      (1L, "Email john.doe+spam@corp.example.io, call +1 (415) 555-0199 now."),
+      (2L, "server 192.168.0.1 and 10.255.3.77 replied"),
+      (3L, "totally clean sentence with nothing to hide"),
+      (4L, "overlap: 555-867-5309 next to bob@x.co"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextStats.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Email <EMAIL>, call <PHONE> now.")
+    assert(got(2L) == "server <IP> and <IP> replied")
+    assert(got(3L) == "totally clean sentence with nothing to hide")
+    assert(got(4L) == "overlap: <PHONE> next to <EMAIL>")
+    assert(got(5L) == null)
+  }
+
   test("timefill: linear interpolation hits exact anchor-to-anchor values") {
     val obs = Seq(
       ("a", "2024-01-01", 10L), ("a", "2024-01-04", 40L), ("a", "2024-01-06", 30L),

@@ -62,4 +62,35 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
+
+  test("latestByKey: picks the max ordering tuple per key, tiebroken deterministically") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val log = Seq(
+      // key a: later ts wins regardless of version order in the input
+      ("a", 3L, "2024-01-02 00:00:00", "v3"),
+      ("a", 1L, "2024-01-03 00:00:00", "v-latest"),
+      ("a", 2L, "2024-01-01 00:00:00", "v2"),
+      // key b: equal ts -> larger seq wins (deterministic tiebreak)
+      ("b", 10L, "2024-06-01 12:00:00", "stale"),
+      ("b", 11L, "2024-06-01 12:00:00", "winner"),
+      // key c: single row passes through
+      ("c", 7L, "2024-02-02 09:00:00", "only")
+    ).toDF("k", "seq", "ts", "payload")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .repartition(4) // make map-side partial aggregation real
+    val got = ScaleOps.latestByKey(log, Seq("k"), Seq("ts", "seq"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got == Map("a" -> (1L, "v-latest"), "b" -> (11L, "winner"), "c" -> (7L, "only")))
+
+    // agrees with the classic window form on real data
+    val ev = spark.read.parquet(s"${SparkSpec.sf0001}/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val viaAgg = ScaleOps.latestByKey(ev, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
 }
