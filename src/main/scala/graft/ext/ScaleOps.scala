@@ -62,11 +62,16 @@ object ScaleOps {
     * keeps, per key, the whole row with the lexicographically-largest
     * ordering tuple. This beats the classic
     * `row_number() OVER (PARTITION BY key ORDER BY ord DESC) = 1`
-    * window at scale: the aggregate combines map-side (each input
-    * partition contributes at most one candidate row per key before
-    * the shuffle) and never materializes a per-key sort, while the
-    * window form must shuffle EVERY version of every row and sort each
-    * key group. Ordering ties keep one arbitrary winner — pass a
+    * window at scale because the aggregate combines map-side: the
+    * shuffle carries at most ONE candidate row per (task, key) —
+    * shuffle volume is keys, not versions — while the window form
+    * shuffles EVERY version of every row. Plan honesty: the struct
+    * buffer is not HashAggregate-mutable, so Spark plans this as
+    * SortAggregate (each side sorts by the GROUP key locally; plan-
+    * asserted in PlanSpec with `partial_max_by` before the exchange).
+    * That local sort is linear-memory and spillable; the shuffle-
+    * volume reduction is what survives 100 TB.
+    * Ordering ties keep one arbitrary winner — pass a
     * tiebreaker column (e.g. a unique id) as the last orderCol to make
     * the winner deterministic.
     */

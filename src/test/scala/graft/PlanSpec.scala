@@ -98,4 +98,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2,
       "fingerprint should be a narrow projection, not a shuffling plan")
   }
+
+  test("q_latest_by_key: partial max_by combines before the shuffle; no window") {
+    val p = plan("q_latest_by_key")
+    // shuffle volume = keys, not versions: the partial aggregate must
+    // sit below the exchange (SortAggregate is expected — struct
+    // buffers aren't hash-aggregable — the map-side combine is the
+    // property that matters)
+    assert(p.indexOf("partial_max_by") >= 0, "no map-side partial max_by")
+    assert(p.indexOf("partial_max_by") > p.indexOf("Exchange hashpartitioning"),
+      "partial max_by not below the exchange in plan text") // plan prints top-down
+    assert(!p.contains("Window"), "latest-by-key must not be a window sort")
+  }
+
+  test("q_gapfill: one hash-partition exchange (the window), then narrow explode") {
+    val p = plan("q_gapfill")
+    // agg partial+final + window share the event_type partitioning;
+    // no join operator anywhere (the spine-join shape would add one)
+    assert(!p.contains("Join"), "gap fill must not join a spine")
+    assert(p.contains("Window"), "lead() window missing")
+    assert(p.contains("Generate explode"), "sequence explode missing")
+  }
 }
