@@ -551,6 +551,33 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ext: blocked fuzzy matching — edit-distance pairs inside
+    // (brand, size) blocks; Dedup.fuzzyPairs scaladoc for why blocking
+    // is the scale lever. Bounded levenshtein short-circuits past the
+    // threshold; DuckDB computes the full distance — equal on kept rows.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      Dedup.fuzzyPairs(
+          t(s, dir, "part"), "p_partkey", "p_name", Seq("p_brand", "p_size"), 8)
+        .select(col("p_brand"), col("p_size"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("p_brand", "p_size", "id_a", "id_b")
+    }),
+
+    // ext: exact-size stratified sampling, quotas ∝ integer weights
+    // (ScaleOps.quotaSample scaladoc) — deterministic md5-order draw,
+    // all-integer quota arithmetic, drift-free by construction.
+    "q_quota_sample" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      ScaleOps.quotaSample(
+          ev.select("event_type", "event_id", "user_id"),
+          Seq("event_type"),
+          col("user_id") % 1000 + 1,
+          md5(col("event_id").cast("string")),
+          100L)
+        .select(col("event_type"), col("event_id"),
+          col("sample_rank").cast("int").as("rank"))
+        .orderBy("event_type", "rank")
+    }),
+
     // J3: the reference README declares (but never ships) a join of the
     // flagship table against an external "hactable" on
     // unique_naics_code — the J1 broadcast-enrichment pattern on the
@@ -1340,6 +1367,30 @@ object SparkEntry {
           |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
           |         '\+?[0-9][0-9().\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
           |FROM raw ORDER BY event_id""".stripMargin,
+
+      "q_fuzzy_pairs" ->
+        """SELECT a.p_brand, a.p_size, a.p_partkey AS id_a, b.p_partkey AS id_b,
+          |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+          |FROM part a JOIN part b
+          |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          |     AND a.p_partkey < b.p_partkey
+          |WHERE levenshtein(a.p_name, b.p_name) <= 8
+          |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+      "q_quota_sample" ->
+        """WITH w AS (
+          |  SELECT event_type, CAST(sum(user_id % 1000 + 1) AS BIGINT) AS w
+          |  FROM events GROUP BY 1),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+          |quotas AS (
+          |  SELECT event_type, greatest(1, (100 * w) // tot) AS quota FROM w, tot),
+          |ranked AS (
+          |  SELECT event_type, event_id,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+          |  FROM events)
+          |SELECT r.event_type, r.event_id, CAST(r.rn AS INTEGER) AS rank
+          |FROM ranked r JOIN quotas q ON r.event_type = q.event_type
+          |WHERE r.rn <= q.quota ORDER BY 1, 3""".stripMargin,
 
       "q_naics_external_join" ->
         """WITH agg AS (

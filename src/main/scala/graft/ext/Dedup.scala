@@ -361,4 +361,28 @@ object Dedup {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("is_canonical", col("cluster_id") === col(idCol))
   }
+
+  /** Blocked fuzzy matching (record linkage): pairs of rows whose
+    * `textCol` values are within `maxDist` edit operations, compared
+    * ONLY inside equal-`blockCols` blocks. Blocking is the scale
+    * lever — it turns the quadratic all-pairs comparison into an
+    * equi-join whose cost is Σ block². Pick blocks the way record
+    * linkage always has: attributes a true match can't disagree on.
+    * The distance uses Spark's bounded form `levenshtein(l, r, max)`,
+    * which abandons a pair as soon as the running distance exceeds the
+    * bound (returns -1) — O(max·len) per pair instead of O(len²).
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty,
+      "fuzzyPairs without blocking is an all-pairs cartesian — block on something")
+    val a = df.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_a"), col(textCol).as("t_a")): _*)
+    val b = df.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_b"), col(textCol).as("t_b")): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -56,6 +56,41 @@ object ScaleOps {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Exact-size stratified sampling with proportional allocation —
+    * the training-mix primitive: "give me ~k docs, strata weighted by
+    * W". Each stratum gets quota `max(1, k·w_h / Σw)` (INTEGER
+    * arithmetic — exact and engine-independent, unlike a float rate),
+    * filled by the first `quota` rows in `tieBreak` order. A
+    * hash-of-id tieBreak makes the draw deterministic and uniform —
+    * the same rows are selected on any cluster, any partitioning, any
+    * engine. Complements Bernoulli-style `hash_sample` (rate-based,
+    * size varies): quota sampling trades a per-stratum window sort for
+    * an exact output size.
+    *
+    * Scale: the quota table is tiny (one row per stratum, broadcast);
+    * the only heavy operation is the per-stratum top-quota, one
+    * window shuffle. For k ≪ stratum size swap the full sort for a
+    * per-partition pre-prune (each task keeps its local top-quota
+    * before the shuffle) — the two-phase top-k pattern used in
+    * `Similarity.bruteForceTopK`.
+    */
+  def quotaSample(df: DataFrame, strata: Seq[String], weight: org.apache.spark.sql.Column,
+                  tieBreak: org.apache.spark.sql.Column, k: Long): DataFrame = {
+    require(k > 0, "quota sample size must be positive")
+    val w = df.groupBy(strata.map(col): _*).agg(sum(weight).cast("long").as("_w"))
+    val tot = w.agg(sum(col("_w")).cast("long").as("_tot"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(strata.map(col) :+
+        greatest(lit(1L), expr(s"($k * _w) div _tot")).as("_quota"): _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*).orderBy(tieBreak)
+    df.withColumn("_rn", row_number().over(win))
+      .join(broadcast(quotas), strata)
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_quota")
+      .withColumnRenamed("_rn", "sample_rank")
+  }
+
   /** Latest-record-per-key snapshot compaction — the CDC/changelog
     * "dedupe to latest" every lakehouse pipeline runs. Implemented as
     * ONE hash aggregate: `max_by(struct(payload), struct(orderCols))`

@@ -630,6 +630,18 @@ class ExtSpec extends SparkSpec {
     assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
   }
 
+  test("dedup: fuzzyPairs finds in-block edit-distance matches only") {
+    val d = Seq(
+      (1L, "blk1", "kitten"), (2L, "blk1", "sitten"),  // dist 1
+      (3L, "blk1", "zzzzzzzzzzzz"),                    // > maxDist from both
+      (4L, "blk2", "kitten")                           // would match 1 but other block
+    ).toDF("id", "blk", "name")
+    val got = Dedup.fuzzyPairs(d, "id", "name", Seq("blk"), 3)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
+
   test("textstats: redactPii scrubs emails, IPs, phones; leaves clean text alone") {
     val d = Seq(
       (1L, "Email john.doe+spam@corp.example.io, call +1 (415) 555-0199 now."),

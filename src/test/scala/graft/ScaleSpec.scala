@@ -63,6 +63,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("quotaSample: proportional integer quotas, deterministic under repartitioning") {
+    import spark.implicits._
+    // stratum x carries 3x the weight of y -> quotas 6 and 2 at k=8
+    val rows = (1 to 40).map(i => (if (i <= 20) "x" else "y", i.toLong,
+      if (i <= 20) 3L else 1L))
+    val d = rows.toDF("s", "id", "w")
+    val pick = ScaleOps.quotaSample(d, Seq("s"), $"w", md5($"id".cast("string")), 8L)
+    val sizes = pick.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("x" -> 6L, "y" -> 2L), s"got $sizes")
+    // identical draw regardless of physical layout
+    val again = ScaleOps.quotaSample(d.repartition(7), Seq("s"), $"w",
+      md5($"id".cast("string")), 8L)
+    assert(pick.select("s", "id").exceptAll(again.select("s", "id")).isEmpty)
+    // every stratum keeps at least one row even when k * w / tot rounds to 0
+    val tiny = ScaleOps.quotaSample(d, Seq("s"), $"w", md5($"id".cast("string")), 1L)
+    assert(tiny.groupBy("s").count().collect().map(_.getLong(1)).forall(_ == 1L))
+  }
+
   test("latestByKey: picks the max ordering tuple per key, tiebroken deterministically") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
