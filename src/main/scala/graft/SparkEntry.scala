@@ -690,6 +690,30 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // ext: the same sessionization via Spark's BUILT-IN session_window
+    // aggregation — the declarative, merge-on-overlap form (one
+    // ObjectHashAggregate, no per-key window sort). Boundary note: the
+    // built-in breaks a session when the gap is EXACTLY gapSeconds
+    // (strict <), the lag+cumsum form merges it (> breaks); at
+    // microsecond-resolution event data an exact-gap pair cannot
+    // realistically occur, and ExtSpec gates equivalence on the real
+    // testdata.
+    "q_session_window" -> ((s, dir) => {
+      val sess = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+      sess
+        .withColumn("sess_id",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("session_start")).cast("long"))
+        .select(col("user_id"), col("sess_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // ext dedup: exact duplicate groups (on a 20-char prefix fingerprint
     // so the synthetic corpus actually collides)
     "q_dedup_exact" -> ((s, dir) => {
@@ -1438,6 +1462,14 @@ object SparkEntry {
           |GROUP BY flag_label ORDER BY flag_label""".stripMargin,
 
       "q_sessionize" ->
+        s"""WITH $sqlSessionCtes
+           |SELECT user_id, sess_id,
+           |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           |       n_events
+           |FROM sess ORDER BY user_id, sess_id""".stripMargin,
+
+      "q_session_window" ->
         s"""WITH $sqlSessionCtes
            |SELECT user_id, sess_id,
            |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,

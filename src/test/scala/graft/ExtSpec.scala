@@ -630,6 +630,19 @@ class ExtSpec extends SparkSpec {
     assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
   }
 
+  test("sessionize: built-in session_window equals the lag+cumsum batch form on real data") {
+    val ev = EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
+    val viaBatch = Sessionize.sessionizeBatch(ev, gapSeconds = 300, keyCol = "user_id")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    val viaBuiltin = ev
+      .groupBy($"user_id", session_window($"ts", "5 minutes").as("w"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    assert(viaBatch.exceptAll(viaBuiltin).isEmpty && viaBuiltin.exceptAll(viaBatch).isEmpty,
+      "session_window sessions diverge from lag+cumsum sessions")
+  }
+
   test("dedup: fuzzyPairs finds in-block edit-distance matches only") {
     val d = Seq(
       (1L, "blk1", "kitten"), (2L, "blk1", "sitten"),  // dist 1
