@@ -473,6 +473,17 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // ext: stream-static enrichment — broadcast dim into the stream,
+    // then watermarked daily aggregate; oracled by the batch twin SQL.
+    "q_stream_enrich" -> ((s, dir) => {
+      EventsStream.runEnrichOnce(s, s"$dir/events.parquet")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("label"), col("type_weight"), col("n_events"),
+          col("user_checksum").cast("long").as("user_checksum"))
+        .orderBy("day", "label")
+    }),
+
     // ext: JSON property extraction over events.props — `from_json`
     // with an explicit schema for the hot path (ONE parse per row,
     // codegen'd struct access) plus `get_json_object` for the ad-hoc
@@ -1325,6 +1336,14 @@ object SparkEntry {
 
       "q_events_hourly" -> eventsHourlySql,
       "q_events_stream" -> eventsHourlySql,
+
+      "q_stream_enrich" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |       upper(event_type) AS label,
+          |       CAST(length(event_type) AS INTEGER) AS type_weight,
+          |       count(*) AS n_events,
+          |       CAST(sum(user_id % 100) AS BIGINT) AS user_checksum
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
       "q_props_extract" ->
         """WITH j AS (

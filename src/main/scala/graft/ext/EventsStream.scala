@@ -120,6 +120,37 @@ object EventsStream {
                     queryName: String = "events_hourly"): DataFrame =
     runToMemory(hourlyStream(spark, path), queryName, OutputMode.Complete())
 
+  /** Stream-static enrichment: the streaming side joins a STATIC
+    * dimension (broadcast — no state, re-resolved per micro-batch)
+    * before the windowed aggregate. This is the standard "enrich the
+    * firehose with reference data" topology; unlike a stream-stream
+    * join it keeps zero join state, so the dimension can be swapped
+    * under a running query and the only stateful operator remains the
+    * windowed agg. The demo dimension derives deterministically from
+    * the event types (label + a length weight) so a DuckDB batch
+    * oracle can reproduce it.
+    */
+  def enrichStream(spark: SparkSession, path: String): DataFrame = {
+    val stream = readEventsStream(spark, path)
+    val s = stream.sparkSession // the conf-scoped clone owns both sides
+    val dim = broadcast(
+      s.read.parquet(path).select(col("event_type")).distinct()
+        .withColumn("label", upper(col("event_type")))
+        .withColumn("type_weight", length(col("event_type"))))
+    stream.join(dim, Seq("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("label"), col("type_weight"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id") % 100).as("user_checksum"))
+      .select(col("w.start").as("day"), col("label"), col("type_weight"),
+        col("n_events"), col("user_checksum"))
+  }
+
+  /** Bounded-run harness for [[enrichStream]] (memory sink). */
+  def runEnrichOnce(spark: SparkSession, path: String,
+                    queryName: String = "events_enriched"): DataFrame =
+    runToMemory(enrichStream(spark, path), queryName, OutputMode.Complete())
+
   /** Streaming dedup: first occurrence per (user_id, event_type) via
     * stateful `dropDuplicates`. State is one entry per distinct key —
     * for an UNBOUNDED key universe switch to
