@@ -16,7 +16,11 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_date_math",        // date arithmetic + string cast
     "q_props_extract",    // from_json / get_json_object int casts
     "q_scalar_subquery",  // SQL-surface decimal literal cast
-    "q_moving_avg")       // long agg + frame avg
+    "q_moving_avg",       // long agg + frame avg
+    "q_pii_redact",       // numeric → string concat tower
+    "q_quota_sample",     // integer div quota + md5-of-cast ordering
+    "q_latest_by_key",    // struct-ordered max_by + timestamp format
+    "q_interpolate")      // double interpolation arithmetic
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()
