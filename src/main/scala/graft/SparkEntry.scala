@@ -589,6 +589,23 @@ object SparkEntry {
         .orderBy("event_type", "rank")
     }),
 
+    // ext: Z-order clustering key — per 256-key chunk of the Morton
+    // curve, the (x, y) bounding rectangle stays small on BOTH axes
+    // (the file-skipping property; ScaleOps.zorderKey scaladoc). All
+    // integer bit arithmetic: drift-free on any engine.
+    "q_zorder" -> ((s, dir) => {
+      val x = col("l_orderkey") % 256
+      val y = col("l_partkey") % 256
+      t(s, dir, "lineitem")
+        .select(ScaleOps.zorderKey(x, y, 8).as("zkey"), x.as("x"), y.as("y"))
+        .withColumn("chunk", shiftright(col("zkey"), 8))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("chunk")
+    }),
+
     // J3: the reference README declares (but never ships) a join of the
     // flagship table against an external "hactable" on
     // unique_naics_code — the J1 broadcast-enrichment pattern on the
@@ -1434,6 +1451,20 @@ object SparkEntry {
           |SELECT r.event_type, r.event_id, CAST(r.rn AS INTEGER) AS rank
           |FROM ranked r JOIN quotas q ON r.event_type = q.event_type
           |WHERE r.rn <= q.quota ORDER BY 1, 3""".stripMargin,
+
+      "q_zorder" -> {
+        val zexpr = (0 until 8).map(i =>
+          s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i}) + ((((l_partkey % 256) >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH z AS (
+           |  SELECT CAST($zexpr AS BIGINT) AS zkey,
+           |         l_orderkey % 256 AS x, l_partkey % 256 AS y
+           |  FROM lineitem)
+           |SELECT zkey >> 8 AS chunk, count(*) AS n,
+           |       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           |       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       "q_naics_external_join" ->
         """WITH agg AS (

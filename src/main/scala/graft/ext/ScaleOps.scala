@@ -56,6 +56,33 @@ object ScaleOps {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Z-order (Morton) clustering key: interleaves the low `bits` bits
+    * of two dimensions so that sorting by the key co-locates rows that
+    * are close in BOTH dimensions. Sorting a table by this key before
+    * writing gives multi-dimensional file skipping from plain parquet
+    * min/max statistics — the poor-engine's Delta OPTIMIZE ZORDER:
+    * every written file covers a small rectangle of (x, y) space, so a
+    * predicate on EITHER dimension prunes most files, where a sort on
+    * x alone leaves y scattered full-range through every file
+    * (property-tested in ScaleSpec). Pure integer bit arithmetic —
+    * deterministic on any engine, expressible in plain SQL for the
+    * oracle. Callers map raw values into [0, 2^bits) first (modulo,
+    * bucketed rank, or unit scaling — rank preserves locality best for
+    * skewed data).
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xs = x.cast("bigint")
+    val ys = y.cast("bigint")
+    // disjoint bit positions: addition == bitwise OR, and Catalyst
+    // folds the whole chain into one codegen'd arithmetic expression
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
   /** Exact-size stratified sampling with proportional allocation —
     * the training-mix primitive: "give me ~k docs, strata weighted by
     * W". Each stratum gets quota `max(1, k·w_h / Σw)` (INTEGER

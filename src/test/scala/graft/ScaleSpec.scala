@@ -63,6 +63,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey: sorting by it bounds BOTH dimensions per chunk; x-sort does not") {
+    import spark.implicits._
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val d = grid.toDF("x", "y").repartition(8)
+    val nChunks = 16
+    def chunkSpread(sortKey: org.apache.spark.sql.Column): (Double, Double) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(sortKey, $"x", $"y")
+      val spreads = d.withColumn("rn", row_number().over(w) - 1)
+        .withColumn("chunk", ($"rn" / lit(grid.size / nChunks)).cast("long"))
+        .groupBy("chunk")
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .agg(avg("xs"), avg("ys")).head()
+      (spreads.getDouble(0), spreads.getDouble(1))
+    }
+    val (zx, zy) = chunkSpread(ScaleOps.zorderKey($"x", $"y", 6))
+    val (_, xy) = chunkSpread($"x")
+    // z-order: each 256-row chunk covers a ~16x16 rectangle of the 64x64
+    // grid — both axes bounded. x-sort: y spans the full 0..63 range.
+    assert(zx <= 16 && zy <= 16, s"z-chunks not rectangular: x=$zx y=$zy")
+    assert(xy >= 60, s"x-sorted chunks should leave y unbounded, got $xy")
+    assert(zy < xy / 3, "z-order does not beat single-column sort on the off axis")
+  }
+
   test("quotaSample: proportional integer quotas, deterministic under repartitioning") {
     import spark.implicits._
     // stratum x carries 3x the weight of y -> quotas 6 and 2 at k=8
