@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, TextStats, TimeFill}
+import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -604,6 +604,21 @@ object SparkEntry {
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("chunk")
+    }),
+
+    // ext: count-min sketch as a d×w aggregated table (Sketch scaladoc)
+    // — estimates for the exact top-10 users, with the admissibility
+    // guarantee (never underestimates) emitted as a checked column.
+    "q_cms_topk" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val cms = Sketch.countMin(ev, col("user_id"), depth = 4, width = 256)
+      val exact = ev.groupBy(col("user_id").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+      Sketch.cmsEstimate(cms, exact, col("item"), depth = 4, width = 256)
+        .withColumn("admissible", col("est") >= col("exact_n"))
+        .select("item", "est", "exact_n", "admissible")
+        .orderBy(col("exact_n").desc, col("item"))
     }),
 
     // J3: the reference README declares (but never ships) a join of the
@@ -1465,6 +1480,25 @@ object SparkEntry {
            |       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       },
+
+      "q_cms_topk" ->
+        """WITH items AS (SELECT user_id AS item FROM events),
+          |pairs AS (
+          |  SELECT r, item,
+          |         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM items, (SELECT unnest([0,1,2,3]) AS r)),
+          |cms AS (SELECT r, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+          |exact AS (SELECT item, count(*) AS exact_n FROM items GROUP BY 1
+          |          ORDER BY exact_n DESC, item LIMIT 10),
+          |probe AS (
+          |  SELECT e.item, e.exact_n, r.r,
+          |         CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.item AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM exact e, (SELECT unnest([0,1,2,3]) AS r) r)
+          |SELECT p.item, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est,
+          |       CAST(min(p.exact_n) AS BIGINT) AS exact_n,
+          |       min(coalesce(c.c, 0)) >= min(p.exact_n) AS admissible
+          |FROM probe p LEFT JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+          |GROUP BY p.item ORDER BY exact_n DESC, item""".stripMargin,
 
       "q_naics_external_join" ->
         """WITH agg AS (

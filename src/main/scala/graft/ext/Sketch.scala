@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch, Spark-first: the sketch is not an opaque binary
+  * blob but a TINY AGGREGATED TABLE of (row, bucket, count) — depth×width
+  * rows total, regardless of input size. That representation keeps every
+  * sketch property and gains the engine's machinery for free:
+  *
+  *  - build is one map-side-combined aggregate: shuffle volume is
+  *    bounded by depth × width × tasks, never the corpus;
+  *  - merge is `unionByName` + re-aggregate (counters are additive) —
+  *    the mergeability that makes CMS work across partitions/days;
+  *  - estimates are a broadcast join + `min` — no driver round-trip;
+  *  - everything is deterministic (md5-derived bucket hashing), so a
+  *    SQL oracle can reproduce the sketch bit-for-bit — unusual for a
+  *    "probabilistic" structure and exactly why this hashing was chosen.
+  *
+  * Estimates carry the classic CMS guarantee: never an underestimate,
+  * and overestimate ≤ ε·N with probability 1−δ for width ≥ e/ε,
+  * depth ≥ ln(1/δ). Use for heavy-hitter counts over unbounded key
+  * universes where exact per-key aggregation would blow memory.
+  */
+object Sketch {
+
+  /** Row-`r` bucket for an item: the first 8 md5 hex chars of
+    * `"r:item"` as an integer, mod `width`. Deterministic, uniform
+    * enough, and reproducible in any engine with md5 + hex parsing.
+    */
+  def cmsBucket(r: Int, item: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(r.toString), lit(":"), item.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Build the sketch table (`r`, `bucket`, `c`) for `depth` hash rows
+    * of `width` buckets each. Missing (r, bucket) combinations are
+    * zero counters (the estimate join treats absence as 0).
+    */
+  def countMin(df: DataFrame, item: Column, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.select(posexplode(
+        array((0 until depth).map(r => cmsBucket(r, item, width)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch: for each probe row's `item`, the minimum
+    * counter across the item's `depth` buckets. The sketch side is
+    * depth×width rows — always broadcastable.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, item: Column,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val exploded = probes.select(probes.columns.map(col) :+ posexplode(
+      array((0 until depth).map(r => cmsBucket(r, item, width)): _*)).as(Seq("r", "bucket")): _*)
+    exploded
+      .join(broadcast(cms), Seq("r", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+}

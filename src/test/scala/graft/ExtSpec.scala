@@ -630,6 +630,26 @@ class ExtSpec extends SparkSpec {
     assert(byKey.filter(_._1 == "c").toSeq == Seq(("c", "2024-03-01", 1L, false)))
   }
 
+  test("sketch: count-min never underestimates; merge of halves equals whole") {
+    val li = spark.read.parquet(s"${SparkSpec.sf0001}/lineitem.parquet")
+      .select($"l_partkey".as("item"))
+    val cms = Sketch.countMin(li, $"item", depth = 4, width = 64)
+    // d x w bound on sketch size regardless of input
+    assert(cms.count() <= 4L * 64)
+    val exact = li.groupBy("item").agg(count(lit(1)).as("exact_n"))
+    val est = Sketch.cmsEstimate(cms, exact, $"item", depth = 4, width = 64)
+    val bad = est.filter($"est" < $"exact_n").count()
+    assert(bad == 0, s"$bad probes underestimated — CMS guarantee broken")
+
+    // mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    val (a, b) = (li.filter($"item" % 2 === 0), li.filter($"item" % 2 =!= 0))
+    val merged = Sketch.countMin(a, $"item", 4, 64)
+      .unionByName(Sketch.countMin(b, $"item", 4, 64))
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+    assert(merged.exceptAll(cms).isEmpty && cms.exceptAll(merged).isEmpty,
+      "merged half-sketches differ from the whole-corpus sketch")
+  }
+
   test("sessionize: built-in session_window equals the lag+cumsum batch form on real data") {
     val ev = EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
     val viaBatch = Sessionize.sessionizeBatch(ev, gapSeconds = 300, keyCol = "user_id")
