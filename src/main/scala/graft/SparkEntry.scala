@@ -428,6 +428,30 @@ object SparkEntry {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // SQL surface: RECURSIVE CTE (Spark 4 native) — capped running sum
+    // with reset, a stateful scan a window function cannot express
+    // (each row's value depends on the POST-RESET accumulator of the
+    // previous row). Drift-free: the addition chain order is pinned by
+    // the recursion itself, so both engines execute the identical
+    // IEEE sequence. Depth = max orders per kept customer (≤20 at
+    // sf0.1, probed) — far under spark.sql.cteRecursionLevelLimit.
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""WITH RECURSIVE ranked AS (
+              |  SELECT o_custkey, o_orderkey, o_totalprice,
+              |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+              |  FROM orders_v WHERE o_custkey % 50 = 0),
+              |walk(o_custkey, o_orderkey, rn, acc) AS (
+              |  SELECT o_custkey, o_orderkey, rn, o_totalprice FROM ranked WHERE rn = 1
+              |  UNION ALL
+              |  SELECT r.o_custkey, r.o_orderkey, r.rn,
+              |         CASE WHEN w.acc + r.o_totalprice > 300000 THEN r.o_totalprice
+              |              ELSE w.acc + r.o_totalprice END
+              |  FROM walk w JOIN ranked r ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
+              |SELECT o_custkey, o_orderkey, rn, round(acc, 2) AS acc
+              |FROM walk ORDER BY o_custkey, rn""".stripMargin)
+    }),
+
     // date arithmetic family: add/diff/last_day/day-of-week in one
     // projection (DuckDB numbers Sunday 0 where Spark says 1 — the
     // oracle shifts)
@@ -1345,6 +1369,21 @@ object SparkEntry {
           |SELECT 'no_big_order', c_custkey FROM
           |  (SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM big)
           |ORDER BY op, c_custkey""".stripMargin,
+
+      "q_recursive_cte" ->
+        """WITH RECURSIVE ranked AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+          |  FROM orders WHERE o_custkey % 50 = 0),
+          |walk(o_custkey, o_orderkey, rn, acc) AS (
+          |  SELECT o_custkey, o_orderkey, rn, o_totalprice FROM ranked WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.o_custkey, r.o_orderkey, r.rn,
+          |         CASE WHEN w.acc + r.o_totalprice > 300000 THEN r.o_totalprice
+          |              ELSE w.acc + r.o_totalprice END
+          |  FROM walk w JOIN ranked r ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
+          |SELECT o_custkey, o_orderkey, rn, round(acc, 2) AS acc
+          |FROM walk ORDER BY o_custkey, rn""".stripMargin,
 
       "q_scalar_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders
