@@ -428,6 +428,20 @@ object SparkEntry {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // time-RANGE window frame (trailing 7 calendar days) — a range
+    // frame over a day index, NOT a row frame: missing days shrink the
+    // window, which rows-between cannot express. Integer sums keep the
+    // compare drift-free.
+    "q_range_frame" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(unix_date(col("d")))
+        .rangeBetween(-6, Window.currentRow)
+      daily.withColumn("n_7d", sum("n").over(w))
+        .orderBy("event_type", "d")
+    }),
+
     // SQL surface: RECURSIVE CTE (Spark 4 native) — capped running sum
     // with reset, a stateful scan a window function cannot express
     // (each row's value depends on the POST-RESET accumulator of the
@@ -1369,6 +1383,15 @@ object SparkEntry {
           |SELECT 'no_big_order', c_custkey FROM
           |  (SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM big)
           |ORDER BY op, c_custkey""".stripMargin,
+
+      "q_range_frame" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, d, n,
+          |       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+          |            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+          |FROM daily ORDER BY event_type, d""".stripMargin,
 
       "q_recursive_cte" ->
         """WITH RECURSIVE ranked AS (
