@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -426,6 +426,35 @@ object SparkEntry {
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
               |WHERE o_totalprice >= CAST(0.9 AS DOUBLE) * (SELECT max(o_totalprice) FROM orders_v)
               |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // data-quality gate (the Deequ/dbt-test niche): referential
+    // integrity, key uniqueness, completeness, and range checks as ONE
+    // unioned summary — each check a map-side-combinable conditional
+    // aggregate, the orphan check a broadcast left join on the distinct
+    // key set. The shape every pipeline runs before publishing a table.
+    "q_data_quality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def summary(name: String, flagged: Column, from: DataFrame): DataFrame =
+        from.agg(
+          sum(when(flagged, 1L).otherwise(0L)).cast("long").as("n_bad"),
+          count(lit(1)).as("n_total"))
+          .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
+      val orphan = summary("lineitem_orphan_orderkey", col("o_orderkey").isNull,
+        li.join(broadcast(o.select("o_orderkey").distinct()),
+          col("l_orderkey") === col("o_orderkey"), "left"))
+      val dupKeys = summary("orders_duplicate_orderkey", col("cnt") > 1,
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt")))
+      val nullBal = summary("customer_null_acctbal", col("c_acctbal").isNull, c)
+      val qtyRange = summary("lineitem_quantity_out_of_range",
+        col("l_quantity") < 1 || col("l_quantity") > 50, li)
+      val negPrice = summary("lineitem_nonpositive_price",
+        col("l_extendedprice") <= 0, li)
+      orphan.unionByName(dupKeys).unionByName(nullBal)
+        .unionByName(qtyRange).unionByName(negPrice)
+        .orderBy("check_name")
     }),
 
     // time-RANGE window frame (trailing 7 calendar days) — a range
@@ -1383,6 +1412,31 @@ object SparkEntry {
           |SELECT 'no_big_order', c_custkey FROM
           |  (SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM big)
           |ORDER BY op, c_custkey""".stripMargin,
+
+      "q_data_quality" ->
+        """SELECT 'customer_null_acctbal' AS check_name,
+          |       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+          |       count(*) AS n_total FROM customer
+          |UNION ALL
+          |SELECT 'lineitem_nonpositive_price',
+          |       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+          |       count(*) FROM lineitem
+          |UNION ALL
+          |SELECT 'lineitem_orphan_orderkey',
+          |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |       count(*)
+          |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          |  ON l.l_orderkey = o.o_orderkey
+          |UNION ALL
+          |SELECT 'lineitem_quantity_out_of_range',
+          |       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+          |       count(*) FROM lineitem
+          |UNION ALL
+          |SELECT 'orders_duplicate_orderkey',
+          |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |       count(*)
+          |FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+          |ORDER BY check_name""".stripMargin,
 
       "q_range_frame" ->
         """WITH daily AS (

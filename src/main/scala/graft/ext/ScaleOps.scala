@@ -83,6 +83,18 @@ object ScaleOps {
     }.reduce(_ + _)
   }
 
+  /** Inverse of [[zorderKey]]: recover one dimension from the Morton
+    * key (`dim` 0 = x/even bits, 1 = y/odd bits). Mostly a debugging /
+    * testing aid — the roundtrip property (ScaleSpec) is what proves
+    * the interleave correct.
+    */
+  def zorderDim(z: org.apache.spark.sql.Column, dim: Int, bits: Int = 16): org.apache.spark.sql.Column = {
+    require(dim == 0 || dim == 1, "dim must be 0 (x) or 1 (y)")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(z.cast("bigint"), 2 * i + dim).bitwiseAND(lit(1L)), i)
+    }.reduce(_ + _)
+  }
+
   /** Exact-size stratified sampling with proportional allocation —
     * the training-mix primitive: "give me ~k docs, strata weighted by
     * W". Each stratum gets quota `max(1, k·w_h / Σw)` (INTEGER

@@ -86,6 +86,23 @@ class ScaleSpec extends SparkSpec {
     assert(zy < xy / 3, "z-order does not beat single-column sort on the off axis")
   }
 
+  test("zorderKey: deinterleave roundtrips arbitrary coordinates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genPt = Gen.zip(Gen.chooseNum(0L, (1L << 16) - 1), Gen.chooseNum(0L, (1L << 16) - 1))
+    val pts = (1L to 4L).flatMap(seed =>
+      Gen.listOfN(50, genPt).apply(Gen.Parameters.default, Seed(seed)).get) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L)) // corners
+    val d = pts.toDF("x", "y")
+    val bad = d.select(
+        $"x", $"y",
+        ScaleOps.zorderDim(ScaleOps.zorderKey($"x", $"y", 16), 0, 16).as("rx"),
+        ScaleOps.zorderDim(ScaleOps.zorderKey($"x", $"y", 16), 1, 16).as("ry"))
+      .filter($"rx" =!= $"x" || $"ry" =!= $"y").count()
+    assert(bad == 0L)
+  }
+
   test("quotaSample: proportional integer quotas, deterministic under repartitioning") {
     import spark.implicits._
     // stratum x carries 3x the weight of y -> quotas 6 and 2 at k=8
