@@ -428,6 +428,23 @@ object SparkEntry {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ext: snapshot diff — what did the last 20 days change about each
+    // (user, type)'s latest event? latestByKey twice + one full-outer
+    // classification join (ScaleOps.snapshotDiff; all four statuses
+    // exercised by the unit fixture — 'removed' is structurally
+    // impossible here since snapshot B covers a superset window).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "event_type", "event_id", "ts")
+      val keys = Seq("user_id", "event_type")
+      val a = ScaleOps.latestByKey(
+        ev.filter(col("ts") < lit("2024-01-11").cast("timestamp")), keys, Seq("ts", "event_id"))
+      val b = ScaleOps.latestByKey(ev, keys, Seq("ts", "event_id"))
+      ScaleOps.snapshotDiff(a, b, keys, "event_id")
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // data-quality gate (the Deequ/dbt-test niche): referential
     // integrity, key uniqueness, completeness, and range checks as ONE
     // unioned summary — each check a map-side-combinable conditional
@@ -1412,6 +1429,25 @@ object SparkEntry {
           |SELECT 'no_big_order', c_custkey FROM
           |  (SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM big)
           |ORDER BY op, c_custkey""".stripMargin,
+
+      "q_snapshot_diff" ->
+        """WITH a AS (
+          |  SELECT user_id, event_type, event_id FROM (
+          |    SELECT user_id, event_type, event_id,
+          |           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events WHERE ts < TIMESTAMP '2024-01-11') WHERE rn = 1),
+          |b AS (
+          |  SELECT user_id, event_type, event_id FROM (
+          |    SELECT user_id, event_type, event_id,
+          |           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events) WHERE rn = 1)
+          |SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+          |            WHEN b.event_id IS NULL THEN 'removed'
+          |            WHEN a.event_id <> b.event_id THEN 'changed'
+          |            ELSE 'unchanged' END AS status,
+          |       count(*) AS n
+          |FROM a FULL JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_data_quality" ->
         """SELECT 'customer_null_acctbal' AS check_name,

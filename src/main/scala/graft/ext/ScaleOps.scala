@@ -83,6 +83,32 @@ object ScaleOps {
     }.reduce(_ + _)
   }
 
+  /** Table diff between two snapshots of the same keyed entity: each
+    * key is classified `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (payload differs) or `unchanged`. ONE full-outer
+    * shuffle join on the keys — the audit primitive behind incremental
+    * publication ("what did this run change?") and reconciliation.
+    * Compose with [[latestByKey]] to diff changelog-derived snapshots
+    * without materializing either. Presence is tracked with explicit
+    * marker columns (not payload nullness), so a legitimately-null
+    * payload still classifies correctly; payloads compare null-safe
+    * (`<=>`), so null==null is `unchanged`.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   payload: String): DataFrame = {
+    val aa = a.select(keys.map(col) ++ Seq(col(payload).as("_a"), lit(true).as("_in_a")): _*)
+    val bb = b.select(keys.map(col) ++ Seq(col(payload).as("_b"), lit(true).as("_in_b")): _*)
+    aa.join(bb, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_a").isNull, "added")
+          .when(col("_in_b").isNull, "removed")
+          .when(col("_a") <=> col("_b"), "unchanged")
+          .otherwise("changed"))
+      .drop("_in_a", "_in_b")
+      .withColumnRenamed("_a", s"${payload}_before")
+      .withColumnRenamed("_b", s"${payload}_after")
+  }
+
   /** Inverse of [[zorderKey]]: recover one dimension from the Morton
     * key (`dim` 0 = x/even bits, 1 = y/odd bits). Mostly a debugging /
     * testing aid — the roundtrip property (ScaleSpec) is what proves

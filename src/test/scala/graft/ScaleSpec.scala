@@ -122,6 +122,20 @@ class ScaleSpec extends SparkSpec {
     assert(tiny.groupBy("s").count().collect().map(_.getLong(1)).forall(_ == 1L))
   }
 
+  test("snapshotDiff: classifies added/removed/changed/unchanged; null payloads safe") {
+    import spark.implicits._
+    val a = Seq(("k1", Some(1)), ("k2", Some(2)), ("k3", Some(3)), ("k4", None: Option[Int]))
+      .toDF("k", "v")
+    val b = Seq(("k2", Some(2)), ("k3", Some(30)), ("k4", None: Option[Int]), ("k5", Some(5)))
+      .toDF("k", "v")
+    val got = ScaleOps.snapshotDiff(a, b, Seq("k"), "v")
+      .select("k", "status").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "k1" -> "removed", "k2" -> "unchanged", "k3" -> "changed",
+      "k4" -> "unchanged", // null payload BOTH sides: present + equal, not 'added'
+      "k5" -> "added"))
+  }
+
   test("latestByKey: picks the max ordering tuple per key, tiebroken deterministically") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
