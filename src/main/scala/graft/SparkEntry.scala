@@ -699,7 +699,7 @@ object SparkEntry {
       val exact = ev.groupBy(col("user_id").as("item"))
         .agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("item")).limit(10)
-      Sketch.cmsEstimate(cms, exact, col("item"), depth = 4, width = 256)
+      Sketch.cmsEstimate(cms, exact, col("item"))
         .withColumn("admissible", col("est") >= col("exact_n"))
         .select("item", "est", "exact_n", "admissible")
         .orderBy(col("exact_n").desc, col("item"))
@@ -1609,8 +1609,15 @@ object SparkEntry {
           |  SELECT event_type, CAST(sum(user_id % 1000 + 1) AS BIGINT) AS w
           |  FROM events GROUP BY 1),
           |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+          |q0 AS (
+          |  SELECT event_type, (100 * w) // tot AS base, (100 * w) % tot AS rem FROM w, tot),
+          |q1 AS (
+          |  SELECT event_type, base,
+          |         row_number() OVER (ORDER BY rem DESC, event_type) AS rnk FROM q0),
           |quotas AS (
-          |  SELECT event_type, greatest(1, (100 * w) // tot) AS quota FROM w, tot),
+          |  SELECT event_type,
+          |         base + CASE WHEN rnk <= 100 - (SELECT sum(base) FROM q0) THEN 1 ELSE 0 END AS quota
+          |  FROM q1),
           |ranked AS (
           |  SELECT event_type, event_id,
           |         row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn

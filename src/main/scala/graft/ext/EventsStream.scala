@@ -27,6 +27,14 @@ object EventsStream {
   private def nanosSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // newSession() rebuilds SQL conf from builder-time SparkConf,
+    // silently DROPPING runtime conf.set calls on the caller — so a
+    // caller that toggled ANSI or the session timezone at runtime
+    // (e.g. the ANSI smoke spec's cloned session) would not see the
+    // toggle apply to anything built here. Propagate those two
+    // explicitly; builder-time confs are inherited already.
+    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone")
+      .foreach(key => s.conf.set(key, spark.conf.get(key)))
     s
   }
 

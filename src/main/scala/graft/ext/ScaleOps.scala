@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale techniques as first-class operators: salted joins for skewed
@@ -70,8 +71,7 @@ object ScaleOps {
     * bucketed rank, or unit scaling — rank preserves locality best for
     * skewed data).
     */
-  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-                bits: Int = 16): org.apache.spark.sql.Column = {
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val xs = x.cast("bigint")
     val ys = y.cast("bigint")
@@ -114,7 +114,7 @@ object ScaleOps {
     * testing aid — the roundtrip property (ScaleSpec) is what proves
     * the interleave correct.
     */
-  def zorderDim(z: org.apache.spark.sql.Column, dim: Int, bits: Int = 16): org.apache.spark.sql.Column = {
+  def zorderDim(z: Column, dim: Int, bits: Int = 16): Column = {
     require(dim == 0 || dim == 1, "dim must be 0 (x) or 1 (y)")
     (0 until bits).map { i =>
       shiftleft(shiftright(z.cast("bigint"), 2 * i + dim).bitwiseAND(lit(1L)), i)
@@ -122,33 +122,44 @@ object ScaleOps {
   }
 
   /** Exact-size stratified sampling with proportional allocation —
-    * the training-mix primitive: "give me ~k docs, strata weighted by
-    * W". Each stratum gets quota `max(1, k·w_h / Σw)` (INTEGER
-    * arithmetic — exact and engine-independent, unlike a float rate),
-    * filled by the first `quota` rows in `tieBreak` order. A
-    * hash-of-id tieBreak makes the draw deterministic and uniform —
-    * the same rows are selected on any cluster, any partitioning, any
-    * engine. Complements Bernoulli-style `hash_sample` (rate-based,
-    * size varies): quota sampling trades a per-stratum window sort for
-    * an exact output size.
+    * the training-mix primitive: "give me exactly k docs, strata
+    * weighted by W". Quotas are apportioned by the largest-remainder
+    * (Hamilton) method in pure INTEGER arithmetic: base quota
+    * `⌊k·w_h / Σw⌋` per stratum, then the leftover `k − Σ⌊·⌋` seats go
+    * one each to the strata with the largest remainders
+    * (`(k·w_h) mod Σw`, ties broken by stratum key) — so quotas sum to
+    * EXACTLY k whenever the population has ≥ k rows, with no float
+    * rates and no engine drift. Strata may receive quota 0 when
+    * k < number of strata. Each quota is filled by the first rows in
+    * `tieBreak` order; a hash-of-id tieBreak makes the draw
+    * deterministic and uniform — the same rows are selected on any
+    * cluster, any partitioning, any engine. Complements
+    * Bernoulli-style `hash_sample` (rate-based, size varies).
     *
-    * Scale: the quota table is tiny (one row per stratum, broadcast);
-    * the only heavy operation is the per-stratum top-quota, one
-    * window shuffle. For k ≪ stratum size swap the full sort for a
+    * Scale: the quota table is tiny (one row per stratum; the
+    * remainder ranking is a window over that tiny frame, broadcast
+    * after). The only heavy operation is the per-stratum top-quota,
+    * one window shuffle. For k ≪ stratum size swap the full sort for a
     * per-partition pre-prune (each task keeps its local top-quota
     * before the shuffle) — the two-phase top-k pattern used in
-    * `Similarity.bruteForceTopK`.
+    * `Similarity.bruteForceTopK`. Weights must be positive.
     */
-  def quotaSample(df: DataFrame, strata: Seq[String], weight: org.apache.spark.sql.Column,
-                  tieBreak: org.apache.spark.sql.Column, k: Long): DataFrame = {
+  def quotaSample(df: DataFrame, strata: Seq[String], weight: Column,
+                  tieBreak: Column, k: Long): DataFrame = {
     require(k > 0, "quota sample size must be positive")
     val w = df.groupBy(strata.map(col): _*).agg(sum(weight).cast("long").as("_w"))
     val tot = w.agg(sum(col("_w")).cast("long").as("_tot"))
+    val everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val remRank = Window.orderBy(col("_rem").desc +: strata.map(col): _*)
     val quotas = w.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"(${k}L * _w) div _tot"))
+      .withColumn("_rem", expr(s"(${k}L * _w) % _tot"))
+      .withColumn("_deficit", lit(k) - sum("_base").over(everything))
+      .withColumn("_rank", row_number().over(remRank))
       .select(strata.map(col) :+
-        greatest(lit(1L), expr(s"($k * _w) div _tot")).as("_quota"): _*)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata.map(col): _*).orderBy(tieBreak)
+        (col("_base") + when(col("_rank") <= col("_deficit"), 1L).otherwise(0L))
+          .as("_quota"): _*)
+    val win = Window.partitionBy(strata.map(col): _*).orderBy(tieBreak)
     df.withColumn("_rn", row_number().over(win))
       .join(broadcast(quotas), strata)
       .filter(col("_rn") <= col("_quota"))

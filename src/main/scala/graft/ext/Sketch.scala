@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** A built sketch: the counter table plus the (depth, width) it was
+    * hashed with. Carrying the parameters in the type makes a
+    * build/probe geometry mismatch — which would silently break the
+    * never-underestimate guarantee (probe buckets mod a different
+    * width hit wrong counters) — unrepresentable. Merge sketches of
+    * EQUAL geometry by unioning tables and re-summing counters.
+    */
+  final case class CmsSketch(table: DataFrame, depth: Int, width: Int) {
+    /** Counter-wise sum with another sketch of the same geometry. */
+    def merge(other: CmsSketch): CmsSketch = {
+      require(depth == other.depth && width == other.width,
+        s"geometry mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
+      copy(table = table.unionByName(other.table)
+        .groupBy("r", "bucket").agg(sum("c").as("c")))
+    }
+  }
+
   /** Row-`r` bucket for an item: the first 8 md5 hex chars of
     * `"r:item"` as an integer, mod `width`. Deterministic, uniform
     * enough, and reproducible in any engine with md5 + hex parsing.
@@ -36,25 +53,27 @@ object Sketch {
     * of `width` buckets each. Missing (r, bucket) combinations are
     * zero counters (the estimate join treats absence as 0).
     */
-  def countMin(df: DataFrame, item: Column, depth: Int = 4, width: Int = 256): DataFrame = {
+  def countMin(df: DataFrame, item: Column, depth: Int = 4, width: Int = 256): CmsSketch = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
-    df.select(posexplode(
-        array((0 until depth).map(r => cmsBucket(r, item, width)): _*))
-        .as(Seq("r", "bucket")))
-      .groupBy("r", "bucket")
-      .agg(count(lit(1)).as("c"))
+    CmsSketch(
+      df.select(posexplode(
+          array((0 until depth).map(r => cmsBucket(r, item, width)): _*))
+          .as(Seq("r", "bucket")))
+        .groupBy("r", "bucket")
+        .agg(count(lit(1)).as("c")),
+      depth, width)
   }
 
   /** Point-query the sketch: for each probe row's `item`, the minimum
     * counter across the item's `depth` buckets. The sketch side is
     * depth×width rows — always broadcastable.
     */
-  def cmsEstimate(cms: DataFrame, probes: DataFrame, item: Column,
-                  depth: Int = 4, width: Int = 256): DataFrame = {
+  def cmsEstimate(cms: CmsSketch, probes: DataFrame, item: Column): DataFrame = {
     val exploded = probes.select(probes.columns.map(col) :+ posexplode(
-      array((0 until depth).map(r => cmsBucket(r, item, width)): _*)).as(Seq("r", "bucket")): _*)
+      array((0 until cms.depth).map(r => cmsBucket(r, item, cms.width)): _*))
+      .as(Seq("r", "bucket")): _*)
     exploded
-      .join(broadcast(cms), Seq("r", "bucket"), "left")
+      .join(broadcast(cms.table), Seq("r", "bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }

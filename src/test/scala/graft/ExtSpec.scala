@@ -635,19 +635,21 @@ class ExtSpec extends SparkSpec {
       .select($"l_partkey".as("item"))
     val cms = Sketch.countMin(li, $"item", depth = 4, width = 64)
     // d x w bound on sketch size regardless of input
-    assert(cms.count() <= 4L * 64)
+    assert(cms.table.count() <= 4L * 64)
     val exact = li.groupBy("item").agg(count(lit(1)).as("exact_n"))
-    val est = Sketch.cmsEstimate(cms, exact, $"item", depth = 4, width = 64)
+    val est = Sketch.cmsEstimate(cms, exact, $"item")
     val bad = est.filter($"est" < $"exact_n").count()
     assert(bad == 0, s"$bad probes underestimated — CMS guarantee broken")
 
     // mergeability: sketch(A) + sketch(B) == sketch(A union B)
     val (a, b) = (li.filter($"item" % 2 === 0), li.filter($"item" % 2 =!= 0))
-    val merged = Sketch.countMin(a, $"item", 4, 64)
-      .unionByName(Sketch.countMin(b, $"item", 4, 64))
-      .groupBy("r", "bucket").agg(sum("c").as("c"))
-    assert(merged.exceptAll(cms).isEmpty && cms.exceptAll(merged).isEmpty,
+    val merged = Sketch.countMin(a, $"item", 4, 64).merge(Sketch.countMin(b, $"item", 4, 64))
+    assert(merged.table.exceptAll(cms.table).isEmpty && cms.table.exceptAll(merged.table).isEmpty,
       "merged half-sketches differ from the whole-corpus sketch")
+    // geometry mismatches are unrepresentable at probe time and rejected at merge
+    intercept[IllegalArgumentException] {
+      Sketch.countMin(a, $"item", 4, 64).merge(Sketch.countMin(b, $"item", 4, 128))
+    }
   }
 
   test("sessionize: built-in session_window equals the lag+cumsum batch form on real data") {

@@ -105,8 +105,10 @@ class PlanSpec extends SparkSpec {
     // sit below the exchange (SortAggregate is expected — struct
     // buffers aren't hash-aggregable — the map-side combine is the
     // property that matters)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0, "no hash exchange in plan — assertion would be vacuous")
     assert(p.indexOf("partial_max_by") >= 0, "no map-side partial max_by")
-    assert(p.indexOf("partial_max_by") > p.indexOf("Exchange hashpartitioning"),
+    assert(p.indexOf("partial_max_by") > exchangeIdx,
       "partial max_by not below the exchange in plan text") // plan prints top-down
     assert(!p.contains("Window"), "latest-by-key must not be a window sort")
   }

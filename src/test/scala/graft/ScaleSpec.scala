@@ -103,7 +103,7 @@ class ScaleSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
-  test("quotaSample: proportional integer quotas, deterministic under repartitioning") {
+  test("quotaSample: largest-remainder quotas sum to exactly k; deterministic under repartitioning") {
     import spark.implicits._
     // stratum x carries 3x the weight of y -> quotas 6 and 2 at k=8
     val rows = (1 to 40).map(i => (if (i <= 20) "x" else "y", i.toLong,
@@ -117,9 +117,24 @@ class ScaleSpec extends SparkSpec {
     val again = ScaleOps.quotaSample(d.repartition(7), Seq("s"), $"w",
       md5($"id".cast("string")), 8L)
     assert(pick.select("s", "id").exceptAll(again.select("s", "id")).isEmpty)
-    // every stratum keeps at least one row even when k * w / tot rounds to 0
+
+    // fractional shares: weights 507/493, k=100 — naive floors give 99;
+    // the largest remainder must top the bigger-remainder stratum to 51
+    val frac = (1 to 200).map { i =>
+      val s = if (i <= 100) "a" else "b"
+      (s, i.toLong, if (i <= 100) 507L else 493L)
+    }.toDF("s", "id", "w") // per-row weights sum to 50700 / 49300
+    val fsizes = ScaleOps.quotaSample(frac, Seq("s"), $"w", md5($"id".cast("string")), 100L)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fsizes == Map("a" -> 51L, "b" -> 49L), s"got $fsizes")
+    assert(fsizes.values.sum == 100L)
+
+    // k below the stratum count: total stays exactly k, losers get 0
+    // (equal weights tie on remainder -> stratum key ascending wins)
     val tiny = ScaleOps.quotaSample(d, Seq("s"), $"w", md5($"id".cast("string")), 1L)
-    assert(tiny.groupBy("s").count().collect().map(_.getLong(1)).forall(_ == 1L))
+    val tsizes = tiny.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tsizes == Map("x" -> 1L), s"got $tsizes")
   }
 
   test("snapshotDiff: classifies added/removed/changed/unchanged; null payloads safe") {
