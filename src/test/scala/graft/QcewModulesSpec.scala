@@ -49,6 +49,30 @@ class QcewModulesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
   }
 
+  test("lake: dim-filter join triggers DYNAMIC partition pruning on the fact scan") {
+    val raw = Files.createTempDirectory("rawdpp")
+    val out = Files.createTempDirectory("lakedpp")
+    writeLatin1(raw, "a.txt",
+      (1 to 3).map(_ => QcewFixtures.record(2021, 1, "541511", "1", "1", "1", "10")))
+    writeLatin1(raw, "b.txt",
+      (1 to 2).map(_ => QcewFixtures.record(2022, 2, "111419", "1", "1", "1", "10")))
+    Ingest.ingestAll(spark, raw.toString + "/*.txt", out.toString)
+    // the year filter lives on the DIM — only runtime pruning can skip
+    // the 2022 fact partition (static pruning has nothing to push).
+    // The dim must be a real scan: a local Seq folds the filter into a
+    // LocalRelation at optimize time and DPP sees no selective predicate.
+    val dimDir = Files.createTempDirectory("dimdpp")
+    Seq((2021, "keep"), (2022, "drop")).toDF("year", "flag")
+      .write.mode("overwrite").parquet(dimDir.toString)
+    val dim = spark.read.parquet(dimDir.toString)
+    val joined = spark.read.parquet(out.toString)
+      .join(dim.filter($"flag" === "keep"), Seq("year"))
+    assert(joined.count() == 3)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned by the dim filter:\n${plan.take(600)}")
+  }
+
   test("compact: many small files collapse to one per partition, data identical") {
     val raw = Files.createTempDirectory("rawc")
     val out = Files.createTempDirectory("lakec")
