@@ -862,6 +862,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext: corpus vocabulary — top-k bigrams by frequency (the vocab-
+    // building sweep before tokenizer training). One shingle explode +
+    // map-side-combined count; the top-k is a total order (count desc,
+    // ngram) so the LIMIT is deterministic in both engines.
+    "q_top_ngrams" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram")).limit(20)
+    }),
+
     // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs.
     // Signatures are the expensive artifact (one shingle explode + hash
     // agg over the full corpus): persist them so banding consumes the
@@ -1738,6 +1749,16 @@ object SparkEntry {
       "q_dedup_normfp" ->
         """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_top_ngrams" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS ngram
+          |  FROM toks)
+          |SELECT ngram, count(*) AS n FROM sh
+          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
       "q_minhash" ->
         s"""WITH $sqlMinhashCtes
