@@ -628,6 +628,64 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext: SCD type-2 history build — changelog → per-key validity
+    // intervals of the tracked attribute (ScaleOps.scd2 scaladoc: one
+    // shuffle; the run-collapsing agg reuses the window's hash
+    // partitioning). (user_id, ts) is unique in the testdata, so the
+    // history is deterministic without a tiebreaker.
+    "q_scd2" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "ts", "event_type")
+      ScaleOps.scd2(ev, key = "user_id", ord = "ts", attr = "event_type")
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("n_rows"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ext: MERGE-style upsert — apply a late batch of per-user updates
+    // to an earlier snapshot (ScaleOps.mergeUpsert scaladoc: one
+    // full-outer shuffle, presence-marker classification). The target
+    // deliberately excludes the `user_id % 10 == 0` cohort so the
+    // update batch exercises all three actions: those users insert,
+    // the rest of the batch updates, untouched users carry over.
+    "q_merge_upsert" -> ((s, dir) => {
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+      val target = ScaleOps.latestByKey(
+          ev.filter(col("ts") < cut && col("user_id") % 10 =!= 0),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "value")
+      val updates = ScaleOps.latestByKey(
+          ev.filter(col("ts") >= cut && col("user_id") % 3 === 0),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "value")
+      ScaleOps.mergeUpsert(target, updates, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // cohort retention — the product-analytics staple: users grouped by
+    // first-seen week, activity counted per week offset. Two shuffles
+    // total: the first-event agg and the join back both hash on
+    // user_id (the agg's partitioning is reused for the join), then the
+    // tiny cohort matrix aggregates. All-integer outputs — drift-free.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "ts")
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      ev.join(firsts, "user_id")
+        .select(col("user_id"), col("cw"), date_trunc("week", col("ts")).as("ew"))
+        .groupBy(
+          date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(cast(ew as date), cast(cw as date)) div 7").cast("int")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ext: PII scrub — the corpus tables carry no PII (pure word-salad,
     // probed), so the demo MANUFACTURES email/phone/IP-bearing text
     // from event ids deterministically in both engines, then runs the
@@ -1162,6 +1220,47 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // drift-free summary statistics: mean/stddev derived from EXACT
+    // integer power sums (quantity is integer-valued; sum and sum-of-
+    // squares are exact bigints), so the only float ops are one
+    // division and one sqrt over identical inputs — bit-equal on any
+    // engine, no rounding needed. This is also the mergeable form:
+    // (n, s, ss) sums combine map-side and across partitions, unlike a
+    // sequential Welford stddev. At larger scale guard n·ss against
+    // bigint overflow by computing per finer-grained groups first.
+    "q_group_stats" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      spread(t(s, dir, "lineitem").select(col("l_returnflag"), q.as("q")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"),
+          sum(col("q") * col("q")).as("ss"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .select(col("l_returnflag"), col("n"), col("s"), col("min_q"), col("max_q"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean_q"),
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - lit(1))).cast("double")).as("stddev_q"))
+        .orderBy("l_returnflag")
+    }),
+
+    // null-safe equi-join (<=>): a masked key (nullif collapses the
+    // URGENT tier to null) still joins its null group 1:1 against the
+    // dim — IS NOT DISTINCT FROM semantics. Catalyst plans EqualNullSafe
+    // as a proper equi-join key (hash/sort-merge-able), NOT a cartesian
+    // with a filter — which is what makes the operator usable at scale.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val masked = expr("nullif(o_orderpriority, '1-URGENT')")
+      val agg = t(s, dir, "orders")
+        .groupBy(masked.as("pri_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice"))).as("total_floor"))
+      val dim = t(s, dir, "orders")
+        .select(masked.as("pri_key2")).distinct()
+        .withColumn("label", coalesce(col("pri_key2"), lit("URGENT (masked)")))
+      agg.join(broadcast(dim), col("pri_key") <=> col("pri_key2"))
+        .select(col("pri_key"), col("label"), col("n"), col("total_floor"))
+        .orderBy("label")
+    }),
+
     // rank-family windows: ntile quartiles + percent_rank + cume_dist.
     // The window order includes the unique key so ntile's row order —
     // and therefore every output — is total and engine-independent.
@@ -1590,6 +1689,64 @@ object SparkEntry {
           |SELECT user_id, event_id, event_type,
           |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value
           |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "q_scd2" ->
+        """WITH c AS (
+          |  SELECT user_id, ts, event_type,
+          |         CASE WHEN event_type IS NOT DISTINCT FROM
+          |                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+          |              THEN 0 ELSE 1 END AS chg
+          |  FROM events),
+          |v AS (
+          |  SELECT user_id, ts, event_type,
+          |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS version
+          |  FROM c),
+          |r AS (
+          |  SELECT user_id, version, min(event_type) AS event_type,
+          |         min(ts) AS vf, count(*) AS n_rows
+          |  FROM v GROUP BY 1, 2)
+          |SELECT user_id, version, event_type,
+          |       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+          |       strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY version),
+          |                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+          |       n_rows
+          |FROM r ORDER BY user_id, version""".stripMargin,
+
+      "q_merge_upsert" ->
+        """WITH t AS (
+          |  SELECT user_id, event_type, value FROM (
+          |    SELECT user_id, event_type, value,
+          |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events
+          |    WHERE ts < TIMESTAMP '2024-01-20' AND user_id % 10 <> 0)
+          |  WHERE rn = 1),
+          |u AS (
+          |  SELECT user_id, event_type, value FROM (
+          |    SELECT user_id, event_type, value,
+          |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events
+          |    WHERE ts >= TIMESTAMP '2024-01-20' AND user_id % 3 = 0)
+          |  WHERE rn = 1)
+          |SELECT COALESCE(t.user_id, u.user_id) AS user_id,
+          |       CASE WHEN u.user_id IS NOT NULL THEN u.event_type ELSE t.event_type END AS event_type,
+          |       CASE WHEN u.user_id IS NOT NULL THEN u.value ELSE t.value END AS value,
+          |       CASE WHEN t.user_id IS NULL THEN 'inserted'
+          |            WHEN u.user_id IS NULL THEN 'kept'
+          |            ELSE 'updated' END AS action
+          |FROM t FULL JOIN u ON t.user_id = u.user_id
+          |ORDER BY user_id""".stripMargin,
+
+      "q_cohort_retention" ->
+        """WITH f AS (
+          |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+          |  FROM events GROUP BY 1),
+          |j AS (
+          |  SELECT e.user_id, f.cw, date_trunc('week', e.ts) AS ew
+          |  FROM events e JOIN f ON e.user_id = f.user_id)
+          |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+          |       CAST(date_diff('day', cw, ew) // 7 AS INT) AS week_offset,
+          |       count(DISTINCT user_id) AS active_users
+          |FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
       "q_pii_redact" ->
         """WITH raw AS (
@@ -2073,6 +2230,31 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_group_stats" ->
+        """WITH g AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+          |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss,
+          |         min(CAST(l_quantity AS BIGINT)) AS min_q,
+          |         max(CAST(l_quantity AS BIGINT)) AS max_q
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag, n, s, min_q, max_q,
+          |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+          |       sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_q
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+      "q_nullsafe_join" ->
+        """WITH a AS (
+          |  SELECT nullif(o_orderpriority, '1-URGENT') AS pri_key, count(*) AS n,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_floor
+          |  FROM orders GROUP BY 1),
+          |d AS (
+          |  SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pri_key2 FROM orders)
+          |SELECT a.pri_key, COALESCE(d.pri_key2, 'URGENT (masked)') AS label,
+          |       a.n, a.total_floor
+          |FROM a JOIN d ON a.pri_key IS NOT DISTINCT FROM d.pri_key2
+          |ORDER BY label""".stripMargin,
 
       "q_ntile" ->
         """SELECT o_orderpriority, o_orderkey,

@@ -167,6 +167,72 @@ object ScaleOps {
       .withColumnRenamed("_rn", "sample_rank")
   }
 
+  /** Type-2 slowly-changing-dimension history build: collapse a
+    * changelog into per-key validity intervals of `attr`. Consecutive
+    * rows (in `ord` order) with the same attribute value merge into one
+    * interval; each interval carries `valid_from` (first `ord` of the
+    * run), `valid_to` (start of the NEXT run, null while current) and
+    * `version` (1-based per key). The classic warehouse history table,
+    * built with change-point detection instead of a self-join:
+    * `lag` marks rows where the attribute differs from its predecessor
+    * (null-safe, so null→null is NOT a change), a running sum of those
+    * marks numbers the runs, and `lead` over the collapsed runs closes
+    * each interval.
+    *
+    * Scale: ONE shuffle. The change-point and closing windows both
+    * partition by `key`, and the run-collapsing aggregate groups by
+    * (key, version) — hash-partitioning on `key` already clusters
+    * (key, version), so EnsureRequirements inserts no second exchange.
+    * State per key is bounded by its version count, never the raw
+    * changelog. `ord` must be unique per key for a deterministic
+    * history (append a unique id as a tiebreaker otherwise).
+    */
+  def scd2(df: DataFrame, key: String, ord: String, attr: String): DataFrame = {
+    val byOrd = Window.partitionBy(key).orderBy(ord)
+    val runs = df
+      .withColumn("_chg",
+        when(col(attr) <=> lag(col(attr), 1).over(byOrd), 0).otherwise(1))
+      .withColumn("version", sum("_chg").over(byOrd).cast("int"))
+      .groupBy(col(key), col("version"))
+      .agg(min(col(attr)).as(attr), // constant within a run
+        min(col(ord)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val byVersion = Window.partitionBy(key).orderBy("version")
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col(key), col("version"), col(attr),
+        col("valid_from"), col("valid_to"), col("n_rows"))
+  }
+
+  /** MERGE-style upsert without a table format: apply a batch of
+    * `updates` to `target` by key — matched keys take the update's
+    * payload, unmatched updates insert, untouched target rows carry
+    * over — and tag each output row with the action taken
+    * (`inserted` / `updated` / `kept`). ONE full-outer shuffle join on
+    * the keys; presence markers (not payload nullness) drive the
+    * classification so legitimately-null payloads upsert correctly.
+    * `updates` must be unique per key (pre-compact a changelog with
+    * [[latestByKey]]). This is the batch-job form of what Delta/Iceberg
+    * MERGE INTO does inside a commit protocol; pair it with an
+    * idempotent partition-overwrite sink for exactly-once republication.
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = target.columns.filterNot(keys.contains).toSeq
+    require(payload.forall(updates.columns.contains),
+      "updates must carry every target payload column")
+    val tt = target.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_t_$c")) :+ lit(true).as("_in_t"): _*)
+    val uu = updates.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_u_$c")) :+ lit(true).as("_in_u"): _*)
+    tt.join(uu, keys, "full_outer")
+      .withColumn("action",
+        when(col("_in_t").isNull, "inserted")
+          .when(col("_in_u").isNull, "kept")
+          .otherwise("updated"))
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("_in_u").isNotNull, col(s"_u_$c")).otherwise(col(s"_t_$c")).as(c)) :+
+        col("action"): _*)
+  }
+
   /** Latest-record-per-key snapshot compaction — the CDC/changelog
     * "dedupe to latest" every lakehouse pipeline runs. Implemented as
     * ONE hash aggregate: `max_by(struct(payload), struct(orderCols))`

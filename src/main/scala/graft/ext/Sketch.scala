@@ -64,6 +64,38 @@ object Sketch {
       depth, width)
   }
 
+  /** Distinct-count (HLL) sketches per group, as a keyed sketch TABLE —
+    * the cardinality companion to [[countMin]]'s frequency table. Built
+    * on Spark's DataSketches-backed `hll_sketch_agg`: one map-side-
+    * combined aggregate, shuffle volume ≤ groups × 2^lgK bytes
+    * regardless of input size. The output is a durable artifact: write
+    * it per day/partition, then [[hllMerge]] rolls windows up WITHOUT
+    * re-reading the raw data — the mergeability exact `count(distinct)`
+    * fundamentally lacks (its shuffle carries every distinct value, and
+    * two day-level exact counts cannot be combined at all).
+    * Register-max merge is lossless: merging shards yields the SAME
+    * estimate as one build over the union (unit-gated in ExtSpec).
+    * Standard error ≈ 1.04/√2^lgK (~0.8 % at the default lgK=12).
+    */
+  def hllByKey(df: DataFrame, keys: Seq[String], item: Column, lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, "DataSketches HLL wants lgK in [4, 21]")
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(item, lit(lgK)).as("hll"))
+  }
+
+  /** Roll up keyed sketch tables (same lgK) into one sketch per key. */
+  def hllMerge(tables: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "nothing to merge")
+    tables.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll"), lit(false)).as("hll"))
+  }
+
+  /** Read the estimate off a keyed sketch table. */
+  def hllEstimate(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll")).cast("long").as("approx_ndv"): _*)
+
   /** Point-query the sketch: for each probe row's `item`, the minimum
     * counter across the item's `depth` buckets. The sketch side is
     * depth×width rows — always broadcastable.

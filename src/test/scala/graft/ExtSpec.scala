@@ -652,6 +652,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sketch: HLL per-key sketches — shard-merge estimate equals whole-build, near exact NDV") {
+    val li = spark.read.parquet(s"${SparkSpec.sf0001}/lineitem.parquet")
+      .select($"l_returnflag".as("k"), $"l_partkey".as("item"))
+    val whole = Sketch.hllByKey(li, Seq("k"), $"item")
+    val exact = li.groupBy("k").agg(countDistinct($"item").as("ndv"))
+    val got = Sketch.hllEstimate(whole, Seq("k")).join(exact, "k").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (est, ndv) = (r.getAs[Long]("approx_ndv"), r.getAs[Long]("ndv"))
+      // lgK=12 standard error ~0.8%; 5% is a generous deterministic bound
+      assert(math.abs(est - ndv) <= math.max(1L, ndv / 20),
+        s"key ${r.get(0)}: est $est vs exact $ndv")
+    }
+    // register-max merge is lossless: sketches built per shard and
+    // rolled up estimate IDENTICALLY to one build over everything —
+    // the property that makes the keyed sketch table a durable,
+    // incrementally-maintainable artifact
+    val shards = (0 until 3).map(i => Sketch.hllByKey(li.filter($"item" % 3 === i), Seq("k"), $"item"))
+    val merged = Sketch.hllEstimate(Sketch.hllMerge(shards, Seq("k")), Seq("k"))
+    val wholeEst = Sketch.hllEstimate(whole, Seq("k"))
+    assert(merged.exceptAll(wholeEst).isEmpty && wholeEst.exceptAll(merged).isEmpty,
+      "merged shard sketches estimate differently from the whole build")
+  }
+
   test("sessionize: built-in session_window equals the lag+cumsum batch form on real data") {
     val ev = EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
     val viaBatch = Sessionize.sessionizeBatch(ev, gapSeconds = 300, keyCol = "user_id")

@@ -121,4 +121,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "lead() window missing")
     assert(p.contains("Generate explode"), "sequence explode missing")
   }
+
+  test("runtime bloom filter: a selective dim filter injects might_contain into the fact side") {
+    // Catalyst's InjectRuntimeFilter: when a shuffle join's small side
+    // carries a selective filter, the optimizer builds a bloom filter
+    // over its join keys and semi-filters the big side's scan with it —
+    // rows that can't match die before the shuffle. At 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the matching slice. The size thresholds are tuned for
+    // real clusters, so the toy-scale test lowers the application-side
+    // floor; everything else is stock Spark.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.col
+    val li = s.read.parquet(s"$dir/lineitem.parquet").select("l_partkey", "l_quantity")
+    val part = s.read.parquet(s"$dir/part.parquet").filter(col("p_size") === 1)
+    val j = li.join(part, col("l_partkey") === col("p_partkey"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${opt.take(2000)}")
+  }
 }

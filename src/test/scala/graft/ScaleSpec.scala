@@ -181,4 +181,54 @@ class ScaleSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
+
+  test("scd2: collapses runs into intervals; null attr is not a change; one exchange") {
+    import spark.implicits._
+    val log = Seq(
+      ("u1", 1L, Some("gold")),
+      ("u1", 2L, Some("gold")),   // same run
+      ("u1", 3L, Some("silver")), // change
+      ("u1", 4L, None: Option[String]), // change to null
+      ("u1", 5L, None: Option[String]), // null == null: same run
+      ("u1", 6L, Some("gold")),   // re-entering a value opens a NEW interval
+      ("u2", 1L, Some("bronze"))
+    ).toDF("k", "t", "tier").repartition(4)
+    val got = ScaleOps.scd2(log, "k", "t", "tier")
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("u1", 1, Some("gold"), 1L, Some(3L), 2L),
+      ("u1", 2, Some("silver"), 3L, Some(4L), 1L),
+      ("u1", 3, None, 4L, Some(6L), 2L),
+      ("u1", 4, Some("gold"), 6L, None, 1L),
+      ("u2", 1, Some("bronze"), 1L, None, 1L)))
+
+    // scale shape: the run-collapsing agg and the interval-closing
+    // window both reuse the first window's hash partitioning on the
+    // key — exactly ONE hash exchange in the whole plan (the fixture's
+    // repartition contributes a round-robin one, not counted)
+    val exchanges = ScaleOps.scd2(log, "k", "t", "tier")
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+  }
+
+  test("mergeUpsert: inserted/updated/kept; null update payload overwrites") {
+    import spark.implicits._
+    val target = Seq(("k1", Some(1)), ("k2", Some(2)), ("k3", Some(3)))
+      .toDF("k", "v")
+    val updates = Seq(("k2", Some(20)), ("k3", None: Option[Int]), ("k4", Some(4)))
+      .toDF("k", "v")
+    val got = ScaleOps.mergeUpsert(target, updates, Seq("k"))
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Int]), r.getString(2))))
+      .toMap
+    assert(got == Map(
+      "k1" -> ((Some(1), "kept")),
+      "k2" -> ((Some(20), "updated")),
+      "k3" -> ((None, "updated")), // null payload genuinely overwrites
+      "k4" -> ((Some(4), "inserted"))))
+  }
 }
