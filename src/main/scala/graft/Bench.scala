@@ -89,7 +89,36 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadEnd = os.getSystemLoadAverage
     val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}""")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
+    // Full detail goes to stderr AND a repo file; the harness that
+    // archives this run keeps only a short tail of stdout, and the r2/r3
+    // archives show the full line no longer fits in it (parsed: null).
+    System.err.println(fullJson)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    // stdout: ONE JSON line sized to survive a 2000-char tail capture.
+    // Keep every query if it fits; otherwise keep the slowest (the ones
+    // worth auditing) and account for the rest explicitly rather than
+    // dropping them silently.
+    val budget = 1800
+    def line(qs: collection.Map[String, Double], omitted: Int, omittedSec: Double): String = {
+      val omitPart =
+        if (omitted == 0) ""
+        else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+    }
+    val bySlow = warm.toSeq.sortBy(-_._2)
+    var keep = bySlow.size
+    var out = line(scala.collection.immutable.ListMap(bySlow.sortBy(_._1): _*), 0, 0.0)
+    while (out.length > budget && keep > 1) {
+      keep -= 1
+      val kept = bySlow.take(keep)
+      val dropped = bySlow.drop(keep)
+      out = line(scala.collection.immutable.ListMap(kept.sortBy(_._1): _*),
+        dropped.size, dropped.map(_._2).sum)
+    }
+    println(out)
     spark.stop()
   }
 }
