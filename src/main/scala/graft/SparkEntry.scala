@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{AsofJoin, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
+import graft.ext.{AsofJoin, Corpus, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -495,19 +495,30 @@ object SparkEntry {
     // the recursion itself, so both engines execute the identical
     // IEEE sequence. Depth = max orders per kept customer (≤20 at
     // sf0.1, probed) — far under spark.sql.cteRecursionLevelLimit.
+    // The ranked anchor is PERSISTED: the recursive term executes once
+    // per recursion level, and an inlined CTE would re-scan and
+    // re-window the orders table every level (measured 57 s warm at
+    // sf0.1 — the whole bench's worst query; cached it's one scan).
+    // At 100 TB the recursion shape itself is wrong anyway: depth ×
+    // join passes over a cached relation. The linear-scale form is one
+    // repartition(key) + sortWithinPartitions + per-partition
+    // sequential fold — O(n log n) in one pass, no iteration. The CTE
+    // stays as the SQL-surface demo at demo depth (≤20 levels).
     "q_recursive_cte" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""WITH RECURSIVE ranked AS (
-              |  SELECT o_custkey, o_orderkey, o_totalprice,
-              |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
-              |  FROM orders_v WHERE o_custkey % 50 = 0),
-              |walk(o_custkey, o_orderkey, rn, acc) AS (
-              |  SELECT o_custkey, o_orderkey, rn, o_totalprice FROM ranked WHERE rn = 1
+      t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .cast("int").as("rn"))
+        .persist()
+        .createOrReplaceTempView("ranked_v")
+      s.sql("""WITH RECURSIVE walk(o_custkey, o_orderkey, rn, acc) AS (
+              |  SELECT o_custkey, o_orderkey, rn, o_totalprice FROM ranked_v WHERE rn = 1
               |  UNION ALL
               |  SELECT r.o_custkey, r.o_orderkey, r.rn,
               |         CASE WHEN w.acc + r.o_totalprice > 300000 THEN r.o_totalprice
               |              ELSE w.acc + r.o_totalprice END
-              |  FROM walk w JOIN ranked r ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
+              |  FROM walk w JOIN ranked_v r ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
               |SELECT o_custkey, o_orderkey, rn, round(acc, 2) AS acc
               |FROM walk ORDER BY o_custkey, rn""".stripMargin)
     }),
@@ -929,6 +940,42 @@ object SparkEntry {
         .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)
+    }),
+
+    // ext corpus: sliding-window chunking — 32-token chunks at stride
+    // 24 (overlapping context windows for training-sequence packing /
+    // RAG indexing). Narrow plan: tokenize once, explode; no shuffle.
+    "q_doc_chunks" -> ((s, dir) => {
+      Corpus.chunkDocs(spread(t(s, dir, "documents")), chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
+    // ext corpus: eval-set decontamination — training docs sharing a
+    // word 4-gram with the held-out split (doc_id % 50 == 0). The eval
+    // shingle set is broadcast (plan-asserted in CorpusSpec); real
+    // deployments use 8–13-grams, proportionate here to ~50-token docs.
+    "q_contamination" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Corpus.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ext corpus: repetition stats (Gopher-style quality rule) — the
+    // distinct-token fraction and top-bigram share flag boilerplate /
+    // degenerate docs; both shuffles key on doc_id with map-side combine.
+    "q_repetition" -> ((s, dir) => {
+      Corpus.repetitionStats(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // ext corpus: unigram surprisal — per-doc mean -ln p(token) under
+    // the corpus' own unigram LM (zero-dependency quality score). Vocab
+    // is one map-side-combined aggregate, broadcast back to the tokens.
+    "q_lm_surprisal" -> ((s, dir) => {
+      Corpus.unigramSurprisal(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
     }),
 
     // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs.
@@ -1920,6 +1967,61 @@ object SparkEntry {
       "q_minhash" ->
         s"""WITH $sqlMinhashCtes
            |SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig ORDER BY doc_id""".stripMargin,
+
+      // chunk starts 1, 1+24, ... (1-based); list slices clamp at the
+      // doc end on both engines, so the tail chunk semantics match.
+      "q_doc_chunks" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |ch AS (
+           |  SELECT doc_id,
+           |         unnest([{'s': i, 'c': array_to_string(l[i:i+31], ' '),
+           |                  'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+           |  FROM toks WHERE len(l) > 0)
+           |SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
+           |       CAST(u.s AS BIGINT) AS start_token,
+           |       CAST(u.n AS BIGINT) AS n_chunk_tokens, u.c AS chunk_text
+           |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin,
+
+      "q_contamination" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |shing AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM toks WHERE len(l) >= 4),
+           |ev AS (SELECT DISTINCT ng, doc_id AS eval_id FROM shing WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, ng FROM shing WHERE doc_id % 50 <> 0)
+           |SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_shared_ngrams,
+           |       count(DISTINCT ev.eval_id) AS n_eval_docs
+           |FROM tr JOIN ev USING (ng) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the repetitive flag compares the UNROUNDED ratio (one IEEE
+      // division of two exact integers — bit-stable cross-engine)
+      "q_repetition" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |big AS (
+           |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS ng
+           |  FROM toks WHERE len(l) >= 2),
+           |cnt AS (SELECT doc_id, ng, count(*) AS c FROM big GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM cnt GROUP BY 1)
+           |SELECT t.doc_id, len(l) AS n_tokens,
+           |       round(len(list_distinct(l)) * 1.0 / len(l), 4) AS uniq_token_frac,
+           |       round(top * 1.0 / total, 4) AS top_bigram_frac,
+           |       CAST(top * 1.0 / total >= 0.06 AS INT) AS repetitive
+           |FROM toks t JOIN agg USING (doc_id) WHERE len(l) >= 2 ORDER BY doc_id""".stripMargin,
+
+      "q_lm_surprisal" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |tok AS (SELECT doc_id, unnest(l) AS w FROM toks),
+           |vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(c) AS n FROM vocab)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       round(avg(ln(n) - ln(c)), 4) AS surprisal
+           |FROM tok JOIN vocab USING (w) CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // NOTE: the sized CTE mirrors lshCandidatePairs' maxBucketSize=1000
       // cap so Spark and oracle agree even if a band bucket blows up at

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training-data pipelines:
+  * sliding-window document chunking, eval-set decontamination by
+  * n-gram overlap, repetition statistics (Gopher-style quality rule),
+  * and unigram surprisal scoring.
+  *
+  * All four follow the tokenize-once discipline ([[TextStats]]): each
+  * document is split exactly once and every feature derives from that
+  * token array, in whole-stage-codegen expressions — no UDFs.
+  *
+  * Scale design (100 TB corpus):
+  *   - [[chunkDocs]] is narrow (explode only) — chunk count scales with
+  *     corpus size but needs no shuffle at all; writers downstream
+  *     partition by hash(doc_id) to keep a doc's chunks co-located.
+  *   - [[contamination]] joins train-side shingles against the DISTINCT
+  *     eval-side shingles. The eval set (benchmarks) is tiny relative
+  *     to training data, so the right plan broadcasts it — asserted in
+  *     the spec. At petabyte scale hash the shingles (xxhash64) before
+  *     the join so the broadcast ships 8-byte keys, not strings.
+  *   - [[repetitionStats]] aggregates per (doc, ngram) then per doc:
+  *     both shuffles key on doc_id, and map-side combine collapses each
+  *     doc's repeated n-grams before the exchange (a doc's shingles
+  *     start on one input split), so shuffle volume ~ distinct n-grams.
+  *   - [[unigramSurprisal]] builds the vocabulary with one hash
+  *     aggregate (map-side combined; vocab size is sub-linear in corpus
+  *     size by Zipf) and joins it back to exploded tokens. The demo
+  *     broadcasts the vocab; past broadcast size, keep the shuffle join
+  *     — both sides are already keyed by token.
+  */
+object Corpus {
+
+  /** Fixed-size sliding-window chunks over the token array: starts at
+    * token 1, 1+stride, ... (1-based), each chunk `chunkTokens` tokens
+    * (the final chunks clamp at the document end). `stride` <
+    * `chunkTokens` gives overlapping context windows, the standard
+    * shape for training-sequence packing and RAG indexing.
+    *
+    * Output: (idCol, chunk_ix, start_token, n_chunk_tokens,
+    * chunk_text); empty/null docs produce no rows.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", chunkTokens: Int = 32,
+                stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    val toks = TextStats.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("l"))
+      .filter(size(col("l")) > 0) // sequence(1, 0) would be an error
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("l")), lit(stride)),
+          i => struct(
+            i.as("s"),
+            array_join(slice(col("l"), i, lit(chunkTokens)), " ").as("c"),
+            size(slice(col("l"), i, lit(chunkTokens))).as("n")))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_ix"),
+        col("col.s").cast("long").as("start_token"),
+        col("col.n").cast("long").as("n_chunk_tokens"),
+        col("col.c").as("chunk_text"))
+  }
+
+  /** Distinct word n-gram shingles per doc — the unit of overlap for
+    * decontamination. Docs shorter than `n` tokens contribute nothing.
+    */
+  private def distinctShingles(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("ng"))
+
+  /** Eval-set decontamination: for every training doc sharing at least
+    * one word `n`-gram with any eval doc, the number of distinct shared
+    * n-grams and of distinct eval docs hit. Train docs in the output
+    * are contaminated — drop or flag them before training.
+    *
+    * The eval side is deduplicated then BROADCAST (benchmarks are tiny
+    * next to a training corpus); the train side streams past it with no
+    * shuffle of the corpus itself. Real deployments use 8–13-gram
+    * windows (the GPT-3/PaLM decontamination range); the demo corpus
+    * has ~50-token docs so the gated query uses a proportionate n.
+    */
+  def contamination(train: DataFrame, eval: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    val trainSh = distinctShingles(train, idCol, textCol, n)
+    val evalSh = distinctShingles(eval, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id").distinct()
+    trainSh.join(broadcast(evalSh), "ng")
+      .groupBy(idCol)
+      .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Repetition statistics per doc (Gopher-style quality rule): token
+    * count, distinct-token fraction, the corpus-frequency share of the
+    * doc's most repeated word bigram, and a repetitive flag at
+    * `topBigramThreshold`. Comparisons use the unrounded ratio so the
+    * flag is bit-stable across engines (single IEEE division of two
+    * exact integers); the reported fractions are rounded for the gate.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      topBigramThreshold: Double = 0.06): DataFrame = {
+    val toks = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) >= 2)
+    val top = toks
+      .select(col(idCol), explode(Dedup.shingles(concat_ws(" ", col("l")), 2)).as("ng"))
+      .groupBy(idCol, "ng").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("total"), max("c").as("top"))
+    val ratio = col("top") * lit(1.0) / col("total")
+    toks.join(top, idCol)
+      .select(col(idCol),
+        size(col("l")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("l"))) * lit(1.0) / size(col("l")), 4)
+          .as("uniq_token_frac"),
+        round(ratio, 4).as("top_bigram_frac"),
+        (ratio >= topBigramThreshold).cast("int").as("repetitive"))
+  }
+
+  /** Unigram surprisal: per-doc mean of -ln p(token) under the corpus'
+    * own unigram distribution — a zero-dependency language-model
+    * quality score (gibberish and boilerplate both drift from the
+    * corpus mean). p(w) = count(w) / total tokens, so the per-token
+    * term is ln(total) - ln(count); the mean of ~doc-length doubles is
+    * rounded at 1e-4, absorbing cross-engine reassociation drift.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextStats.tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("n"))
+    tok.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("n")) - log(col("c"))), 4).as("surprisal"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Corpus
+
+/** Corpus-preparation operators: chunking, decontamination, repetition
+  * stats, unigram surprisal (fixture-exact semantics + the plan shapes
+  * their scaladocs claim).
+  */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("chunkDocs: sliding windows with clamped tail, empty docs dropped") {
+    val d = docs(
+      1L -> "a b c d e f g",
+      2L -> "x y",
+      3L -> "",
+      4L -> null.asInstanceOf[String])
+    val out = Corpus.chunkDocs(d, chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_ix")
+      .select("doc_id", "chunk_ix", "start_token", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L, 3L, "a b c"),
+      (1L, 1L, 3L, 3L, "c d e"),
+      (1L, 2L, 5L, 3L, "e f g"),
+      (1L, 3L, 7L, 1L, "g"), // tail clamps at the doc end
+      (2L, 0L, 1L, 2L, "x y")))
+  }
+
+  test("chunkDocs plan is narrow: no exchange before the explode") {
+    val d = docs(1L -> "a b c d e")
+    val p = Corpus.chunkDocs(d).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+  }
+
+  test("contamination: shared n-grams counted distinct, clean docs absent") {
+    val train = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "completely different words here entirely",
+      12L -> "quick brown fox jumps again and again")
+    val eval = docs(
+      90L -> "a quick brown fox jumps story",
+      91L -> "the lazy dog sleeps")
+    val out = Corpus.contamination(train, eval, n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 10 shares "quick brown fox jumps" with eval 90; doc 12 shares
+    // the same 4-gram; doc 11 shares nothing; no 4-gram hits eval 91.
+    assert(out == Seq((10L, 1L, 1L), (12L, 1L, 1L)))
+  }
+
+  test("contamination broadcasts the eval shingle side") {
+    val train = docs(1L -> "a b c d e f")
+    val eval = docs(2L -> "c d e f g h")
+    val p = Corpus.contamination(train, eval, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("repetitionStats: fractions and flag; short docs dropped") {
+    val d = docs(
+      1L -> "spam spam spam spam", // top bigram "spam spam" = 3/3
+      2L -> "all words unique here today",
+      3L -> "x") // < 2 tokens: no bigram, dropped
+    val out = Corpus.repetitionStats(d, topBigramThreshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0.25, 1.0, 1),
+      (2L, 5L, 1.0, 0.25, 0)))
+  }
+
+  test("unigramSurprisal: rare tokens score higher than common ones") {
+    val d = docs(
+      1L -> "common common common common",
+      2L -> "common rareword")
+    val rows = Corpus.unigramSurprisal(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // p(common)=5/6, p(rareword)=1/6: doc 1 = -ln(5/6); doc 2 =
+    // (-ln(5/6) - ln(1/6)) / 2 — the rare doc is more surprising.
+    val exp1 = BigDecimal(-math.log(5.0 / 6)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((-math.log(5.0 / 6) - math.log(1.0 / 6)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.toSeq == Seq((1L, 4L, exp1), (2L, 2L, exp2)))
+  }
+}
