@@ -978,6 +978,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext corpus: training-sequence packing — chunks concatenated per
+    // deterministic shard (doc_id % 8) and sliced every 256 tokens.
+    // All-integer outputs; the window sort is per-shard, never global.
+    "q_pack_sequences" -> ((s, dir) => {
+      val chunks = Corpus.chunkDocs(spread(t(s, dir, "documents")),
+          chunkTokens = 32, stride = 24)
+        .withColumn("bucket", col("doc_id") % 8)
+      Corpus.packSequences(chunks, "bucket", Seq("doc_id", "chunk_ix"),
+          budgetTokens = 256L)
+        .orderBy("bucket", "seq_id")
+    }),
+
+    // ext: key-distribution profiler — the pre-join skew diagnostic,
+    // run over a deliberately skewed key (3 return flags) and a
+    // high-cardinality one (suppliers) side by side.
+    "q_skew_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ScaleOps.keyDistribution(li, Seq("l_returnflag"))
+        .withColumn("key_set", lit("l_returnflag"))
+        .unionByName(ScaleOps.keyDistribution(li, Seq("l_suppkey"))
+          .withColumn("key_set", lit("l_suppkey")))
+        .orderBy("key_set")
+    }),
+
+    // SQL surface: fixed-width histogram — bin = floor(x / width)
+    // clamped to [0, nbins-1]; one map-side-combined aggregate. The
+    // bin boundary division is a single IEEE op on doubles, identical
+    // cross-engine.
+    "q_histogram" -> ((s, dir) => {
+      val width = 5000.0
+      val bin = least(greatest(floor(col("l_extendedprice") / width), lit(0L)),
+        lit(21L)).as("bin")
+      t(s, dir, "lineitem")
+        .groupBy(bin)
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("bin")
+    }),
+
     // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs.
     // Signatures are the expensive artifact (one shingle explode + hash
     // agg over the full corpus): persist them so banding consumes the
@@ -1982,6 +2022,54 @@ object SparkEntry {
            |       CAST(u.s AS BIGINT) AS start_token,
            |       CAST(u.n AS BIGINT) AS n_chunk_tokens, u.c AS chunk_text
            |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin,
+
+      "q_pack_sequences" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |ch AS (
+           |  SELECT doc_id,
+           |         unnest([{'s': i, 'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+           |  FROM toks WHERE len(l) > 0),
+           |chunks AS (
+           |  SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
+           |         CAST(u.n AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  FROM ch),
+           |cum AS (
+           |  SELECT bucket, doc_id, n,
+           |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
+           |                      ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM chunks)
+           |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
+           |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+      "q_skew_report" ->
+        """WITH s1 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_returnflag),
+          |s2 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_suppkey),
+          |r1 AS (
+          |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
+          |         round(avg(_n), 4) AS mean_key_rows,
+          |         round(quantile_cont(_n, 0.5), 4) AS p50_key_rows,
+          |         round(quantile_cont(_n, 0.99), 4) AS p99_key_rows,
+          |         round(max(_n) * 1.0 / sum(_n), 4) AS top_key_share,
+          |         'l_returnflag' AS key_set
+          |  FROM s1),
+          |r2 AS (
+          |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
+          |         round(avg(_n), 4) AS mean_key_rows,
+          |         round(quantile_cont(_n, 0.5), 4) AS p50_key_rows,
+          |         round(quantile_cont(_n, 0.99), 4) AS p99_key_rows,
+          |         round(max(_n) * 1.0 / sum(_n), 4) AS top_key_share,
+          |         'l_suppkey' AS key_set
+          |  FROM s2)
+          |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY key_set""".stripMargin,
+
+      "q_histogram" ->
+        """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 21) AS BIGINT) AS bin,
+          |       count(*) AS n_rows,
+          |       round(min(l_extendedprice), 2) AS min_price,
+          |       round(max(l_extendedprice), 2) AS max_price
+          |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
 
       "q_contamination" ->
         s"""WITH toks AS (

@@ -120,6 +120,39 @@ object Corpus {
         (ratio >= topBigramThreshold).cast("int").as("repetitive"))
   }
 
+  /** Training-sequence packing: concatenate chunks in a deterministic
+    * order and slice the stream every `budgetTokens` tokens — the
+    * standard document-boundary-agnostic packing that fills fixed
+    * context windows with no padding waste. A chunk belongs to
+    * sequence floor(tokens_before_it / budget) of its bucket (a chunk
+    * may straddle a boundary; the overfill is < one chunk, exactly the
+    * concat-then-split semantics of real pretraining pipelines).
+    *
+    * Packing is PER BUCKET: a global token order would be one reducer
+    * sorting the corpus; a deterministic bucket key (e.g.
+    * `doc_id % shards`) makes each shard an independent window sort —
+    * embarrassingly parallel, reproducible on any cluster layout.
+    * Returns one row per packed sequence: (bucketCol, seq_id,
+    * n_chunks, n_tokens, n_docs) — all integers, drift-free.
+    */
+  def packSequences(chunks: DataFrame, bucketCol: String,
+                    orderCols: Seq[String], idCol: String = "doc_id",
+                    tokenCol: String = "n_chunk_tokens",
+                    budgetTokens: Long = 1024L): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    chunks
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      // integer floor-division (`div`), never FP: exact at any scale
+      .withColumn("seq_id", expr(s"(_cum - `$tokenCol`) div ${budgetTokens}L"))
+      .groupBy(col(bucketCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(tokenCol)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
   /** Unigram surprisal: per-doc mean of -ln p(token) under the corpus'
     * own unigram distribution — a zero-dependency language-model
     * quality score (gibberish and boilerplate both drift from the

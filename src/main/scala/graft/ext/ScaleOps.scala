@@ -261,4 +261,29 @@ object ScaleOps {
         struct(orderCols.map(col): _*)).as("_latest"))
       .select(keys.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
   }
+
+  /** Key-distribution profiler — the pre-join diagnostic that decides
+    * between a plain shuffle join, [[saltedJoin]], and AQE skew
+    * handling. One map-side-combined count per key, then summary
+    * statistics over the (small: one row per key) group-size table:
+    * key count, row count, max/mean group size, exact p50/p99 of group
+    * sizes, and the share of all rows held by the hottest key.
+    *
+    * Scale note: the first aggregate is the only pass over the data;
+    * the percentile runs on the per-key SIZES (cardinality = keys, not
+    * rows), which is where Spark's exact `percentile` is fine. Mean,
+    * shares, and quantile interpolation are single IEEE divisions over
+    * exact integers — rounded at 1e-4 for cross-engine gating.
+    */
+  def keyDistribution(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum("_n").as("n_rows"),
+      max("_n").as("max_key_rows"),
+      round(avg("_n"), 4).as("mean_key_rows"),
+      round(expr("percentile(_n, 0.5)"), 4).as("p50_key_rows"),
+      round(expr("percentile(_n, 0.99)"), 4).as("p99_key_rows"),
+      round(max(col("_n")) * lit(1.0) / sum(col("_n")), 4).as("top_key_share"))
+  }
 }

@@ -76,6 +76,24 @@ class CorpusSpec extends SparkSpec {
       (2L, 5L, 1.0, 0.25, 0)))
   }
 
+  test("packSequences: cumsum slicing per bucket, straddling chunk overfills") {
+    val chunks = Seq(
+      // bucket 0: token counts 100, 100, 100 with budget 256 ->
+      // seq 0 holds chunks at cum-before 0, 100, 200 (overfills to 300)
+      (0L, 1L, 0L, 100L), (0L, 1L, 1L, 100L), (0L, 2L, 0L, 100L),
+      (0L, 2L, 1L, 60L), // cum-before 300 -> seq 1
+      (1L, 3L, 0L, 50L)) // other bucket packs independently
+      .toDF("bucket", "doc_id", "chunk_ix", "n_chunk_tokens")
+    val out = Corpus.packSequences(chunks, "bucket", Seq("doc_id", "chunk_ix"),
+        budgetTokens = 256L)
+      .orderBy("bucket", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 3L, 300L, 2L),
+      (0L, 1L, 1L, 60L, 1L),
+      (1L, 0L, 1L, 50L, 1L)))
+  }
+
   test("unigramSurprisal: rare tokens score higher than common ones") {
     val d = docs(
       1L -> "common common common common",

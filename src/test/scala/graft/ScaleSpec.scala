@@ -231,4 +231,19 @@ class ScaleSpec extends SparkSpec {
       "k3" -> ((None, "updated")), // null payload genuinely overwrites
       "k4" -> ((Some(4), "inserted"))))
   }
+
+  test("keyDistribution: exact skew summary over the group-size table") {
+    import spark.implicits._
+    // key a: 6 rows, b: 3, c: 1 — 10 rows, hottest holds 60%
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = ScaleOps.keyDistribution(df, Seq("k")).collect().head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(r.getAs[Double]("mean_key_rows") == 3.3333)
+    assert(r.getAs[Double]("p50_key_rows") == 3.0)
+    // p99 over sizes [1,3,6]: rank 0.99*2=1.98 -> 3 + 0.98*(6-3)
+    assert(r.getAs[Double]("p99_key_rows") == 5.94)
+    assert(r.getAs[Double]("top_key_share") == 0.6)
+  }
 }
