@@ -978,6 +978,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext capstone: the END-TO-END training-data pipeline — quality
+    // gate -> exact-dup removal (keep lowest doc_id per normalized
+    // fingerprint) -> eval-set decontamination -> sliding-window
+    // chunking -> per-shard sequence packing. Every stage is an
+    // already-oracled operator; this row gates their COMPOSITION. The
+    // output is the packed-sequence manifest a trainer would consume.
+    "q_clean_corpus" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val kept = TextStats.withQuality(docs)
+        .filter(col("quality_score") >= 0.7).select("doc_id", "text")
+      val w = Window.partitionBy(Dedup.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      val canon = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val contaminated = Corpus.contamination(
+          canon.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 4)
+        .select("doc_id")
+      val clean = canon.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val chunks = Corpus.chunkDocs(clean, chunkTokens = 32, stride = 24)
+        .withColumn("bucket", col("doc_id") % 8)
+      Corpus.packSequences(chunks, "bucket", Seq("doc_id", "chunk_ix"),
+          budgetTokens = 256L)
+        .orderBy("bucket", "seq_id")
+    }),
+
     // ext corpus: training-sequence packing — chunks concatenated per
     // deterministic shard (doc_id % 8) and sliced every 256 tokens.
     // All-integer outputs; the window sort is per-shard, never global.
@@ -2022,6 +2049,47 @@ object SparkEntry {
            |       CAST(u.s AS BIGINT) AS start_token,
            |       CAST(u.n AS BIGINT) AS n_chunk_tokens, u.c AS chunk_text
            |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin,
+
+      "q_clean_corpus" ->
+        s"""WITH $sqlQualityFeatureCte,
+           |kept AS (
+           |  SELECT doc_id, text FROM f WHERE $sqlQualityScore >= 0.7),
+           |canon AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |           row_number() OVER (
+           |             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |             ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |ctoks AS (SELECT doc_id, $sqlTokens AS l FROM canon),
+           |trainsh AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM ctoks WHERE len(l) >= 4 AND doc_id % 50 <> 0),
+           |evsh AS (
+           |  SELECT DISTINCT unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM qtok WHERE len(l) >= 4 AND doc_id % 50 = 0),
+           |contam AS (SELECT DISTINCT t.doc_id FROM trainsh t JOIN evsh e USING (ng)),
+           |clean AS (
+           |  SELECT doc_id, l FROM ctoks
+           |  WHERE doc_id % 50 <> 0 AND len(l) > 0
+           |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+           |ch AS (
+           |  SELECT doc_id,
+           |         unnest([{'s': i, 'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+           |  FROM clean),
+           |chunks AS (
+           |  SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
+           |         CAST(u.n AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  FROM ch),
+           |cum AS (
+           |  SELECT bucket, doc_id, n,
+           |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
+           |                      ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM chunks)
+           |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
+           |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
 
       "q_pack_sequences" ->
         s"""WITH toks AS (
