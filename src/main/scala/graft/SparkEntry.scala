@@ -1017,6 +1017,20 @@ object SparkEntry {
         .orderBy("bucket", "seq_id")
     }),
 
+    // ext: 7-day sliding distinct users per event type — the exact
+    // explode-to-window-ends form (sliding COUNT(DISTINCT) has no
+    // window-function expression); the HLL sketch-merge twin for
+    // corpus-scale item universes is unit-gated against this.
+    "q_sliding_distinct" -> ((s, dir) => {
+      Sketch.slidingDistinctExact(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq("event_type"), col("user_id"), to_date(col("ts")), windowDays = 7)
+        .select(col("event_type"),
+          date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+          col("n_distinct"))
+        .orderBy("event_type", "window_end")
+    }),
+
     // ext: key-distribution profiler — the pre-join skew diagnostic,
     // run over a deliberately skewed key (3 return flags) and a
     // high-cardinality one (suppliers) side by side.
@@ -2110,6 +2124,17 @@ object SparkEntry {
            |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
            |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+      "q_sliding_distinct" ->
+        """WITH pairs AS (
+          |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events),
+          |win AS (
+          |  SELECT event_type, user_id,
+          |         unnest([d + CAST(i AS INTEGER) for i in range(0, 7)]) AS we
+          |  FROM pairs)
+          |SELECT event_type, strftime(we, '%Y-%m-%d') AS window_end,
+          |       count(DISTINCT user_id) AS n_distinct
+          |FROM win GROUP BY 1, 2 ORDER BY event_type, window_end""".stripMargin,
 
       "q_skew_report" ->
         """WITH s1 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_returnflag),

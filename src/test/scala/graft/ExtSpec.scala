@@ -676,6 +676,22 @@ class ExtSpec extends SparkSpec {
       "merged shard sketches estimate differently from the whole build")
   }
 
+  test("sketch: sliding distinct — HLL window merge tracks the exact explode form") {
+    val ev = EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
+    val exact = Sketch.slidingDistinctExact(
+      ev, Seq("event_type"), $"user_id", to_date($"ts"), windowDays = 7)
+    val approx = Sketch.slidingDistinctHll(
+        ev, Seq("event_type"), $"user_id", to_date($"ts"), windowDays = 7)
+      .withColumnRenamed("n_distinct", "n_est")
+    val joined = exact.join(approx, Seq("event_type", "window_end")).collect()
+    assert(joined.length == exact.count(), "window sets diverge")
+    joined.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_est"))
+      assert(math.abs(e - n) <= math.max(1L, n / 20),
+        s"${r.get(0)}/${r.get(1)}: hll $e vs exact $n")
+    }
+  }
+
   test("sessionize: built-in session_window equals the lag+cumsum batch form on real data") {
     val ev = EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet")
     val viaBatch = Sessionize.sessionizeBatch(ev, gapSeconds = 300, keyCol = "user_id")

@@ -143,4 +143,14 @@ class PlanSpec extends SparkSpec {
     assert(opt.contains("might_contain"),
       s"no runtime bloom filter injected:\n${opt.take(2000)}")
   }
+
+  test("q_clean_corpus: contamination joins broadcast; no cartesian anywhere") {
+    val p = plan("q_clean_corpus")
+    // the eval-shingle join inside contamination AND the left-anti
+    // removal of the (small) contaminated id set must both broadcast —
+    // the corpus side never shuffles for either
+    assert(p.contains("BroadcastHashJoin"), "contamination join not broadcast")
+    assert(p.contains("LeftAnti"), "decontamination anti-join missing")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the pipeline")
+  }
 }
