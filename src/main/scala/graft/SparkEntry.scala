@@ -1017,6 +1017,81 @@ object SparkEntry {
         .orderBy("bucket", "seq_id")
     }),
 
+    // ext eval: heuristic-vs-ground-truth language confusion matrix —
+    // the documents table ships a true `lang` column; zh/de are outside
+    // the heuristic's inventory and should land in 'und' or misfire,
+    // which this matrix makes visible. One narrow projection + one agg.
+    "q_langid_confusion" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_id"))
+        .groupBy("lang", "lang_id").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_id")
+    }),
+
+    // ext: per-source corpus health report — doc counts, docs caught in
+    // any corpus-wide duplicate group, mean quality. The fingerprint
+    // self-aggregation joins back by fp as a SHUFFLE join on purpose:
+    // at corpus scale the fingerprint table is corpus-sized, never
+    // broadcastable.
+    "q_source_report" -> ((s, dir) => {
+      val docs = TextStats.withQuality(spread(t(s, dir, "documents")))
+        .withColumn("fp", Dedup.normalizedFingerprint(col("text")))
+      val fpCounts = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+      docs.join(fpCounts, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(avg("quality_score"), 4).as("avg_quality"))
+        .orderBy("source")
+    }),
+
+    // ext: vector hygiene gate — dimensionality bounds, null/zero
+    // vectors, norm distribution. Norms use the native codegen dot
+    // kernel; per-vector values round at 1e-6 before min/max so the
+    // extrema are taken over already-stable numbers.
+    "q_vector_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm",
+          round(sqrt(Similarity.dotNative(col("embedding"), col("embedding"))), 6))
+      e.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(size(col("embedding"))).as("min_dims"),
+        max(size(col("embedding"))).as("max_dims"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"))
+    }),
+
+    // ext eval: kNN majority-vote classification over the embeddings'
+    // ground-truth labels — eval split (vec_id < 50) scored against the
+    // train split by exact cosine top-3 (broadcast queries, two-phase
+    // top-k), majority vote tie-broken to the smallest label. The scale
+    // path swaps bruteForceTopK for the IVF/ANN searchers — same vote.
+    "q_knn_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val train = emb.filter(col("vec_id") >= 50)
+      val topk = Similarity.bruteForceTopK(
+        train.select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"), k = 3)
+      val votes = topk
+        .join(train.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+          "neighbor_id")
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("v"))
+      val pred = votes.groupBy("query_id")
+        .agg(max_by(col("n_label"), struct(col("v"), -col("n_label")))
+          .as("pred_label"))
+      pred
+        .join(queries.select(col("vec_id").as("query_id"), col("label")), "query_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", round(col("n_correct") * lit(1.0) / col("n"), 4))
+        .orderBy("label")
+    }),
+
     // ext: 7-day sliding distinct users per event type — the exact
     // explode-to-window-ends form (sliding COUNT(DISTINCT) has no
     // window-function expression); the HLL sketch-merge twin for
@@ -2124,6 +2199,72 @@ object SparkEntry {
            |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
            |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+      "q_langid_confusion" ->
+        s"""WITH toks AS (
+           |  SELECT lang, $sqlTokens AS l FROM documents),
+           |v AS (
+           |  SELECT lang,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks)
+           |SELECT lang, $sqlLangCase AS lang_id, count(*) AS n
+           |FROM v GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin,
+
+      "q_source_report" ->
+        s"""WITH $sqlQualityFeatureCte,
+           |fp AS (
+           |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpv
+           |  FROM documents),
+           |fpn AS (SELECT fpv, count(*) AS fp_n FROM fp GROUP BY 1),
+           |d AS (
+           |  SELECT doc_id, source FROM documents)
+           |SELECT d.source, count(*) AS n_docs,
+           |       sum(CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+           |       round(avg($sqlQualityScore), 4) AS avg_quality
+           |FROM d JOIN fp USING (doc_id) JOIN fpn USING (fpv) JOIN f USING (doc_id)
+           |GROUP BY 1 ORDER BY d.source""".stripMargin,
+
+      "q_vector_stats" ->
+        """WITH v AS (
+          |  SELECT embedding,
+          |         round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+          |                                       CAST(embedding AS DOUBLE[]))), 6) AS nrm
+          |  FROM embeddings)
+          |SELECT count(*) AS n_vectors,
+          |       sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS n_null,
+          |       min(len(embedding)) AS min_dims, max(len(embedding)) AS max_dims,
+          |       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+          |       round(avg(nrm), 4) AS avg_norm,
+          |       min(nrm) AS min_norm, max(nrm) AS max_norm
+          |FROM v""".stripMargin,
+
+      "q_knn_eval" ->
+        """WITH q AS (
+          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+          |  FROM embeddings WHERE vec_id < 50),
+          |t AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv, label
+          |  FROM embeddings WHERE vec_id >= 50),
+          |s AS (
+          |  SELECT query_id, t.vec_id AS nid, t.label AS n_label,
+          |         list_cosine_similarity(tv, qv) AS c
+          |  FROM t, q),
+          |r AS (
+          |  SELECT query_id, n_label,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rk
+          |  FROM s),
+          |v AS (SELECT query_id, n_label, count(*) AS nv FROM r WHERE rk <= 3 GROUP BY 1, 2),
+          |p AS (
+          |  SELECT query_id, n_label AS pred_label,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY nv DESC, n_label) AS pr
+          |  FROM v),
+          |j AS (SELECT q.true_label AS label, p.pred_label FROM p JOIN q USING (query_id) WHERE pr = 1)
+          |SELECT label, count(*) AS n,
+          |       sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS n_correct,
+          |       round(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+          |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
 
       "q_sliding_distinct" ->
         """WITH pairs AS (
