@@ -2238,7 +2238,7 @@ object SparkEntry {
           |       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
           |       round(avg(nrm), 4) AS avg_norm,
           |       min(nrm) AS min_norm, max(nrm) AS max_norm
-          |FROM v""".stripMargin,
+          |FROM v ORDER BY n_vectors""".stripMargin,
 
       "q_knn_eval" ->
         """WITH q AS (

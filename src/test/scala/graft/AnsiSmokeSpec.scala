@@ -20,7 +20,11 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_pii_redact",       // numeric → string concat tower
     "q_quota_sample",     // integer div quota + md5-of-cast ordering
     "q_latest_by_key",    // struct-ordered max_by + timestamp format
-    "q_interpolate")      // double interpolation arithmetic
+    "q_interpolate",      // double interpolation arithmetic
+    "q_histogram",        // floor-division binning + least/greatest clamp
+    "q_pack_sequences",   // integer div over window cumsum
+    "q_vector_stats",     // float→double norm tower
+    "q_knn_eval")         // negated int tie-break + ratio cast
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()

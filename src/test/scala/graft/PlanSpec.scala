@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
       s"no runtime bloom filter injected:\n${opt.take(2000)}")
   }
 
+  test("q_knn_eval: queries broadcast to the scoring join; no cartesian, no sort-merge") {
+    val p = plan("q_knn_eval")
+    // the ≠-condition scoring join must be a broadcast nested loop over
+    // the TINY query side (never a cartesian of the corpus), and the
+    // label joins hash-broadcast
+    assert(!p.contains("CartesianProduct"), "cartesian in the scoring join")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      "query side not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join appeared")
+  }
+
   test("q_clean_corpus: contamination joins broadcast; no cartesian anywhere") {
     val p = plan("q_clean_corpus")
     // the eval-shingle join inside contamination AND the left-anti
