@@ -95,9 +95,23 @@ object NativeDotRule extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions` entry point: registers [[NativeDotRule]] in
-  * every session of the application.
+  * every session of the application, and exposes the kernel to SQL
+  * strings as `dot_f32(a, b)` — so `spark.sql("... dot_f32(u, v) ...")`
+  * users reach the same codegen loop the DataFrame API gets.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeDotRule)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotFloat].getName, "dot_f32"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"dot_f32 expects exactly 2 arguments (array<float>, array<float>), got ${args.length}")
+        }
+        DotFloat(args.head, args(1))
+      }))
+  }
 }

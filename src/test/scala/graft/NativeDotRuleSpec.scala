@@ -57,4 +57,23 @@ class NativeDotRuleSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // smoke: injectOptimizerRule accepted
   }
+
+  test("dot_f32 is callable from SQL strings in an extensions session") {
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions().apply)
+    val r = s.sql(
+      """SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+    // arity is rejected at registration, not at runtime
+    intercept[Exception] {
+      s.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    // the base session (no extensions) must NOT see the function —
+    // injection is session-scoped, not a global registry mutation
+    intercept[Exception] {
+      spark.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").collect()
+    }
+  }
 }
