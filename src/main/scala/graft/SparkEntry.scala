@@ -1017,6 +1017,57 @@ object SparkEntry {
         .orderBy("bucket", "seq_id")
     }),
 
+    // classic OLAP join tree (TPC-H Q5 shape): region→nation dim chain
+    // BROADCAST into supplier, customer and the orders⋈lineitem fact
+    // spine SHUFFLE-joined on their natural keys, with the
+    // same-nation residual (c_nationkey = s_nationkey) and a date
+    // range on orders. Catalyst orders the tree; the revenue product
+    // is per-row IEEE-identical cross-engine, the sum rounded 1e-2.
+    "q_tpch_q5ish" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name")
+    }),
+
+    // funnel stage counts (view -> first click after -> first purchase
+    // after that): strictly-sequenced semantics a pairwise join can't
+    // give; every stage keys on user_id so the three aggregates and
+    // both joins share one hash partitioning. All-integer output.
+    "q_funnel_stages" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
+
     // ext eval: heuristic-vs-ground-truth language confusion matrix —
     // the documents table ships a true `lang` column; zh/de are outside
     // the heuristic's inventory and should land in 'und' or misfire,
@@ -2199,6 +2250,38 @@ object SparkEntry {
            |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
            |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+      "q_tpch_q5ish" ->
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       count(*) AS n_lineitems
+          |FROM orders
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+      "q_funnel_stages" ->
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS v_ts FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          |  JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          |  JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+          |SELECT (SELECT count(*) FROM v) AS n_view,
+          |       (SELECT count(*) FROM c) AS n_view_click,
+          |       (SELECT count(*) FROM p) AS n_view_click_purchase
+          |ORDER BY n_view""".stripMargin,
 
       "q_langid_confusion" ->
         s"""WITH toks AS (
