@@ -1017,6 +1017,22 @@ object SparkEntry {
         .orderBy("bucket", "seq_id")
     }),
 
+    // ext corpus: within-doc token entropy — internal diversity signal
+    // (surprisal measures drift from the corpus; entropy measures
+    // repetitiveness: spam scores low)
+    "q_token_entropy" -> ((s, dir) => {
+      Corpus.tokenEntropy(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // ext: robust outlier screen — median/MAD per group, count of
+    // |z| > 3 points; median-based so extremes can't mask themselves
+    "q_outliers" -> ((s, dir) => {
+      ScaleOps.robustOutliers(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
     // classic OLAP join tree (TPC-H Q5 shape): region→nation dim chain
     // BROADCAST into supplier, customer and the orders⋈lineitem fact
     // spine SHUFFLE-joined on their natural keys, with the
@@ -2250,6 +2266,31 @@ object SparkEntry {
            |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
            |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+      "q_token_entropy" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |tok AS (SELECT doc_id, unnest(l) AS w FROM toks),
+           |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+           |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_outliers" ->
+        """WITH med AS (
+          |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+          |  FROM lineitem GROUP BY 1),
+          |dev AS (
+          |  SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS adev, med.m
+          |  FROM lineitem l JOIN med USING (l_returnflag)),
+          |mad AS (
+          |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS md
+          |  FROM dev GROUP BY 1)
+          |SELECT dev.l_returnflag, count(*) AS n,
+          |       sum(CASE WHEN adev > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS n_outliers,
+          |       round(min(m), 4) AS median, round(min(md), 4) AS mad
+          |FROM dev JOIN mad USING (l_returnflag)
+          |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
       "q_tpch_q5ish" ->
         """SELECT n_name,

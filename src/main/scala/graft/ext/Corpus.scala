@@ -153,6 +153,24 @@ object Corpus {
         countDistinct(col(idCol)).as("n_docs"))
   }
 
+  /** Per-doc token entropy: −Σ p ln p over the doc's OWN token
+    * distribution — the within-doc diversity signal ([[unigramSurprisal]]
+    * measures drift from the corpus; entropy measures internal
+    * repetitiveness: spam/boilerplate scores low). Shuffles key on
+    * (doc, token) then doc with map-side combine; the float sum is per
+    * doc over ≤ distinct-token terms, rounded 1e-4.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").cast("long").as("n_tokens"),
+        round(
+          log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+          .as("entropy"))
+
   /** Unigram surprisal: per-doc mean of -ln p(token) under the corpus'
     * own unigram distribution — a zero-dependency language-model
     * quality score (gibberish and boilerplate both drift from the

@@ -262,6 +262,38 @@ object ScaleOps {
       .select(keys.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
+  /** Robust outlier summary per group: median / MAD (scaled by the
+    * normal-consistency constant 1.4826) and the count of |z| > `zCut`
+    * points. Median-based, so a few extreme values cannot mask
+    * themselves the way they inflate a stddev — the standard
+    * data-quality screen before training on numeric features.
+    *
+    * Plan: median and MAD are two grouped EXACT percentiles with the
+    * data↔aggregate joins co-partitioned on the group keys (one hash
+    * partitioning reused throughout). Exact `percentile` buffers per
+    * group — right while groups are few/modest (the profiler use
+    * case); swap `percentile` for `approx_percentile` past that (see
+    * `Quantiles`). Every comparison is on unrounded doubles computed
+    * by the identical operation tree cross-engine; only the REPORTED
+    * med/mad round.
+    */
+  def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                     zCut: Double = 3.0): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("_med"))
+    val dev = df.join(med, keys)
+      .withColumn("_adev", abs(col(valueCol) - col("_med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+    dev.join(mad, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_adev") > lit(zCut) * lit(1.4826) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(min("_med"), 4).as("median"),
+        round(min("_mad"), 4).as("mad"))
+  }
+
   /** Key-distribution profiler — the pre-join diagnostic that decides
     * between a plain shuffle join, [[saltedJoin]], and AQE skew
     * handling. One map-side-combined count per key, then summary

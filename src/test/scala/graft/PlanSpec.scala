@@ -144,6 +144,14 @@ class PlanSpec extends SparkSpec {
       s"no runtime bloom filter injected:\n${opt.take(2000)}")
   }
 
+  test("q_tpch_q5ish: date filter pushed to the orders scan; dim chain broadcasts") {
+    val p = plan("q_tpch_q5ish")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), "date range not pushed to orders scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation/region dims not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_knn_eval: queries broadcast to the scoring join; no cartesian, no sort-merge") {
     val p = plan("q_knn_eval")
     // the ≠-condition scoring join must be a broadcast nested loop over
