@@ -1600,6 +1600,137 @@ object SparkEntry {
           frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // UDAF surface (§2.11): bounded top-k typed Aggregator — the
+    // aggregation-pushdown rewrite of the window top-k. The buffer
+    // never exceeds k rows, reduce runs map-side before the exchange,
+    // and merge combines k-bounded buffers — so the shuffle carries at
+    // most k rows per group per map partition instead of every row
+    // (TopKAgg scaladoc). Hash-checked against the row_number() window
+    // form the oracle runs.
+    "q_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.score").as("o_totalprice"),
+          col("col.id").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // sequence mining: first-order Markov transition counts over each
+    // user's event stream (lead window keyed by high-cardinality
+    // user_id, then one hash aggregate over the tiny type×type grid).
+    // Transition probability = one division of exact longs — bit-stable
+    // cross-engine, no rounding.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      steps.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")).cast("double"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ext scale: incremental aggregate maintenance (materialized-view
+    // merge). State = mergeable partials (n, Σ) per key; a new
+    // partition folds in WITHOUT rescanning history — merged state is
+    // a groupBy-sum over state(base) ∪ state(delta). The oracle
+    // recomputes from the full table, so the gate proves merged ==
+    // full: a 100-TB pipeline maintains its rollups by reading only
+    // the new day, never the history.
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("s"))
+      val base = state(ev.filter(to_date(col("ts")) < lit("2024-01-21")))
+      val delta = state(ev.filter(to_date(col("ts")) >= lit("2024-01-21")))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("s").as("s_raw"))
+        .select(col("event_type"), col("n_events"),
+          round(col("s_raw"), 4).as("total_value"),
+          round(col("s_raw") / col("n_events"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // ANALYZE-style column profiling: ONE pass computes per-column
+    // null count / exact distinct count / min / max for four measures
+    // (multiple exact count-distincts plan through Expand, cf.
+    // q_count_distinct), then reshapes to a row per column. At real
+    // profiler scale swap count_distinct for approx_count_distinct —
+    // same single-pass shape, bounded memory.
+    "q_column_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max")))
+      val row = t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val structs = array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"${c}_n")).as("n_nulls"),
+        col(s"${c}_d").as("n_distinct"),
+        col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"))): _*)
+      row.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
+    }),
+
+    // ext capstone: ENSEMBLE dedup — surface duplicates (MinHash-LSH
+    // text pairs) unioned with semantic duplicates (hyperplane-bucketed
+    // embedding pairs), resolved TOGETHER by connected components into
+    // one cluster space, which is how production training-data dedup
+    // actually runs (near-identical text and paraphrases must collapse
+    // into the same cluster, not two overlapping cluster sets). The
+    // doc_id == vec_id linkage holds in the testdata by construction
+    // (both tables enumerate the same corpus).
+    "q_dedup_ensemble" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val txtPairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+        .select(col("id1"), col("id2"))
+      val embPairs = Similarity.embeddingNearDupPairs(
+          spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
+        .select(col("id1"), col("id2"))
+      Dedup.resolveClusters(docs, txtPairs.unionByName(embPairs))
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy("cluster_id")
+    }),
+
+    // ext eval: MinHash calibration — the signature-agreement Jaccard
+    // estimate (k-permutation match fraction, exact multiples of 1/4)
+    // against the TRUE n-gram Jaccard, per LSH candidate pair on a
+    // bounded doc subset. The "measure, don't guess" check a pipeline
+    // runs before trusting k and the banding scheme at full scale;
+    // both columns are exact-integer ratios, drift-free cross-engine.
+    "q_minhash_eval" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents")).filter(col("doc_id") < 200)
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+      val s1 = sig.select(col("doc_id").as("id1"),
+        col("mh0").as("a0"), col("mh1").as("a1"), col("mh2").as("a2"), col("mh3").as("a3"))
+      val s2 = sig.select(col("doc_id").as("id2"),
+        col("mh0").as("b0"), col("mh1").as("b1"), col("mh2").as("b2"), col("mh3").as("b3"))
+      val est = cand.join(s1, "id1").join(s2, "id2")
+        .select(col("id1"), col("id2"),
+          ((0 until 4).map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
+            .reduce(_ + _).cast("double") / lit(4.0)).as("est_jaccard"))
+      val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0)
+        .select(col("id1"), col("id2"), col("jaccard").as("true_jaccard"))
+      est.join(exact, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"), col("est_jaccard"),
+          round(coalesce(col("true_jaccard"), lit(0.0)), 6).as("true_jaccard"))
+        .orderBy("id1", "id2")
     })
   )
 
@@ -2873,7 +3004,134 @@ object SparkEntry {
           |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
           |       md5(substring(text, CAST(frame_idx AS INTEGER) * 64 + 1, 64)) AS frame_md5
           |FROM f WHERE frame_idx % 2 = 0
-          |ORDER BY media_id, frame_idx""".stripMargin
+          |ORDER BY media_id, frame_idx""".stripMargin,
+
+      // the window form the TopKAgg aggregator replaces at scale —
+      // identical semantics (score desc, id asc tie-break)
+      "q_topk_agg" ->
+        """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_totalprice, o_orderkey
+          |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+          |             row_number() OVER (PARTITION BY o_orderpriority
+          |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |      FROM orders)
+          |WHERE rn <= 3
+          |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+      "q_event_transitions" ->
+        """WITH st AS (
+          |  SELECT user_id, event_type AS from_type,
+          |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |c AS (
+          |  SELECT from_type, to_type, count(*) AS n
+          |  FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+      // full recompute — the gate proves the Spark-side base∪delta
+      // partial-state merge equals rescanning everything
+      "q_incr_agg" ->
+        """SELECT event_type, count(*) AS n_events,
+          |       round(sum(value), 4) AS total_value,
+          |       round(sum(value) / count(*), 4) AS avg_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_column_profile" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |       count(*) - count($c) AS n_nulls,
+             |       count(DISTINCT $c) AS n_distinct,
+             |       CAST(min($c) AS DOUBLE) AS min_v,
+             |       CAST(max($c) AS DOUBLE) AS max_v
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+
+      // text pairs (same CTEs as q_dedup_clusters) ∪ embedding pairs
+      // (same bucket predicate as q_embed_neardup) → one recursive
+      // reachability closure → per-cluster member counts
+      "q_dedup_ensemble" ->
+        s"""WITH RECURSIVE $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |sized AS (
+           |  SELECT band, bh FROM bands GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |tpairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  JOIN sized s ON s.band = a.band AND s.bh = a.bh),
+           |eb AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |epairs AS (
+           |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+           |  FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           |  WHERE list_cosine_similarity(a.v, bb.v) >= 0.2),
+           |allp AS (SELECT id1, id2 FROM tpairs UNION SELECT id1, id2 FROM epairs),
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM allp
+           |  UNION SELECT id2, id1 FROM allp),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+           |labels AS (SELECT id, min(r) AS min_r FROM reach GROUP BY id),
+           |assign AS (
+           |  SELECT d.doc_id,
+           |         COALESCE(least(l.min_r, d.doc_id), d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+           |SELECT cluster_id, count(*) AS n_members
+           |FROM assign GROUP BY cluster_id HAVING count(*) > 1
+           |ORDER BY cluster_id""".stripMargin,
+
+      // signature-agreement estimate vs true n-gram Jaccard on the
+      // same bounded subset (doc_id < 200) the Spark side uses
+      "q_minhash_eval" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents WHERE doc_id < 200),
+          |sh AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |  FROM toks),
+          |hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+          |sig AS (
+          |  SELECT doc_id,
+          |         min(substring(h, 1, 8)) AS mh0, min(substring(h, 9, 8)) AS mh1,
+          |         min(substring(h, 17, 8)) AS mh2, min(substring(h, 25, 8)) AS mh3
+          |  FROM hs GROUP BY doc_id),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+          |sized AS (
+          |  SELECT band, bh FROM bands GROUP BY band, bh
+          |  HAVING count(*) BETWEEN 2 AND 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          |  JOIN sized s ON s.band = a.band AND s.bh = a.bh),
+          |dsh AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+          |sizes AS (SELECT id, count(*) AS n_sh FROM dsh GROUP BY id),
+          |inter AS (
+          |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+          |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+          |SELECT c.id1, c.id2,
+          |       (CASE WHEN s1.mh0 = s2.mh0 THEN 1 ELSE 0 END +
+          |        CASE WHEN s1.mh1 = s2.mh1 THEN 1 ELSE 0 END +
+          |        CASE WHEN s1.mh2 = s2.mh2 THEN 1 ELSE 0 END +
+          |        CASE WHEN s1.mh3 = s2.mh3 THEN 1 ELSE 0 END) / 4.0 AS est_jaccard,
+          |       round(COALESCE(CAST(i.n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - i.n_inter), 0.0), 6) AS true_jaccard
+          |FROM cand c
+          |JOIN sig s1 ON s1.doc_id = c.id1
+          |JOIN sig s2 ON s2.doc_id = c.id2
+          |JOIN sizes z1 ON z1.id = c.id1
+          |JOIN sizes z2 ON z2.id = c.id2
+          |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+          |ORDER BY c.id1, c.id2""".stripMargin
     )
   }
 }
