@@ -1731,6 +1731,54 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("est_jaccard"),
           round(coalesce(col("true_jaccard"), lit(0.0)), 6).as("true_jaccard"))
         .orderBy("id1", "id2")
+    }),
+
+    // ext streaming: materialized-view maintenance — each micro-batch
+    // lands its PARTIAL aggregates in a batch_id partition (replay
+    // overwrites, never double-merges); the served rollup merges the
+    // partials. Same oracle as q_incr_agg: the full recompute — the
+    // gate proves the streaming-maintained view equals rescanning
+    // everything (EventsStream.maintainRollup scaladoc).
+    "q_stream_rollup" -> ((s, dir) => {
+      val state = java.nio.file.Files.createTempDirectory("graft_rollup_state").toString
+      EventsStream.maintainRollup(
+        EventsStream.readEventsStream(s, s"$dir/events.parquet"),
+        Seq("event_type"), "value", state,
+        java.nio.file.Files.createTempDirectory("graft_rollup_ckpt").toString)
+      EventsStream.readRollup(s, state, Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          round(col("s_raw"), 4).as("total_value"),
+          round(col("s_raw") / col("n_events"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // graph analytics over the embedding near-dup pair graph: degree,
+    // per-node triangle count (ordered two-path + closing-edge join —
+    // the standard distributed triangle enumeration; intermediate size
+    // Σ deg², bounded by the near-dup thresholds), and local
+    // clustering coefficient (two FP ops over exact ints, bit-stable).
+    "q_graph_stats" -> ((s, dir) => {
+      val e = Similarity.embeddingNearDupPairs(
+          spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
+        .select("id1", "id2").persist()
+      val deg = e.select(col("id1").as("id"))
+        .unionAll(e.select(col("id2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val tri = e.as("ab").join(e.as("bc"), col("ab.id2") === col("bc.id1"))
+        .select(col("ab.id1").as("a"), col("ab.id2").as("b"), col("bc.id2").as("c"))
+        .join(e.as("ac"), col("a") === col("ac.id1") && col("c") === col("ac.id2"))
+        .select("a", "b", "c")
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      deg.join(triPerNode, Seq("id"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("lcc", when(col("degree") > 1,
+            col("n_tri").cast("double") * lit(2.0) /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+        .select("id", "degree", "n_tri", "lcc")
+        .orderBy("id")
     })
   )
 
@@ -3131,7 +3179,45 @@ object SparkEntry {
           |JOIN sizes z1 ON z1.id = c.id1
           |JOIN sizes z2 ON z2.id = c.id2
           |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
-          |ORDER BY c.id1, c.id2""".stripMargin
+          |ORDER BY c.id1, c.id2""".stripMargin,
+
+      // full recompute — proves the streaming-maintained partials
+      // merge to the same answer (same oracle shape as q_incr_agg)
+      "q_stream_rollup" ->
+        """SELECT event_type, count(*) AS n_events,
+          |       round(sum(value), 4) AS total_value,
+          |       round(sum(value) / count(*), 4) AS avg_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_graph_stats" ->
+        s"""WITH eb AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+           |  FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           |  WHERE list_cosine_similarity(a.v, bb.v) >= 0.2),
+           |deg AS (
+           |  SELECT id, count(*) AS degree
+           |  FROM (SELECT id1 AS id FROM p UNION ALL SELECT id2 FROM p)
+           |  GROUP BY id),
+           |tri AS (
+           |  SELECT ab.id1 AS a, ab.id2 AS b, bc.id2 AS c
+           |  FROM p ab
+           |  JOIN p bc ON ab.id2 = bc.id1
+           |  JOIN p ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2),
+           |tpn AS (
+           |  SELECT id, count(*) AS n_tri
+           |  FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           |  GROUP BY id)
+           |SELECT d.id, d.degree, COALESCE(t.n_tri, 0) AS n_tri,
+           |       CASE WHEN d.degree > 1
+           |            THEN CAST(COALESCE(t.n_tri, 0) AS DOUBLE) * 2.0 /
+           |                 CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           |            ELSE 0.0 END AS lcc
+           |FROM deg d LEFT JOIN tpn t ON t.id = d.id
+           |ORDER BY d.id""".stripMargin
     )
   }
 }

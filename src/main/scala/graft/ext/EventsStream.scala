@@ -200,6 +200,53 @@ object EventsStream {
     q
   }
 
+  /** Streaming materialized-view maintenance: each micro-batch writes
+    * its PARTIAL aggregates (n, Σ per key) to a `batch_id=K` partition
+    * of a parquet state table; the served rollup is a groupBy-sum over
+    * the partials ([[readRollup]]). The streaming form of the
+    * `q_incr_agg` pattern, with the same idempotence mechanism as
+    * [[sinkToParquetIdempotent]]: a replayed batch OVERWRITES its own
+    * partition rather than double-merging — exactly-once effect on the
+    * rollup without transactions, because partials are only ever
+    * replaced, never read-modify-written.
+    *
+    * Scale: what crosses foreachBatch is one row per (key, batch) —
+    * the raw events never land twice. Partials accumulate one
+    * partition per batch; compact periodically (read → groupBy-sum →
+    * overwrite into one `batch_id=-1` partition — same merge the
+    * read path already does, so compaction never changes the served
+    * answer). State stays keys × (uncompacted batches + 1).
+    */
+  def maintainRollup(stream: DataFrame, keys: Seq[String], valueCol: String,
+                     stateDir: String, checkpointDir: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+
+  /** Serve the rollup maintained by [[maintainRollup]]: merge the
+    * per-batch partials. Cheap — state is keys × batches, not events.
+    */
+  def readRollup(spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n_events"), sum("s").as("s_raw"))
+
   /** Conversion funnel, batch form: click → purchase by the same user
     * within `windowSec`. The plan is an equi-join on the
     * high-cardinality user key with the time range as a residual

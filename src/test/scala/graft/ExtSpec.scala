@@ -498,6 +498,34 @@ class ExtSpec extends SparkSpec {
     assert(after2 == expected, s"replayed batches duplicated rows: $after2 != $expected")
   }
 
+  test("events: streaming rollup equals batch recompute and survives replay") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val state = java.nio.file.Files.createTempDirectory("rollup").toString
+    def served: Map[String, (Long, Double)] =
+      EventsStream.readRollup(spark, state, Seq("event_type"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 1e4) / 1e4)))
+        .toMap
+    val expected = EventsStream.readEvents(spark, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 1e4) / 1e4)))
+      .toMap
+
+    EventsStream.maintainRollup(
+      EventsStream.readEventsStream(spark, path), Seq("event_type"), "value",
+      state, java.nio.file.Files.createTempDirectory("rckpt1").toString)
+    assert(served == expected)
+
+    // fresh checkpoint = full replay: partials OVERWRITE their own
+    // batch_id partitions, so the served rollup must not double-count
+    EventsStream.maintainRollup(
+      EventsStream.readEventsStream(spark, path), Seq("event_type"), "value",
+      state, java.nio.file.Files.createTempDirectory("rckpt2").toString)
+    assert(served == expected, "replayed batches double-merged into the rollup")
+  }
+
   test("similarity: IVF assignment is the brute-force argmax; probes rank by cosine") {
     val cents = embs.filter($"vec_id" < 4)
     // reference argmax: score every (vector, centroid) pair with the
