@@ -1779,6 +1779,66 @@ object SparkEntry {
           .otherwise(lit(0.0)))
         .select("id", "degree", "n_tri", "lcc")
         .orderBy("id")
+    }),
+
+    // ext dedup: quality-aware canonical selection — clusters resolve
+    // as in q_dedup_clusters, but the kept doc is the HIGHEST
+    // quality_score member (ties → smallest id), via one
+    // map-side-combining max_by per cluster (resolveClustersBy
+    // scaladoc). quality_score is categorical after round(.,2), so
+    // the argmax is drift-free cross-engine.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = TextStats.withQuality(spread(t(s, dir, "documents")))
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+      Dedup.resolveClustersBy(docs, pairs, "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // ext corpus: source mixture balancing — every source is sampled
+    // down to the smallest source's token total (balance-down mixture),
+    // by taking docs in md5 order until the token budget is spent
+    // (cumulative window per source; membership = exact-int
+    // take-while, deterministic and layout-independent). The real
+    // knob a training pipeline turns when one crawl dwarfs the rest.
+    "q_mixture_balance" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      val totals = docs.groupBy("source").agg(sum("n_tok").as("total_tokens"))
+      val budget = totals.agg(min("total_tokens").as("budget"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .withColumn("cum", sum("n_tok").over(w))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") - col("n_tok") < col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"), sum("n_tok").as("tokens_kept"))
+        .join(totals, "source")
+        .orderBy("source")
+    }),
+
+    // ext corpus: vocabulary growth curve (Heaps'-law probe) — distinct
+    // 3-gram shingle count as successive contiguous tenths of the
+    // corpus arrive; a shingle counts for the FIRST decile that
+    // contains it (min-bucket agg, map-side combined), so the curve is
+    // one small cumulative window over 10 rows. All-integer,
+    // drift-free. (Shingles, not unigrams: the synthetic corpus has a
+    // ~31-token vocabulary, fully covered by decile 0 — the trigram
+    // space is what actually grows.)
+    "q_vocab_growth" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .select(expr("doc_id * 10 div (mx + 1)").as("bucket"),
+          explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("shingle").agg(min("bucket").as("first_bucket"))
+        .groupBy("first_bucket").agg(count(lit(1)).as("new_terms"))
+        .withColumn("cum_vocab",
+          sum("new_terms").over(Window.orderBy("first_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("first_bucket")
     })
   )
 
@@ -3217,7 +3277,83 @@ object SparkEntry {
            |                 CAST(d.degree * (d.degree - 1) AS DOUBLE)
            |            ELSE 0.0 END AS lcc
            |FROM deg d LEFT JOIN tpn t ON t.id = d.id
-           |ORDER BY d.id""".stripMargin
+           |ORDER BY d.id""".stripMargin,
+
+      // same CC closure as q_dedup_clusters + the quality CTEs; the
+      // keep-best argmax re-derives as row_number over
+      // (quality_score DESC, doc_id)
+      "q_dedup_keep_best" ->
+        s"""WITH RECURSIVE $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |sized AS (
+           |  SELECT band, bh FROM bands GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  JOIN sized s ON s.band = a.band AND s.bh = a.bh),
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+           |labels AS (SELECT id, min(r) AS min_r FROM reach GROUP BY id),
+           |$sqlQualityFeatureCte,
+           |q AS (SELECT doc_id, $sqlQualityScore AS quality_score FROM f),
+           |assign AS (
+           |  SELECT d.doc_id, q.quality_score,
+           |         COALESCE(least(l.min_r, d.doc_id), d.doc_id) AS cluster_id
+           |  FROM documents d
+           |  LEFT JOIN labels l ON l.id = d.doc_id
+           |  JOIN q ON q.doc_id = d.doc_id),
+           |ranked AS (
+           |  SELECT doc_id, cluster_id, quality_score,
+           |         row_number() OVER (PARTITION BY cluster_id
+           |                            ORDER BY quality_score DESC, doc_id) AS rn
+           |  FROM assign)
+           |SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_canonical
+           |FROM ranked ORDER BY doc_id""".stripMargin,
+
+      "q_mixture_balance" ->
+        """WITH d AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |tot AS (SELECT source, sum(n_tok) AS total_tokens FROM d GROUP BY source),
+          |b AS (SELECT min(total_tokens) AS budget FROM tot),
+          |c AS (
+          |  SELECT doc_id, source, n_tok,
+          |         sum(n_tok) OVER (PARTITION BY source
+          |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                          ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM d),
+          |k AS (
+          |  SELECT source, count(*) AS n_docs_kept, sum(n_tok) AS tokens_kept
+          |  FROM c, b WHERE cum - n_tok < budget GROUP BY source)
+          |SELECT k.source, n_docs_kept,
+          |       CAST(k.tokens_kept AS BIGINT) AS tokens_kept,
+          |       CAST(t.total_tokens AS BIGINT) AS total_tokens
+          |FROM k JOIN tot t ON t.source = k.source
+          |ORDER BY k.source""".stripMargin,
+
+      "q_vocab_growth" ->
+        """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          |toks AS (
+          |  SELECT (doc_id * 10) // (m + 1) AS bucket,
+          |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents, mx),
+          |sh AS (
+          |  SELECT bucket, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |  FROM toks),
+          |fb AS (SELECT shingle, min(bucket) AS first_bucket FROM sh GROUP BY shingle),
+          |nb AS (SELECT first_bucket, count(*) AS new_terms FROM fb GROUP BY first_bucket)
+          |SELECT first_bucket, new_terms,
+          |       CAST(sum(new_terms) OVER (ORDER BY first_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+          |FROM nb ORDER BY first_bucket""".stripMargin
     )
   }
 }

@@ -362,6 +362,31 @@ object Dedup {
       .withColumn("is_canonical", col("cluster_id") === col(idCol))
   }
 
+  /** Quality-aware cluster resolution: same connected components as
+    * [[resolveClusters]], but the canonical member is the one with the
+    * HIGHEST `scoreCol` (ties → smallest id) — what a production dedup
+    * keeps: the best copy, not the lexicographically-first one. The
+    * argmax is a map-side-combining `max_by(id, (score, -id))`
+    * aggregate co-partitioned with the join-back on `cluster_id`, so
+    * the extra cost over resolveClusters is one exchange of one row
+    * per cluster.
+    */
+  def resolveClustersBy(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+                        idCol: String = "doc_id", maxIter: Int = 50,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol), col(scoreCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val best = assigned.groupBy("cluster_id")
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("keep_id"))
+    assigned.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        (col(idCol) === col("keep_id")).as("is_canonical"))
+  }
+
   /** Blocked fuzzy matching (record linkage): pairs of rows whose
     * `textCol` values are within `maxDist` edit operations, compared
     * ONLY inside equal-`blockCols` blocks. Blocking is the scale
