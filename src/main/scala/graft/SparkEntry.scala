@@ -1839,6 +1839,30 @@ object SparkEntry {
           sum("new_terms").over(Window.orderBy("first_bucket")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("first_bucket")
+    }),
+
+    // join family completion: broadcast NON-EQUI range lookup — a tiny
+    // interval dimension (price bands) broadcast against the fact side,
+    // planned as BroadcastNestedLoopJoin. The RIGHT shape when the
+    // interval dim is small (bands, brackets, tiers): per-row cost is
+    // a scan of ~10 broadcast rows, no shuffle at all. Contrast
+    // q_range_join, the binned equi-rewrite for big-big interval
+    // joins — picking between the two by dim size IS the scale
+    // decision, and each is pinned by its own plan test.
+    "q_range_lookup" -> ((s, dir) => {
+      val bands = s.range(10).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 10000).cast("double").as("lo"),
+        ((col("id") + 1) * 10000).cast("double").as("hi"))
+      t(s, dir, "lineitem")
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"),
+          "left")
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("band_id")
     })
   )
 
@@ -3353,7 +3377,19 @@ object SparkEntry {
           |nb AS (SELECT first_bucket, count(*) AS new_terms FROM fb GROUP BY first_bucket)
           |SELECT first_bucket, new_terms,
           |       CAST(sum(new_terms) OVER (ORDER BY first_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
-          |FROM nb ORDER BY first_bucket""".stripMargin
+          |FROM nb ORDER BY first_bucket""".stripMargin,
+
+      "q_range_lookup" ->
+        """WITH bands AS (
+          |  SELECT CAST(i AS INTEGER) AS band_id,
+          |         i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+          |  FROM range(10) t(i))
+          |SELECT band_id, count(*) AS n_rows,
+          |       round(min(l_extendedprice), 2) AS min_price,
+          |       round(max(l_extendedprice), 2) AS max_price
+          |FROM lineitem l
+          |LEFT JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+          |GROUP BY band_id ORDER BY band_id""".stripMargin
     )
   }
 }

@@ -191,6 +191,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "per-source totals join should broadcast")
   }
 
+  test("q_range_lookup: tiny interval dim broadcasts as a nested-loop, no shuffle join") {
+    val p = plan("q_range_lookup")
+    assert(p.contains("BroadcastNestedLoopJoin"), "band lookup should be a broadcast NLJ")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "non-equi lookup must not shuffle the fact side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_dedup_ensemble: assignment consumes checkpointed CC labels, no cartesian") {
     // CC runs EAGERLY inside the query builder (per-round checkpoints),
     // so the returned plan starts from the materialized label frame —
