@@ -24,7 +24,14 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_histogram",        // floor-division binning + least/greatest clamp
     "q_pack_sequences",   // integer div over window cumsum
     "q_vector_stats",     // float→double norm tower
-    "q_knn_eval")         // negated int tie-break + ratio cast
+    "q_knn_eval",         // negated int tie-break + ratio cast
+    "q_topk_agg",         // UDAF buffer encoders + pos+1 long cast
+    "q_incr_agg",         // partial-state sums + division
+    "q_column_profile",   // min/max double casts across 4 columns
+    "q_mixture_balance",  // cumulative long window + budget compare
+    "q_vocab_growth",     // integer div decile bucketing
+    "q_graph_stats",      // int→double lcc ratio
+    "q_range_lookup")     // non-equi double band compare
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()
