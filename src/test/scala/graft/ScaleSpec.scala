@@ -27,6 +27,42 @@ class ScaleSpec extends SparkSpec {
       "dim was broadcast — the salted shuffle never happened")
   }
 
+  test("CBO: column statistics flip a selective-filter join to broadcast, no hints") {
+    // the "let Catalyst optimize" path: without statistics Spark sizes
+    // a filtered table at its FULL scan estimate (SizeInBytesOnly
+    // visitor passes Filter through), so a selective filter still
+    // plans a shuffle join; with ANALYZE ... FOR ALL COLUMNS + CBO the
+    // filter estimate shrinks to ~rowCount/ndv rows and the join
+    // auto-broadcasts — no broadcast() hint anywhere. On a real
+    // cluster this is why stats collection is part of the load path.
+    val orders = spark.read.parquet(s"${SparkSpec.sf0001}/orders.parquet")
+    orders.write.mode("overwrite").saveAsTable("cbo_orders")
+    try {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (8 * 1024).toString)
+      def joined(s: org.apache.spark.sql.SparkSession) = {
+        val key = orders.agg(min("o_orderkey")).head().getLong(0)
+        s.read.parquet(s"${SparkSpec.sf0001}/lineitem.parquet")
+          .join(s.table("cbo_orders").filter(col("o_orderkey") === key),
+            col("l_orderkey") === col("o_orderkey"))
+      }
+      // stats absent: full-size estimate > threshold -> shuffle join
+      val before = joined(s2).queryExecution.executedPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        "no-stats join broadcast anyway — threshold not exercised")
+
+      // analyze THROUGH the planning session: each session caches its
+      // resolved relation (stats included), so stats written elsewhere
+      // aren't seen until that session's cache refreshes
+      s2.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      s2.catalog.refreshTable("cbo_orders")
+      val after = joined(s2).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"stats did not flip the join to broadcast:\n${after.take(600)}")
+    } finally spark.sql("DROP TABLE IF EXISTS cbo_orders")
+  }
+
   test("saltedJoin: left join keeps unmatched fact rows exactly once") {
     val fact = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "v")
     val dim = Seq(("a", "A"), ("b", "B")).toDF("k", "lbl")

@@ -32,6 +32,28 @@ class TopKAggSpec extends SparkSpec {
     assert(tied.map(_.id) == List(1L, 2L, 4L))
   }
 
+  test("topk: property — random inputs, random splits, random merge order == sort.take(k)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      s <- Gen.frequency(3 -> Gen.choose(-10, 10).map(_.toDouble), // ties likely
+                         1 -> Gen.choose(-1e6, 1e6))
+      i <- Gen.choose(0L, 50L) // duplicate ids across rows exercise tie-breaks
+    } yield Scored(s, i)
+    for (seed <- 1L to 40L) {
+      val params = Gen.Parameters.default
+      val rows = Gen.listOfN(60, genRow).apply(params, Seed(seed)).get
+      val k = Gen.choose(1, 8).apply(params, Seed(seed * 7 + 1)).get
+      val agg = new TopKAgg(k)
+      val expected = rows.sortBy(r => (-r.score, r.id)).take(k)
+      // random partitioning into 1..6 chunks, folded then merged in order
+      val nChunks = Gen.choose(1, 6).apply(params, Seed(seed * 13 + 2)).get
+      val chunks = rows.grouped(math.max(1, rows.size / nChunks)).toList
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      assert(merged == expected, s"seed=$seed k=$k")
+    }
+  }
+
   test("topk: aggregator equals the row_number window form on orders") {
     val topk = udaf(new TopKAgg(3))
     val viaAgg = orders.groupBy("o_orderpriority")
