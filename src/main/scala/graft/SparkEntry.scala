@@ -1841,6 +1841,45 @@ object SparkEntry {
         .orderBy("first_bucket")
     }),
 
+    // ext: as-of join, FORWARD direction (pandas merge_asof
+    // direction='forward'): earliest right ≥ left — the same
+    // one-shuffle union-and-carry as q_asof_join run in reverse time
+    // order. Oracle: DuckDB native ASOF with the inequality flipped.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val daily = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      AsofJoin.asofJoinLast(
+          ev.select("event_id", "ts", "user_id"), daily,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "day",
+          payloadCols = Seq("day", "day_total"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("asof_day"), col("day_total"))
+        .orderBy("event_id")
+    }),
+
+    // ext: as-of join, NEAREST direction (pandas merge_asof
+    // direction='nearest'): smallest |Δt|, ties → backward. Both
+    // directional carries share one key partitioning; the oracle
+    // recombines DuckDB's two native ASOF directions with the same
+    // tie rule.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val daily = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .filter(dayofmonth(col("day")) % 3 === 0)
+      AsofJoin.asofJoinNearest(
+          ev.select("event_id", "ts", "user_id"), daily,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "day",
+          payloadCols = Seq("day", "day_total"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("asof_day"), col("day_total"))
+        .orderBy("event_id")
+    }),
+
     // join family completion: broadcast NON-EQUI range lookup — a tiny
     // interval dimension (price bands) broadcast against the fact side,
     // planned as BroadcastNestedLoopJoin. The RIGHT shape when the
@@ -3378,6 +3417,39 @@ object SparkEntry {
           |SELECT first_bucket, new_terms,
           |       CAST(sum(new_terms) OVER (ORDER BY first_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
           |FROM nb ORDER BY first_bucket""".stripMargin,
+
+      "q_asof_forward" ->
+        """WITH d AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 2) AS day_total
+          |  FROM events GROUP BY 1, 2 HAVING day(date_trunc('day', ts)) % 3 = 0)
+          |SELECT e.event_id, e.user_id,
+          |       strftime(d.day, '%Y-%m-%d') AS asof_day, d.day_total
+          |FROM events e ASOF LEFT JOIN d
+          |  ON e.user_id = d.user_id AND e.ts <= d.day
+          |ORDER BY event_id""".stripMargin,
+
+      // both native ASOF directions recombined with the pandas tie
+      // rule (backward wins at equal distance); distances compare as
+      // epoch doubles, the same arithmetic the Spark side runs
+      "q_asof_nearest" ->
+        """WITH d AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 2) AS day_total
+          |  FROM events GROUP BY 1, 2 HAVING day(date_trunc('day', ts)) % 3 = 0),
+          |b AS (
+          |  SELECT e.event_id, e.user_id, e.ts, d.day AS bday, d.day_total AS btot
+          |  FROM events e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts >= d.day),
+          |f AS (
+          |  SELECT e.event_id, d.day AS fday, d.day_total AS ftot
+          |  FROM events e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts <= d.day)
+          |SELECT b.event_id, b.user_id,
+          |       CASE WHEN bday IS NOT NULL AND (fday IS NULL OR
+          |                 epoch(ts) - epoch(bday) <= epoch(fday) - epoch(ts))
+          |            THEN strftime(bday, '%Y-%m-%d') ELSE strftime(fday, '%Y-%m-%d') END AS asof_day,
+          |       CASE WHEN bday IS NOT NULL AND (fday IS NULL OR
+          |                 epoch(ts) - epoch(bday) <= epoch(fday) - epoch(ts))
+          |            THEN btot ELSE ftot END AS day_total
+          |FROM b JOIN f USING (event_id)
+          |ORDER BY event_id""".stripMargin,
 
       "q_range_lookup" ->
         """WITH bands AS (

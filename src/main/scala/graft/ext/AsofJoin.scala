@@ -29,11 +29,22 @@ object AsofJoin {
     * merge_asof's `tolerance`. Only the LATEST match can ever qualify
     * (any earlier right row is older still), so gating the carried row
     * is exactly tolerance semantics, not an approximation.
+    *
+    * `direction`: "backward" (default — latest right ≤ left) or
+    * "forward" (earliest right ≥ left, pandas merge_asof
+    * direction='forward'). Forward is the SAME one-shuffle carry run
+    * in reverse time order (ties still match inclusively: the right
+    * row sorts before the left at equal timestamps), with the
+    * tolerance sign mirrored.
     */
   def asofJoinLast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTime: String, rightTime: String,
                    payloadCols: Seq[String],
-                   toleranceSec: Option[Long] = None): DataFrame = {
+                   toleranceSec: Option[Long] = None,
+                   direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
+    val forward = direction == "forward"
     val leftCols = left.columns.toSeq
     val nonKeyLeft = leftCols.filterNot(keyCols.contains)
     // The payload travels as ONE struct, not per-column: carrying each
@@ -55,22 +66,61 @@ object AsofJoin {
         nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payloadCols.map(col) :+ col(rightTime).as("_rt"): _*).as("_payload") :+
         col(rightTime).as("_t") :+ lit(0).as("_src"): _*)
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_src"))
+      .orderBy(timeOrder, col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lAligned.unionByName(rAligned)
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+    val staleness =
+      if (forward) col("_payload._rt").cast("double") - col("_t").cast("double")
+      else col("_t").cast("double") - col("_payload._rt").cast("double")
     val gated = toleranceSec match {
       case Some(tol) => carried.withColumn("_payload",
-        when(col("_payload").isNotNull &&
-          col("_t").cast("double") - col("_payload._rt").cast("double") <= tol,
-          col("_payload")))
+        when(col("_payload").isNotNull && staleness <= tol, col("_payload")))
       case None => carried
     }
     gated
       .filter(col("_src") === 1)
       .select((keyCols ++ nonKeyLeft).map(col) ++
         payloadCols.map(c => col(s"_payload.$c").as(c)): _*)
+  }
+
+  /** pandas merge_asof direction='nearest': per left row the right row
+    * with the smallest |leftTime − rightTime| (ties → the backward
+    * match, pandas' rule). Runs the backward and forward carries over
+    * the SAME union frame — one hash exchange (shared partitioning),
+    * two in-partition sorts — then picks per row. `toleranceSec`
+    * bounds the winning match's distance.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String,
+                      payloadCols: Seq[String],
+                      toleranceSec: Option[Long] = None): DataFrame = {
+    require(payloadCols.contains(rightTime),
+      "payloadCols must include rightTime — nearest compares match distances")
+    // left rows must be identity-unique (they are joined back on all
+    // left columns); both directional carries share the key hash
+    // partitioning, so the recombination join adds no extra exchange
+    // of the right side
+    val back = asofJoinLast(left, right, keyCols, leftTime, rightTime,
+      payloadCols, toleranceSec, "backward")
+    val fwd = asofJoinLast(left, right, keyCols, leftTime, rightTime,
+      payloadCols, toleranceSec, "forward")
+    val bSel = back.select(left.columns.map(col) ++
+      payloadCols.map(c => col(c).as(s"_b_$c")): _*)
+    val fSel = fwd.select(left.columns.map(col) ++
+      payloadCols.map(c => col(c).as(s"_f_$c")): _*)
+    val joined = bSel.join(fSel, left.columns.toSeq)
+    val bTime = col(s"_b_$rightTime")
+    val fTime = col(s"_f_$rightTime")
+    val lTime = col(leftTime)
+    val bDist = lTime.cast("double") - bTime.cast("double")
+    val fDist = fTime.cast("double") - lTime.cast("double")
+    val useBack = bTime.isNotNull && (fTime.isNull || bDist <= fDist)
+    joined.select(left.columns.map(col) ++
+      payloadCols.map(c =>
+        when(useBack, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(c)): _*)
   }
 
   /** Convenience guard: true when `right` is unique per (key, time) —

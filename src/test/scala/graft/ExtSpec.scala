@@ -321,6 +321,32 @@ class ExtSpec extends SparkSpec {
     assert(plain.forall(r => !r.isNullAt(r.fieldIndex("v"))))
   }
 
+  test("asof forward/nearest: direction mirror and pandas tie rule") {
+    val left = Seq(
+      (1L, 10, "a"),  // equidistant from rt=5 and rt=15 -> backward wins
+      (2L, 12, "a"),  // nearer to rt=15 -> forward
+      (3L, 6, "a"),   // nearer to rt=5 -> backward
+      (4L, 30, "a"),  // after the last right row -> forward null, backward 15
+      (5L, 1, "a")    // before the first right row -> backward null, forward 5
+    ).toDF("id", "t", "k")
+    val right = Seq(("a", 5, 50.0), ("a", 15, 150.0)).toDF("k", "rt", "v")
+    def run(dir: String) = AsofJoin.asofJoinLast(
+        left, right, Seq("k"), "t", "rt", Seq("rt", "v"), direction = dir)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(run("backward") == Seq((1L, Some(50.0)), (2L, Some(50.0)),
+      (3L, Some(50.0)), (4L, Some(150.0)), (5L, None)))
+    assert(run("forward") == Seq((1L, Some(150.0)), (2L, Some(150.0)),
+      (3L, Some(150.0)), (4L, None), (5L, Some(50.0))))
+    val near = AsofJoin.asofJoinNearest(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(near == Seq(
+      (1L, Some(50.0)),   // tie -> backward (pandas rule)
+      (2L, Some(150.0)), (3L, Some(50.0)),
+      (4L, Some(150.0)), (5L, Some(50.0))))
+  }
+
   test("asof join: latest right row at-or-before each left time, per key") {
     val left = Seq(
       (1L, 5, "a"), (2L, 10, "a"), (3L, 15, "a"),  // t=10 exact match incl.
