@@ -1841,6 +1841,24 @@ object SparkEntry {
         .orderBy("first_bucket")
     }),
 
+    // ext streaming: the REAL streaming form of q_session_window —
+    // built-in session_window over a watermarked stream, update-mode
+    // bounded harness (EventsStream.sessionWindowStream scaladoc for
+    // the output-mode reasoning). Same oracle as the batch twin.
+    "q_session_window_stream" -> ((s, dir) => {
+      val sess = EventsStream.runSessionWindowOnce(s, s"$dir/events.parquet",
+        queryName = s"sess_win_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      sess
+        .withColumn("sess_id",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("session_start")).cast("long"))
+        .select(col("user_id"), col("sess_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // ext: as-of join, FORWARD direction (pandas merge_asof
     // direction='forward'): earliest right ≥ left — the same
     // one-shuffle union-and-carry as q_asof_join run in reverse time
@@ -2459,6 +2477,24 @@ object SparkEntry {
            |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
            |       n_events
            |FROM sess ORDER BY user_id, sess_id""".stripMargin,
+
+      // the batch sessions FILTERED by the append-mode watermark
+      // contract: a session is emitted iff its close (last event +
+      // 5-min gap) precedes the final watermark (max event time in ms
+      // − 10-min delay). Withheld sessions are each user's suffix, so
+      // the retained sess_id numbering is unchanged.
+      "q_session_window_stream" ->
+        s"""WITH $sqlSessionCtes,
+           |wm AS (
+           |  SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) - 600000 AS wm_ms
+           |  FROM events)
+           |SELECT user_id, sess_id,
+           |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           |       n_events
+           |FROM sess, wm
+           |WHERE epoch(session_end) * 1000 + 300000 <= wm_ms
+           |ORDER BY user_id, sess_id""".stripMargin,
 
       // The oracle is the semantic definition (inequality BETWEEN
       // join); the Spark side is the binned equi-join rewrite.

@@ -128,6 +128,43 @@ object EventsStream {
                     queryName: String = "events_hourly"): DataFrame =
     runToMemory(hourlyStream(spark, path), queryName, OutputMode.Complete())
 
+  /** Declarative streaming sessionization: the built-in
+    * `session_window` aggregate over a watermarked stream — Spark
+    * merges overlapping per-key windows in the state store, so gap
+    * sessionization needs no custom state code at all (contrast
+    * [[Sessionize]]'s `flatMapGroupsWithState`, which exists for
+    * session logic the declarative form can't express). State is
+    * O(open sessions); the watermark finalizes and evicts sessions
+    * whose gap has passed.
+    *
+    * Output-mode semantics matter here: Spark only supports APPEND for
+    * streaming session windows, and append emits a session only once
+    * the watermark passes its close — so a bounded run WITHHOLDS every
+    * session still open under the final watermark (max event time −
+    * delay). That is not a harness artifact to paper over; it is the
+    * operator's contract, and `q_session_window_stream`'s oracle
+    * encodes it: the expected rows are exactly the batch sessions
+    * whose close precedes the final watermark. The withheld tail is
+    * what a production pipeline sees as watermark latency.
+    */
+  def sessionWindowStream(spark: SparkSession, path: String,
+                          gap: String = "5 minutes"): DataFrame =
+    readEventsStream(spark, path)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
+  /** Run [[sessionWindowStream]] to completion (memory sink, append
+    * mode — the only mode Spark supports for session windows; the
+    * scaladoc above explains the watermark-finalization contract).
+    */
+  def runSessionWindowOnce(spark: SparkSession, path: String,
+                           queryName: String = "events_session_window"): DataFrame =
+    runToMemory(sessionWindowStream(spark, path), queryName, OutputMode.Append())
+
   /** Stream-static enrichment: the streaming side joins a STATIC
     * dimension (broadcast — no state, re-resolved per micro-batch)
     * before the windowed aggregate. This is the standard "enrich the
