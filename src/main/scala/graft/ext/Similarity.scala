@@ -142,7 +142,19 @@ object Similarity {
     * the identical bits — so the *sign* (the bucket decision) can never
     * drift across engines, even for dots near zero.
     */
-  def planeDot(vec: Column, plane: Seq[Double]): Column =
+  def planeDot(vec: Column, plane: Seq[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.PlaneDot(ColumnBridge.expression(vec), plane))
+  }
+
+  /** The Column-algebra SPEC of [[planeDot]] — the form the DuckDB
+    * oracles transliterate. Kept for the bit-equality unit gate: the
+    * native kernel must produce byte-identical doubles. Never put this
+    * on a hot path: the 64-term tree degrades codegen and evaluates
+    * effectively interpreted (~200 µs/row at 4 planes, measured).
+    */
+  def planeDotSpec(vec: Column, plane: Seq[Double]): Column =
     plane.zipWithIndex
       .map { case (p, j) => element_at(vec, j + 1).cast("double") * lit(p) }
       .reduce(_ + _)

@@ -321,6 +321,37 @@ class ExtSpec extends SparkSpec {
     assert(plain.forall(r => !r.isNullAt(r.fieldIndex("v"))))
   }
 
+  test("similarity: native PlaneDot bit-equals the element_at spec form") {
+    val planes = Similarity.defaultPlanes(dim = 64, nPlanes = 4)
+    for (pl <- planes) {
+      val mismatch = embs.select(
+          Similarity.planeDot($"embedding", pl).as("a"),
+          Similarity.planeDotSpec($"embedding", pl).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(mismatch == 0, "native plane dot diverged from the spec form")
+    }
+    // degenerate vectors -> null, matching the spec form under ANSI-off
+    // (the spec form THROWS under ANSI for short arrays; the native
+    // kernel is null-on-short in both modes — strictly better behaved)
+    val edge = Seq(
+      (9000001L, Array(1.0f, 2.0f)),             // shorter than the plane
+      (9000002L, Array.empty[Float]),            // empty
+      (9000003L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val nulls = edge.select(Similarity.planeDot($"embedding", planes.head).as("a"))
+      .collect().map(r => r.isNullAt(0))
+    assert(nulls.forall(identity), "degenerate vectors must yield null plane dots")
+    // and the composed bucket assignment is unchanged
+    val bm = embs.select(
+        Similarity.hyperplaneBucket($"embedding", planes).as("a"),
+        planes.zipWithIndex
+          .map { case (pl, i) =>
+            when(Similarity.planeDotSpec($"embedding", pl) >= 0.0, lit(1 << i)).otherwise(lit(0)) }
+          .reduce(_ + _).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(bm == 0, "bucket assignment changed under the native kernel")
+  }
+
   test("asof forward/nearest: direction mirror and pandas tie rule") {
     val left = Seq(
       (1L, 10, "a"),  // equidistant from rt=5 and rt=15 -> backward wins
