@@ -1452,6 +1452,21 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // ext streaming: stream-stream LEFT OUTER funnel — unmatched
+    // clicks emit with null purchase, but only once the watermark
+    // passes their last possible match time (click_ts + window). The
+    // oracle encodes that contract: matched pairs ∪ unmatched clicks
+    // whose window closed under the final watermark = min of the two
+    // sides' (max event time − 30 min), in ms. The trailing clicks
+    // stay buffered — that's the operator's latency, not a bug.
+    "q_event_funnel_outer" -> ((s, dir) => {
+      EventsStream.runFunnelOuterOnce(s, s"$dir/events.parquet", windowSec = 600)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          round(col("purchase_ts").cast("double") - col("click_ts").cast("double"), 6)
+            .as("secs_to_convert"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // multi-way join: the classic pricing-summary shape — selective dim
     // filter broadcast into the orders join, then a shuffle join on the
     // fact key and a top-N. Revenue is floored per lineitem before the
@@ -3099,6 +3114,35 @@ object SparkEntry {
 
       "q_event_funnel" -> funnelSql,
       "q_event_funnel_stream" -> funnelSql,
+
+      // matched pairs ∪ watermark-closed unmatched clicks (the
+      // stream-stream left-outer emission contract; wm = min of the
+      // two sides' max event time in ms − 30-min delay)
+      "q_event_funnel_outer" ->
+        """WITH wm AS (
+          |  SELECT least(
+          |    (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) FROM events WHERE event_type = 'click'),
+          |    (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) FROM events WHERE event_type = 'purchase')
+          |  ) - 1800000 AS wm_ms),
+          |m AS (
+          |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          |         round(epoch(p.ts) - epoch(c.ts), 6) AS secs_to_convert
+          |  FROM events c JOIN events p ON c.user_id = p.user_id
+          |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |    AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600),
+          |u AS (
+          |  SELECT c.user_id, c.event_id AS click_id,
+          |         CAST(NULL AS BIGINT) AS purchase_id,
+          |         CAST(NULL AS DOUBLE) AS secs_to_convert
+          |  FROM events c, wm
+          |  WHERE c.event_type = 'click'
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM events p
+          |      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          |        AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600)
+          |    AND epoch(c.ts) * 1000 + 600000 <= wm_ms)
+          |SELECT * FROM m UNION ALL SELECT * FROM u
+          |ORDER BY click_id, purchase_id""".stripMargin,
 
       "q_mway_join" ->
         """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -334,6 +334,41 @@ object EventsStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER funnel: like [[funnelStream]], but
+    * clicks with no purchase in the window are ALSO emitted (null
+    * purchase) — the semantics an inner join can't give. Outer
+    * emission is watermark-driven: a buffered click is declared
+    * unmatched only when the watermark passes its last possible match
+    * time (click_ts + window), so on a bounded run the trailing
+    * clicks stay buffered and are withheld — the oracle for
+    * `q_event_funnel_outer` encodes that contract exactly, as
+    * `q_session_window_stream`'s does for session finalization.
+    */
+  def funnelStreamOuter(spark: SparkSession, path: String,
+                        windowSec: Int = 600): DataFrame = {
+    val ev = readEventsStream(spark, path)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(buys,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Run [[funnelStreamOuter]] to completion (memory sink). */
+  def runFunnelOuterOnce(spark: SparkSession, path: String, windowSec: Int = 600,
+                         queryName: String = "events_funnel_outer"): DataFrame =
+    runToMemory(funnelStreamOuter(spark, path, windowSec), queryName, OutputMode.Append())
+
   /** Run [[funnelStream]] to completion (memory sink). */
   def runFunnelOnce(spark: SparkSession, path: String, windowSec: Int = 600,
                     queryName: String = "events_funnel"): DataFrame =
