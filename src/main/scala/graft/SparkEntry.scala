@@ -1913,6 +1913,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // lake lineage: the hidden `_metadata` column on file sources —
+    // per-row provenance (file name, size) with zero storage cost,
+    // what incremental pipelines and debugging joins key on. Oracled
+    // via DuckDB's filename virtual column.
+    "q_file_metadata" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("_metadata.file_name").as("file_name"), col("l_orderkey"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("file_name")
+    }),
+
     // join family completion: broadcast NON-EQUI range lookup — a tiny
     // interval dimension (price bands) broadcast against the fact side,
     // planned as BroadcastNestedLoopJoin. The RIGHT shape when the
@@ -3530,6 +3543,15 @@ object SparkEntry {
           |            THEN btot ELSE ftot END AS day_total
           |FROM b JOIN f USING (event_id)
           |ORDER BY event_id""".stripMargin,
+
+      // the oracle sees the table as a VIEW (no file path), so the
+      // expected name is the testdata layout constant — the gate then
+      // checks Spark's _metadata column surfaces exactly that basename
+      // with the right per-file row accounting
+      "q_file_metadata" ->
+        """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+          |       count(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem ORDER BY file_name""".stripMargin,
 
       "q_range_lookup" ->
         """WITH bands AS (

@@ -270,6 +270,30 @@ class ExtSpec extends SparkSpec {
     assert(msf(0) == msf(1))
   }
 
+  test("multimodal: binaryFile source ingests raw media files as binary rows") {
+    // how real media lands in the engine: one row per FILE (path, mtime,
+    // length, content) — the ingestion front door for Multimodal's
+    // binary-payload operators. pathGlobFilter prunes at listing time.
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    val payloads = Map("a.img" -> "AAAA", "b.img" -> "BBBBBBBB", "skip.txt" -> "nope")
+    payloads.foreach { case (name, content) =>
+      java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val got = df.collect()
+      .map(r => (new java.io.File(r.getString(0).stripPrefix("file:")).getName,
+        r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8")))
+      .toSet
+    assert(got == Set(("a.img", 4L, "AAAA"), ("b.img", 8L, "BBBBBBBB")))
+    // and it pipes straight into the multimodal operators
+    val media = df.select(expr("row_number() over (order by path)").cast("long").as("media_id"),
+      lit("image").as("kind"), col("content").as("payload"))
+    assert(Multimodal.withByteMeta(media).count() == 2)
+  }
+
   test("multimodal: byte meta, batched stub decode, frame sampling shapes") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", kind = "video")
     val meta = Multimodal.withByteMeta(media)
