@@ -642,6 +642,25 @@ class ExtSpec extends SparkSpec {
     assert(served == expected, "replayed batches double-merged into the rollup")
   }
 
+  test("events: same-checkpoint restart resumes exactly-once (no reprocessing)") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val state = java.nio.file.Files.createTempDirectory("resume_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("resume_ckpt").toString
+    EventsStream.maintainRollup(
+      EventsStream.readEventsStream(spark, path), Seq("event_type"), "value",
+      state, ckpt)
+    val after1 = EventsStream.readRollup(spark, state, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // SAME checkpoint: the source offsets are committed, so a restart
+    // finds no new data — no batch runs, state bytes stay identical
+    EventsStream.maintainRollup(
+      EventsStream.readEventsStream(spark, path), Seq("event_type"), "value",
+      state, ckpt)
+    val after2 = EventsStream.readRollup(spark, state, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after2 == after1, "committed offsets were reprocessed on restart")
+  }
+
   test("similarity: IVF assignment is the brute-force argmax; probes rank by cosine") {
     val cents = embs.filter($"vec_id" < 4)
     // reference argmax: score every (vector, centroid) pair with the
