@@ -1948,6 +1948,88 @@ object SparkEntry {
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
         .orderBy("band_id")
+    }),
+
+    // ext dedup: asymmetric n-gram CONTAINMENT — the superset-duplicate
+    // detector Jaccard misses (a doc embedded in a larger doc scores
+    // near-zero Jaccard but 1.0 containment on the smaller side). Same
+    // inverted-index join as q_jaccard_pairs; bigrams + a 0.25 gate on
+    // the larger-side ratio keep the demo non-vacuous on synthetic text.
+    "q_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(
+          spread(t(s, dir, "documents").filter(col("doc_id") < 100)), n = 2, threshold = 0.25)
+        .select(col("id1"), col("id2"), col("n_inter"),
+          round(col("c1"), 6).as("c1"), round(col("c2"), 6).as("c2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ext: deterministic weighted sampling (sequential Poisson /
+    // priority sampling) — inclusion odds ~ n_chars, reproducible
+    // across engines/reruns/partitionings because the draw is
+    // md5-derived, never rand(). Two-phase top-k: partitions prune to
+    // their local k before anything shuffles.
+    "q_weighted_sample" -> ((s, dir) => {
+      ScaleOps.weightedSample(spread(t(s, dir, "documents")), k = 60,
+          keyCol = "doc_id", weight = col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ext: leakage-safe train/val/test split — the split is a pure
+    // function of user_id (md5 nibble), so no user straddles splits;
+    // grouped counts audit both the ratio and the entity disjointness
+    // (n_users sums to the distinct-user total).
+    "q_group_split" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("split", ScaleOps.splitByKey(col("user_id")))
+        .groupBy("split")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("split")
+    }),
+
+    // ext similarity: int8-quantized approximate top-k — the
+    // memory-bandwidth scale path (4× smaller vectors; the quantized
+    // table is the serving artifact). qdot is EXACT integer
+    // arithmetic; the approximate score is two IEEE multiplies over
+    // it, so ranks are bit-reproducible cross-engine. Rerank the
+    // survivors with exact cosine on the float originals at serving
+    // time (q_sim_topk's kernel).
+    "q_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(spread(emb), emb.filter(col("vec_id") < 8), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"),
+          round(col("approx_dot"), 6).as("approx_dot"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext eval: hard-negative mining — per query, the nearest
+    // neighbors with a DIFFERENT ground-truth label, the contrastive
+    // training pairs that teach a retriever its decision boundary.
+    // Label mismatch sits in the broadcast join condition, so
+    // same-label pairs never materialize a score.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(spread(emb), emb.filter(col("vec_id") < 8), k = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("n_label"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext corpus: per-doc out-of-vocabulary rate against the corpus'
+    // own top-30 vocabulary — the tokenizer-coverage health metric (a
+    // rising OOV rate on a new source means tokenizer or corpus is
+    // off-distribution). Vocab is a TakeOrdered top-k over the
+    // map-side-combined token counts; membership is a broadcast join;
+    // the rate is one IEEE division of exact counts.
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Corpus.oovRate(docs, Corpus.topVocab(docs, vocabSize = 30))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3563,7 +3645,104 @@ object SparkEntry {
           |       round(max(l_extendedprice), 2) AS max_price
           |FROM lineitem l
           |LEFT JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
-          |GROUP BY band_id ORDER BY band_id""".stripMargin
+          |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+      // bigram containment: same inverted-index CTE shape as
+      // q_jaccard_pairs, ratios against EACH side's shingle count
+      "q_containment" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT DISTINCT id, shingle FROM (
+          |    SELECT doc_id AS id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS shingle
+          |    FROM toks)),
+          |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          |inter AS (
+          |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+          |SELECT id1, id2, n_inter,
+          |       round(CAST(n_inter AS DOUBLE) / s1.n_sh, 6) AS c1,
+          |       round(CAST(n_inter AS DOUBLE) / s2.n_sh, 6) AS c2,
+          |       round(greatest(CAST(n_inter AS DOUBLE) / s1.n_sh,
+          |                      CAST(n_inter AS DOUBLE) / s2.n_sh), 6) AS containment
+          |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+          |WHERE greatest(CAST(n_inter AS DOUBLE) / s1.n_sh,
+          |               CAST(n_inter AS DOUBLE) / s2.n_sh) >= 0.25
+          |ORDER BY id1, id2""".stripMargin,
+
+      // sequential Poisson priority: u = first 52 md5 bits (exactly
+      // representable as a double), priority = ONE division u/weight
+      "q_weighted_sample" ->
+        """WITH pri AS (
+          |  SELECT doc_id, n_chars, lang,
+          |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+          |           / CAST(n_chars AS DOUBLE) AS p
+          |  FROM documents)
+          |SELECT doc_id, n_chars, lang FROM pri
+          |QUALIFY row_number() OVER (ORDER BY p, doc_id) <= 60
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_group_split" ->
+        """WITH s AS (
+          |  SELECT user_id, value,
+          |         CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT user_id, value,
+          |          instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 AS b
+          |        FROM events))
+          |SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+          |       round(sum(value), 2) AS total_value
+          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+      // int8 quantization mirrored term-for-term: scale division, round,
+      // exact integer dot, then (qdot * c.scale) * q.scale in the SAME
+      // association order as the Spark column expression
+      "q_quantized_topk" ->
+        """WITH qz AS (
+          |  SELECT vec_id,
+          |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+          |         CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |q8 AS (
+          |  SELECT vec_id, scale,
+          |         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          |              ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS q
+          |  FROM qz),
+          |s AS (
+          |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         CAST(list_sum([c.q[i] * p.q[i] for i in range(1, len(c.q) + 1)]) AS BIGINT) AS qdot,
+          |         c.scale AS cs, p.scale AS ps
+          |  FROM q8 c JOIN q8 p ON p.vec_id < 8 AND c.vec_id <> p.vec_id)
+          |SELECT query_id,
+          |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY (qdot * cs) * ps DESC, neighbor_id) AS INTEGER) AS rank,
+          |       neighbor_id, qdot, round((qdot * cs) * ps, 6) AS approx_dot
+          |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_hard_negatives" ->
+        """WITH b AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label FROM b WHERE vec_id < 8),
+          |s AS (
+          |  SELECT query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+          |         list_cosine_similarity(c.v, qv) AS c
+          |  FROM b c, q WHERE c.vec_id <> query_id AND c.label <> q_label)
+          |SELECT query_id,
+          |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+          |       neighbor_id, n_label, round(c, 6) AS cosine
+          |FROM s QUALIFY rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+      "q_oov_rate" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+           |vocab AS (
+           |  SELECT w FROM (
+           |    SELECT w, count(*) AS c FROM tok GROUP BY w
+           |    QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 30))
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+           |       round(CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*), 6) AS oov_rate
+           |FROM tok LEFT JOIN vocab v ON tok.w = v.w
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

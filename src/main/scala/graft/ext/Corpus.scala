@@ -190,4 +190,34 @@ object Corpus {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("n")) - log(col("c"))), 4).as("surprisal"))
   }
+
+  /** Top-`vocabSize` corpus vocabulary by frequency, ties broken by
+    * token (fully deterministic rank). One map-side-combined hash
+    * aggregate over exploded tokens (distinct-token-sized by Zipf),
+    * then a TakeOrdered top-k — each partition keeps its local top-V,
+    * the driver merges V-sized lists, never the token table.
+    */
+  def topVocab(docs: DataFrame, vocabSize: Int,
+               textCol: String = "text"): DataFrame =
+    docs.select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(vocabSize)
+
+  /** Out-of-vocabulary rate per document against a fixed top-V
+    * vocabulary: the tokenizer-coverage health metric (a rising OOV
+    * rate on a new source means the tokenizer — or the corpus — is
+    * off-distribution). Tokens explode once; membership is a broadcast
+    * left join against the (tiny) vocab; the rate is ONE IEEE division
+    * of exact counts — bit-stable cross-engine. Empty docs produce no
+    * rows (explode of an empty token array).
+    */
+  def oovRate(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab.select(col("w"), lit(1).as("_in"))), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
 }

@@ -199,6 +199,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram containment: |A∩B|/|A| and |A∩B|/|B| per pair,
+    * keeping pairs whose LARGER side reaches `threshold`. Jaccard
+    * dilutes doc-within-doc duplication — a page embedded verbatim in
+    * a 10×-longer page scores ≤0.1 Jaccard but 1.0 containment on the
+    * smaller side — so superset-style duplicates (boilerplate wrappers,
+    * quote-heavy articles) sail through a Jaccard gate; containment is
+    * the standard complement (ref: the reference has no dedup at all;
+    * this extends the Jaccard operator above). Same inverted-index
+    * equi-join shape as [[ngramJaccardPairs]] — shuffle is the shingle
+    * postings, never the pair cross product — and meant to run on LSH
+    * candidates at corpus scale. Divisions are single IEEE ops over
+    * exact integer counts: bit-stable cross-engine.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("c1", col("n_inter").cast("double") / col("n1"))
+      .withColumn("c2", col("n_inter").cast("double") / col("n2"))
+      .withColumn("containment", greatest(col("c1"), col("c2")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("n_inter"), col("c1"), col("c2"),
+        col("containment"))
+  }
+
   /** Shared SimHash shape: explode tokens, hash each, sum the ±1 bit
     * contributions per signature position, assemble the sign pattern.
     * Variants differ only in the per-token hash column, the per-bit

@@ -167,6 +167,57 @@ object ScaleOps {
       .withColumnRenamed("_rn", "sample_rank")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (sequential
+    * Poisson / priority sampling, Ohlsson 1998; Duffield et al. 2007):
+    * each row draws a uniform u from the first 13 hex chars of
+    * md5(key) — 52 bits, so the integer is exactly representable as a
+    * double — and competes with priority u / weight; the k smallest
+    * priorities win, giving inclusion probability approximately
+    * proportional to weight. Hash-derived randomness (not `rand()`)
+    * makes the sample reproducible across reruns, engines, and
+    * partitionings — how production corpus subsets stay auditable.
+    *
+    * Scale: two-phase top-k (the [[graft.ext.Similarity.topKPerQuery]]
+    * pattern) — each input partition keeps its local k smallest before
+    * anything shuffles, so the global phase sees ≤ k×P rows, never the
+    * corpus. The priority is ONE IEEE division of two exact values
+    * (52-bit int, integer weight): bit-stable cross-engine. Weights
+    * must be positive.
+    */
+  def weightedSample(df: DataFrame, k: Int, keyCol: String, weight: Column): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val pri = u / weight.cast("double")
+    val ord = Seq(asc("_pri"), asc(keyCol))
+    val local = Window.partitionBy(spark_partition_id()).orderBy(ord: _*)
+    val global = Window.partitionBy().orderBy(ord: _*)
+    df.withColumn("_pri", pri)
+      .withColumn("_r", row_number().over(local)).filter(col("_r") <= k)
+      .withColumn("_rank", row_number().over(global)).filter(col("_rank") <= k)
+      .drop("_pri", "_r", "_rank")
+  }
+
+  /** Leakage-safe train/val/test assignment: the split is a pure
+    * function of the ENTITY key (an md5 nibble bucket), so every row
+    * of an entity lands in the same split — the grouping that keeps a
+    * user's events out of both train and test at once, the standard
+    * contamination guard for interaction data. Fractions are sixteenths:
+    * buckets [0, trainSixteenths) → train, the next valSixteenths →
+    * val, the rest → test. Narrow (no shuffle, no state); deterministic
+    * across engines, reruns, and cluster layouts.
+    */
+  def splitByKey(key: Column, trainSixteenths: Int = 13,
+                 valSixteenths: Int = 2): Column = {
+    require(trainSixteenths >= 1 && valSixteenths >= 1
+      && trainSixteenths + valSixteenths <= 15, "need room for all three splits")
+    val bucket = instr(lit("0123456789abcdef"),
+      substring(md5(key.cast("string")), 1, 1)) - 1
+    when(bucket < trainSixteenths, "train")
+      .when(bucket < trainSixteenths + valSixteenths, "val")
+      .otherwise("test")
+  }
+
   /** Type-2 slowly-changing-dimension history build: collapse a
     * changelog into per-key validity intervals of `attr`. Consecutive
     * rows (in `ord` order) with the same attribute value merge into one

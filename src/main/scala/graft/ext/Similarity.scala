@@ -373,4 +373,72 @@ object Similarity {
           col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
+    * q_i = round(v_i / scale) ∈ [−127, 127] (all-zero vectors quantize
+    * to zeros). 4× less memory bandwidth per vector than float32 — at
+    * 100 TB of embeddings the scan is bandwidth-bound, so the quantized
+    * table IS the serving artifact (write it once, keep the float
+    * originals cold). Returns struct(scale double, q array<bigint>);
+    * the quantized dot over `q` is exact integer arithmetic
+    * (|q|≤127, so 64 dims sum to <2^21 — no overflow), making the
+    * whole approximate score bit-reproducible cross-engine.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+    val q = when(scale === 0.0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => round(x.cast("double") / scale).cast("long")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Exact integer dot of two quantized arrays. */
+  def quantizedDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _)
+
+  /** Approximate top-k over int8-quantized vectors: score =
+    * qdot · scale_a · scale_b ≈ ⟨a,b⟩. Quantize once per vector (narrow
+    * projection — at scale this is a precomputed table), broadcast the
+    * quantized queries, rank by the approximate dot with id tie-breaks.
+    * The returned `qdot` is exact integer; `approx_dot` is two IEEE
+    * multiplies over it — deterministic. Callers wanting exact ranks
+    * rerank the top-m with [[dotNative]] on the float originals (the
+    * classic quantize-then-rerank serving pattern).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("cq"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", quantizedDot(col("cq.q"), col("qq.q")))
+      .withColumn("cosine", col("qdot") * col("cq.scale") * col("qq.scale"))
+      .select("query_id", "neighbor_id", "cosine", "qdot")
+    topKPerQuery(scored, k)
+      .withColumnRenamed("cosine", "approx_dot")
+  }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most cosine-similar corpus vectors whose LABEL differs from
+    * the query's — the near-misses that teach a retriever its decision
+    * boundary. The label-mismatch predicate sits in the broadcast join
+    * condition, so same-label pairs are dropped before any score is
+    * computed. Same two-phase top-k as [[bruteForceTopK]]; swap in the
+    * ANN/IVF searchers as the candidate source at corpus scale.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = withNorm(queries, vecCol, "q_nrm")
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label"), col("q_nrm"))
+    val scored = withNorm(corpus, vecCol, "c_nrm")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label"), col("c_nrm"))
+      .join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
+      .withColumn("cosine", cosineFromParts(
+        dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .select("query_id", "neighbor_id", "n_label", "cosine")
+    topKPerQuery(scored, k)
+  }
 }

@@ -107,4 +107,16 @@ class CorpusSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rows.toSeq == Seq((1L, 4L, exp1), (2L, 2L, exp2)))
   }
+
+  test("oovRate: counts tokens outside the top-V vocab; frequency ties break by token") {
+    val d = docs(
+      1L -> "aa aa aa bb bb cc",   // aa x3, bb x2, cc x1
+      2L -> "aa zz yy xx")
+    // V=2 -> vocab {aa, bb} (cc ties nothing; bb beats cc on count)
+    val vocab = Corpus.topVocab(d, vocabSize = 2).as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("aa", 4L), ("bb", 2L)))
+    val got = Corpus.oovRate(d, Corpus.topVocab(d, 2)).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 6L, 1L, 1.0 / 6), (2L, 4L, 3L, 0.75)))
+  }
 }

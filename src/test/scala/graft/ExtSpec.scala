@@ -912,4 +912,66 @@ class ExtSpec extends SparkSpec {
       ("a", "2024-01-05", 35.0, true), ("a", "2024-01-06", 30.0, false),
       ("c", "2024-03-01", 5.0, false)))
   }
+
+  test("dedup: containment catches a doc embedded in a larger doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = Seq((1L, small), (2L, s"$filler $small $filler"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, n = 2, threshold = 0.9).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // every bigram of doc 1 appears in doc 2 -> containment on side 1 is 1.0
+    assert(r.getAs[Double]("c1") == 1.0)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // ... while Jaccard dilutes the same pair below any useful gate
+    val j = Dedup.ngramJaccardPairs(d, n = 2, threshold = 0.0).collect()
+    assert(j.length == 1 && j(0).getAs[Double]("jaccard") < 0.1)
+  }
+
+  test("similarity: int8 quantization bounds |q| by 127 and keeps the dot within the error budget") {
+    val qd = embs.limit(100)
+      .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qq"),
+        $"embedding")
+    // q in [-127, 127]; all-zero vector quantizes to zeros, not nulls
+    val bad = qd.select(array_max(transform($"qq.q", c => abs(c))).as("m"))
+      .filter($"m" > 127).count()
+    assert(bad == 0L)
+    val zero = Seq(Tuple1(Array.fill(4)(0.0f))).toDF("embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("qq"))
+      .select($"qq.scale", array_max($"qq.q").as("mx"), array_min($"qq.q").as("mn"))
+      .head()
+    assert(zero.getDouble(0) == 0.0 && zero.getLong(1) == 0L && zero.getLong(2) == 0L)
+    // per-element quantization error <= scale/2, so |approx - exact|
+    // <= (scale_a * sum|b_i| + scale_b * sum|a_i|) / 2 (+ cross term,
+    // absorbed by assertion slack x2)
+    val pair = qd.limit(2).collect()
+    val (qa, qb) = (pair(0), pair(1))
+    def vec(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+    def qq(r: org.apache.spark.sql.Row) =
+      r.getStruct(1).getAs[scala.collection.Seq[Long]]("q")
+    def sc(r: org.apache.spark.sql.Row) = r.getStruct(1).getAs[Double]("scale")
+    val exact = vec(qa).zip(vec(qb)).map { case (x, y) => x * y }.sum
+    val approx = qq(qa).zip(qq(qb)).map { case (x, y) => x * y }.sum * sc(qa) * sc(qb)
+    val budget = (sc(qa) * vec(qb).map(math.abs).sum +
+      sc(qb) * vec(qa).map(math.abs).sum)
+    assert(math.abs(approx - exact) <= budget,
+      s"approx $approx vs exact $exact budget $budget")
+  }
+
+  test("similarity: hardNegatives never returns a same-label neighbor and ranks by cosine") {
+    val q = embs.filter($"vec_id" < 4)
+    val got = Similarity.hardNegatives(embs, q, k = 3)
+    val labeled = got.join(
+      q.select($"vec_id".as("query_id"), $"label".as("q_label")), "query_id")
+    assert(labeled.filter($"n_label" === $"q_label").count() == 0L)
+    // ranks are 1..k and cosine non-increasing within a query
+    val rows = got.orderBy("query_id", "rank")
+      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).toSeq == (1 to g.length))
+      assert(g.sortBy(_._2).sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    }
+  }
 }

@@ -282,4 +282,36 @@ class ScaleSpec extends SparkSpec {
     assert(r.getAs[Double]("p99_key_rows") == 5.94)
     assert(r.getAs[Double]("top_key_share") == 0.6)
   }
+
+  test("weightedSample: exact size, layout-independent, and weight-biased") {
+    import spark.implicits._
+    // two weight classes: ids 0-499 weight 100, ids 500-999 weight 1
+    val d = (0L until 1000L).map(i => (i, if (i < 500) 100L else 1L)).toDF("id", "w")
+    val pick = ScaleOps.weightedSample(d, k = 100, keyCol = "id", weight = $"w")
+    assert(pick.count() == 100L)
+    // identical draw under a different physical layout
+    val again = ScaleOps.weightedSample(d.repartition(13), 100, "id", $"w")
+    assert(pick.select("id").exceptAll(again.select("id")).isEmpty)
+    // heavy rows dominate: expected ~99% heavy; even a lax bound proves bias
+    val heavy = pick.filter($"w" === 100L).count()
+    assert(heavy > 80L, s"heavy=$heavy of 100")
+  }
+
+  test("splitByKey: split is a pure function of the key; all three splits populated") {
+    import spark.implicits._
+    // many rows per key across partitions: a key must land in ONE split
+    val d = (0L until 2000L).map(i => (i % 200, i)).toDF("k", "row")
+      .repartition(7)
+      .withColumn("split", ScaleOps.splitByKey($"k"))
+    assert(d.select("k", "split").distinct().count() ==
+      d.select("k").distinct().count())
+    val sizes = d.select("k", "split").distinct().groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"), s"got $sizes")
+    // 13/2/1 sixteenths: train must be the clear majority
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.splitByKey($"k", trainSixteenths = 15, valSixteenths = 2)
+    }
+  }
 }
