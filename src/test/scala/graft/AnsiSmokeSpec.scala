@@ -31,7 +31,12 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_mixture_balance",  // cumulative long window + budget compare
     "q_vocab_growth",     // integer div decile bucketing
     "q_graph_stats",      // int→double lcc ratio
-    "q_range_lookup")     // non-equi double band compare
+    "q_range_lookup",     // non-equi double band compare
+    "q_weighted_sample",  // conv(hex)→long→double priority division
+    "q_group_split",      // instr-arithmetic nibble bucket
+    "q_quantized_topk",   // round→long quantization + int dot tower
+    "q_oov_rate",         // exact-count division
+    "q_containment")      // count-ratio divisions
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()

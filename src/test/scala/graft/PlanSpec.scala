@@ -210,4 +210,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("ExistingRDD"), "CC labels not served from the checkpoint")
   }
+
+  test("q_oov_rate: vocab membership join broadcasts the vocab side") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab join should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-k should be TakeOrdered, not a global sort")
+  }
+
+  test("q_quantized_topk / q_hard_negatives: query side broadcast, no shuffle join") {
+    for (q <- Seq("q_quantized_topk", "q_hard_negatives")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: non-equi scoring join should broadcast the query side")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: corpus must never shuffle for the scoring join")
+    }
+  }
+
+  test("q_weighted_sample: map-side top-k prune, global phase is TakeOrdered") {
+    val df = SparkEntry.queries("q_weighted_sample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // phase 1 must prune each partition to k rows BEFORE any shuffle:
+    // Spark plans the rank-filter as a WindowGroupLimit with a Partial
+    // (pre-exchange) stage
+    assert(p.contains("row_number(), 60, Partial"),
+      "no map-side WindowGroupLimit prune before the shuffle")
+    // the global phase collapses to a TakeOrdered over the k×P
+    // survivors — never a full sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      "global phase should be TakeOrdered, not a total sort")
+  }
 }
