@@ -2018,6 +2018,84 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // time series: exponentially weighted moving average — the
+    // recursion s_t = α·x_t + (1−α)·s_{t−1} that no window function
+    // expresses (weights depend on distance, state on all history).
+    // Native recursive CTE over the per-(type, day) aggregate: the
+    // recursion FIXES the float evaluation order, so cross-engine
+    // results are bit-equal given identical inputs — which the
+    // round(2) on the daily totals guarantees. Scale: the recursion
+    // runs on the AGGREGATED series (days × types), never raw events;
+    // each iteration is one co-partitioned equi-join on (type, rn).
+    "q_ewma" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).cast("int").as("rn"))
+        .persist()
+      // readEvents hands back a frame on a session CLONE (the nano
+      // conf is scoped there); the view must register — and the SQL
+      // must run — on that same clone's catalog
+      daily.createOrReplaceTempView("daily_v")
+      daily.sparkSession.sql("""WITH RECURSIVE ewma(event_type, day, day_total, rn, s) AS (
+              |  SELECT event_type, day, day_total, rn, day_total FROM daily_v WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.event_type, d.day, d.day_total, d.rn,
+              |         0.3 * d.day_total + 0.7 * w.s
+              |  FROM ewma w JOIN daily_v d
+              |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+              |SELECT event_type, day, day_total, round(s, 6) AS ewma
+              |FROM ewma ORDER BY event_type, day""".stripMargin)
+    }),
+
+    // robust feature preprocessing: winsorization — clamp the tails to
+    // the per-group [p05, p95] before aggregating. Percentiles come
+    // from the SAME scale path as q_percentiles (distinct-value counts
+    // + cumulative window, no per-group value buffer); the clamp is a
+    // broadcast join-back plus least/greatest. Counts are exact ints;
+    // the winsorized mean is over ~identical magnitudes, rounded 1e-4.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = Quantiles.exactQuantiles(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.05, 0.95), Seq("lo", "hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(when(col("l_extendedprice") < col("lo"), 1)).as("n_clamped_low"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_clamped_high"),
+          count(lit(1)).as("n_rows"),
+          round(min("lo"), 4).as("p05"),
+          round(min("hi"), 4).as("p95"),
+          round(avg("w"), 4).as("winsorized_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ext eval: ANN recall@k — the quality metric that justifies (or
+    // vetoes) swapping brute force for the hyperplane index: per
+    // query, |ANN top-k ∩ exact top-k| / k. Integer overlap counts +
+    // one IEEE division, drift-free. At corpus scale the exact side
+    // runs on a hash-sampled query subset (the q_hash_sample pattern)
+    // — recall needs a few hundred queries, never the corpus.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(spread(emb), queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.bucketedTopK(spread(emb), queries, k = 3, planes = annPlanes)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
+    }),
+
     // ext corpus: per-doc out-of-vocabulary rate against the corpus'
     // own top-30 vocabulary — the tokenizer-coverage health metric (a
     // rising OOV rate on a new source means tokenizer or corpus is
@@ -3730,6 +3808,67 @@ object SparkEntry {
           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
           |       neighbor_id, n_label, round(c, 6) AS cosine
           |FROM s QUALIFY rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+      // the recursion fixes evaluation order; identical rounded daily
+      // inputs => bit-equal EWMA on both engines
+      "q_ewma" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |ewma(event_type, day, day_total, rn, s) AS (
+          |  SELECT event_type, day, day_total, rn, day_total FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.3 * d.day_total + 0.7 * w.s
+          |  FROM ewma w JOIN daily d
+          |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+          |SELECT event_type, day, day_total, round(s, 6) AS ewma
+          |FROM ewma ORDER BY event_type, day""".stripMargin,
+
+      "q_winsorize" ->
+        """WITH bounds AS (
+          |  SELECT l_returnflag,
+          |         quantile_cont(l_extendedprice, 0.05) AS lo,
+          |         quantile_cont(l_extendedprice, 0.95) AS hi
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l.l_returnflag,
+          |       count(*) FILTER (WHERE l_extendedprice < lo) AS n_clamped_low,
+          |       count(*) FILTER (WHERE l_extendedprice > hi) AS n_clamped_high,
+          |       count(*) AS n_rows,
+          |       round(min(lo), 4) AS p05,
+          |       round(min(hi), 4) AS p95,
+          |       round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS winsorized_mean
+          |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_ann_recall" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 8),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS r
+           |    FROM b c JOIN q ON c.vec_id <> q.vec_id) WHERE r <= 3),
+           |ann AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS r
+           |    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id) WHERE r <= 3),
+           |hits AS (
+           |  SELECT e.query_id, count(*) AS n_hit
+           |  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |  GROUP BY 1)
+           |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+           |       round(COALESCE(h.n_hit, 0) / 3.0, 6) AS recall_at_3
+           |FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+           |ORDER BY query_id""".stripMargin,
 
       "q_oov_rate" ->
         s"""WITH tok AS (
