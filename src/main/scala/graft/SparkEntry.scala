@@ -2096,6 +2096,59 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Spark 4 VARIANT type: the open-schema semi-structured path —
+    // parse_json once into a binary VARIANT column, extract typed
+    // fields with variant_get path expressions. Unlike q_props_extract
+    // (from_json needs the schema up front), VARIANT keeps the full
+    // document queryable when the schema is unknown or drifting — the
+    // lakehouse answer to a props/metadata column. Shredded parquet
+    // storage makes repeated extraction columnar at scale.
+    "q_variant_extract" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("schema_of_variant(v)").as("vschema"))
+        .groupBy("event_type", "vschema")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").cast("long").as("k_sum"),
+          min("k").as("k_min"),
+          max("k").as("k_max"))
+        .orderBy("event_type")
+    }),
+
+    // feature preprocessing: per-group z-score standardization with
+    // DRIFT-FREE parameters — mean and stddev derive from exact
+    // integer power sums (n, Σx, Σx² — the q_group_stats machinery),
+    // so the only float ops are two divisions and a sqrt over
+    // identical inputs; z = (x − μ)/σ is then two more IEEE ops.
+    // Population σ, not Spark's streaming stddev aggregate (engine-
+    // specific accumulation order). Broadcast join-back of the tiny
+    // per-group parameter table; outputs are exact counts + exact-
+    // extrema rounds.
+    "q_standardize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast("long")).as("s1"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("s2").cast("double") * col("n") - col("s1").cast("double") * col("s1")) /
+            (col("n").cast("double") * col("n"))))
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .withColumn("z", (col("l_quantity") - col("mu")) / col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(abs(col("z")) > 1.5, 1)).as("n_beyond_15sd"),
+          round(min("z"), 6).as("z_min"),
+          round(max("z"), 6).as("z_max"),
+          round(min("mu"), 6).as("mu"),
+          round(min("sigma"), 6).as("sigma"))
+        .orderBy("l_returnflag")
+    }),
+
     // ext corpus: per-doc out-of-vocabulary rate against the corpus'
     // own top-30 vocabulary — the tokenizer-coverage health metric (a
     // rising OOV rate on a new source means tokenizer or corpus is
@@ -3869,6 +3922,38 @@ object SparkEntry {
            |       round(COALESCE(h.n_hit, 0) / 3.0, 6) AS recall_at_3
            |FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
            |ORDER BY query_id""".stripMargin,
+
+      // vschema is Spark-derived (DuckDB has no VARIANT); the oracle
+      // pins the expected literal, gating that parse_json saw the
+      // uniform {"k": int} shape — a drifted props schema fails here
+      "q_variant_extract" ->
+        """SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema,
+          |       count(*) AS n_events,
+          |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+          |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+          |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+          |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+      // mean/sigma from exact integer power sums, every float op in
+      // the same order as the Spark column expressions
+      "q_standardize" ->
+        """WITH stats AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         sum(CAST(l_quantity AS BIGINT)) AS s1,
+          |         sum(CAST(l_quantity * l_quantity AS BIGINT)) AS s2
+          |  FROM lineitem GROUP BY 1),
+          |params AS (
+          |  SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / n AS mu,
+          |         sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1) /
+          |              (CAST(n AS DOUBLE) * n)) AS sigma
+          |  FROM stats)
+          |SELECT l.l_returnflag, count(*) AS n_rows,
+          |       count(*) FILTER (WHERE abs((l_quantity - mu) / sigma) > 1.5) AS n_beyond_15sd,
+          |       round(min((l_quantity - mu) / sigma), 6) AS z_min,
+          |       round(max((l_quantity - mu) / sigma), 6) AS z_max,
+          |       round(min(mu), 6) AS mu, round(min(sigma), 6) AS sigma
+          |FROM lineitem l JOIN params p ON l.l_returnflag = p.l_returnflag
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_oov_rate" ->
         s"""WITH tok AS (
