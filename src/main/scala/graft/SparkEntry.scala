@@ -1233,6 +1233,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ext dedup: prefix-filtered exact Jaccard (PPJoin-style) — same
+    // answer as q_jaccard_pairs by construction (the prefix lemma
+    // loses no pair at the threshold), so the ORACLE IS the naive
+    // form's SQL; what changes is the work: only each doc's rarest
+    // shingles enter the inverted index, so boilerplate postings never
+    // explode the candidate space. Candidate reduction is unit-gated.
+    "q_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(
+          spread(t(s, dir, "documents").filter(col("doc_id") < 100)), n = 3, threshold = 0.03)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     // ext dedup: 16-bit SimHash per doc
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash16(spread(t(s, dir, "documents"))).orderBy("doc_id")
@@ -2185,6 +2198,26 @@ object SparkEntry {
     val punct = "[!-/:-@\\[-`{-~]"
     val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
 
+    // shared by the naive inverted-index Jaccard and its prefix-
+    // filtered twin (identical output by the prefix lemma)
+    val jaccardPairsSql =
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT DISTINCT id, shingle FROM (
+        |    SELECT doc_id AS id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+        |WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.03
+        |ORDER BY id1, id2""".stripMargin
+
     // quality features + score, shared by q_text_quality and the
     // composite q_corpus_pipeline (DuckDB mirror of TextStats.withQuality
     // — tokenize once into `l`, count stopword hits by list membership)
@@ -3093,23 +3126,11 @@ object SparkEntry {
            |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
            |ORDER BY doc_id""".stripMargin,
 
-      "q_jaccard_pairs" ->
-        """WITH toks AS (
-          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
-          |  FROM documents WHERE doc_id < 100),
-          |sh AS (
-          |  SELECT DISTINCT id, shingle FROM (
-          |    SELECT doc_id AS id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
-          |    FROM toks)),
-          |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-          |inter AS (
-          |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
-          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
-          |SELECT id1, id2,
-          |       round(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
-          |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
-          |WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.03
-          |ORDER BY id1, id2""".stripMargin,
+      "q_jaccard_pairs" -> jaccardPairsSql,
+
+      // the prefix filter is lossless at the threshold, so the
+      // prefix-join query answers to the SAME oracle as the naive form
+      "q_jaccard_prefix" -> jaccardPairsSql,
 
       "q_simhash" -> {
         val sums = (0 until 16).map(b => s"sum(${sqlSimhashBit(b)}) AS s$b").mkString(",\n         ")

@@ -929,6 +929,22 @@ class ExtSpec extends SparkSpec {
     assert(j.length == 1 && j(0).getAs[Double]("jaccard") < 0.1)
   }
 
+  test("dedup: prefix-filtered Jaccard equals the naive join with fewer candidates") {
+    val d = docs.filter($"doc_id" < 150)
+    for (t <- Seq(0.03, 0.2)) {
+      val naive = Dedup.ngramJaccardPairs(d, n = 3, threshold = t)
+        .select("id1", "id2", "jaccard")
+      val pref = Dedup.jaccardPairsPrefix(d, n = 3, threshold = t)
+        .select("id1", "id2", "jaccard")
+      assert(naive.exceptAll(pref).isEmpty && pref.exceptAll(naive).isEmpty,
+        s"prefix join diverged from naive at threshold $t")
+    }
+    // the point of the filter: strictly fewer candidate pairs
+    val (naiveCand, prunedCand) = Dedup.candidateCounts(d, n = 3, threshold = 0.2)
+    assert(prunedCand < naiveCand,
+      s"prefix filter did not prune: $prunedCand vs $naiveCand")
+  }
+
   test("similarity: int8 quantization bounds |q| by 127 and keeps the dot within the error budget") {
     val qd = embs.limit(100)
       .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qq"),
