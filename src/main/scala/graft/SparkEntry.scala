@@ -1246,6 +1246,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ext dedup: INCREMENTAL dedup — the new ingest batch (doc_id >=
+    // 400) matched against the existing corpus (< 400) through the
+    // corpus' LSH band table, then exact-Jaccard verified. The
+    // production shape: per-batch cost is one equi-join against
+    // precomputed signatures, never corpus x corpus.
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.incrementalDupes(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+        .select(col("new_id"), col("old_id"), col("n_inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("new_id", "old_id")
+    }),
+
     // ext dedup: 16-bit SimHash per doc
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash16(spread(t(s, dir, "documents"))).orderBy("doc_id")
@@ -3125,6 +3139,32 @@ object SparkEntry {
            |       COALESCE(least(l.min_r, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
            |ORDER BY doc_id""".stripMargin,
+
+      // batch-vs-corpus banding over the shared minhash CTEs, exact
+      // Jaccard on the distinct shingle sets of candidates only
+      "q_incr_dedup" ->
+        s"""WITH $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |cand AS (
+           |  SELECT b.doc_id AS new_id, a.doc_id AS old_id
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+           |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+           |  GROUP BY 1, 2),
+           |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.new_id, c.old_id, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN dsh s1 ON s1.doc_id = c.new_id
+           |  JOIN dsh s2 ON s2.doc_id = c.old_id AND s2.shingle = s1.shingle
+           |  GROUP BY 1, 2)
+           |SELECT i.new_id, i.old_id, i.n_inter,
+           |       round(CAST(i.n_inter AS DOUBLE) / (sb.n_sh + se.n_sh - i.n_inter), 6) AS jaccard
+           |FROM inter i JOIN sizes sb ON sb.doc_id = i.new_id
+           |JOIN sizes se ON se.doc_id = i.old_id
+           |ORDER BY new_id, old_id""".stripMargin,
 
       "q_jaccard_pairs" -> jaccardPairsSql,
 

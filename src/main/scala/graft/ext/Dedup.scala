@@ -234,6 +234,50 @@ object Dedup {
         col("containment"))
   }
 
+  /** Incremental dedup: near-duplicate matches of a NEW ingest batch
+    * against the EXISTING corpus — the production shape, where corpus
+    * signatures are a precomputed table written once and each batch
+    * joins against it instead of re-deduping the world. Candidates
+    * come from the same LSH banding as [[lshCandidatePairs]] but the
+    * join is batch-bands × corpus-bands (never corpus × corpus); each
+    * candidate is then verified with exact shingle Jaccard.
+    *
+    * Scale: per-batch cost is batch-signature computation + one
+    * equi-join against the (bucketed, persisted) corpus band table +
+    * verification on candidates only. Compose with the banding bucket
+    * cap upstream when boilerplate buckets appear; new docs that match
+    * nothing produce no rows (filter the batch by anti-join on new_id
+    * to get the keep set).
+    */
+  def incrementalDupes(existing: DataFrame, batch: DataFrame, k: Int = 4,
+                       n: Int = 3, rowsPerBand: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bandsE = lshBands(minhashSignatures(existing, k, n, idCol, textCol), k, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "old_id")
+    val bandsB = lshBands(minhashSignatures(batch, k, n, idCol, textCol), k, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "new_id")
+    val cand = bandsB.join(bandsE, Seq("band", "band_hash"))
+      .select("new_id", "old_id").distinct()
+    val shE = existing
+      .select(col(idCol).as("old_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val shB = batch
+      .select(col(idCol).as("new_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val inter = cand.as("c")
+      .join(shB.as("s1"), col("c.new_id") === col("s1.new_id"))
+      .join(shE.as("s2"),
+        col("c.old_id") === col("s2.old_id") && col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("c.new_id").as("new_id"), col("c.old_id").as("old_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizesE = shE.groupBy("old_id").agg(count(lit(1)).as("n_old"))
+    val sizesB = shB.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    inter.join(sizesB, "new_id").join(sizesE, "old_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_new") + col("n_old") - col("n_inter")))
+      .select(col("new_id"), col("old_id"), col("n_inter"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard join (PPJoin-style, Xiao et al.
     * 2008): identical OUTPUT to [[ngramJaccardPairs]], strictly less
     * work. Two docs with Jaccard ≥ t must share a shingle among the
