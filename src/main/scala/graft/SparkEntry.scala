@@ -1260,6 +1260,49 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // OLAP contribution analysis: share-of-total via a window over the
+    // AGGREGATED frame — the ratio-to-report pattern. Aggregate first
+    // (group count ≪ rows), round the per-group sums so both engines
+    // window over identical inputs, then the share is one IEEE
+    // division. The window partitions by region over ~5 nations/region
+    // — a 25-row frame, trivially one reducer.
+    "q_share_of_total" -> ((s, dir) => {
+      val perNation = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("nation_total"))
+      perNation
+        .withColumn("region_total",
+          sum("nation_total").over(Window.partitionBy("n_regionkey")))
+        .select(col("n_regionkey").as("region_key"), col("n_name").as("nation"),
+          col("nation_total"),
+          round(col("nation_total") / col("region_total"), 6).as("share_of_region"))
+        .orderBy("region_key", "nation")
+    }),
+
+    // ext corpus: n-gram novelty — the fraction of a doc's shingles
+    // seen NOWHERE else in the corpus, the memorization/creativity
+    // screen for synthetic and scraped data (novelty ~0 means the doc
+    // is assembled from corpus boilerplate). Shingle→doc-count is one
+    // map-side-combined aggregate; the per-doc ratio is exact counts +
+    // one IEEE division.
+    "q_novelty" -> ((s, dir) => {
+      val sh = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val freq = sh.groupBy("shingle").agg(countDistinct("doc_id").as("df"))
+      sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .withColumn("novelty", round(col("n_unique").cast("double") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
+
     // ext dedup: 16-bit SimHash per doc
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash16(spread(t(s, dir, "documents"))).orderBy("doc_id")
@@ -3165,6 +3208,32 @@ object SparkEntry {
            |FROM inter i JOIN sizes sb ON sb.doc_id = i.new_id
            |JOIN sizes se ON se.doc_id = i.old_id
            |ORDER BY new_id, old_id""".stripMargin,
+
+      "q_share_of_total" ->
+        """WITH pn AS (
+          |  SELECT n_regionkey, n_name, round(sum(o_totalprice), 2) AS nation_total
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT n_regionkey AS region_key, n_name AS nation, nation_total,
+          |       round(nation_total / sum(nation_total) OVER (PARTITION BY n_regionkey), 6) AS share_of_region
+          |FROM pn ORDER BY region_key, nation""".stripMargin,
+
+      "q_novelty" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |dsh AS (
+          |  SELECT DISTINCT doc_id, shingle FROM (
+          |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |    FROM toks)),
+          |freq AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM dsh GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |       count(*) FILTER (WHERE df = 1) AS n_unique,
+          |       round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*), 6) AS novelty
+          |FROM dsh JOIN freq USING (shingle)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_jaccard_pairs" -> jaccardPairsSql,
 
