@@ -1284,6 +1284,32 @@ object SparkEntry {
         .orderBy("region_key", "nation")
     }),
 
+    // ML-ops data-drift gate: population stability index between two
+    // time slices of the value distribution, per event type. One pass
+    // builds both halves' bin counts (conditional counts — bins absent
+    // from one half get exact zeros); proportions are exact-count
+    // divisions with the standard 1e-6 floor for empty bins; the PSI
+    // sum spans ≤10 bin terms, rounded 1e-6. PSI > 0.2 is the usual
+    // retrain/alert threshold.
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("bin", least(floor(col("value") / 50.0), lit(9.0)).cast("long"))
+        .withColumn("half", when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur"))
+      val counts = ev.groupBy("event_type", "bin")
+        .agg(count(when(col("half") === "ref", 1)).as("c_ref"),
+          count(when(col("half") === "cur", 1)).as("c_cur"))
+      val tot = counts.groupBy("event_type")
+        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      counts.join(broadcast(tot), "event_type")
+        .withColumn("p_ref", greatest(col("c_ref").cast("double") / col("n_ref"), lit(1e-6)))
+        .withColumn("p_cur", greatest(col("c_cur").cast("double") / col("n_cur"), lit(1e-6)))
+        .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .groupBy("event_type")
+        .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+          round(sum("term"), 6).as("psi"))
+        .orderBy("event_type")
+    }),
+
     // ext corpus: n-gram novelty — the fraction of a doc's shingles
     // seen NOWHERE else in the corpus, the memorization/creativity
     // screen for synthetic and scraped data (novelty ~0 means the doc
@@ -3219,6 +3245,30 @@ object SparkEntry {
           |SELECT n_regionkey AS region_key, n_name AS nation, nation_total,
           |       round(nation_total / sum(nation_total) OVER (PARTITION BY n_regionkey), 6) AS share_of_region
           |FROM pn ORDER BY region_key, nation""".stripMargin,
+
+      "q_psi_drift" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+          |         CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS half
+          |  FROM events),
+          |counts AS (
+          |  SELECT event_type, bin,
+          |         count(*) FILTER (WHERE half = 'ref') AS c_ref,
+          |         count(*) FILTER (WHERE half = 'cur') AS c_cur
+          |  FROM ev GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |         CAST(sum(c_cur) AS BIGINT) AS n_cur
+          |  FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT c.event_type, n_ref, n_cur,
+          |         greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6) AS p_ref,
+          |         greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) AS p_cur
+          |  FROM counts c JOIN tot t ON c.event_type = t.event_type)
+          |SELECT event_type, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
+          |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+          |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_novelty" ->
         """WITH toks AS (
