@@ -1260,6 +1260,26 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // classic OLAP shape #2 (TPC-H Q18): large-volume customers — an
+    // aggregate-filtered key set semi-joined back into the detail.
+    // The HAVING side aggregates ONCE (map-side combined), produces a
+    // tiny key set, and broadcasts it into the second pass; the
+    // detail never shuffles twice. Integer quantities keep every
+    // aggregate exact.
+    "q_tpch_q18ish" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bigOrders = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      t(s, dir, "orders")
+        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     // OLAP contribution analysis: share-of-total via a window over the
     // AGGREGATED frame — the ratio-to-report pattern. Aggregate first
     // (group count ≪ rows), round the per-group sums so both engines
@@ -1327,6 +1347,15 @@ object SparkEntry {
           count(when(col("df") === 1, 1)).as("n_unique"))
         .withColumn("novelty", round(col("n_unique").cast("double") / col("n_shingles"), 6))
         .orderBy("doc_id")
+    }),
+
+    // ext dedup: SimHash Hamming-radius near-dups (Manku/WWW'07) —
+    // 4x16-bit chunk pigeonhole join guarantees every pair within
+    // distance 3; bit_count(xor) verifies. The shingle-free dedup
+    // path: 2 longs per doc instead of a shingle table.
+    "q_simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(spread(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy("id1", "id2")
     }),
 
     // ext dedup: 16-bit SimHash per doc
@@ -3235,6 +3264,16 @@ object SparkEntry {
            |JOIN sizes se ON se.doc_id = i.old_id
            |ORDER BY new_id, old_id""".stripMargin,
 
+      "q_tpch_q18ish" ->
+        """WITH big AS (
+          |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |  FROM lineitem GROUP BY 1
+          |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+          |SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |       round(o_totalprice, 2) AS o_totalprice, total_qty
+          |FROM orders JOIN big ON o_orderkey = l_orderkey
+          |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
       "q_share_of_total" ->
         """WITH pn AS (
           |  SELECT n_regionkey, n_name, round(sum(o_totalprice), 2) AS nation_total
@@ -3321,6 +3360,31 @@ object SparkEntry {
            |         $sums
            |  FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+      },
+
+      // same 64-bit signature CTE as q_simhash64, then the 4x16-bit
+      // chunk pigeonhole join with bit_count(xor) verification
+      "q_simhash_dedup" -> {
+        val sums = (0 until 64).map(b => s"sum(${sqlSimhashBit(b)}) AS s$b").mkString(",\n         ")
+        val assemble = (0 until 64)
+          .map(b => s"CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id,
+           |         $sums
+           |  FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits),
+           |chunks AS (
+           |  SELECT doc_id, simhash, i AS ck, (simhash >> CAST(i * 16 AS INTEGER)) & 65535 AS cv
+           |  FROM sig, range(4) t(i))
+           |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id1, id2""".stripMargin
       },
 
       "q_ann_multiprobe" ->

@@ -409,6 +409,35 @@ object Dedup {
                 textCol: String = "text"): DataFrame =
     simhashAgg(docs, 64, md5, md5Bit, b => lit(1L << b), lit(0L), idCol, textCol)
 
+  /** SimHash near-duplicate pairs within a Hamming radius (Manku et
+    * al., WWW 2007): split the 64-bit signature into 4 disjoint 16-bit
+    * chunks — any pair within Hamming distance ≤ 3 must agree on at
+    * least one whole chunk (pigeonhole), so an equi-join on
+    * (chunk_index, chunk_value) generates ALL qualifying candidates,
+    * and bit_count(xor) verifies each. The signature table is 2 longs
+    * per doc; candidate volume is collisions on 16-bit chunks, never
+    * n². The classic web-scale near-dup shape when shingle storage is
+    * too expensive for MinHash.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 chunks guarantee recall only up to Hamming distance 3")
+    val sig = simhash64(docs, idCol, textCol)
+    val chunks = sig.select(col(idCol).as("id"), col("simhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ck"),
+            shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("simhash"), col("c.ck"), col("c.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** [[simhash64]] on Spark's native `xxhash64` instead of an md5
     * slice: one 64-bit hash call per token (no hex decode), the fastest
     * form for a Spark-only 100-TB run. Not DuckDB-oracle-able (no

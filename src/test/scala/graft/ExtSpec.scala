@@ -945,6 +945,19 @@ class ExtSpec extends SparkSpec {
       s"prefix filter did not prune: $prunedCand vs $naiveCand")
   }
 
+  test("dedup: simhash chunk join finds ALL pairs within Hamming 3 (pigeonhole recall)") {
+    val d = docs.filter($"doc_id" < 200).select("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(d, maxHamming = 3)
+    // ground truth: brute-force cross join over the signature table
+    val sig = Dedup.simhash64(d)
+    val truth = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"),
+        Dedup.hamming($"a.simhash", $"b.simhash").as("hamming"))
+      .filter($"hamming" <= 3)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "chunk-join pair set diverged from brute force")
+  }
+
   test("similarity: int8 quantization bounds |q| by 127 and keeps the dot within the error budget") {
     val qd = embs.limit(100)
       .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qq"),
