@@ -36,7 +36,13 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_group_split",      // instr-arithmetic nibble bucket
     "q_quantized_topk",   // round→long quantization + int dot tower
     "q_oov_rate",         // exact-count division
-    "q_containment")      // count-ratio divisions
+    "q_containment",      // count-ratio divisions
+    "q_ewma",             // decimal-literal x double coercion in recursive SQL
+    "q_psi_drift",        // floor-div binning + ln ratio tower
+    "q_winsorize",        // percentile bounds + clamp
+    "q_standardize",      // double->long power-sum casts
+    "q_tpch_q18ish",      // long quantity casts + date format
+    "q_simhash_dedup")    // shift/mask/xor bit tower
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()

@@ -229,6 +229,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q18ish: the HAVING key set broadcasts back into the detail") {
+    val p = plan("q_tpch_q18ish")
+    assert(p.contains("BroadcastHashJoin"), "key set should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should be TakeOrdered")
+  }
+
+  test("q_incr_dedup / q_simhash_dedup: candidate joins are equi-joins, never cartesian") {
+    for (q <- Seq("q_incr_dedup", "q_simhash_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: candidate generation must stay an equi-join")
+    }
+  }
+
   test("q_weighted_sample: map-side top-k prune, global phase is TakeOrdered") {
     val df = SparkEntry.queries("q_weighted_sample")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
