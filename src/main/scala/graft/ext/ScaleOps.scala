@@ -177,25 +177,25 @@ object ScaleOps {
     * makes the sample reproducible across reruns, engines, and
     * partitionings — how production corpus subsets stay auditable.
     *
-    * Scale: two-phase top-k (the [[graft.ext.Similarity.topKPerQuery]]
-    * pattern) — each input partition keeps its local k smallest before
-    * anything shuffles, so the global phase sees ≤ k×P rows, never the
-    * corpus. The priority is ONE IEEE division of two exact values
-    * (52-bit int, integer weight): bit-stable cross-engine. Weights
-    * must be positive.
+    * Scale: the rank filter plans as ONE TakeOrderedAndProject — every
+    * input partition keeps its local k smallest, the driver merges
+    * k-sized lists; nothing shuffles, the corpus never sorts. (A
+    * hand-rolled two-phase window adds an exchange over what the
+    * optimizer already does here — plan-asserted in `PlanSpec`.) The
+    * priority is ONE IEEE division of two exact values (52-bit int,
+    * integer weight): bit-stable cross-engine. Weights must be
+    * positive.
     */
   def weightedSample(df: DataFrame, k: Int, keyCol: String, weight: Column): DataFrame = {
     require(k > 0, "sample size must be positive")
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double")
     val pri = u / weight.cast("double")
-    val ord = Seq(asc("_pri"), asc(keyCol))
-    val local = Window.partitionBy(spark_partition_id()).orderBy(ord: _*)
-    val global = Window.partitionBy().orderBy(ord: _*)
     df.withColumn("_pri", pri)
-      .withColumn("_r", row_number().over(local)).filter(col("_r") <= k)
-      .withColumn("_rank", row_number().over(global)).filter(col("_rank") <= k)
-      .drop("_pri", "_r", "_rank")
+      .withColumn("_rank",
+        row_number().over(Window.orderBy(asc("_pri"), asc(keyCol))))
+      .filter(col("_rank") <= k)
+      .drop("_pri", "_rank")
   }
 
   /** Leakage-safe train/val/test assignment: the split is a pure

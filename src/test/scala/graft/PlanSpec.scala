@@ -244,17 +244,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_weighted_sample: map-side top-k prune, global phase is TakeOrdered") {
+  test("q_weighted_sample: the rank filter plans as one TakeOrdered, no shuffle") {
     val df = SparkEntry.queries("q_weighted_sample")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // phase 1 must prune each partition to k rows BEFORE any shuffle:
-    // Spark plans the rank-filter as a WindowGroupLimit with a Partial
-    // (pre-exchange) stage
-    assert(p.contains("row_number(), 60, Partial"),
-      "no map-side WindowGroupLimit prune before the shuffle")
-    // the global phase collapses to a TakeOrdered over the k×P
-    // survivors — never a full sort of the corpus
-    assert(p.contains("TakeOrderedAndProject"),
-      "global phase should be TakeOrdered, not a total sort")
+    // per-partition top-k + driver merge of k-sized lists; the corpus
+    // is never sorted and never shuffled for the selection
+    assert(p.contains("TakeOrderedAndProject(limit=60"),
+      "selection should be a single TakeOrdered")
+    assert(!p.contains("hashpartitioning"),
+      "weighted sampling must not shuffle the corpus")
   }
 }
