@@ -950,6 +950,16 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_ix")
     }),
 
+    // ext corpus: the SAME chunking through the native SlidingChunks
+    // Generator (UDTF) — chunks stream one row at a time instead of
+    // materializing every window of a doc before the explode; per-row
+    // memory O(chunkTokens) regardless of document length. Output
+    // identical to q_doc_chunks (shared oracle; unit-gated).
+    "q_doc_chunks_gen" -> ((s, dir) => {
+      Corpus.chunkDocsGen(spread(t(s, dir, "documents")), chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
     // ext corpus: eval-set decontamination — training docs sharing a
     // word 4-gram with the held-out split (doc_id % 50 == 0). The eval
     // shingle set is broadcast (plan-asserted in CorpusSpec); real
@@ -2310,6 +2320,20 @@ object SparkEntry {
     val punct = "[!-/:-@\\[-`{-~]"
     val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
 
+    // shared by the declarative chunker and the native Generator form
+    val docChunksSql =
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlTokens AS l FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest([{'s': i, 'c': array_to_string(l[i:i+31], ' '),
+         |                  'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+         |  FROM toks WHERE len(l) > 0)
+         |SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
+         |       CAST(u.s AS BIGINT) AS start_token,
+         |       CAST(u.n AS BIGINT) AS n_chunk_tokens, u.c AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin
+
     // shared by the naive inverted-index Jaccard and its prefix-
     // filtered twin (identical output by the prefix lemma)
     val jaccardPairsSql =
@@ -2917,18 +2941,11 @@ object SparkEntry {
 
       // chunk starts 1, 1+24, ... (1-based); list slices clamp at the
       // doc end on both engines, so the tail chunk semantics match.
-      "q_doc_chunks" ->
-        s"""WITH toks AS (
-           |  SELECT doc_id, $sqlTokens AS l FROM documents),
-           |ch AS (
-           |  SELECT doc_id,
-           |         unnest([{'s': i, 'c': array_to_string(l[i:i+31], ' '),
-           |                  'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
-           |  FROM toks WHERE len(l) > 0)
-           |SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
-           |       CAST(u.s AS BIGINT) AS start_token,
-           |       CAST(u.n AS BIGINT) AS n_chunk_tokens, u.c AS chunk_text
-           |FROM ch ORDER BY doc_id, chunk_ix""".stripMargin,
+      "q_doc_chunks" -> docChunksSql,
+
+      // the native Generator is output-identical to the declarative
+      // form (unit-gated), so it answers to the SAME oracle
+      "q_doc_chunks_gen" -> docChunksSql,
 
       "q_clean_corpus" ->
         s"""WITH $sqlQualityFeatureCte,

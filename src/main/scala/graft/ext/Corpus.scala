@@ -63,6 +63,23 @@ object Corpus {
         col("col.c").as("chunk_text"))
   }
 
+  /** [[chunkDocs]] through the native [[graft.functions.SlidingChunks]]
+    * Generator: same output (unit-gated), but chunks stream out one at
+    * a time instead of materializing every window of a document in
+    * memory first — per-row memory O(chunkTokens) instead of
+    * O(|doc| × chunkTokens / stride), the form that survives the
+    * long-document tail of a real corpus.
+    */
+  def chunkDocsGen(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", chunkTokens: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col(idCol), ColumnBridge.column(
+      graft.functions.SlidingChunks(
+        ColumnBridge.expression(TextStats.tokens(col(textCol))),
+        chunkTokens, stride)))
+  }
+
   /** Distinct word n-gram shingles per doc — the unit of overlap for
     * decontamination. Docs shorter than `n` tokens contribute nothing.
     */

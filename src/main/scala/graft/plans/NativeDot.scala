@@ -113,5 +113,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DotFloat(args.head, args(1))
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sliding_chunks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SlidingChunks].getName, "sliding_chunks"),
+      (args: Seq[Expression]) => {
+        def foldInt(e: Expression, what: String): Int = e match {
+          case lit if lit.foldable =>
+            lit.eval(null) match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"sliding_chunks $what must be an integer literal, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"sliding_chunks $what must be a literal")
+        }
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"sliding_chunks expects (array<string>, chunkTokens, stride), got ${args.length} args")
+        }
+        graft.functions.SlidingChunks(args.head,
+          foldInt(args(1), "chunkTokens"), foldInt(args(2), "stride"))
+      }))
   }
 }

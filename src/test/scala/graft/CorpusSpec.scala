@@ -108,6 +108,38 @@ class CorpusSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 4L, exp1), (2L, 2L, exp2)))
   }
 
+  test("chunkDocsGen: native Generator equals the declarative chunkDocs everywhere") {
+    val real = spark.read.parquet(s"${SparkSpec.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val edge = docs(
+      9000001L -> "",            // empty -> no rows
+      9000002L -> "one",         // single token, shorter than chunk
+      9000003L -> (1 to 70).map(i => s"t$i").mkString(" ")) // clamped tail
+    for (d <- Seq(real, edge); (ct, st) <- Seq((32, 24), (5, 5), (4, 1))) {
+      val a = Corpus.chunkDocs(d, chunkTokens = ct, stride = st)
+      val b = Corpus.chunkDocsGen(d, chunkTokens = ct, stride = st)
+      // names and types must agree; the generator's nullability is
+      // strictly tighter (it proves n_chunk_tokens non-null)
+      assert(a.schema.map(f => (f.name, f.dataType)) ==
+        b.schema.map(f => (f.name, f.dataType)), s"schema drift at ($ct,$st)")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"generator diverged from declarative form at ($ct,$st)")
+    }
+  }
+
+  test("sliding_chunks reaches SQL strings via GraftExtensions") {
+    val ext = org.apache.spark.sql.graft.ColumnBridge.sessionWithExtensions(
+      spark, new graft.plans.GraftExtensions()(_))
+    val got = ext.sql(
+      """SELECT chunk_ix, start_token, n_chunk_tokens, chunk_text
+        |FROM (SELECT sliding_chunks(
+        |        filter(split(lower('a b c d e'), '\\s+'), t -> t <> ''), 3, 2))
+        |ORDER BY chunk_ix""".stripMargin).collect()
+    assert(got.map(_.getString(3)).toSeq == Seq("a b c", "c d e", "e"))
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 3L), (1L, 3L, 3L), (2L, 5L, 1L)))
+  }
+
   test("oovRate: counts tokens outside the top-V vocab; frequency ties break by token") {
     val d = docs(
       1L -> "aa aa aa bb bb cc",   // aa x3, bb x2, cc x1
