@@ -417,6 +417,43 @@ object SparkEntry {
         .orderBy("op", "c_custkey")
     }),
 
+    // BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL keep
+    // multiplicity (a customer with 3 orders minus 1 return leaves 2),
+    // which Spark plans as dedicated ExceptAll/IntersectAll operators
+    // (replicate-and-count generation under the hood), not the
+    // distinct-based forms above. Multiplicities are exact ints.
+    "q_setops_all" -> ((s, dir) => {
+      val ordered = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val prio = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      ordered.exceptAll(prio).groupBy("c_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        .unionByName(
+          ordered.intersectAll(prio).groupBy("c_custkey")
+            .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all")))
+        .select("op", "c_custkey", "n")
+        .orderBy("op", "c_custkey")
+    }),
+
+    // exact moving median over a trailing 7-row window — Spark has no
+    // percentile window function, so the frame's values collect into
+    // an array (bounded: 7 elements), sort, and index — exact discrete
+    // median of integer-rounded daily totals, drift-free. The robust
+    // twin of q_moving_avg (one outlier day cannot drag it).
+    "q_moving_median" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("vals", array_sort(collect_list("day_total").over(w)))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          element_at(col("vals"),
+            ((size(col("vals")) + 1) / 2).cast("int")).as("moving_median"))
+        .orderBy("event_type", "day")
+    }),
+
     // scalar subquery via the SQL surface (S9 serving): the single-row
     // aggregate plans as a broadcast into the filter. max() is exact
     // and order-independent, so the 0.9x threshold is bit-identical
@@ -3280,6 +3317,33 @@ object SparkEntry {
            |FROM inter i JOIN sizes sb ON sb.doc_id = i.new_id
            |JOIN sizes se ON se.doc_id = i.old_id
            |ORDER BY new_id, old_id""".stripMargin,
+
+      "q_setops_all" ->
+        """WITH ordered AS (SELECT o_custkey AS c_custkey FROM orders),
+          |prio AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+          |ex AS (SELECT c_custkey FROM ordered EXCEPT ALL SELECT c_custkey FROM prio),
+          |ia AS (SELECT c_custkey FROM ordered INTERSECT ALL SELECT c_custkey FROM prio)
+          |SELECT 'except_all' AS op, c_custkey, count(*) AS n FROM ex GROUP BY 2
+          |UNION ALL
+          |SELECT 'intersect_all' AS op, c_custkey, count(*) AS n FROM ia GROUP BY 2
+          |ORDER BY op, c_custkey""".stripMargin,
+
+      // identical construction on both sides (sorted trailing-frame
+      // list, lower-middle index) — no reliance on either engine's
+      // quantile_disc window tie rule
+      "q_moving_median" ->
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS dday,
+          |         round(sum(value), 2) AS day_total
+          |  FROM events GROUP BY 1, 2),
+          |win AS (
+          |  SELECT event_type, strftime(dday, '%Y-%m-%d') AS day, day_total,
+          |         list_sort(list(day_total) OVER (PARTITION BY event_type ORDER BY dday
+          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+          |  FROM daily)
+          |SELECT event_type, day, day_total,
+          |       vals[CAST((len(vals) + 1) // 2 AS INTEGER)] AS moving_median
+          |FROM win ORDER BY event_type, day""".stripMargin,
 
       "q_tpch_q18ish" ->
         """WITH big AS (
