@@ -2148,6 +2148,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext: per-STRATUM weighted sampling — the same sequential-Poisson
+    // draw with the rank window partitioned by language: k winners per
+    // stratum, inclusion odds ~ n_chars within each. WindowGroupLimit
+    // prunes every task to k per stratum before the single shuffle.
+    "q_weighted_sample_strat" -> ((s, dir) => {
+      ScaleOps.weightedSample(spread(t(s, dir, "documents")), k = 8,
+          keyCol = "doc_id", weight = col("n_chars"), strata = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ext: leakage-safe train/val/test split — the split is a pure
     // function of user_id (md5 nibble), so no user straddles splits;
     // grouped counts audit both the ratio and the entity disjointness
@@ -4137,6 +4148,16 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, n_chars, lang FROM pri
           |QUALIFY row_number() OVER (ORDER BY p, doc_id) <= 60
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_weighted_sample_strat" ->
+        """WITH pri AS (
+          |  SELECT doc_id, lang, n_chars,
+          |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+          |           / CAST(n_chars AS DOUBLE) AS p
+          |  FROM documents)
+          |SELECT doc_id, lang, n_chars FROM pri
+          |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) <= 8
           |ORDER BY doc_id""".stripMargin,
 
       "q_group_split" ->

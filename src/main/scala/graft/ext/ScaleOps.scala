@@ -186,14 +186,17 @@ object ScaleOps {
     * integer weight): bit-stable cross-engine. Weights must be
     * positive.
     */
-  def weightedSample(df: DataFrame, k: Int, keyCol: String, weight: Column): DataFrame = {
+  def weightedSample(df: DataFrame, k: Int, keyCol: String, weight: Column,
+                     strata: Seq[String] = Nil): DataFrame = {
     require(k > 0, "sample size must be positive")
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double")
     val pri = u / weight.cast("double")
+    // global (no strata): plans as TakeOrderedAndProject; per-stratum:
+    // WindowGroupLimit still prunes each task to k before the shuffle
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(asc("_pri"), asc(keyCol))
     df.withColumn("_pri", pri)
-      .withColumn("_rank",
-        row_number().over(Window.orderBy(asc("_pri"), asc(keyCol))))
+      .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
       .drop("_pri", "_rank")
   }
