@@ -1377,6 +1377,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ML-ops drift, WHOLE-TABLE form: PSI for three feature columns in
+    // ONE scan — each row fans out to (feature, bin) pairs via a
+    // 3-element explode (the Expand pattern q_psi_drift's SCALING row
+    // promises), then the same conditional-count PSI math runs per
+    // feature. Adding a column costs one more struct, never a rescan.
+    "q_psi_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("half",
+          when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "ref")
+            .otherwise("cur"))
+      val binned = li.select(col("half"), explode(array(
+          struct(lit("quantity").as("feature"),
+            least(floor(col("l_quantity") / 5.0), lit(9.0)).cast("long").as("bin")),
+          struct(lit("price").as("feature"),
+            least(floor(col("l_extendedprice") / 10000.0), lit(10.0)).cast("long").as("bin")),
+          struct(lit("discount").as("feature"),
+            least(floor(col("l_discount") / 0.01), lit(10.0)).cast("long").as("bin"))))
+          .as("fb"))
+        .select(col("half"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      val counts = binned.groupBy("feature", "bin")
+        .agg(count(when(col("half") === "ref", 1)).as("c_ref"),
+          count(when(col("half") === "cur", 1)).as("c_cur"))
+      val tot = counts.groupBy("feature")
+        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      counts.join(broadcast(tot), "feature")
+        .withColumn("p_ref", greatest(col("c_ref").cast("double") / col("n_ref"), lit(1e-6)))
+        .withColumn("p_cur", greatest(col("c_cur").cast("double") / col("n_cur"), lit(1e-6)))
+        .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .groupBy("feature")
+        .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+          round(sum("term"), 6).as("psi"))
+        .orderBy("feature")
+    }),
+
     // ext corpus: n-gram novelty — the fraction of a doc's shingles
     // seen NOWHERE else in the corpus, the memorization/creativity
     // screen for synthetic and scraped data (novelty ~0 means the doc
@@ -3398,6 +3432,32 @@ object SparkEntry {
           |         greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) AS p_cur
           |  FROM counts c JOIN tot t ON c.event_type = t.event_type)
           |SELECT event_type, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
+          |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+          |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_psi_multi" ->
+        """WITH binned AS (
+          |  SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'ref' ELSE 'cur' END AS half,
+          |         u.feature, u.bin
+          |  FROM lineitem, unnest([
+          |    {'feature': 'quantity', 'bin': CAST(least(floor(l_quantity / 5.0), 9.0) AS BIGINT)},
+          |    {'feature': 'price', 'bin': CAST(least(floor(l_extendedprice / 10000.0), 10.0) AS BIGINT)},
+          |    {'feature': 'discount', 'bin': CAST(least(floor(l_discount / 0.01), 10.0) AS BIGINT)}]) t(u)),
+          |counts AS (
+          |  SELECT feature, bin,
+          |         count(*) FILTER (WHERE half = 'ref') AS c_ref,
+          |         count(*) FILTER (WHERE half = 'cur') AS c_cur
+          |  FROM binned GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT feature, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |         CAST(sum(c_cur) AS BIGINT) AS n_cur
+          |  FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT c.feature, n_ref, n_cur,
+          |         greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6) AS p_ref,
+          |         greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) AS p_cur
+          |  FROM counts c JOIN tot t ON c.feature = t.feature)
+          |SELECT feature, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
           |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
           |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
