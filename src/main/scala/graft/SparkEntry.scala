@@ -2366,6 +2366,47 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ext retrieval: BM25 lexical scoring — the canonical text ranker
+    // and the lexical half of hybrid RAG retrieval. tf filters to the
+    // query's terms BEFORE the shuffle (posting-list read, not a scan
+    // per query); df/avgLen are corpus stats a deployment precomputes.
+    // Every float input is an exact integer; per-doc term-weight sums
+    // (≤3 addends) are rounded 1e-6 to absorb accumulation order.
+    "q_bm25" -> ((s, dir) => {
+      TextStats.bm25(spread(t(s, dir, "documents")),
+          terms = Seq("spark", "table", "fast"))
+        .select(col("doc_id"), col("n_terms_matched"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
+    // ext retrieval: hybrid lexical+vector fusion by reciprocal rank
+    // (RRF, the standard hybrid-search combiner): each ranker
+    // contributes 1/(60+rank); docs missing from one ranking get only
+    // the other's term. Ranks are assigned over ROUNDED scores with id
+    // tie-breaks, so rank assignment — and therefore the fused score —
+    // is deterministic cross-engine. doc i's embedding is vector i in
+    // the testdata, making the id spaces fuse directly.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextStats.bm25(spread(t(s, dir, "documents")),
+          terms = Seq("spark", "table", "fast"))
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(round(col("bm25"), 6).desc, col("doc_id"))).as("r_lex"))
+        .filter(col("r_lex") <= 50)
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(spread(emb), emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"),
+          row_number().over(
+            Window.orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))).as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+        .orderBy("doc_id")
+    }),
+
     // ext corpus: per-doc out-of-vocabulary rate against the corpus'
     // own top-30 vocabulary — the tokenizer-coverage health metric (a
     // rising OOV rate on a new source means tokenizer or corpus is
@@ -2401,6 +2442,26 @@ object SparkEntry {
 
     val punct = "[!-/:-@\\[-`{-~]"
     val allStopwords = TextStats.stopwords.values.flatten.toSeq.distinct
+
+    // BM25 term-weight CTEs shared by the lexical ranker and the
+    // hybrid RRF fusion (terms: spark, table, fast; k1=1.2, b=0.75)
+    val sqlBm25Cte =
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS term FROM documents),
+         |lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |corpus AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'table', 'fast') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |         ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |           * (tf * CAST(2.2 AS DOUBLE))
+         |           / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |              + CAST(0.75 AS DOUBLE) * (dl / (CAST(total_len AS DOUBLE) / n_docs)))) AS weight
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), corpus)""".stripMargin
 
     // shared by the declarative chunker and the native Generator form
     val docChunksSql =
@@ -4360,6 +4421,38 @@ object SparkEntry {
           |       round(min(mu), 6) AS mu, round(min(sigma), 6) AS sigma
           |FROM lineitem l JOIN params p ON l.l_returnflag = p.l_returnflag
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // decimal constants are CAST to DOUBLE (DuckDB parses bare 0.5
+      // as DECIMAL, which would run the tower in decimal arithmetic);
+      // the float expression mirrors the Spark column op-for-op
+      "q_bm25" -> (sqlBm25Cte +
+        """
+          |SELECT doc_id, count(*) AS n_terms_matched, round(sum(weight), 6) AS bm25
+          |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+      "q_hybrid_rrf" -> (sqlBm25Cte +
+        """,
+          |scored AS (
+          |  SELECT doc_id, round(sum(weight), 6) AS bm25 FROM w GROUP BY 1),
+          |lexr AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+          |  FROM scored QUALIFY r_lex <= 50),
+          |bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |qv AS (SELECT v AS q FROM bv WHERE vec_id = 0),
+          |vecscored AS (
+          |  SELECT bv.vec_id AS doc_id, list_cosine_similarity(bv.v, q) AS c
+          |  FROM bv, qv WHERE bv.vec_id <> 0),
+          |vectop AS (
+          |  SELECT doc_id, c FROM vecscored
+          |  QUALIFY row_number() OVER (ORDER BY c DESC, doc_id) <= 50),
+          |vecr AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id) AS INTEGER) AS r_vec
+          |  FROM vectop)
+          |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, r_lex, r_vec,
+          |       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+          |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), CAST(0.0 AS DOUBLE)), 6) AS rrf
+          |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+          |ORDER BY doc_id""".stripMargin),
 
       "q_oov_rate" ->
         s"""WITH tok AS (

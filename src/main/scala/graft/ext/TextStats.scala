@@ -128,6 +128,42 @@ object TextStats {
     tf.join(df, Seq("term"))
   }
 
+  /** BM25 document scoring for a term query (Robertson/Spärck Jones —
+    * the canonical lexical ranker, and the text half of every hybrid
+    * RAG retrieval stack). Per surviving (doc, term):
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), weight =
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen)); the doc score
+    * sums its matched terms' weights.
+    *
+    * Scale: tf is one map-side-combined aggregate FILTERED to the
+    * query's terms before the shuffle (the posting-list read, not a
+    * corpus scan per query); df and avgLen are corpus statistics a
+    * real deployment precomputes once (here inline — the gate is
+    * stateless). Every input to the float tower is an exact integer,
+    * and the tower's shape is fixed, so scores are cross-engine
+    * reproducible to the last bit before rounding.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val lens = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgLen = col("total_len").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val weight = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("dl") / avgLen)))
+    tf.join(broadcast(df), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(corpus))
+      .groupBy(idCol)
+      .agg(sum(weight).as("bm25"), count(lit(1)).as("n_terms_matched"))
+  }
+
   /** Rolling-hash shingle fingerprint (winnowing-style): the minimum
     * md5 over character `w`-gram windows of the normalized text — a
     * compact near-dup signature computed in one narrow expression.

@@ -945,6 +945,23 @@ class ExtSpec extends SparkSpec {
       s"prefix filter did not prune: $prunedCand vs $naiveCand")
   }
 
+  test("textstats: bm25 weights rare matched terms above common ones; unmatched docs absent") {
+    val d = (Seq(
+      (1L, "alpha beta gamma"),          // matches the RARE term
+      (2L, "common beta gamma")) ++      // matches the COMMON term, same dl/tf
+      (3L to 8L).map(i => (i, "common beta filler")) // inflate df(common)
+    ).toDF("doc_id", "text")
+    val got = TextStats.bm25(d, terms = Seq("alpha", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(99L) && got.size == 8, s"got ${got.keySet}")
+    assert(got(1L) > got(2L),
+      s"rare-term doc must outscore common-term doc: ${got(1L)} vs ${got(2L)}")
+    // exact closed form for doc 1: df(alpha)=1, N=8, tf=1, dl=3=avgLen
+    val idf = math.log(1.0 + (8 - 1 + 0.5) / (1 + 0.5))
+    val expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert(math.abs(got(1L) - expected) < 1e-12, s"${got(1L)} vs $expected")
+  }
+
   test("dedup: simhash chunk join finds ALL pairs within Hamming 3 (pigeonhole recall)") {
     val d = docs.filter($"doc_id" < 200).select("doc_id", "text")
     val got = Dedup.simhashNearDupPairs(d, maxHamming = 3)
