@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{AsofJoin, Corpus, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
+import graft.ext.{AsofJoin, Bloom, Corpus, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -960,6 +960,35 @@ object SparkEntry {
       spread(t(s, dir, "documents"))
         .select(col("doc_id"), Dedup.normalizedFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // ext dedup: bloom-filter ingest prefilter — the join-free fast
+    // path for batch-vs-corpus dedup (Bloom scaladoc). The corpus
+    // compresses to ONE aggregate's bit array; the batch probes it
+    // with a narrow expression, and only the admitted sliver joins the
+    // corpus for the exact verdict. Gate encodes the contract: exact
+    // dup counts (both engines), no-false-negatives (every true dup
+    // was admitted by the filter), and the false-positive bound.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), md5(substring(col("text"), 1, 20)).as("fp"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      // 100k capacity rides every sf this repo tests (45k docs at sf1)
+      // at ~120 KB of bits; real deployments size to the corpus count
+      val (_, maybeDup) = Bloom.prefilterNew(batch, corpus, col("fp"),
+        expectedItems = 100000L, fpp = 0.01)
+      val corpusFp = corpus.select("fp").distinct()
+      val agg = batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(batch.join(corpusFp, Seq("fp"), "left_semi")
+          .agg(count(lit(1)).as("n_true_dup")))
+        .crossJoin(maybeDup.join(corpusFp, Seq("fp"), "left_semi")
+          .agg(count(lit(1)).as("n_dup_admitted")))
+        .crossJoin(maybeDup.agg(count(lit(1)).as("n_maybe")))
+      agg.select(col("n_batch"), col("n_true_dup"),
+        (col("n_dup_admitted") === col("n_true_dup")).as("no_false_negatives"),
+        ((col("n_maybe") - col("n_true_dup")) <=
+          ceil(col("n_batch") * lit(0.1))).as("fp_within_bound"))
     }),
 
     // ext dedup: MinHash signatures (k=4 perms, 3-gram shingles)
@@ -3067,6 +3096,19 @@ object SparkEntry {
       "q_dedup_normfp" ->
         """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the bloom bits are engine-specific, so the gate pins the exact
+      // counts plus the CONTRACT the filter must satisfy (no false
+      // negatives; fp rate within bound) as literal-true booleans
+      "q_bloom_prefilter" ->
+        """WITH d AS (
+          |  SELECT doc_id, md5(substring(text, 1, 20)) AS fp FROM documents),
+          |b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+          |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 0)
+          |SELECT (SELECT count(*) FROM b) AS n_batch,
+          |       (SELECT count(*) FROM b WHERE fp IN (SELECT fp FROM c)) AS n_true_dup,
+          |       TRUE AS no_false_negatives,
+          |       TRUE AS fp_within_bound""".stripMargin,
 
       "q_top_ngrams" ->
         """WITH toks AS (
