@@ -1562,6 +1562,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext text: hashed-feature linear classifier inference — the
+    // model-based quality filter shape (fasttext-style): tokens hash
+    // to buckets, a broadcast WEIGHT TABLE scores them, mean-pool +
+    // sigmoid per doc. Weights are a deterministic md5 stand-in
+    // (TextStats.hashedModel scaladoc); the serving plumbing is real
+    // and the oracle re-derives the identical model from the bucket
+    // ids. keep is computed from the ROUNDED score in both engines so
+    // the boolean can never disagree over a sub-ulp boundary.
+    "q_quality_classifier" -> ((s, dir) => {
+      val scored = TextStats.classifierScore(
+        spread(t(s, dir, "documents")), TextStats.hashedModel(s, 1024), dim = 1024)
+      scored
+        .select(col("doc_id"), col("n_feats"),
+          round(col("score"), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ext text: heuristic language ID + BPE-ish token count
     "q_lang_tokens" -> ((s, dir) => {
       spread(t(s, dir, "documents"))
@@ -3730,6 +3748,29 @@ object SparkEntry {
            |SELECT $sqlLangCase AS lang_id,
            |       count(*) AS n_docs, CAST(sum(n_bpeish) AS BIGINT) AS total_tokens
            |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // model re-derived from bucket ids; n_feats counts tokens that
+      // joined a weight row (= all tokens: buckets are always in-range)
+      "q_quality_classifier" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substring(md5('f:' || t), 1, 8)) AS BIGINT) % 1024 AS bucket
+           |  FROM (SELECT doc_id, unnest(l) AS t FROM toks)),
+           |m AS (
+           |  SELECT i AS bucket,
+           |         (CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+           |  FROM range(1024) r(i)),
+           |z AS (
+           |  SELECT doc_id, sum(w) / count(*) AS mean_w, count(*) AS n_feats
+           |  FROM f JOIN m USING (bucket) GROUP BY 1),
+           |s AS (
+           |  SELECT t.doc_id, coalesce(z.n_feats, 0) AS n_feats,
+           |         round(1.0 / (1.0 + exp(-8.0 * coalesce(z.mean_w, 0.0))), 6) AS score
+           |  FROM toks t LEFT JOIN z USING (doc_id))
+           |SELECT doc_id, n_feats, score, score >= 0.5 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin,
 
       "q_lang_tokens" ->
         s"""WITH toks AS (

@@ -199,4 +199,55 @@ object TextStats {
     piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, pat, tag)
     }
+
+  // --- hashed-feature linear classifier (model inference at scale) ---
+
+  /** Feature bucket for a token under the hashing trick: first 8 md5
+    * hex chars of `"f:token"` mod `dim`. Same deterministic md5-bucket
+    * family as [[Sketch.cmsBucket]] — reproducible in any engine.
+    */
+  def featureBucket(token: Column, dim: Int): Column =
+    conv(substring(md5(concat(lit("f:"), token)), 1, 8), 16, 10)
+      .cast("long") % dim
+
+  /** A linear model as DATA: (bucket, w) rows, one per hashed feature.
+    * This is the serving shape for a fasttext-style quality classifier
+    * at corpus scale — weights live in a table you broadcast, NOT in
+    * code — so retraining swaps a parquet file, never a deploy. The
+    * weights here are a deterministic md5-derived stand-in in [-1, 1]
+    * (no trained artifact ships with this repo — same honesty rule as
+    * `Multimodal.FakeCodec`); the inference plumbing around them is
+    * the real, gated thing, and a real model drops in by replacing
+    * this one DataFrame.
+    */
+  def hashedModel(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      ((conv(substring(md5(concat(lit("w:"), col("id"))), 1, 8), 16, 10)
+        .cast("long") % 2001 - 1000) / lit(1000.0)).as("w"))
+
+  /** Score every document with the linear model: tokenize once,
+    * hash tokens to feature buckets, broadcast-join the weight table,
+    * mean-pool per doc (the fasttext aggregation), then sigmoid of
+    * `temperature × mean`. One explode + one broadcast join + one
+    * map-side-combined aggregate — shuffle is (doc, partial-sum)
+    * rows, never tokens; the model never shuffles at all. Docs with
+    * zero tokens keep score σ(0) = 0.5 via the left join.
+    */
+  def classifierScore(docs: DataFrame, model: DataFrame, dim: Int,
+                      temperature: Double = 8.0,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), featureBucket(col("token"), dim).as("bucket"))
+    val pooled = feats
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(idCol)
+      .agg((sum("w") / count(lit(1))).as("mean_w"), count(lit(1)).as("n_feats"))
+    docs.select(col(idCol))
+      .join(pooled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-lit(temperature) * coalesce(col("mean_w"), lit(0.0))))).as("score"))
+  }
 }

@@ -1020,4 +1020,27 @@ class ExtSpec extends SparkSpec {
       assert(g.sortBy(_._2).sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
     }
   }
+
+  test("classifier: hashed linear scores are in (0,1), tokenless docs score 0.5, " +
+    "n_feats equals token count") {
+    val d = Seq((1L, "alpha beta gamma alpha"), (2L, ""), (3L, "delta")).toDF("doc_id", "text")
+    val model = TextStats.hashedModel(spark, 64)
+    val got = TextStats.classifierScore(d, model, dim = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "score").as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(4L, 0L, 1L), "n_feats must equal token count")
+    assert(got.forall { case (_, _, s) => s > 0.0 && s < 1.0 })
+    assert(got(1)._3 == 0.5, "no features → sigmoid(0)")
+    // deterministic: same doc twice scores identically
+    val again = TextStats.classifierScore(d, model, dim = 64)
+      .orderBy("doc_id").select("score").as[Double].collect()
+    assert(again.toSeq == got.map(_._3).toSeq)
+  }
+
+  test("classifier: model weights are deterministic, bounded, and bucket-keyed 0..dim-1") {
+    val m = TextStats.hashedModel(spark, 128).orderBy("bucket")
+      .as[(Long, Double)].collect()
+    assert(m.map(_._1).toSeq == (0L until 128L))
+    assert(m.forall { case (_, w) => w >= -1.0 && w <= 1.0 })
+  }
 }
