@@ -1644,6 +1644,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ext similarity: SemDeDup — coarse-cluster the corpus (IVF
+    // assignment to the 4 seed centroids), prune near-duplicates
+    // within clusters only (smaller-id keeps), summarize survivors
+    // per cluster. Cluster boundaries bound the pair space; the keep
+    // rule is deterministic so the oracle reproduces it exactly.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(spread(emb), emb.filter(col("vec_id") < 4),
+          threshold = 0.2)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy("centroid_id")
+    }),
+
     // ext similarity: IVF index build — every vector assigned to the
     // nearest (max-cosine) of the 4 seed centroids. Centroids
     // broadcast; the argmax is a map-side-combined hash aggregate, so
@@ -3829,6 +3845,34 @@ object SparkEntry {
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
            |WHERE list_cosine_similarity(a.v, bb.v) >= 0.2
            |ORDER BY id1, id2""".stripMargin,
+
+      // SemDeDup: same assignment CTE as q_ivf_assign, pair prune
+      // within clusters, smaller-id-keeps drop rule
+      "q_semantic_dedup" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+          |s AS (
+          |  SELECT e.vec_id, centroid_id, list_cosine_similarity(v, cv) AS cc
+          |  FROM e, c),
+          |asg AS (
+          |  SELECT vec_id, centroid_id
+          |  FROM (SELECT vec_id, centroid_id,
+          |               row_number() OVER (PARTITION BY vec_id
+          |                                  ORDER BY cc DESC, centroid_id) AS rn
+          |        FROM s) WHERE rn = 1),
+          |dropped AS (
+          |  SELECT DISTINCT b.vec_id
+          |  FROM asg a JOIN asg b
+          |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          |  JOIN e ea ON ea.vec_id = a.vec_id
+          |  JOIN e eb ON eb.vec_id = b.vec_id
+          |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.2)
+          |SELECT centroid_id, count(*) AS n_vectors,
+          |       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+          |FROM asg LEFT JOIN dropped d USING (vec_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // IVF assignment: the argmax is re-derived as a per-vector
       // row_number over (cosine DESC, centroid_id) — same tie-break as

@@ -374,6 +374,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic dedup (SemDeDup shape): cluster the corpus coarsely,
+    * then prune near-duplicates WITHIN each cluster only — the cluster
+    * assignment bounds the pair space exactly like the LSH bucket in
+    * [[embeddingNearDupPairs]], but with data-adaptive regions, so
+    * boilerplate-dense corpora (where one hyperplane bucket would
+    * drown) still split into balanced lists. Keep rule: a vector
+    * survives unless a SMALLER-id vector in its cluster sits at
+    * cosine ≥ threshold — deterministic, one self-join, no iteration
+    * (the transitive-closure variant is [[Dedup.connectedComponents]]
+    * over these pairs when chain-merging is wanted).
+    *
+    * Returns one row per input vector: (idCol, centroid_id, kept).
+    * Scale: pair work is Σ |cluster|² / 2 — size the centroid count so
+    * clusters hold ~√(pair budget) vectors ([[kmeansTrain]] for real
+    * centroids); the per-pair kernel is the native codegen dot.
+    */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssign(vecs, centroids, 1, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(withNorm(vecs, vecCol).select(col(idCol), col(vecCol), col("nrm")),
+        Seq(idCol))
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(cosineFromParts(
+        dotNative(col(s"a.$vecCol"), col(s"b.$vecCol")),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    asg.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(!col("_dropped"), lit(true)).as("kept"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
     * q_i = round(v_i / scale) ∈ [−127, 127] (all-zero vectors quantize
     * to zeros). 4× less memory bandwidth per vector than float32 — at

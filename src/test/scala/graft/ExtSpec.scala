@@ -1021,6 +1021,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: near-dups drop within a cluster (smaller id keeps), " +
+    "cross-cluster near-vectors both survive") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),   // cluster 0
+      (11L, Array(0.99f, 0.01f)), // cluster 0, ~dup of 10 → dropped
+      (12L, Array(0.0f, 1.0f)),   // cluster 1
+      (13L, Array(-1.0f, 0.1f))   // cluster 0's antipode — far from all
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, cents, threshold = 0.95)
+      .orderBy("vec_id")
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, true), (11L, false), (12L, true), (13L, true)))
+  }
+
   test("classifier: hashed linear scores are in (0,1), tokenless docs score 0.5, " +
     "n_feats equals token count") {
     val d = Seq((1L, "alpha beta gamma alpha"), (2L, ""), (3L, "delta")).toDF("doc_id", "text")
