@@ -3142,7 +3142,8 @@ object SparkEntry {
           |SELECT (SELECT count(*) FROM b) AS n_batch,
           |       (SELECT count(*) FROM b WHERE fp IN (SELECT fp FROM c)) AS n_true_dup,
           |       TRUE AS no_false_negatives,
-          |       TRUE AS fp_within_bound""".stripMargin,
+          |       TRUE AS fp_within_bound
+          |ORDER BY n_batch""".stripMargin,
 
       "q_top_ngrams" ->
         """WITH toks AS (
