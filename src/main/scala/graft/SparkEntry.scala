@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{AsofJoin, Bloom, Corpus, Dedup, EventsStream, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -2482,6 +2482,110 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           round(col("oov_rate"), 6).as("oov_rate"))
         .orderBy("doc_id")
+    }),
+
+    // gaps-and-islands: each user's maximal runs of consecutive active
+    // HOURS (hour grain makes the islands real — at day grain this
+    // synthetic month is one solid block). One window + one hash agg
+    // over distinct (user, hour) slots — no self-join, no iteration;
+    // the classic slot − row_number() constancy trick. All-integer.
+    "q_islands" -> ((s, dir) => {
+      Sessionize.activityIslands(
+          EventsStream.readEvents(s, s"$dir/events.parquet"), "user_id",
+          expr("floor(unix_timestamp(ts) / 3600)"))
+        .orderBy("user_id", "island_start")
+    }),
+
+    // market-basket association rules over order baskets (items =
+    // suppliers feeding the order): support / confidence both ways /
+    // lift per co-occurring pair. The frequent-item prune runs BEFORE
+    // any pairing (Apriori pass one, Affinity scaladoc) so a
+    // pathological mega-basket can't go quadratic. Counts exact;
+    // ratios rounded once.
+    "q_assoc_rules" -> ((s, dir) => {
+      Affinity.associationRules(spread(t(s, dir, "lineitem")),
+          basket = col("l_orderkey"), item = col("l_suppkey"),
+          minItemCount = 50, minPairCount = 10)
+        .orderBy("item1", "item2")
+    }),
+
+    // token-pair PMI over documents — which terms co-occur more than
+    // their document frequencies predict. Same pruned-pair skeleton as
+    // q_assoc_rules, over the tokenize-once token sets.
+    "q_pmi_cooccur" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      Affinity.pmiPairs(toks, doc = col("doc_id"), term = col("term"),
+          minTermCount = 20, minPairCount = 10)
+        .orderBy("term1", "term2")
+    }),
+
+    // A/B experiment readout: Welch's t between the user_id%2 arms on
+    // the cent-quantized event value, per event_type. The quantization
+    // (floor(value·100) — an exact IEEE op both engines perform
+    // identically) is what makes the power sums exact longs, so the
+    // only floats are the final closed-form expressions (Inference
+    // scaladoc). Shuffle carries 6 longs per group.
+    "q_ab_ttest" -> ((s, dir) => {
+      Inference.welchT(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("event_type")
+    }),
+
+    // per-group closed-form least squares: price-per-quantity slope /
+    // intercept / r² per return flag from five exact power sums — the
+    // feature-vs-target screen a training pipeline runs over every
+    // numeric pair, at one scan + group-bounded shuffle.
+    "q_group_regression" -> ((s, dir) => {
+      Inference.linearFit(spread(t(s, dir, "lineitem")), group = Seq("l_returnflag"),
+          x = col("l_quantity"), y = floor(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    }),
+
+    // mutual information I(lang; source) from one contingency pass —
+    // the dataset-audit question "does language depend on source?"
+    // answered with exact counts; per-lang partial contributions so the
+    // dependent categories are visible, not just the scalar.
+    "q_mutual_info" -> ((s, dir) => {
+      Inference.mutualInfo(spread(t(s, dir, "documents")), "lang", "source")
+        .orderBy("lang")
+    }),
+
+    // fixed-iteration PageRank over the ANN near-dup graph — which
+    // documents sit at the center of duplicate neighborhoods (dedup
+    // triage ranks them first). Three rounds, each ONE join + ONE
+    // aggregate bounded by |E|, stacked into a single job — no
+    // per-round driver actions (Graph scaladoc).
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = Similarity.embeddingNearDupPairs(
+          spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
+        .select("id1", "id2")
+      Graph.pageRank(Graph.symmetrize(pairs), iters = 3)
+        .orderBy("id")
+    }),
+
+    // seasonal-naive forecast rows (ŷ_t = y_{t−4} on quarterly order
+    // totals per priority) — the baseline every forecasting pipeline
+    // benchmarks against; errors are exact longs end to end.
+    "q_seasonal_naive" -> ((s, dir) => {
+      val q = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate"))).as("period"))
+        .agg(sum(floor(col("o_totalprice"))).as("y"))
+      Forecast.seasonalNaive(q, Seq("o_orderpriority"), col("period"), col("y"), season = 4)
+        .orderBy("o_orderpriority", "period")
+    }),
+
+    // the backtest rollup of q_seasonal_naive: per-series MAE / MAPE —
+    // one more map-side-combined aggregate over the forecast rows.
+    "q_forecast_backtest" -> ((s, dir) => {
+      val q = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate"))).as("period"))
+        .agg(sum(floor(col("o_totalprice"))).as("y"))
+      Forecast.seasonalNaiveBacktest(q, Seq("o_orderpriority"), col("period"), col("y"), season = 4)
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -4593,7 +4697,210 @@ object SparkEntry {
            |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
            |       round(CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*), 6) AS oov_rate
            |FROM tok LEFT JOIN vocab v ON tok.w = v.w
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_islands" ->
+        """WITH slots AS (
+          |  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, slot,
+          |         slot - row_number() OVER (PARTITION BY user_id ORDER BY slot) AS grp
+          |  FROM slots)
+          |SELECT user_id, min(slot) AS island_start, max(slot) AS island_end,
+          |       count(*) AS len_slots
+          |FROM g GROUP BY user_id, grp
+          |ORDER BY user_id, island_start""".stripMargin,
+
+      "q_assoc_rules" ->
+        """WITH bi AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item FROM lineitem),
+          |freq AS (
+          |  SELECT item, count(*) AS n_item FROM bi GROUP BY 1 HAVING count(*) >= 50),
+          |total AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+          |kept AS (SELECT bi.basket, bi.item FROM bi JOIN freq USING (item)),
+          |pc AS (
+          |  SELECT a.item AS item1, b.item AS item2, count(*) AS n_pair
+          |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 10)
+          |SELECT item1, item2, n_pair, f1.n_item AS n1, f2.n_item AS n2,
+          |       round(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+          |       round(CAST(n_pair AS DOUBLE) / CAST(f1.n_item AS DOUBLE), 6) AS conf_1to2,
+          |       round(CAST(n_pair AS DOUBLE) / CAST(f2.n_item AS DOUBLE), 6) AS conf_2to1,
+          |       round(CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+          |             / CAST(f1.n_item * f2.n_item AS DOUBLE), 6) AS lift
+          |FROM pc JOIN freq f1 ON f1.item = pc.item1
+          |        JOIN freq f2 ON f2.item = pc.item2
+          |        CROSS JOIN total
+          |ORDER BY item1, item2""".stripMargin,
+
+      "q_pmi_cooccur" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS term FROM documents),
+           |bi AS (SELECT DISTINCT doc_id AS basket, term AS item FROM tok),
+           |freq AS (
+           |  SELECT item, count(*) AS n_item FROM bi GROUP BY 1 HAVING count(*) >= 20),
+           |total AS (SELECT count(DISTINCT basket) AS n_docs FROM bi),
+           |kept AS (SELECT bi.basket, bi.item FROM bi JOIN freq USING (item)),
+           |pc AS (
+           |  SELECT a.item AS item1, b.item AS item2, count(*) AS n_pair
+           |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+           |  GROUP BY 1, 2 HAVING count(*) >= 10)
+           |SELECT item1 AS term1, item2 AS term2, n_pair,
+           |       f1.n_item AS n1, f2.n_item AS n2,
+           |       round(ln(CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+           |                / CAST(f1.n_item * f2.n_item AS DOUBLE)), 6) AS pmi
+           |FROM pc JOIN freq f1 ON f1.item = pc.item1
+           |        JOIN freq f2 ON f2.item = pc.item2
+           |        CROSS JOIN total
+           |ORDER BY term1, term2""".stripMargin,
+
+      "q_ab_ttest" ->
+        """WITH e AS (
+          |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS ss0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS ss1
+          |  FROM e GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, n0, n1,
+          |         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+          |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+          |         CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / CAST(n0 * (n0 - 1) AS DOUBLE)
+          |           / CAST(n0 AS DOUBLE) AS se0,
+          |         CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)
+          |           / CAST(n1 AS DOUBLE) AS se1
+          |  FROM g)
+          |SELECT event_type, n0, n1,
+          |       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+          |       round(mean1 - mean0, 6) AS mean_diff,
+          |       round((mean1 - mean0) / sqrt(se0 + se1), 6) AS t_stat,
+          |       round((se0 + se1) * (se0 + se1)
+          |             / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+          |                + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6) AS welch_df
+          |FROM h ORDER BY event_type""".stripMargin,
+
+      "q_group_regression" ->
+        """WITH s AS (
+          |  SELECT l_returnflag,
+          |         CAST(l_quantity AS BIGINT) AS x,
+          |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+          |  FROM lineitem),
+          |g AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx,
+          |         CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM s GROUP BY 1),
+          |h AS (
+          |  SELECT l_returnflag, n,
+          |         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cov_n,
+          |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS varx_n,
+          |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS vary_n,
+          |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          |  FROM g)
+          |SELECT l_returnflag, n,
+          |       round(cov_n / varx_n, 6) AS slope,
+          |       round(syd / CAST(n AS DOUBLE) - (cov_n / varx_n) * sxd / CAST(n AS DOUBLE), 6) AS intercept,
+          |       round(cov_n * cov_n / (varx_n * vary_n), 6) AS r2
+          |FROM h ORDER BY l_returnflag""".stripMargin,
+
+      "q_mutual_info" ->
+        """WITH j AS (
+          |  SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2),
+          |mx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+          |my AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+          |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+          |c AS (
+          |  SELECT j.lang, j.nxy,
+          |         CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+          |           * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+          |                / CAST(nx * ny AS DOUBLE)) AS contrib
+          |  FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot)
+          |SELECT lang, count(*) AS n_cells, CAST(sum(nxy) AS BIGINT) AS nx,
+          |       round(sum(contrib), 6) AS mi_part
+          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_pagerank" ->
+        s"""WITH eb AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS id1, bb.vec_id AS id2
+           |  FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           |  WHERE list_cosine_similarity(a.v, bb.v) >= 0.2),
+           |e AS (SELECT id1 AS src, id2 AS dst FROM p
+           |      UNION ALL SELECT id2, id1 FROM p),
+           |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes CROSS JOIN nn),
+           |pr1 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) / nn.n
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i1.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr0 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i1 ON i1.id = nodes.id),
+           |pr2 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) / nn.n
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i2.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr1 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i2 ON i2.id = nodes.id),
+           |pr3 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) / nn.n
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr2 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i3 ON i3.id = nodes.id)
+           |SELECT id, round(pr, 6) AS pr FROM pr3 ORDER BY id""".stripMargin,
+
+      "q_seasonal_naive" ->
+        """WITH q AS (
+          |  SELECT o_orderpriority,
+          |         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS period,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+          |  FROM orders GROUP BY 1, 2),
+          |f AS (
+          |  SELECT o_orderpriority, period, y,
+          |         lag(y, 4) OVER (PARTITION BY o_orderpriority ORDER BY period) AS forecast
+          |  FROM q)
+          |SELECT o_orderpriority, period, y, forecast, abs(y - forecast) AS abs_err
+          |FROM f WHERE forecast IS NOT NULL
+          |ORDER BY o_orderpriority, period""".stripMargin,
+
+      "q_forecast_backtest" ->
+        """WITH q AS (
+          |  SELECT o_orderpriority,
+          |         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS period,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+          |  FROM orders GROUP BY 1, 2),
+          |f AS (
+          |  SELECT o_orderpriority, period, y,
+          |         lag(y, 4) OVER (PARTITION BY o_orderpriority ORDER BY period) AS forecast
+          |  FROM q)
+          |SELECT o_orderpriority, count(*) AS n_eval,
+          |       round(CAST(sum(abs(y - forecast)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae,
+          |       round(avg(CASE WHEN y <> 0
+          |                      THEN CAST(abs(y - forecast) AS DOUBLE) / CAST(abs(y) AS DOUBLE) * 100
+          |                 END), 6) AS mape_pct
+          |FROM f WHERE forecast IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

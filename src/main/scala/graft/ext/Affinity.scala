@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Within-basket co-occurrence mining: association rules
+  * (support / confidence / lift) and token PMI.
+  *
+  * Both operators share one skeleton: distinct (basket, item) pairs →
+  * frequency-prune the item vocabulary → within-basket self-join with
+  * `item1 < item2` → one hash aggregate over the pair grid. The pruning
+  * step is the 100-TB design decision: the classic first Apriori pass.
+  * Pair-space per basket is k·(k−1)/2 for a k-item basket, and a single
+  * pathological basket (a crawl page listing every product, a document
+  * containing the whole vocabulary) makes that quadratic. Filtering the
+  * item table to frequent items FIRST — a broadcast semi-join, since the
+  * surviving vocabulary is small by construction — bounds k before any
+  * pairing happens. The final aggregate is map-side combined, so shuffle
+  * volume is bounded by the frequent-item grid (|V|²/2), not by rows.
+  *
+  * All counts are exact longs; ratios (support, confidence, lift, PMI)
+  * are single divisions of exact longs, so results are cross-engine
+  * drift-free up to one final rounding.
+  */
+object Affinity {
+
+  /** Distinct (basket, item) membership — the input shape both miners
+    * consume. Distinct matters: a basket listing an item twice is one
+    * co-occurrence, not two (and dedup here keeps the join fan-out
+    * bounded by basket cardinality).
+    */
+  def basketItems(df: DataFrame, basket: Column, item: Column): DataFrame =
+    df.select(basket.as("basket"), item.as("item")).distinct()
+
+  /** Item → basket-frequency over [[basketItems]] output, pruned to
+    * items appearing in at least `minCount` baskets.
+    */
+  def frequentItems(bi: DataFrame, minCount: Long): DataFrame =
+    bi.groupBy("item").agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minCount)
+
+  /** Co-occurrence counts over ordered pairs (item1 < item2) of
+    * frequent items. `freq` is broadcast — it is the pruned vocabulary,
+    * small by construction — so the corpus-side table never shuffles
+    * for the pruning, only for the final pair aggregate.
+    */
+  def pairCounts(bi: DataFrame, freq: DataFrame): DataFrame = {
+    val kept = bi.join(broadcast(freq.select("item")), Seq("item"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+      .agg(count(lit(1)).as("n_pair"))
+  }
+
+  /** Association rules over baskets: for each frequent ordered pair,
+    * support = P(1∧2), confidence in both directions, and lift =
+    * P(1∧2) / (P(1)·P(2)). `nBaskets` is passed in (the caller already
+    * knows it or computes it once) rather than recounted per pair.
+    */
+  def associationRules(df: DataFrame, basket: Column, item: Column,
+      minItemCount: Long, minPairCount: Long): DataFrame = {
+    val bi = basketItems(df, basket, item)
+    val freq = frequentItems(bi, minItemCount)
+    val total = bi.select(countDistinct(col("basket")).as("n_baskets"))
+    pairCounts(bi, freq)
+      .filter(col("n_pair") >= minPairCount)
+      .join(broadcast(freq.withColumnRenamed("item", "item1")
+        .withColumnRenamed("n_item", "n1")), "item1")
+      .join(broadcast(freq.withColumnRenamed("item", "item2")
+        .withColumnRenamed("n_item", "n2")), "item2")
+      .crossJoin(broadcast(total))
+      .select(col("item1"), col("item2"), col("n_pair"), col("n1"), col("n2"),
+        round(col("n_pair").cast("double") / col("n_baskets").cast("double"), 6)
+          .as("support"),
+        round(col("n_pair").cast("double") / col("n1").cast("double"), 6)
+          .as("conf_1to2"),
+        round(col("n_pair").cast("double") / col("n2").cast("double"), 6)
+          .as("conf_2to1"),
+        round(col("n_pair").cast("double") * col("n_baskets").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("lift"))
+  }
+
+  /** Pointwise mutual information of token pairs co-occurring in
+    * documents: PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with document-
+    * level probabilities. Same skeleton as [[associationRules]] —
+    * the vocabulary prune IS the scale control here, because document
+    * token sets are long-tailed and pairing an unpruned vocabulary is
+    * quadratic in document length.
+    */
+  def pmiPairs(df: DataFrame, doc: Column, term: Column,
+      minTermCount: Long, minPairCount: Long): DataFrame = {
+    val bi = basketItems(df, doc, term)
+    val freq = frequentItems(bi, minTermCount)
+    val total = bi.select(countDistinct(col("basket")).as("n_docs"))
+    pairCounts(bi, freq)
+      .filter(col("n_pair") >= minPairCount)
+      .join(broadcast(freq.withColumnRenamed("item", "item1")
+        .withColumnRenamed("n_item", "n1")), "item1")
+      .join(broadcast(freq.withColumnRenamed("item", "item2")
+        .withColumnRenamed("n_item", "n2")), "item2")
+      .crossJoin(broadcast(total))
+      .select(col("item1").as("term1"), col("item2").as("term2"),
+        col("n_pair"), col("n1"), col("n2"),
+        round(log(col("n_pair").cast("double") * col("n_docs").cast("double") /
+          (col("n1") * col("n2")).cast("double")), 6).as("pmi"))
+  }
+}

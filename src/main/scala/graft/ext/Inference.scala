@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Closed-form statistical inference over groups: Welch's two-sample
+  * t-test, simple linear regression, and mutual information between two
+  * categorical columns.
+  *
+  * Everything here reduces to EXACT INTEGER power sums (n, Σx, Σy, Σxy,
+  * Σx², Σy², or contingency counts) aggregated in one map-side-combined
+  * pass, with the floating-point formula applied only to the per-group
+  * sums at the very end. That is simultaneously the scale story — the
+  * shuffle carries a handful of longs per group, never rows, so a
+  * 100-TB fact table costs one scan plus a group-cardinality-bounded
+  * exchange — and the determinism story: integer sums are associative,
+  * so results are bit-identical regardless of partitioning or engine,
+  * with one final rounding where a division or log produces a double.
+  * (The same cannot be said of aggregating doubles directly; callers
+  * quantize measures to integers — e.g. `floor(value·100)` cents —
+  * before handing them in.)
+  */
+object Inference {
+
+  private def meanC(n: Column, s: Column): Column =
+    s.cast("double") / n.cast("double")
+
+  /** Sample variance from power sums: (n·ss − s²) / (n·(n−1)). */
+  private def varC(n: Column, s: Column, ss: Column): Column =
+    (n * ss - s * s).cast("double") / (n * (n - lit(1))).cast("double")
+
+  /** Welch's unequal-variance two-sample t-test between arms 0 and 1
+    * (`arm` must evaluate to 0/1 — e.g. a deterministic id split), per
+    * metric group. One conditional aggregate widens the per-arm power
+    * sums onto a single row per group — no join, no pivot shuffle.
+    * Emits arm means, mean difference, Welch t statistic, and the
+    * Welch–Satterthwaite degrees of freedom, all rounded at 6.
+    */
+  def welchT(df: DataFrame, group: Seq[String], arm: Column, x: Column): DataFrame = {
+    val armsWide = df
+      .select(group.map(col) ++ Seq(arm.cast("int").as("arm"),
+        x.cast("long").as("x")): _*)
+      .groupBy(group.map(col): _*)
+      .agg(
+        sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(when(col("arm") === 0, col("x")).otherwise(lit(0L))).as("s0"),
+        sum(when(col("arm") === 0, col("x") * col("x")).otherwise(lit(0L))).as("ss0"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("arm") === 1, col("x")).otherwise(lit(0L))).as("s1"),
+        sum(when(col("arm") === 1, col("x") * col("x")).otherwise(lit(0L))).as("ss1"))
+    val se0 = varC(col("n0"), col("s0"), col("ss0")) / col("n0").cast("double")
+    val se1 = varC(col("n1"), col("s1"), col("ss1")) / col("n1").cast("double")
+    val se2 = se0 + se1
+    armsWide.select(group.map(col) ++ Seq(
+      col("n0"), col("n1"),
+      round(meanC(col("n0"), col("s0")), 6).as("mean0"),
+      round(meanC(col("n1"), col("s1")), 6).as("mean1"),
+      round(meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0")), 6)
+        .as("mean_diff"),
+      round((meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0"))) /
+        sqrt(se2), 6).as("t_stat"),
+      round(se2 * se2 /
+        (se0 * se0 / (col("n0") - lit(1)).cast("double") +
+         se1 * se1 / (col("n1") - lit(1)).cast("double")), 6).as("welch_df")): _*)
+  }
+
+  /** Per-group simple linear regression y = a + b·x by the closed-form
+    * least-squares solution, plus r². x and y must be integral (the
+    * caller quantizes); the five power sums are exact longs, so slope /
+    * intercept / r² are single double expressions over exact inputs.
+    */
+  def linearFit(df: DataFrame, group: Seq[String], x: Column, y: Column): DataFrame = {
+    val sums = df
+      .select(group.map(col) ++ Seq(x.cast("long").as("x"), y.cast("long").as("y")): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val covN = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / n
+    val varXN = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n
+    val varYN = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / n
+    sums.select(group.map(col) ++ Seq(
+      col("n"),
+      round(covN / varXN, 6).as("slope"),
+      round(col("sy").cast("double") / n - (covN / varXN) * col("sx").cast("double") / n, 6)
+        .as("intercept"),
+      round(covN * covN / (varXN * varYN), 6).as("r2")): _*)
+  }
+
+  /** Mutual information I(X;Y) in nats between two categorical columns,
+    * from one contingency-count pass: I = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    * Output is the per-x partial contribution plus the cell count, so
+    * the caller can roll up to the scalar MI or inspect which categories
+    * carry the association. Counts are exact; the log-ratio sum per x is
+    * over at most |Y| terms, rounded at 6.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(xCol, yCol).agg(count(lit(1)).as("nxy"))
+    val margX = joint.groupBy(xCol).agg(sum("nxy").as("nx"))
+    val margY = joint.groupBy(yCol).agg(sum("nxy").as("ny"))
+    val total = joint.agg(sum("nxy").as("n"))
+    joint
+      .join(broadcast(margX), xCol).join(broadcast(margY), yCol)
+      .crossJoin(broadcast(total))
+      .withColumn("contrib",
+        col("nxy").cast("double") / col("n").cast("double") *
+          log(col("nxy").cast("double") * col("n").cast("double") /
+            (col("nx") * col("ny")).cast("double")))
+      .groupBy(xCol)
+      .agg(count(lit(1)).as("n_cells"), sum("nxy").as("nx"),
+        round(sum("contrib"), 6).as("mi_part"))
+  }
+}

@@ -49,6 +49,31 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
+  /** Gaps-and-islands over integer activity slots: collapse each key's
+    * distinct active slots (e.g. hour buckets) into maximal runs of
+    * CONSECUTIVE slots. The classic row_number trick — `slot − rn` is
+    * constant exactly within a consecutive run — turns island detection
+    * into one window plus one hash aggregate, no self-join and no
+    * iteration. Scale shape mirrors [[sessionizeBatch]]: the only
+    * shuffle is on the key, the per-key sort is over DISTINCT slots
+    * (already collapsed, so bounded by the time range, not the event
+    * count), and the island aggregate is map-side combinable. All
+    * arithmetic is exact longs — cross-engine drift-free.
+    *
+    * Output: one row per island — key, island_start / island_end slot,
+    * and length in slots.
+    */
+  def activityIslands(df: DataFrame, keyCol: String, slot: org.apache.spark.sql.Column): DataFrame = {
+    val slots = df.select(col(keyCol), slot.cast("long").as("slot")).distinct()
+    val w = Window.partitionBy(keyCol).orderBy("slot")
+    slots
+      .withColumn("grp", col("slot") - row_number().over(w))
+      .groupBy(col(keyCol), col("grp"))
+      .agg(min("slot").as("island_start"), max("slot").as("island_end"),
+        count(lit(1)).as("len_slots"))
+      .drop("grp")
+  }
+
   /** Streaming form: one open session per key in `GroupState`; a new
     * event either extends it or closes it (emitting the finished
     * session); an event-time timeout at `end + gap` flushes sessions

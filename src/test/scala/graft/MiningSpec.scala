@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Affinity, Forecast, Graph, Inference, Sessionize}
+
+/** Specs for the round-4 mining/inference operators: gaps-and-islands,
+  * association rules / PMI, Welch t, linear fit, mutual information,
+  * fixed-iteration PageRank, seasonal-naive backtest. Fixtures are
+  * hand-computable so every assertion is an exact expected value.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("islands: consecutive slots collapse; gaps split; duplicates ignored") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 7L),
+        ("a", 8L), ("b", 5L))
+      .toDF("k", "slot")
+    val out = Sessionize.activityIslands(df, "k", col("slot"))
+      .orderBy("k", "island_start").collect()
+    assert(out.toSeq === Seq(Row("a", 1L, 3L, 3L), Row("a", 7L, 8L, 2L),
+      Row("b", 5L, 5L, 1L)))
+  }
+
+  test("association rules: counts, support, confidence, lift by hand") {
+    // 4 baskets; x in all 4, y in 2 (both with x), z in 1 (filtered by minItemCount=2)
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "x"),
+        (4, "z"), (1, "x")) // duplicate (1,x) must not double-count
+      .toDF("b", "i")
+    val out = Affinity.associationRules(df, col("b"), col("i"),
+        minItemCount = 2, minPairCount = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("item1") === "x" && r.getAs[String]("item2") === "y")
+    assert(r.getAs[Long]("n_pair") === 2 && r.getAs[Long]("n1") === 4 &&
+      r.getAs[Long]("n2") === 2)
+    assert(r.getAs[Double]("support") === 0.5)     // 2/4
+    assert(r.getAs[Double]("conf_1to2") === 0.5)   // 2/4
+    assert(r.getAs[Double]("conf_2to1") === 1.0)   // 2/2
+    assert(r.getAs[Double]("lift") === 1.0)        // 2*4/(4*2)
+  }
+
+  test("pmi: independent pair has pmi 0; perfectly-coupled pair positive") {
+    // docs 1..4: p,q together in 2 of 4 docs and alone in one each →
+    // P(p)=P(q)=3/4, P(p,q)=1/2, pmi = ln(8/9) < 0; r,s always together
+    // in 2 docs → pmi = ln(2*4/(2*2)) = ln 2 > 0
+    val df = Seq((1, "p"), (1, "q"), (2, "p"), (2, "q"), (3, "p"), (4, "q"),
+        (5, "r"), (5, "s"), (6, "r"), (6, "s"))
+      .toDF("d", "t")
+    val out = Affinity.pmiPairs(df, col("d"), col("t"),
+        minTermCount = 1, minPairCount = 1)
+      .orderBy("term1").collect()
+    val pq = out.find(r => r.getString(0) == "p").get
+    val rs = out.find(r => r.getString(0) == "r").get
+    assert(pq.getAs[Double]("pmi") === math.BigDecimal(math.log(2.0 * 6 / 9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rs.getAs[Double]("pmi") === math.BigDecimal(math.log(2.0 * 6 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("welch t: equal samples give t=0; known two-sample case matches") {
+    // arm0 = {1,2,3}, arm1 = {4,5,6}: means 2 and 5, var 1 each,
+    // se² = 1/3+1/3, t = 3/sqrt(2/3), df = (2/3)²/(2·(1/9)/2) = 4
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 6L))
+      .toDF("arm", "x").withColumn("g", lit("m"))
+    val r = Inference.welchT(df, Seq("g"), col("arm"), col("x")).collect().head
+    assert(r.getAs[Double]("mean_diff") === 3.0)
+    val expT = 3.0 / math.sqrt(2.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - expT) < 1e-6)
+    assert(r.getAs[Double]("welch_df") === 4.0)
+  }
+
+  test("linear fit: exact line is recovered with r2 = 1") {
+    val df = (1L to 10L).map(x => (x, 3 * x + 7)).toDF("x", "y")
+      .withColumn("g", lit("m"))
+    val r = Inference.linearFit(df, Seq("g"), col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 7.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("mutual information: independent columns give ~0; copy gives H(X)") {
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("xc", "yc")
+    val mi0 = Inference.mutualInfo(ind, "xc", "yc")
+      .agg(sum("mi_part")).collect().head.getDouble(0)
+    assert(math.abs(mi0) < 1e-9)
+    val dep = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("xc", "yc")
+    val mi1 = Inference.mutualInfo(dep, "xc", "yc")
+      .agg(sum("mi_part")).collect().head.getDouble(0)
+    assert(math.abs(mi1 - math.log(2)) < 1e-6) // H(X) = ln 2 for the fair binary
+  }
+
+  test("pagerank: ranks sum to 1 and symmetry gives equal ranks") {
+    // triangle graph — perfectly symmetric, so pr = 1/3 for each node
+    // at every iteration
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val pr = Graph.pageRank(Graph.symmetrize(pairs), iters = 3).collect()
+    assert(pr.forall(r => math.abs(r.getAs[Double]("pr") - 1.0 / 3) < 1e-6))
+    // star graph: center out-ranks leaves, total mass ≈ 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    val ranks = Graph.pageRank(Graph.symmetrize(star), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(0L) > ranks(1L))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-3)
+  }
+
+  test("seasonal naive: lag-4 forecast and exact MAE") {
+    // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
+    val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
+    val rows = Forecast.seasonalNaive(df, Seq("k"), col("period"), col("y"), 4)
+      .orderBy("period").collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[Long]("abs_err") === 4L))
+    val bt = Forecast.seasonalNaiveBacktest(df, Seq("k"), col("period"), col("y"), 4)
+      .collect().head
+    assert(bt.getAs[Long]("n_eval") === 4L && bt.getAs[Double]("mae") === 4.0)
+  }
+}
