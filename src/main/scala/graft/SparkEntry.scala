@@ -2586,6 +2586,38 @@ object SparkEntry {
         .agg(sum(floor(col("o_totalprice"))).as("y"))
       Forecast.seasonalNaiveBacktest(q, Seq("o_orderpriority"), col("period"), col("y"), season = 4)
         .orderBy("o_orderpriority")
+    }),
+
+    // BPE merge-candidate mining — the corpus-scale step of tokenizer
+    // training. The corpus collapses to the distinct-word table BEFORE
+    // any character work, so the pair explode runs over |vocab| short
+    // strings, not over tokens (Corpus scaladoc). Counts exact.
+    "q_bpe_merges" -> ((s, dir) => {
+      Corpus.bpeMergeCandidates(spread(t(s, dir, "documents")), topK = 20)
+        .orderBy(desc("n_pair"), asc("pair"))
+    }),
+
+    // two-sample KS drift test between the user_id%2 arms on the
+    // cent-quantized value: counts collapse to the quantized grid, so
+    // the global CDF window runs over grid cells, not rows (Inference
+    // scaladoc) — the binning-free complement to q_psi_drift, with a
+    // significance threshold.
+    "q_ks_test" -> ((s, dir) => {
+      Inference.ksTest(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("n0")
+    }),
+
+    // cross-source duplicate overlap matrix on a 20-char-prefix
+    // fingerprint (the coarse granularity that actually surfaces
+    // mirroring in this corpus — exact normalized fingerprints are
+    // disjoint across sources here, and a 0-row audit gates nothing).
+    // Pair fan-out per fingerprint is bounded by the SOURCE count, so
+    // no bucket cap is needed (Dedup.sourceOverlap scaladoc).
+    "q_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlap(spread(t(s, dir, "documents")),
+          fp = md5(substring(col("text"), 1, 20)))
+        .orderBy("source1", "source2")
     })
   )
 
@@ -4900,7 +4932,59 @@ object SparkEntry {
           |                      THEN CAST(abs(y - forecast) AS DOUBLE) / CAST(abs(y) AS DOUBLE) * 100
           |                 END), 6) AS mape_pct
           |FROM f WHERE forecast IS NOT NULL
-          |GROUP BY 1 ORDER BY 1""".stripMargin
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_bpe_merges" ->
+        s"""WITH wc AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest($sqlTokens) AS w FROM documents)
+           |  GROUP BY 1 HAVING length(w) >= 2),
+           |pairs AS (
+           |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair, n
+           |  FROM wc)
+           |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair
+           |FROM pairs GROUP BY 1
+           |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+      "q_ks_test" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS v
+          |  FROM events),
+          |cells AS (
+          |  SELECT v,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          |  FROM e GROUP BY 1),
+          |cdf AS (
+          |  SELECT CAST(sum(c0) OVER wv AS DOUBLE) / CAST(sum(c0) OVER () AS DOUBLE)
+          |           - CAST(sum(c1) OVER wv AS DOUBLE) / CAST(sum(c1) OVER () AS DOUBLE) AS gap,
+          |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+          |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+          |  FROM cells
+          |  WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |k AS (
+          |  SELECT n0, n1, round(max(abs(gap)), 6) AS ks_stat
+          |  FROM cdf GROUP BY 1, 2)
+          |SELECT n0, n1, ks_stat,
+          |       round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE)), 6) AS crit_05,
+          |       ks_stat > round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE)), 6) AS reject_05
+          |FROM k ORDER BY n0""".stripMargin,
+
+      "q_source_overlap" ->
+        """WITH sf AS (
+          |  SELECT DISTINCT source AS src, md5(substring(text, 1, 20)) AS fp
+          |  FROM documents),
+          |ps AS (SELECT src, count(*) AS n_fp FROM sf GROUP BY 1),
+          |ov AS (
+          |  SELECT a.src AS source1, b.src AS source2, count(*) AS n_shared
+          |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.src < b.src
+          |  GROUP BY 1, 2)
+          |SELECT source1, source2, n_shared, p1.n_fp AS n1, p2.n_fp AS n2,
+          |       round(CAST(n_shared AS DOUBLE) / CAST(p1.n_fp + p2.n_fp - n_shared AS DOUBLE), 6) AS jaccard
+          |FROM ov JOIN ps p1 ON p1.src = ov.source1
+          |        JOIN ps p2 ON p2.src = ov.source2
+          |ORDER BY source1, source2""".stripMargin
     )
   }
 }

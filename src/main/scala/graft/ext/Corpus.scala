@@ -237,4 +237,30 @@ object Corpus {
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("_in").isNull, 1)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+
+  /** BPE merge-candidate mining: adjacent character-pair frequencies
+    * over the corpus, weighted by word frequency — the corpus-scale
+    * primitive inside byte-pair-encoding tokenizer training. (The BPE
+    * training LOOP — apply top merge, recount — is a driver iteration
+    * over this primitive on an ever-smaller word table; the expensive
+    * distributed step is this first full-corpus count.)
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD table
+    * before any character work (one map-side-combined count — shuffle
+    * bounded by vocabulary, not tokens), so the character-pair explode
+    * runs over |vocab| short strings, and the final aggregate is over
+    * the tiny symbol-pair grid. All counts exact longs.
+    */
+  def bpeMergeCandidates(docs: DataFrame, topK: Int,
+                         textCol: String = "text"): DataFrame = {
+    val wc = docs.select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+    wc
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("n").as("n_pair"))
+      .orderBy(desc("n_pair"), asc("pair"))
+      .limit(topK)
+  }
 }

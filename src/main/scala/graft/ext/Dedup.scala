@@ -102,6 +102,40 @@ object Dedup {
   def normalizedFingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Cross-source duplicate overlap matrix: for every source pair, how
+    * many distinct fingerprints they share, each side's distinct
+    * fingerprint count, and the Jaccard of the two fingerprint sets —
+    * the dedup-audit readout that tells a corpus owner WHICH feeds
+    * duplicate each other (mirror crawls, re-posts) before any
+    * row-level dedup runs. The caller picks the fingerprint
+    * granularity (exact [[normalizedFingerprint]], a prefix hash, a
+    * shingle min-hash) — coarser fingerprints surface near-miss
+    * mirroring that exact hashing misses.
+    *
+    * Scale shape: the corpus collapses to distinct (source,
+    * fingerprint) — one map-side-combined aggregate — and the pair
+    * fan-out per fingerprint is bounded by the SOURCE count (a handful),
+    * not by how many documents share the fingerprint, so no bucket cap
+    * is needed: k sources sharing a fingerprint contribute k·(k−1)/2
+    * pairs, full stop. Counts exact; one division for the Jaccard.
+    */
+  def sourceOverlap(docs: DataFrame, fp: Column,
+                    sourceCol: String = "source"): DataFrame = {
+    val sf = docs
+      .select(col(sourceCol).as("src"), fp.as("fp"))
+      .distinct()
+    val perSource = sf.groupBy("src").agg(count(lit(1)).as("n_fp"))
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source1"), col("b.src").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(col("src").as("source1"), col("n_fp").as("n1"))), "source1")
+      .join(broadcast(perSource.select(col("src").as("source2"), col("n_fp").as("n2"))), "source2")
+      .select(col("source1"), col("source2"), col("n_shared"), col("n1"), col("n2"),
+        round(col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures: `k` columns `mh0..mh{k-1}`, each the min over
     * the doc's distinct `n`-gram shingles of an independent hash.
     * One explode + one hash-aggregate. Docs with fewer than `n` tokens

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Closed-form statistical inference over groups: Welch's two-sample
@@ -87,6 +88,43 @@ object Inference {
       round(col("sy").cast("double") / n - (covN / varXN) * col("sx").cast("double") / n, 6)
         .as("intercept"),
       round(covN * covN / (varXN * varYN), 6).as("r2")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between arms 0 and 1 of an
+    * integral (caller-quantized) measure: D = max |F0(v) − F1(v)|, with
+    * the 5%-level critical value 1.358·√((n0+n1)/(n0·n1)) and the
+    * reject flag.
+    *
+    * Scale shape: counts collapse to the DISTINCT quantized value grid
+    * first (map-side combined), so the one unavoidable ordered pass —
+    * a global cumulative window, the CDF — runs over grid cells, not
+    * rows. Quantization is therefore not just the determinism trick
+    * (exact longs; the per-cell CDF gap is a pair of IEEE divisions)
+    * but the scale bound: pick the grid so |grid| is thousands, and a
+    * 100-TB measure costs one scan + one tiny sorted pass. Complements
+    * [[graft.ext.ScaleOps]]' PSI drift gate: KS is binning-free on the
+    * quantized scale and carries a significance threshold.
+    */
+  def ksTest(df: DataFrame, arm: Column, x: Column): DataFrame = {
+    val cells = df.select(arm.cast("int").as("arm"), x.cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("c0"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("c1"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n0 = sum("c0").over(Window.partitionBy())
+    val n1 = sum("c1").over(Window.partitionBy())
+    cells
+      .select(
+        (sum("c0").over(w).cast("double") / n0.cast("double") -
+          sum("c1").over(w).cast("double") / n1.cast("double")).as("gap"),
+        n0.as("n0"), n1.as("n1"))
+      .groupBy("n0", "n1")
+      .agg(round(max(abs(col("gap"))), 6).as("ks_stat"))
+      .withColumn("crit_05",
+        round(lit(1.358) * sqrt((col("n0") + col("n1")).cast("double") /
+          (col("n0") * col("n1")).cast("double")), 6))
+      .withColumn("reject_05", col("ks_stat") > col("crit_05"))
   }
 
   /** Mutual information I(X;Y) in nats between two categorical columns,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Affinity, Forecast, Graph, Inference, Sessionize}
+import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Sessionize}
 
 /** Specs for the round-4 mining/inference operators: gaps-and-islands,
   * association rules / PMI, Welch t, linear fit, mutual information,
@@ -105,6 +105,40 @@ class MiningSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks(0L) > ranks(1L))
     assert(math.abs(ranks.values.sum - 1.0) < 1e-3)
+  }
+
+  test("bpe merges: pair counts weighted by word frequency; 1-char words skipped") {
+    // "abab abab ab c" → words: abab ×2, ab ×1, c (skipped).
+    // pairs: abab → ab,ba,ab (×2 each occurrence), ab → ab.
+    // ab: 2·2+1 = 5, ba: 2
+    val df = Seq("abab abab ab c").toDF("text")
+    val out = Corpus.bpeMergeCandidates(df, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 5L, "ba" -> 2L))
+  }
+
+  test("ks test: identical arms give D=0; disjoint arms give D=1") {
+    val same = Seq((0, 1L), (1, 1L), (0, 2L), (1, 2L)).toDF("arm", "v")
+    val r0 = Inference.ksTest(same, col("arm"), col("v")).collect().head
+    assert(r0.getAs[Double]("ks_stat") === 0.0)
+    assert(!r0.getAs[Boolean]("reject_05"))
+    val disj = Seq((0, 1L), (0, 2L), (1, 10L), (1, 11L)).toDF("arm", "v")
+    val r1 = Inference.ksTest(disj, col("arm"), col("v")).collect().head
+    assert(r1.getAs[Double]("ks_stat") === 1.0)
+  }
+
+  test("source overlap: shared fingerprints counted once; jaccard exact") {
+    // s1 = {A,B,C}, s2 = {B,C,D}, s3 = {E}: s1∩s2 = 2, J = 2/4
+    val df = Seq(("s1", "A"), ("s1", "B"), ("s1", "C"), ("s2", "B"),
+        ("s2", "C"), ("s2", "D"), ("s2", "D"), ("s3", "E"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, fp = col("text")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source1") === "s1" && r.getAs[String]("source2") === "s2")
+    assert(r.getAs[Long]("n_shared") === 2L && r.getAs[Long]("n1") === 3L &&
+      r.getAs[Long]("n2") === 3L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
   }
 
   test("seasonal naive: lag-4 forecast and exact MAE") {
