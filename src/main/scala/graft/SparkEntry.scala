@@ -2618,6 +2618,37 @@ object SparkEntry {
       Dedup.sourceOverlap(spread(t(s, dir, "documents")),
           fp = md5(substring(col("text"), 1, 20)))
         .orderBy("source1", "source2")
+    }),
+
+    // DataSource V2 fixed-width scan end-to-end: materialize a
+    // deterministic fixed-width extract of lineitem, read it back
+    // through graft-fixedwidth with maxSplitBytes forcing ~500
+    // record-aligned byte-range splits (the 100-TB planning path), and
+    // aggregate. Round-trip parity with the oracle on the original
+    // table proves offset math, charset decode, and trim; pruning is
+    // plan-asserted in FixedWidthSourceSpec.
+    "q_dsv2_scan" -> ((s, dir) => {
+      val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_${math.abs(dir.hashCode)}"
+      t(s, dir, "lineitem")
+        .select(concat(
+          rpad(col("l_orderkey").cast("string"), 12, " "),
+          rpad(col("l_partkey").cast("string"), 12, " "),
+          rpad(floor(col("l_quantity")).cast("string"), 8, " "),
+          rpad(col("l_returnflag"), 4, " "),
+          rpad(date_format(col("l_shipdate"), "yyyy-MM-dd"), 12, " ")).as("value"))
+        .coalesce(2)
+        .write.mode("overwrite").text(fwDir)
+      s.read.format("graft-fixedwidth")
+        .option("layout", "okey:1:12,pkey:13:12,qty:25:8,rflag:33:4,sdate:37:12")
+        .option("recordLength", 48)
+        .option("maxSplitBytes", 1 << 16)
+        .load(fwDir)
+        .groupBy(col("rflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("try_cast(qty AS BIGINT)")).as("sum_qty"),
+          min(col("sdate")).as("min_sdate"),
+          countDistinct(col("okey")).as("n_orders"))
+        .orderBy("rflag")
     })
   )
 
@@ -4984,7 +5015,17 @@ object SparkEntry {
           |       round(CAST(n_shared AS DOUBLE) / CAST(p1.n_fp + p2.n_fp - n_shared AS DOUBLE), 6) AS jaccard
           |FROM ov JOIN ps p1 ON p1.src = ov.source1
           |        JOIN ps p2 ON p2.src = ov.source2
-          |ORDER BY source1, source2""".stripMargin
+          |ORDER BY source1, source2""".stripMargin,
+
+      // the DSv2 round-trip reproduces lineitem exactly, so the oracle
+      // aggregates the original table directly
+      "q_dsv2_scan" ->
+        """SELECT l_returnflag AS rflag,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       strftime(min(l_shipdate), '%Y-%m-%d') AS min_sdate,
+          |       count(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }
