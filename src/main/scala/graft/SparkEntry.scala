@@ -2620,6 +2620,54 @@ object SparkEntry {
         .orderBy("source1", "source2")
     }),
 
+    // Johnson–Lindenstrauss random projection 64→8: per-vector
+    // compressed components (bit-reproducible native-kernel dots ×
+    // 1/√8) plus the norm-distortion ratio the JL lemma bounds — the
+    // cheap first stage before clustering/bucketing at 100 TB. Narrow,
+    // zero-shuffle; planes are plan literals.
+    "q_random_projection" -> ((s, dir) => {
+      val planes = Similarity.defaultPlanes(dim = 64, nPlanes = 8, seed = 7L)
+      val e = spread(t(s, dir, "embeddings"))
+        .withColumn("proj", Similarity.projectRandom(col("embedding"), planes))
+        .withColumn("nrm",
+          round(sqrt(Similarity.dotNative(col("embedding"), col("embedding"))), 6))
+      val pCols = (0 until planes.size).map(i =>
+        round(element_at(col("proj"), i + 1), 6).as(s"p$i"))
+      val withP = e.select(col("vec_id") +: col("nrm") +: pCols: _*)
+      val projNormSq = (0 until planes.size).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _)
+      withP.select(col("vec_id") +: (0 until planes.size).map(i => col(s"p$i")) :+
+          when(col("nrm") === 0.0, lit(null))
+            .otherwise(round(sqrt(projNormSq) / col("nrm"), 6)).as("distortion"): _*)
+        .orderBy("vec_id")
+    }),
+
+    // positional inverted index over documents: per term, df/cf and the
+    // by-doc_id posting list with 0-based token positions. The df band
+    // [5, 1000] is the hapax floor + stopword cap applied BEFORE
+    // posting assembly (TextStats.invertedIndex scaladoc). Postings
+    // serialize to JSON so the gate compares a flat string, not
+    // engine-specific nested reprs.
+    "q_inverted_index" -> ((s, dir) => {
+      TextStats.invertedIndex(spread(t(s, dir, "documents")), minDf = 5L, maxDf = 1000L)
+        .select(col("term"), col("df"), col("cf"),
+          to_json(col("postings")).as("postings"))
+        .orderBy("term")
+    }),
+
+    // last-touch attribution: purchases credited to the latest
+    // strictly-earlier view/click of the same user, else 'direct'.
+    // RANGE-to-(-1) frame on integral micros makes the answer
+    // independent of equal-ts tie order (Affinity scaladoc).
+    "q_attribution" -> ((s, dir) => {
+      Affinity.lastTouchAttribution(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          key = col("user_id"), tsInt = unix_micros(col("ts")),
+          channel = col("event_type"),
+          isConversion = col("event_type") === "purchase",
+          isTouch = col("event_type").isin("view", "click"))
+        .orderBy("channel")
+    }),
+
     // DataSource V2 fixed-width scan end-to-end: materialize a
     // deterministic fixed-width extract of lineitem, read it back
     // through graft-fixedwidth with maxSplitBytes forcing ~500
@@ -5016,6 +5064,59 @@ object SparkEntry {
           |FROM ov JOIN ps p1 ON p1.src = ov.source1
           |        JOIN ps p2 ON p2.src = ov.source2
           |ORDER BY source1, source2""".stripMargin,
+
+      "q_random_projection" -> {
+        val planes = Similarity.defaultPlanes(dim = 64, nPlanes = 8, seed = 7L)
+        val inv = 1.0 / math.sqrt(8.0)
+        val pDefs = planes.zipWithIndex.map { case (pl, i) =>
+          s"round((${sqlPlaneDot(pl, "embedding")}) * $inv, 6) AS p$i"
+        }.mkString(",\n         ")
+        val pNames = (0 until 8).map(i => s"p$i").mkString(", ")
+        val sumSq = (0 until 8).map(i => s"p$i * p$i").reduce((a, b) => s"$a + $b")
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+           |                                       CAST(embedding AS DOUBLE[]))), 6) AS nrm,
+           |         $pDefs
+           |  FROM embeddings)
+           |SELECT vec_id, $pNames,
+           |       CASE WHEN nrm = 0.0 THEN NULL
+           |            ELSE round(sqrt($sumSq) / nrm, 6) END AS distortion
+           |FROM v ORDER BY vec_id""".stripMargin
+      },
+
+      "q_inverted_index" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |p AS (
+           |  SELECT doc_id, unnest([{'term': l[i], 'pos': i - 1} for i in range(1, len(l) + 1)]) AS u
+           |  FROM toks),
+           |pd AS (
+           |  SELECT u.term AS term, doc_id, count(*) AS tf,
+           |         list(u.pos ORDER BY u.pos) AS positions
+           |  FROM p GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           |         to_json(list({'doc_id': doc_id, 'tf': tf, 'positions': positions}
+           |                      ORDER BY doc_id)) AS postings
+           |  FROM pd GROUP BY 1)
+           |SELECT term, df, cf, postings FROM idx
+           |WHERE df BETWEEN 5 AND 1000 ORDER BY term""".stripMargin,
+
+      "q_attribution" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS t, event_type AS ch,
+          |         event_type = 'purchase' AS conv,
+          |         event_type IN ('view', 'click') AS touch
+          |  FROM events),
+          |a AS (
+          |  SELECT conv,
+          |         max(CASE WHEN touch THEN {'t': t, 'ch': ch} END)
+          |           OVER (PARTITION BY user_id ORDER BY t
+          |                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+          |  FROM e)
+          |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
+          |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the DSv2 round-trip reproduces lineitem exactly, so the oracle
       // aggregates the original table directly

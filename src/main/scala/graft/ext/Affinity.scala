@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Within-basket co-occurrence mining: association rules
@@ -103,5 +104,37 @@ object Affinity {
         col("n_pair"), col("n1"), col("n2"),
         round(log(col("n_pair").cast("double") * col("n_docs").cast("double") /
           (col("n1") * col("n2")).cast("double")), 6).as("pmi"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * latest STRICTLY-EARLIER touch event of the same key (the
+    * marketing-funnel readout; conversions with no prior touch fall in
+    * the `direct` bucket).
+    *
+    * Determinism is designed in, not assumed: the carried touch is
+    * `max(struct(ts, channel))` over a RANGE frame ending at
+    * `1 preceding` on the integral event time — a frame that contains
+    * exactly the strictly-earlier rows REGARDLESS of how equal-ts rows
+    * are ordered within a partition, where a ROWS frame would make the
+    * answer depend on tie order. Equal-ts touches tie-break to the max
+    * channel string (struct comparison), the same rule any engine
+    * applies to the same struct.
+    *
+    * Scale shape: one hash exchange on the key, one per-key sort —
+    * the window and the final aggregate share nothing worse; keys are
+    * high-cardinality users, so reducers spread. Counts exact.
+    */
+  def lastTouchAttribution(df: DataFrame, key: Column, tsInt: Column,
+                           channel: Column, isConversion: Column,
+                           isTouch: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.select(key.as("k"), tsInt.as("t"), channel.as("ch"),
+        isConversion.as("conv"), isTouch.as("touch"))
+      .withColumn("attr",
+        max(when(col("touch"), struct(col("t"), col("ch")))).over(w))
+      .filter(col("conv"))
+      .groupBy(coalesce(col("attr.ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
   }
 }

@@ -114,6 +114,25 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss random projection: compress a `dim`-vector
+    * to `planes.size` components, each the dot with a fixed seeded
+    * Gaussian plane scaled by 1/√k — the JL scaling that makes the
+    * projection an unbiased estimator of the original norms, so
+    * pairwise distances survive within (1±ε) w.h.p. for
+    * k ≈ 8·ln(n)/ε². The cheap first stage of a 100-TB embedding
+    * pipeline: cluster / bucket / near-dup in the compressed space,
+    * re-verify survivors against full vectors.
+    *
+    * Scale shape: a narrow per-row map of k native-kernel dots
+    * ([[planeDot]] — strict left-assoc IEEE, so every component is
+    * bit-reproducible cross-engine); planes are literals compiled into
+    * the plan, never a join or broadcast. No shuffle.
+    */
+  def projectRandom(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val inv = 1.0 / math.sqrt(planes.size.toDouble)
+    array(planes.map(pl => planeDot(vec, pl) * lit(inv)): _*)
+  }
+
   /** Plane count sized to the corpus: ⌈log2(n / targetBucketSize)⌉
     * hyperplanes put the EXPECTED bucket population at
     * ~targetBucketSize, so a bucketed self-join's pair cost stays

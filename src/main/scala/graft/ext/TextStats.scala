@@ -250,4 +250,39 @@ object TextStats {
         (lit(1.0) / (lit(1.0) +
           exp(-lit(temperature) * coalesce(col("mean_w"), lit(0.0))))).as("score"))
   }
+
+  /** Positional inverted index build — the retrieval-engine artifact:
+    * per term, document frequency, collection frequency, and the
+    * posting list `[(doc_id, tf, positions)]` sorted by doc_id, with
+    * 0-based token positions (what a phrase/proximity query consumes).
+    *
+    * Scale shape: the classic two-stage MapReduce index build as two
+    * hash aggregates that SHARE the `term` shuffle key — positions
+    * collapse to per-(term,doc) rows in the first (map-side-combined)
+    * aggregate, so the second groups df-many rows per term, never
+    * tokens. Determinism: `sort_array` pins both the position order
+    * and the by-doc_id posting order, so the assembled lists are
+    * identical however partitions arrive. The scale lever is
+    * `maxDf`: terms above it (stopwords) are dropped AFTER the cheap
+    * per-(term,doc) stage — a stopword's postings never assemble into
+    * one row, which is exactly the list that would not fit anywhere.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1L, maxDf: Long = Long.MaxValue,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+    val kept = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    // df-filter BEFORE assembly: both consumers of perDoc hash by
+    // `term`, so the join is co-partitioned (the perDoc exchange is
+    // reused), and an out-of-bounds term's postings never concatenate
+    perDoc.join(kept, "term")
+      .groupBy("term", "df", "cf")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"), col("positions"))))
+        .as("postings"))
+      .select("term", "df", "cf", "postings")
+  }
 }

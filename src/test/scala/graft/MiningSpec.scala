@@ -141,6 +141,48 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") === 0.5)
   }
 
+  test("random projection: JL scaling preserves the norm of a plane-aligned vector") {
+    import graft.ext.Similarity
+    // one plane = e0: projection of x keeps exactly x(0)/√1, so the
+    // scaled projected norm of (5,0,...) is 5 — zero distortion
+    val planes = Seq(Seq(1.0, 0.0, 0.0, 0.0))
+    val df = Seq(Tuple1(Array(5.0f, 0.0f, 0.0f, 0.0f))).toDF("v")
+    val p = df.select(Similarity.projectRandom(col("v"), planes).as("proj"))
+      .selectExpr("proj[0] AS p0").collect().head.getDouble(0)
+    assert(p === 5.0)
+  }
+
+  test("inverted index: positions 0-based and sorted; df band drops terms before assembly") {
+    import graft.ext.TextStats
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "b")).toDF("doc_id", "text")
+    val all = TextStats.invertedIndex(df).orderBy("term").collect()
+    val byTerm = all.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getSeq[Row](3))).toMap
+    assert(byTerm("a")._1 === 1L && byTerm("a")._2 === 2L)
+    val aPost = byTerm("a")._3.head
+    assert(aPost.getLong(0) === 1L && aPost.getLong(1) === 2L)
+    assert(aPost.getSeq[Int](2) === Seq(0, 2)) // 0-based, sorted
+    assert(byTerm("b")._1 === 3L)
+    // stopword cap: b (df=3) assembles no postings row
+    val capped = TextStats.invertedIndex(df, maxDf = 2L).collect().map(_.getString(0))
+    assert(capped.toSet === Set("a", "c"))
+  }
+
+  test("attribution: strictly-earlier touch wins; equal-ts touch is NOT credited") {
+    import graft.ext.Affinity
+    // user 1: view@1, click@5, purchase@9  -> click
+    // user 2: purchase@3 with view@3 (equal ts)  -> direct (strictly earlier only)
+    // user 3: purchase@2, view@4 (touch after)   -> direct
+    val df = Seq((1L, 1L, "view"), (1L, 5L, "click"), (1L, 9L, "purchase"),
+        (2L, 3L, "view"), (2L, 3L, "purchase"), (3L, 2L, "purchase"), (3L, 4L, "view"))
+      .toDF("u", "t", "et")
+    val out = Affinity.lastTouchAttribution(df, col("u"), col("t"), col("et"),
+        isConversion = col("et") === "purchase",
+        isTouch = col("et").isin("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("click" -> 1L, "direct" -> 2L))
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
