@@ -322,23 +322,21 @@ object ScaleOps {
     * themselves the way they inflate a stddev — the standard
     * data-quality screen before training on numeric features.
     *
-    * Plan: median and MAD are two grouped EXACT percentiles with the
-    * data↔aggregate joins co-partitioned on the group keys (one hash
-    * partitioning reused throughout). Exact `percentile` buffers per
-    * group — right while groups are few/modest (the profiler use
-    * case); swap `percentile` for `approx_percentile` past that (see
-    * `Quantiles`). Every comparison is on unrounded doubles computed
-    * by the identical operation tree cross-engine; only the REPORTED
-    * med/mad round.
+    * Plan: median and MAD come from [[Quantiles.exactQuantiles]] — the
+    * rank-based two-pass form whose shuffle is bounded by DISTINCT
+    * values and whose per-row state is O(1), bit-equal to Spark's
+    * exact `percentile` but without its per-group value map (the OOM
+    * at datalake scale). The data↔aggregate joins are co-partitioned
+    * on the group keys. Every comparison is on unrounded doubles
+    * computed by the identical operation tree cross-engine; only the
+    * REPORTED med/mad round.
     */
   def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
                      zCut: Double = 3.0): DataFrame = {
-    val med = df.groupBy(keys.map(col): _*)
-      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("_med"))
+    val med = Quantiles.exactQuantiles(df, valueCol, keys, Seq(0.5), Seq("_med"))
     val dev = df.join(med, keys)
       .withColumn("_adev", abs(col(valueCol) - col("_med")))
-    val mad = dev.groupBy(keys.map(col): _*)
-      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+    val mad = Quantiles.exactQuantiles(dev, "_adev", keys, Seq(0.5), Seq("_mad"))
     dev.join(mad, keys)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
