@@ -42,7 +42,11 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_winsorize",        // percentile bounds + clamp
     "q_standardize",      // double->long power-sum casts
     "q_tpch_q18ish",      // long quantity casts + date format
-    "q_simhash_dedup")    // shift/mask/xor bit tower
+    "q_simhash_dedup",    // shift/mask/xor bit tower
+    "q_dsv2_scan",        // rpad-formatted write + try_cast decode roundtrip
+    "q_ks_test",          // int/long arm + floor-quantized value casts
+    "q_attribution",      // unix_micros + struct-max carry
+    "q_random_projection") // element_at + double kernel products
 
   test("cast-heavy queries run under ANSI mode") {
     val ansi = spark.newSession()
