@@ -2668,6 +2668,31 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // linear multi-touch attribution: every view/click in the 1-hour
+    // lookback before a purchase shares the credit equally — credit
+    // summed as exact integer parts-per-billion, so the total is
+    // partition-order independent (Affinity scaladoc). 'direct' holds
+    // conversions with no in-window touch.
+    "q_attribution_linear" -> ((s, dir) => {
+      Affinity.linearAttribution(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          key = col("user_id"), tsInt = unix_micros(col("ts")),
+          channel = col("event_type"),
+          isConversion = col("event_type") === "purchase",
+          isTouch = col("event_type").isin("view", "click"),
+          windowT = 3600L * 1000000L)
+        .orderBy("channel")
+    }),
+
+    // WOE / information-value screen of the decade-binned event value
+    // against the user-parity label: one contingency pass, exact
+    // counts, fixed float tower (Inference.woeIv scaladoc).
+    "q_woe_iv" -> ((s, dir) => {
+      Inference.woeIv(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          bin = floor(col("value") / 10), label = col("user_id") % 2 === 1)
+        .orderBy("bin")
+    }),
+
     // DataSource V2 fixed-width scan end-to-end: materialize a
     // deterministic fixed-width extract of lineitem, read it back
     // through graft-fixedwidth with maxSplitBytes forcing ~500
@@ -5117,6 +5142,49 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_attribution_linear" ->
+        """WITH e AS (
+          |  SELECT user_id AS k, epoch_us(ts) AS t, event_type AS ch,
+          |         event_type = 'purchase' AS conv,
+          |         event_type IN ('view', 'click') AS touch
+          |  FROM events),
+          |c AS (SELECT k, t AS ct FROM e WHERE conv),
+          |tt AS (SELECT k, t AS tt, ch FROM e WHERE touch),
+          |cr AS (
+          |  SELECT c.k, c.ct, tt.ch FROM c JOIN tt
+          |    ON c.k = tt.k AND tt.tt < c.ct AND c.ct - tt.tt <= 3600000000),
+          |pc AS (SELECT k, ct, count(*) AS n FROM cr GROUP BY 1, 2),
+          |by_ch AS (
+          |  SELECT cr.ch, CAST(sum(1000000000 // pc.n) AS BIGINT) AS credit_ppb,
+          |         count(*) AS n_touches
+          |  FROM cr JOIN pc ON cr.k = pc.k AND cr.ct = pc.ct
+          |  GROUP BY 1),
+          |direct AS (
+          |  SELECT 'direct' AS ch,
+          |         CAST(count(*) * 1000000000 AS BIGINT) AS credit_ppb,
+          |         CAST(0 AS BIGINT) AS n_touches
+          |  FROM c WHERE NOT EXISTS (
+          |    SELECT 1 FROM cr WHERE cr.k = c.k AND cr.ct = c.ct)
+          |  HAVING count(*) > 0),
+          |u AS (SELECT * FROM by_ch UNION ALL SELECT * FROM direct)
+          |SELECT ch AS channel,
+          |       round(CAST(credit_ppb AS DOUBLE) / 1e9, 6) AS credit,
+          |       n_touches
+          |FROM u ORDER BY channel""".stripMargin,
+
+      "q_woe_iv" ->
+        """WITH c AS (
+          |  SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+          |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g,
+          |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+          |  FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt FROM c)
+          |SELECT bin, g, b,
+          |       round(ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS woe,
+          |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
+          |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
+          |FROM c, t ORDER BY bin""".stripMargin,
 
       // the DSv2 round-trip reproduces lineitem exactly, so the oracle
       // aggregates the original table directly

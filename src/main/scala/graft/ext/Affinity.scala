@@ -137,4 +137,50 @@ object Affinity {
       .groupBy(coalesce(col("attr.ch"), lit("direct")).as("channel"))
       .agg(count(lit(1)).as("n_conversions"))
   }
+
+  /** Linear (equal-credit) multi-touch attribution: each conversion
+    * splits one unit of credit equally over ALL its touches inside the
+    * lookback window `(conv − windowT, conv)`; conversions with no
+    * in-window touch credit `direct`.
+    *
+    * Credit is integer parts-per-billion (`1e9 / k`, floor), summed as
+    * exact longs — a float credit sum would be partition-order
+    * dependent, this one is associative by construction and the single
+    * float division happens once per output channel. The residue of
+    * the floor division stays un-attributed (≤ k−1 ppb per
+    * conversion); `n_touches` carries the exact contact count.
+    *
+    * Scale shape: the touch↔conversion join is keyed by the entity and
+    * time-bounded, so fan-out per conversion is its in-window touch
+    * count, never the user's history; both aggregates share the
+    * (key, conv-time) partitioning. The anti-join for `direct` reuses
+    * the credited pair frame.
+    */
+  def linearAttribution(df: DataFrame, key: Column, tsInt: Column,
+                        channel: Column, isConversion: Column,
+                        isTouch: Column, windowT: Long): DataFrame = {
+    val e = df.select(key.as("k"), tsInt.as("t"), channel.as("ch"),
+      isConversion.as("conv"), isTouch.as("touch"))
+    val convs = e.filter(col("conv")).select(col("k"), col("t").as("ct"))
+    val touches = e.filter(col("touch"))
+      .select(col("k"), col("t").as("tt"), col("ch"))
+    val credited = convs.join(touches, Seq("k"))
+      .filter(col("tt") < col("ct") && col("ct") - col("tt") <= lit(windowT))
+    val perConv = credited.groupBy("k", "ct").agg(count(lit(1)).as("n_touch"))
+    val byChannel = credited.join(perConv, Seq("k", "ct"))
+      .groupBy("ch")
+      .agg(sum(expr("1000000000 div n_touch")).as("credit_ppb"),
+        count(lit(1)).as("n_touches"))
+    val direct = convs
+      .join(credited.select("k", "ct").distinct(), Seq("k", "ct"), "left_anti")
+      .agg(count(lit(1)).as("n_direct"))
+      .select(lit("direct").as("ch"),
+        (col("n_direct") * lit(1000000000L)).as("credit_ppb"),
+        lit(0L).as("n_touches"))
+      .filter(col("credit_ppb") > 0)
+    byChannel.unionByName(direct)
+      .select(col("ch").as("channel"),
+        round(col("credit_ppb").cast("double") / 1e9, 6).as("credit"),
+        col("n_touches"))
+  }
 }

@@ -127,6 +127,35 @@ object Inference {
       .withColumn("reject_05", col("ks_stat") > col("crit_05"))
   }
 
+  /** Weight-of-evidence / information-value feature screen — the
+    * credit-scoring staple that ranks a binned feature's separation of
+    * a binary label: per bin, WOE = ln((g/G)/(b/B)) with a +0.5
+    * Laplace guard on the bin counts (so empty-side bins stay finite),
+    * and the bin's IV contribution (g/G − b/B)·WOE; Σ IV over bins is
+    * the feature's screening score (rule of thumb: < 0.02 useless,
+    * > 0.3 strong). The caller supplies the bin (quantile, equal-width,
+    * categorical — same contract as [[ksTest]]'s grid).
+    *
+    * Scale shape: ONE map-side-combined contingency pass (shuffle =
+    * bins, not rows); totals join back as a broadcast of one row. All
+    * counts exact; WOE/IV are a fixed tower of two divisions and one
+    * ln over identical integers cross-engine, rounded 1e-6.
+    */
+  def woeIv(df: DataFrame, bin: Column, label: Column): DataFrame = {
+    val counts = df
+      .select(bin.as("bin"), label.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("g"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum("g").as("g_tot"), sum("b").as("b_tot"))
+    val gShare = (col("g").cast("double") + lit(0.5)) / col("g_tot").cast("double")
+    val bShare = (col("b").cast("double") + lit(0.5)) / col("b_tot").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("g"), col("b"),
+        round(log(gShare / bShare), 6).as("woe"),
+        round((gShare - bShare) * log(gShare / bShare), 6).as("iv_part"))
+  }
+
   /** Mutual information I(X;Y) in nats between two categorical columns,
     * from one contingency-count pass: I = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))).
     * Output is the per-x partial contribution plus the cell count, so

@@ -183,6 +183,34 @@ class MiningSpec extends SparkSpec {
     assert(out === Map("click" -> 1L, "direct" -> 2L))
   }
 
+  test("linear attribution: equal ppb split inside window; out-of-window is direct") {
+    import graft.ext.Affinity
+    // user 1: view@10, click@20, purchase@30 (window 100) -> 1/2 each
+    // user 2: view@1, purchase@200 (window 100, touch too old) -> direct
+    val df = Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 1L, "view"), (2L, 200L, "purchase")).toDF("u", "t", "et")
+    val out = Affinity.linearAttribution(df, col("u"), col("t"), col("et"),
+        isConversion = col("et") === "purchase",
+        isTouch = col("et").isin("view", "click"), windowT = 100L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out === Map("view" -> (0.5, 1L), "click" -> (0.5, 1L), "direct" -> (1.0, 0L)))
+  }
+
+  test("woe/iv: perfectly separating bins get opposite-sign woe; counts exact") {
+    import graft.ext.Inference
+    // bin 0 all label-1 (3 rows), bin 1 all label-0 (3 rows)
+    val df = Seq((0L, true), (0L, true), (0L, true),
+        (1L, false), (1L, false), (1L, false)).toDF("bin", "y")
+    val rows = Inference.woeIv(df, col("bin"), col("y")).orderBy("bin").collect()
+    val woe0 = rows(0).getAs[Double]("woe")
+    val woe1 = rows(1).getAs[Double]("woe")
+    assert(rows(0).getAs[Long]("g") === 3L && rows(0).getAs[Long]("b") === 0L)
+    assert(woe0 > 0 && woe1 < 0)
+    // symmetric construction -> symmetric woe, both iv parts positive
+    assert(math.abs(woe0 + woe1) < 1e-9)
+    assert(rows.forall(_.getAs[Double]("iv_part") > 0))
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
