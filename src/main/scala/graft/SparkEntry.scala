@@ -2668,6 +2668,19 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // time-weighted average of the event value per user: each value
+    // holds until the user's next event; cent-scaled integers ×
+    // integral micro durations keep both sums exact longs, one final
+    // division (TimeFill.timeWeightedAvg scaladoc).
+    "q_twap" -> ((s, dir) => {
+      TimeFill.timeWeightedAvg(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          key = col("user_id"), tsInt = unix_micros(col("ts")),
+          valueInt = round(col("value") * 100), outScale = 100.0)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id")
+    }),
+
     // Fellegi–Sunter record linkage over (nation, segment)-blocked
     // customer pairs: two compared fields (name-suffix digit, balance
     // bucket), literal log-likelihood weights folded at plan time,
@@ -5168,6 +5181,23 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_twap" ->
+        """WITH e AS (
+          |  SELECT user_id AS k, epoch_us(ts) AS t,
+          |         CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events),
+          |l AS (
+          |  SELECT k, t, v, lead(t) OVER (PARTITION BY k ORDER BY t) AS tn
+          |  FROM e),
+          |a AS (
+          |  SELECT k, count(*) AS n_obs,
+          |         CAST(sum((tn - t) * v) AS BIGINT) AS vw,
+          |         CAST(sum(tn - t) AS BIGINT) AS dur
+          |  FROM l WHERE tn IS NOT NULL GROUP BY 1)
+          |SELECT k AS user_id, n_obs,
+          |       round(CAST(vw AS DOUBLE) / CAST(dur AS DOUBLE) / 100.0, 6) AS twap
+          |FROM a ORDER BY user_id""".stripMargin,
 
       "q_linkage" -> {
         def wa(m: Double, u: Double) = math.log(m / u)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,5 +109,41 @@ object TimeFill {
       .foldLeft(filled)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       .withColumn("is_filled", col("_obs").isNull)
       .drop("_obs")
+  }
+
+  /** Time-weighted average (TWAP): per key, each observation's value
+    * holds until the next observation, and the average weights each
+    * value by how long it held — the correct mean for irregularly
+    * sampled series, where the row-mean over-weights bursts. The last
+    * observation of a key has no holding interval and is excluded
+    * (callers wanting a closed window append a sentinel row at the
+    * window end).
+    *
+    * Exactness contract: `tsInt` is integral (e.g. epoch micros) and
+    * `valueInt` is the caller's fixed-point integer scaling of the
+    * measure, so every value×duration product and both sums are exact
+    * longs — partition-order independent — and the only float op is
+    * the final division. Callers must pre-aggregate equal-`tsInt`
+    * observations per key: with duplicate timestamps, WHICH duplicate
+    * receives the interval to the next distinct time is tie-order
+    * dependent.
+    *
+    * Scale shape: one hash exchange + per-key sort (the lead window),
+    * then a map-side-combined aggregate on the same key — reducers
+    * spread with key cardinality.
+    */
+  def timeWeightedAvg(df: DataFrame, key: Column, tsInt: Column,
+                      valueInt: Column, outScale: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("t")
+    df.select(key.as("k"), tsInt.cast("long").as("t"), valueInt.cast("long").as("v"))
+      .withColumn("_tn", lead("t", 1).over(w))
+      .filter(col("_tn").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_obs"),
+        sum((col("_tn") - col("t")) * col("v")).as("_vw"),
+        sum(col("_tn") - col("t")).as("_dur"))
+      .select(col("k"), col("n_obs"),
+        round(col("_vw").cast("double") / col("_dur").cast("double") / lit(outScale), 6)
+          .as("twap"))
   }
 }

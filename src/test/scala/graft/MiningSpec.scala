@@ -211,6 +211,28 @@ class MiningSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("iv_part") > 0))
   }
 
+  test("twap: holding durations weight values; last observation excluded") {
+    import graft.ext.TimeFill
+    // v=10 holds 1..5 (4 ticks), v=30 holds 5..9 (4): twap = 20
+    val df = Seq(("u", 1L, 10L), ("u", 5L, 30L), ("u", 9L, 99L)).toDF("k", "t", "v")
+    val r = TimeFill.timeWeightedAvg(df, col("k"), col("t"), col("v")).collect().head
+    assert(r.getAs[Long]("n_obs") === 2L)
+    assert(r.getAs[Double]("twap") === 20.0)
+  }
+
+  test("linkage score: agreement/disagreement weights sum in field-name order") {
+    import graft.ext.Dedup
+    val pairs = Seq(("x", "x", 1L, 1L), ("x", "y", 1L, 2L)).toDF("a_f", "b_f", "a_g", "b_g")
+    val out = Dedup.linkageScore(pairs,
+        Map("f" -> (0.9, 0.1), "g" -> (0.8, 0.2)), threshold = 2.0)
+      .orderBy(desc("score")).collect()
+    val full = math.log(0.9 / 0.1) + math.log(0.8 / 0.2)
+    assert(out(0).getAs[Double]("score") ===
+      BigDecimal(full).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getAs[Boolean]("is_link"))
+    assert(!out(1).getAs[Boolean]("is_link"))
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
