@@ -2668,6 +2668,18 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Kaplan–Meier survival (retention) curve over per-user lifetime
+    // days: entities collapse to the distinct-duration grid, the
+    // product-limit estimate runs as an ORDERED cumulative ln-sum —
+    // sequential, so bit-identical cross-engine (Inference scaladoc).
+    "q_survival" -> ((s, dir) => {
+      val life = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy("user_id")
+        .agg(floor((unix_micros(max("ts")) - unix_micros(min("ts"))) /
+          lit(86400000000L)).as("dur_days"))
+      Inference.kaplanMeier(life, col("dur_days")).orderBy("d")
+    }),
+
     // time-weighted average of the event value per user: each value
     // holds until the user's next event; cent-scaled integers ×
     // integral micro durations keep both sums exact longs, one final
@@ -5181,6 +5193,28 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_survival" ->
+        """WITH life AS (
+          |  SELECT user_id,
+          |         CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 86400000000) AS BIGINT) AS d
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT d, count(*) AS deaths FROM life GROUP BY 1),
+          |r AS (
+          |  SELECT d, deaths,
+          |         sum(deaths) OVER () - sum(deaths) OVER w + deaths AS n_risk
+          |  FROM g
+          |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |s AS (
+          |  SELECT d, n_risk, deaths,
+          |         CASE WHEN deaths = n_risk THEN 0.0
+          |              ELSE round(exp(sum(CASE WHEN deaths < n_risk
+          |                         THEN ln(1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+          |                   OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+          |         END AS survival
+          |  FROM r)
+          |SELECT d, CAST(n_risk AS BIGINT) AS n_risk, deaths, survival
+          |FROM s ORDER BY d""".stripMargin,
 
       "q_twap" ->
         """WITH e AS (

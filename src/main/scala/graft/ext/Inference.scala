@@ -127,6 +127,44 @@ object Inference {
       .withColumn("reject_05", col("ks_stat") > col("crit_05"))
   }
 
+  /** Kaplan–Meier survival curve over integral durations, all events
+    * observed (no censoring — the retention/churn readout: "what
+    * fraction of entities survive past duration d"). Per distinct
+    * duration: entities still at risk, deaths, and the product-limit
+    * estimate S(d) = Π_{d_i ≤ d} (1 − deaths_i / risk_i).
+    *
+    * Determinism without drift: the product is computed as
+    * exp(Σ ln(1 − d_i/n_i)) where the Σ is a CUMULATIVE window over
+    * durations sorted ascending — a sequential left-to-right float sum
+    * over the same ordered sequence in any engine, so the bits match
+    * cross-engine even though float addition is non-associative. Every
+    * ratio is one division of exact counts. S rounds at 1e-6.
+    *
+    * Scale shape: entities collapse to the distinct-duration grid
+    * first (one map-side-combined count), so the ordered pass — the
+    * same global-window shape as [[ksTest]]'s CDF — runs over grid
+    * cells, not entities. Pick the duration unit so the grid stays
+    * thousands of rows.
+    */
+  def kaplanMeier(df: DataFrame, duration: Column): DataFrame = {
+    val deaths = df.select(duration.cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("deaths"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sum("deaths").over(Window.partitionBy())
+    deaths
+      .withColumn("n_risk", total - sum("deaths").over(wCum) + col("deaths"))
+      // a row where every remaining entity dies (only possible at the
+      // final duration) zeroes the product: emit 0 explicitly instead
+      // of ln(0) — engines disagree on whether ln(0) is -inf or an error
+      .withColumn("_ln", when(col("deaths") < col("n_risk"), log(lit(1.0) -
+        col("deaths").cast("double") / col("n_risk").cast("double"))))
+      .withColumn("survival",
+        when(col("deaths") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum("_ln").over(wCum)), 6)))
+      .select("d", "n_risk", "deaths", "survival")
+  }
+
   /** Weight-of-evidence / information-value feature screen — the
     * credit-scoring staple that ranks a binned feature's separation of
     * a binary label: per bin, WOE = ln((g/G)/(b/B)) with a +0.5

@@ -233,6 +233,17 @@ class MiningSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("is_link"))
   }
 
+  test("kaplan-meier: textbook product-limit values; terminal row survives as exact 0") {
+    import graft.ext.Inference
+    // durations: 1, 2, 2, 4 → S(1)=3/4, S(2)=3/4·1/3=1/4, S(4)=0
+    val df = Seq(1L, 2L, 2L, 4L).toDF("dur")
+    val rows = Inference.kaplanMeier(df, col("dur")).orderBy("d").collect()
+    val s = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(s(1L) === ((4L, 1L, 0.75)))
+    assert(s(2L) === ((3L, 2L, 0.25)))
+    assert(s(4L) === ((1L, 1L, 0.0)))
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
