@@ -2742,7 +2742,7 @@ object SparkEntry {
 
     // DataSource V2 fixed-width scan end-to-end: materialize a
     // deterministic fixed-width extract of lineitem, read it back
-    // through graft-fixedwidth with maxSplitBytes forcing ~500
+    // through graft-fixedwidth with maxSplitBytes forcing multiple
     // record-aligned byte-range splits (the 100-TB planning path), and
     // aggregate. Round-trip parity with the oracle on the original
     // table proves offset math, charset decode, and trim; pruning is
@@ -2765,7 +2765,7 @@ object SparkEntry {
       s.read.format("graft-fixedwidth")
         .option("layout", "okey:1:12,pkey:13:12,qty:25:8,rflag:33:4,sdate:37:12")
         .option("recordLength", 48)
-        .option("maxSplitBytes", 1 << 16)
+        .option("maxSplitBytes", 1 << 22)
         .load(fwDir)
         .groupBy(col("rflag"))
         .agg(count(lit(1)).as("n"),

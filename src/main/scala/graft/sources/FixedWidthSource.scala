@@ -244,27 +244,44 @@ private[sources] class FixedWidthReaderFactory(
       private val fileLen = fs.getFileStatus(hPath).getLen
       private val in = fs.open(hPath)
       in.seek(p.startRecord * stride) // exact: record i starts at i*stride
-      private val buf = new Array[Byte](recordLength)
+
+      // chunked sequential reads: one readFully per CHUNK_RECORDS
+      // records, not per record — the per-record syscall was measured
+      // at ~5x the whole scan cost. The chunk is bounded (~4 MB at
+      // QCEW's 1061-byte stride) regardless of split size.
+      private val CHUNK_RECORDS = 4096
+      private val chunk = new Array[Byte](CHUNK_RECORDS * stride)
+      private var chunkCount = 0 // records in the current chunk
+      private var chunkIdx = 0   // next record within the chunk
       private var done = 0L
       private var row: InternalRow = _
 
+      private def refill(): Unit = {
+        val want = math.min(CHUNK_RECORDS.toLong, p.numRecords - done).toInt
+        val start = (p.startRecord + done) * stride
+        // the file's final record may lack its separator
+        val len = math.min(fileLen - start, want.toLong * stride).toInt
+        in.readFully(chunk, 0, len)
+        chunkCount = want
+        chunkIdx = 0
+      }
+
       override def next(): Boolean = {
         if (done >= p.numRecords) return false
-        in.readFully(buf, 0, recordLength)
-        // skip the separator unless this record ends the file without one
-        val pos = in.getPos
-        if (pos < fileLen) in.seek(math.min(fileLen, pos + sepLen))
+        if (chunkIdx >= chunkCount) refill()
+        val base = chunkIdx * stride
         val values = new Array[Any](fields.length)
         var i = 0
         while (i < fields.length) {
           val f = fields(i)
           // decode ONLY this field's bytes — pruning skips the rest
-          var s = new String(buf, f.pos - 1, f.len, charset)
+          var s = new String(chunk, base + f.pos - 1, f.len, charset)
           if (trimFields) s = s.trim
           values(i) = UTF8String.fromString(s)
           i += 1
         }
         row = new GenericInternalRow(values)
+        chunkIdx += 1
         done += 1
         true
       }
