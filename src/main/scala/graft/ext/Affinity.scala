@@ -43,13 +43,27 @@ object Affinity {
   /** Co-occurrence counts over ordered pairs (item1 < item2) of
     * frequent items. `freq` is broadcast — it is the pruned vocabulary,
     * small by construction — so the corpus-side table never shuffles
-    * for the pruning, only for the final pair aggregate.
+    * for the pruning.
+    *
+    * Pair generation collects each basket's (pruned, sorted) item set
+    * and expands pairs with a narrow array lambda — ONE basket-keyed
+    * shuffle, no self-join: the join form exchanges the membership
+    * table twice and shuffles again for the pair aggregate. Collecting
+    * a basket is safe exactly when pairing it is: pair output is
+    * quadratic in basket size either way, so a basket too large to
+    * collect was already too large to pair — prune harder (higher
+    * `minCount`), or cap basket size upstream, in both designs.
     */
   def pairCounts(bi: DataFrame, freq: DataFrame): DataFrame = {
     val kept = bi.join(broadcast(freq.select("item")), Seq("item"), "left_semi")
-    kept.as("a").join(kept.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+    kept.groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    named_struct('item1', x, 'item2', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.item1").as("item1"), col("p.item2").as("item2"))
       .agg(count(lit(1)).as("n_pair"))
   }
 
