@@ -2558,10 +2558,13 @@ object SparkEntry {
     // aggregate bounded by |E|, stacked into a single job — no
     // per-round driver actions (Graph scaladoc).
     "q_pagerank" -> ((s, dir) => {
+      // persist the edge list: every iteration re-reads it (contrib
+      // join + degree + node spine) — unpersisted, the bucketed
+      // near-dup self-join would replay once per reference
       val pairs = Similarity.embeddingNearDupPairs(
           spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
         .select("id1", "id2")
-      Graph.pageRank(Graph.symmetrize(pairs), iters = 3)
+      Graph.pageRank(Graph.symmetrize(pairs).persist(), iters = 3)
         .orderBy("id")
     }),
 
