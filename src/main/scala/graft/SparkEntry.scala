@@ -2671,6 +2671,39 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // temporal point-in-interval join: facts (purchases) look up the
+    // attribute that was valid AT the fact's timestamp in an SCD2
+    // dimension built from the same users' value-tier history — the
+    // temporal-warehouse join. Equi-join on the entity with a range
+    // residual; fan-out per fact is that user's version count.
+    "q_temporal_join" -> ((s, dir) => {
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+      val dim = ScaleOps.scd2(
+          ev.select(col("user_id"), col("ts"), floor(col("value") / 25).as("tier")),
+          key = "user_id", ord = "ts", attr = "tier").as("d")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")).as("f")
+      facts.join(dim,
+          col("f.user_id") === col("d.user_id") &&
+            col("f.ts") >= col("d.valid_from") &&
+            (col("d.valid_to").isNull || col("f.ts") < col("d.valid_to")))
+        .groupBy(col("d.tier").as("tier"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("f.user_id")).as("n_users"))
+        .orderBy("tier")
+    }),
+
+    // order-independent table checksum over a rendered lineitem slice:
+    // XOR of 60-bit row hashes + count — identical digest under any
+    // partitioning or engine (ScaleOps.tableChecksum scaladoc).
+    "q_table_checksum" -> ((s, dir) => {
+      ScaleOps.tableChecksum(spread(t(s, dir, "lineitem")),
+          Seq(col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity")).cast("long"), col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd")))
+        .orderBy("n_rows")
+    }),
+
     // Kaplan–Meier survival (retention) curve over per-user lifetime
     // days: entities collapse to the distinct-duration grid, the
     // product-limit estimate runs as an ORDERED cumulative ln-sum —
@@ -5196,6 +5229,45 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_temporal_join" ->
+        """WITH ev AS (
+          |  SELECT user_id, ts, CAST(floor(value / 25) AS BIGINT) AS tier, event_type
+          |  FROM events),
+          |chg AS (
+          |  SELECT user_id, ts, tier,
+          |         CASE WHEN tier IS NOT DISTINCT FROM lag(tier) OVER w THEN 0 ELSE 1 END AS c
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |runs AS (
+          |  SELECT user_id, ts, tier,
+          |         sum(c) OVER (PARTITION BY user_id ORDER BY ts
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+          |  FROM chg),
+          |d0 AS (
+          |  SELECT user_id, version, min(tier) AS tier, min(ts) AS valid_from
+          |  FROM runs GROUP BY 1, 2),
+          |d AS (
+          |  SELECT user_id, version, tier, valid_from,
+          |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+          |  FROM d0),
+          |f AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+          |SELECT d.tier, count(*) AS n_purchases,
+          |       count(DISTINCT f.user_id) AS n_users
+          |FROM f JOIN d ON f.user_id = d.user_id
+          |             AND f.ts >= d.valid_from
+          |             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_table_checksum" ->
+        """WITH h AS (
+          |  SELECT CAST(concat('0x', substring(md5(concat_ws('|',
+          |           l_orderkey, l_linenumber,
+          |           CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+          |           l_returnflag, strftime(l_shipdate, '%Y-%m-%d'))), 1, 15)) AS BIGINT) AS rh
+          |  FROM lineitem)
+          |SELECT count(*) AS n_rows, bit_xor(rh) AS xor_checksum,
+          |       min(rh) AS min_hash, max(rh) AS max_hash
+          |FROM h ORDER BY n_rows""".stripMargin,
 
       "q_survival" ->
         """WITH life AS (

@@ -370,4 +370,27 @@ object ScaleOps {
       round(expr("percentile(_n, 0.99)"), 4).as("p99_key_rows"),
       round(max(col("_n")) * lit(1.0) / sum(col("_n")), 4).as("top_key_share"))
   }
+
+  /** Order-independent table checksum — the replica-reconciliation
+    * primitive: two copies of a table match iff their checksums match,
+    * with no sort, no join, and one scan each side. Each row hashes to
+    * a 60-bit integer (md5 of the '|'-joined column renderings, first
+    * 15 hex digits) and the table digest is the XOR of row hashes plus
+    * the row count — XOR is commutative/associative, so the digest is
+    * identical under any partitioning, ordering, or engine. min/max
+    * row hashes narrow a mismatch's location cheaply.
+    *
+    * Caveats by design: columns must render identically across engines
+    * (integers, strings, formatted dates — not raw floats), and XOR
+    * cannot see a row appearing an EVEN number of times on one side —
+    * the row count catches the common off-by-N case; callers needing
+    * multiset strength add a second independent hash slice.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+        .cast("long").as("_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("xor_checksum"),
+        min("_h").as("min_hash"),
+        max("_h").as("max_hash"))
 }

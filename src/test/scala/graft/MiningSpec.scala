@@ -244,6 +244,19 @@ class MiningSpec extends SparkSpec {
     assert(s(4L) === ((1L, 1L, 0.0)))
   }
 
+  test("table checksum: partitioning-invariant; any cell change flips it") {
+    import graft.ext.ScaleOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      ScaleOps.tableChecksum(df, Seq(col("id"), col("v"))).collect().head
+    val r1 = sum(base.repartition(7))
+    val r2 = sum(base.repartition(1))
+    assert(r1 === r2)
+    val changed = sum(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"))
+    assert(changed.getAs[Long]("xor_checksum") !== r1.getAs[Long]("xor_checksum"))
+    assert(changed.getAs[Long]("n_rows") === 3L)
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")
