@@ -2671,6 +2671,41 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // clickstream path mining: the first-3-event-type path per user
+    // (ts-ordered via sort_array of (ts, type) structs — order pinned
+    // by data, not by arrival), counted corpus-wide. The sequential-
+    // pattern complement of q_event_transitions' Markov matrix: paths
+    // are ordered PREFIXES, not memoryless hops. One user-keyed
+    // aggregate + one path-keyed count, both map-side combined.
+    "q_session_paths" -> ((s, dir) => {
+      spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"), struct(col("ts"), col("event_type")).as("e"))
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(slice(sort_array(collect_list(e)), 1, 3), x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), asc("path"))
+        .limit(20)
+    }),
+
+    // join-size preflight: predict |A ⋈ B| on the key EXACTLY from the
+    // two per-key count tables (Σ n_a(k)·n_b(k)) without running the
+    // join — the planner-style guard a pipeline runs before an
+    // unfamiliar fact-fact join. Count tables are map-side-combined
+    // (shuffle = keys); their join carries one row per key.
+    "q_join_size" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val b = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      a.join(b, Seq("k"))
+        .agg(sum(col("na") * col("nb")).as("join_rows"),
+          count(lit(1)).as("n_shared_keys"),
+          max(col("na") * col("nb")).as("max_key_rows"))
+        .orderBy("join_rows")
+    }),
+
     // temporal point-in-interval join: facts (purchases) look up the
     // attribute that was valid AT the fact's timestamp in an SCD2
     // dimension built from the same users' value-tier history — the
@@ -5229,6 +5264,22 @@ object SparkEntry {
           |  FROM e)
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_session_paths" ->
+        """WITH p AS (
+          |  SELECT user_id,
+          |         array_to_string(list(event_type ORDER BY ts)[1:3], '>') AS path
+          |  FROM events GROUP BY 1)
+          |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+          |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+      "q_join_size" ->
+        """WITH a AS (SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+          |b AS (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1)
+          |SELECT CAST(sum(na * nb) AS BIGINT) AS join_rows,
+          |       count(*) AS n_shared_keys,
+          |       CAST(max(na * nb) AS BIGINT) AS max_key_rows
+          |FROM a JOIN b USING (k) ORDER BY join_rows""".stripMargin,
 
       "q_temporal_join" ->
         """WITH ev AS (
