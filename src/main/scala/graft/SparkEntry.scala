@@ -2564,7 +2564,10 @@ object SparkEntry {
       val pairs = Similarity.embeddingNearDupPairs(
           spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
         .select("id1", "id2")
-      Graph.pageRank(Graph.symmetrize(pairs).persist(), iters = 3)
+      // coalesce: the pair graph is orders of magnitude smaller than
+      // the corpus — iterating it over 32-partition shuffles pays task
+      // overhead per round (the CC small-graph discipline)
+      Graph.pageRank(Graph.symmetrize(pairs).coalesce(4).persist(), iters = 3)
         .orderBy("id")
     }),
 
