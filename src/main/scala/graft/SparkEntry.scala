@@ -1102,9 +1102,13 @@ object SparkEntry {
     }),
 
     // ext: robust outlier screen — median/MAD per group, count of
-    // |z| > 3 points; median-based so extremes can't mask themselves
+    // |z| > 3 points; median-based so extremes can't mask themselves.
+    // DISCRETE medians (actual data values, pure integer rank logic):
+    // interpolated quantiles drift in the last ulp across engine
+    // versions, and the rounded report + borderline outlier count can
+    // flip on that; the cont twin stays unit-gated.
     "q_outliers" -> ((s, dir) => {
-      ScaleOps.robustOutliers(
+      ScaleOps.robustOutliersDisc(
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy("l_returnflag")
     }),
@@ -1184,7 +1188,10 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-          round(avg("quality_score"), 4).as("avg_quality"))
+          // quality_score is 2-decimal by construction: sum exact
+          // integer hundredths, divide once — order-independent
+          round(sum(round(col("quality_score") * 100).cast("long")).cast("double") /
+            (count(col("quality_score")) * lit(100.0)), 4).as("avg_quality"))
         .orderBy("source")
     }),
 
@@ -1202,7 +1209,11 @@ object SparkEntry {
         min(size(col("embedding"))).as("min_dims"),
         max(size(col("embedding"))).as("max_dims"),
         sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-        round(avg("nrm"), 4).as("avg_norm"),
+        // mean norm via FIXED-POINT micro-units: sum exact longs, one
+        // final division — avg over doubles is summation-order
+        // sensitive at 1e-4 rounding (engines/versions disagree)
+        round(sum(round(col("nrm") * 1e6).cast("long")).cast("double") /
+          (count(col("nrm")) * lit(1e6)), 4).as("avg_norm"),
         min("nrm").as("min_norm"),
         max("nrm").as("max_norm"))
     }),
@@ -1218,7 +1229,7 @@ object SparkEntry {
       val train = emb.filter(col("vec_id") >= 50)
       val topk = Similarity.bruteForceTopK(
         train.select("vec_id", "embedding"),
-        queries.select("vec_id", "embedding"), k = 3)
+        queries.select("vec_id", "embedding"), k = 3, roundAt = 6)
       val votes = topk
         .join(train.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
           "neighbor_id")
@@ -2383,14 +2394,18 @@ object SparkEntry {
     // document queryable when the schema is unknown or drifting — the
     // lakehouse answer to a props/metadata column. Shredded parquet
     // storage makes repeated extraction columnar at scale.
+    // VARIANT ingestion: parse_json the props payload, typed-path
+    // extract the integer field, aggregate. The engine-rendered
+    // schema_of_variant string is asserted in a unit test
+    // (VariantSpec), NOT gated here — an engine-rendered rendering is
+    // not a stable cross-version oracle value.
     "q_variant_extract" -> ((s, dir) => {
       EventsStream.readEvents(s, s"$dir/events.parquet")
         .select(col("event_type"),
           parse_json(col("props")).as("v"))
         .select(col("event_type"),
-          expr("variant_get(v, '$.k', 'long')").as("k"),
-          expr("schema_of_variant(v)").as("vschema"))
-        .groupBy("event_type", "vschema")
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum("k").cast("long").as("k_sum"),
           min("k").as("k_min"),
@@ -2757,12 +2772,18 @@ object SparkEntry {
     // time-weighted average of the event value per user: each value
     // holds until the user's next event; cent-scaled integers ×
     // integral micro durations keep both sums exact longs, one final
-    // division (TimeFill.timeWeightedAvg scaladoc).
+    // division (TimeFill.timeWeightedAvg scaladoc). Equal-timestamp
+    // observations pre-aggregate to max(value) per (user, ts) — the
+    // module's contract; without it, which duplicate holds the
+    // interval is tie-order dependent on BOTH engines.
     "q_twap" -> ((s, dir) => {
-      TimeFill.timeWeightedAvg(
-          spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
-          key = col("user_id"), tsInt = unix_micros(col("ts")),
-          valueInt = round(col("value") * 100), outScale = 100.0)
+      val obs = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy("user_id", "t_us").agg(max("v").as("v"))
+      TimeFill.timeWeightedAvg(obs,
+          key = col("user_id"), tsInt = col("t_us"),
+          valueInt = col("v"), outScale = 100.0)
         .withColumnRenamed("k", "user_id")
         .orderBy("user_id")
     }),
@@ -2822,11 +2843,20 @@ object SparkEntry {
     // table proves offset math, charset decode, and trim; pruning is
     // plan-asserted in FixedWidthSourceSpec.
     "q_dsv2_scan" -> ((s, dir) => {
-      val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_${math.abs(dir.hashCode)}"
-      // fixture is a pure function of the sf dir (the path encodes it):
-      // write once, so repeated runs time the DSv2 READ, not the
-      // fixture export — the same write-once shape a real ingest has
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")))
+      // fixture path keyed by a CONTENT-COLLISION-FREE digest of the sf
+      // dir (hashCode could collide across dirs); write once, so
+      // repeated runs time the DSv2 READ, not the fixture export — but
+      // re-export whenever the fixture's row count no longer matches
+      // the live lineitem table (dataset regenerated in place would
+      // otherwise silently serve a stale fixture)
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$dirKey"
+      val expectedRows = t(s, dir, "lineitem").count()
+      val fresh =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")) &&
+          s.read.textFile(fwDir).count() == expectedRows
+      if (!fresh)
         t(s, dir, "lineitem")
           .select(concat(
             rpad(col("l_orderkey").cast("string"), 12, " "),
@@ -3557,12 +3587,11 @@ object SparkEntry {
            |  WHERE doc_id % 50 <> 0 AND len(l) > 0
            |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
            |ch AS (
-           |  SELECT doc_id,
-           |         unnest([{'s': i, 'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+           |  SELECT doc_id, len(l) AS nl, unnest(generate_series(1, len(l), 24)) AS i
            |  FROM clean),
            |chunks AS (
-           |  SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
-           |         CAST(u.n AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_ix,
+           |         CAST(least(32, nl - i + 1) AS BIGINT) AS n, doc_id % 8 AS bucket
            |  FROM ch),
            |cum AS (
            |  SELECT bucket, doc_id, n,
@@ -3577,12 +3606,11 @@ object SparkEntry {
         s"""WITH toks AS (
            |  SELECT doc_id, $sqlTokens AS l FROM documents),
            |ch AS (
-           |  SELECT doc_id,
-           |         unnest([{'s': i, 'n': len(l[i:i+31])} for i in range(1, len(l)+1, 24)]) AS u
+           |  SELECT doc_id, len(l) AS nl, unnest(generate_series(1, len(l), 24)) AS i
            |  FROM toks WHERE len(l) > 0),
            |chunks AS (
-           |  SELECT doc_id, CAST((u.s - 1) / 24 AS BIGINT) AS chunk_ix,
-           |         CAST(u.n AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_ix,
+           |         CAST(least(32, nl - i + 1) AS BIGINT) AS n, doc_id % 8 AS bucket
            |  FROM ch),
            |cum AS (
            |  SELECT bucket, doc_id, n,
@@ -3602,16 +3630,27 @@ object SparkEntry {
            |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
            |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // discrete medians spelled as pure INTEGER rank logic (smallest
+      // value whose <=-count reaches half the group: 2*ce >= n) — no
+      // built-in quantile function, so no engine-version sensitivity
       "q_outliers" ->
-        """WITH med AS (
-          |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
-          |  FROM lineitem GROUP BY 1),
+        """WITH r1 AS (
+          |  SELECT l_returnflag, l_extendedprice AS v,
+          |         count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+          |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem),
+          |med AS (SELECT l_returnflag, min(v) AS m FROM r1 WHERE 2 * ce >= n GROUP BY 1),
           |dev AS (
           |  SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS adev, med.m
           |  FROM lineitem l JOIN med USING (l_returnflag)),
-          |mad AS (
-          |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS md
-          |  FROM dev GROUP BY 1)
+          |r2 AS (
+          |  SELECT l_returnflag, adev,
+          |         count(*) OVER (PARTITION BY l_returnflag ORDER BY adev
+          |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM dev),
+          |mad AS (SELECT l_returnflag, min(adev) AS md FROM r2 WHERE 2 * ce >= n GROUP BY 1)
           |SELECT dev.l_returnflag, count(*) AS n,
           |       sum(CASE WHEN adev > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS n_outliers,
           |       round(min(m), 4) AS median, round(min(md), 4) AS mad
@@ -3672,7 +3711,8 @@ object SparkEntry {
            |  SELECT doc_id, source FROM documents)
            |SELECT d.source, count(*) AS n_docs,
            |       sum(CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-           |       round(avg($sqlQualityScore), 4) AS avg_quality
+           |       round(CAST(sum(CAST(round(($sqlQualityScore) * 100.0) AS BIGINT)) AS DOUBLE)
+           |             / (count($sqlQualityScore) * 100.0), 4) AS avg_quality
            |FROM d JOIN fp USING (doc_id) JOIN fpn USING (fpv) JOIN f USING (doc_id)
            |GROUP BY 1 ORDER BY d.source""".stripMargin,
 
@@ -3686,7 +3726,8 @@ object SparkEntry {
           |       sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS n_null,
           |       min(len(embedding)) AS min_dims, max(len(embedding)) AS max_dims,
           |       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
-          |       round(avg(nrm), 4) AS avg_norm,
+          |       round(CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS DOUBLE)
+          |             / (count(nrm) * 1000000.0), 4) AS avg_norm,
           |       min(nrm) AS min_norm, max(nrm) AS max_norm
           |FROM v ORDER BY n_vectors""".stripMargin,
 
@@ -3699,7 +3740,7 @@ object SparkEntry {
           |  FROM embeddings WHERE vec_id >= 50),
           |s AS (
           |  SELECT query_id, t.vec_id AS nid, t.label AS n_label,
-          |         list_cosine_similarity(tv, qv) AS c
+          |         round(list_cosine_similarity(tv, qv), 6) AS c
           |  FROM t, q),
           |r AS (
           |  SELECT query_id, n_label,
@@ -3727,22 +3768,42 @@ object SparkEntry {
           |       count(DISTINCT user_id) AS n_distinct
           |FROM win GROUP BY 1, 2 ORDER BY event_type, window_end""".stripMargin,
 
+      // p50/p99 of the integer group sizes as DISCRETE quantiles in
+      // pure integer rank logic (smallest size whose <=-count reaches
+      // p·keys) — no quantile built-in, no interpolation, no
+      // engine-version sensitivity; mean = one exact-int division
       "q_skew_report" ->
         """WITH s1 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_returnflag),
           |s2 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_suppkey),
+          |w1 AS (
+          |  SELECT _n,
+          |         count(*) OVER (ORDER BY _n RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER () AS nk
+          |  FROM s1),
+          |w2 AS (
+          |  SELECT _n,
+          |         count(*) OVER (ORDER BY _n RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER () AS nk
+          |  FROM s2),
+          |q1 AS (
+          |  SELECT (SELECT min(_n) FROM w1 WHERE 2 * ce >= nk) AS p50,
+          |         (SELECT min(_n) FROM w1 WHERE 100 * ce >= 99 * nk) AS p99),
+          |q2 AS (
+          |  SELECT (SELECT min(_n) FROM w2 WHERE 2 * ce >= nk) AS p50,
+          |         (SELECT min(_n) FROM w2 WHERE 100 * ce >= 99 * nk) AS p99),
           |r1 AS (
           |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
-          |         round(avg(_n), 4) AS mean_key_rows,
-          |         round(quantile_cont(_n, 0.5), 4) AS p50_key_rows,
-          |         round(quantile_cont(_n, 0.99), 4) AS p99_key_rows,
+          |         round(CAST(sum(_n) AS DOUBLE) / count(*), 4) AS mean_key_rows,
+          |         round(CAST((SELECT p50 FROM q1) AS DOUBLE), 4) AS p50_key_rows,
+          |         round(CAST((SELECT p99 FROM q1) AS DOUBLE), 4) AS p99_key_rows,
           |         round(max(_n) * 1.0 / sum(_n), 4) AS top_key_share,
           |         'l_returnflag' AS key_set
           |  FROM s1),
           |r2 AS (
           |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
-          |         round(avg(_n), 4) AS mean_key_rows,
-          |         round(quantile_cont(_n, 0.5), 4) AS p50_key_rows,
-          |         round(quantile_cont(_n, 0.99), 4) AS p99_key_rows,
+          |         round(CAST(sum(_n) AS DOUBLE) / count(*), 4) AS mean_key_rows,
+          |         round(CAST((SELECT p50 FROM q2) AS DOUBLE), 4) AS p50_key_rows,
+          |         round(CAST((SELECT p99 FROM q2) AS DOUBLE), 4) AS p99_key_rows,
           |         round(max(_n) * 1.0 / sum(_n), 4) AS top_key_share,
           |         'l_suppkey' AS key_set
           |  FROM s2)
@@ -4883,16 +4944,16 @@ object SparkEntry {
            |FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
            |ORDER BY query_id""".stripMargin,
 
-      // vschema is Spark-derived (DuckDB has no VARIANT); the oracle
-      // pins the expected literal, gating that parse_json saw the
-      // uniform {"k": int} shape — a drifted props schema fails here
+      // DuckDB has no VARIANT: the oracle extracts the same typed path
+      // from the raw JSON; the Spark-side schema_of_variant rendering
+      // is unit-asserted (VariantSpec), never oracle-gated
       "q_variant_extract" ->
-        """SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema,
+        """SELECT event_type,
           |       count(*) AS n_events,
           |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
           |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
           |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-          |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // mean/sigma from exact integer power sums, every float op in
       // the same order as the Spark column expressions
@@ -5034,9 +5095,11 @@ object SparkEntry {
           |  SELECT event_type, n0, n1,
           |         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
           |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
-          |         CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / CAST(n0 * (n0 - 1) AS DOUBLE)
+          |         (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          |           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
           |           / CAST(n0 AS DOUBLE) AS se0,
-          |         CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)
+          |         (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
           |           / CAST(n1 AS DOUBLE) AS se1
           |  FROM g)
           |SELECT event_type, n0, n1,
@@ -5268,10 +5331,12 @@ object SparkEntry {
           |SELECT coalesce(attr.ch, 'direct') AS channel, count(*) AS n_conversions
           |FROM a WHERE conv GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // ORDER BY ts, event_type: the Spark side sorts (ts, event_type)
+      // structs, so equal-ts events must tie-break identically here
       "q_session_paths" ->
         """WITH p AS (
           |  SELECT user_id,
-          |         array_to_string(list(event_type ORDER BY ts)[1:3], '>') AS path
+          |         array_to_string(list(event_type ORDER BY ts, event_type)[1:3], '>') AS path
           |  FROM events GROUP BY 1)
           |SELECT path, count(*) AS n_users FROM p GROUP BY 1
           |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
@@ -5312,13 +5377,24 @@ object SparkEntry {
           |             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // each column renders length-prefixed (`<len>:<value>`, NULL →
+      // 'N') before the '|' join — mirrors ScaleOps.tableChecksum's
+      // self-delimiting render exactly
       "q_table_checksum" ->
-        """WITH h AS (
-          |  SELECT CAST(concat('0x', substring(md5(concat_ws('|',
-          |           l_orderkey, l_linenumber,
-          |           CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
-          |           l_returnflag, strftime(l_shipdate, '%Y-%m-%d'))), 1, 15)) AS BIGINT) AS rh
-          |  FROM lineitem)
+        """WITH r AS (
+          |  SELECT COALESCE(concat(CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR), ':',
+          |                         CAST(l_orderkey AS VARCHAR)), 'N') AS c1,
+          |         COALESCE(concat(CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR), ':',
+          |                         CAST(l_linenumber AS VARCHAR)), 'N') AS c2,
+          |         COALESCE(concat(CAST(length(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)) AS VARCHAR), ':',
+          |                         CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)), 'N') AS c3,
+          |         COALESCE(concat(CAST(length(l_returnflag) AS VARCHAR), ':', l_returnflag), 'N') AS c4,
+          |         COALESCE(concat(CAST(length(strftime(l_shipdate, '%Y-%m-%d')) AS VARCHAR), ':',
+          |                         strftime(l_shipdate, '%Y-%m-%d')), 'N') AS c5
+          |  FROM lineitem),
+          |h AS (
+          |  SELECT CAST(concat('0x', substring(md5(concat_ws('|', c1, c2, c3, c4, c5)), 1, 15)) AS BIGINT) AS rh
+          |  FROM r)
           |SELECT count(*) AS n_rows, bit_xor(rh) AS xor_checksum,
           |       min(rh) AS min_hash, max(rh) AS max_hash
           |FROM h ORDER BY n_rows""".stripMargin,
@@ -5348,8 +5424,8 @@ object SparkEntry {
       "q_twap" ->
         """WITH e AS (
           |  SELECT user_id AS k, epoch_us(ts) AS t,
-          |         CAST(round(value * 100) AS BIGINT) AS v
-          |  FROM events),
+          |         max(CAST(round(value * 100) AS BIGINT)) AS v
+          |  FROM events GROUP BY 1, 2),
           |l AS (
           |  SELECT k, t, v, lead(t) OVER (PARTITION BY k ORDER BY t) AS tn
           |  FROM e),
@@ -5365,7 +5441,7 @@ object SparkEntry {
       "q_linkage" -> {
         def wa(m: Double, u: Double) = math.log(m / u)
         def wd(m: Double, u: Double) = math.log((1.0 - m) / (1.0 - u))
-        // field order = sorted name order (balk, phone3), matching the
+        // field order = sorted name order (balk, sfx), matching the
         // module's fixed left-assoc sum
         s"""WITH c AS (
            |  SELECT c_custkey, c_nationkey, c_mktsegment,

@@ -69,8 +69,9 @@ object Affinity {
 
   /** Association rules over baskets: for each frequent ordered pair,
     * support = P(1∧2), confidence in both directions, and lift =
-    * P(1∧2) / (P(1)·P(2)). `nBaskets` is passed in (the caller already
-    * knows it or computes it once) rather than recounted per pair.
+    * P(1∧2) / (P(1)·P(2)). The basket total is computed once here
+    * (one countDistinct over the basket ids) and broadcast into the
+    * per-pair probabilities — never recounted per pair.
     */
   def associationRules(df: DataFrame, basket: Column, item: Column,
       minItemCount: Long, minPairCount: Long): DataFrame = {

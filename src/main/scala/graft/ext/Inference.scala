@@ -26,9 +26,15 @@ object Inference {
   private def meanC(n: Column, s: Column): Column =
     s.cast("double") / n.cast("double")
 
-  /** Sample variance from power sums: (n·ss − s²) / (n·(n−1)). */
+  /** Sample variance from power sums: (n·ss − s²) / (n·(n−1)).
+    * The power-sum products are computed in DOUBLE, not Long: s² and
+    * n·ss overflow Int64 silently (non-ANSI wrap) once s reaches
+    * ~3e9, while the double form degrades gracefully (exact until
+    * 2^53, then rounded) and matches the oracle's op order exactly.
+    */
   private def varC(n: Column, s: Column, ss: Column): Column =
-    (n * ss - s * s).cast("double") / (n * (n - lit(1))).cast("double")
+    (n.cast("double") * ss.cast("double") - s.cast("double") * s.cast("double")) /
+      (n.cast("double") * (n - lit(1)).cast("double"))
 
   /** Welch's unequal-variance two-sample t-test between arms 0 and 1
     * (`arm` must evaluate to 0/1 — e.g. a deterministic id split), per

@@ -332,11 +332,30 @@ object ScaleOps {
     * REPORTED med/mad round.
     */
   def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
-                     zCut: Double = 3.0): DataFrame = {
-    val med = Quantiles.exactQuantiles(df, valueCol, keys, Seq(0.5), Seq("_med"))
+                     zCut: Double = 3.0): DataFrame =
+    robustOutliersImpl(df, keys, valueCol, zCut, disc = false)
+
+  /** [[robustOutliers]] with DISCRETE medians (percentile_disc
+    * semantics): median and MAD are ACTUAL data values located by pure
+    * integer rank comparisons, never interpolated — so the summary is
+    * drift-free across engines and engine VERSIONS (interpolated
+    * quantiles differ in last-ulp formula order between engines; a
+    * rounded report can flip on that). The gate-able form; the cont
+    * twin stays for callers wanting classical medians.
+    */
+  def robustOutliersDisc(df: DataFrame, keys: Seq[String], valueCol: String,
+                         zCut: Double = 3.0): DataFrame =
+    robustOutliersImpl(df, keys, valueCol, zCut, disc = true)
+
+  private def robustOutliersImpl(df: DataFrame, keys: Seq[String], valueCol: String,
+                                 zCut: Double, disc: Boolean): DataFrame = {
+    def q(d: DataFrame, v: String, out: String) =
+      if (disc) Quantiles.exactQuantilesDisc(d, v, keys, Seq(0.5), Seq(out))
+      else Quantiles.exactQuantiles(d, v, keys, Seq(0.5), Seq(out))
+    val med = q(df, valueCol, "_med")
     val dev = df.join(med, keys)
       .withColumn("_adev", abs(col(valueCol) - col("_med")))
-    val mad = Quantiles.exactQuantiles(dev, "_adev", keys, Seq(0.5), Seq("_mad"))
+    val mad = q(dev, "_adev", "_mad")
     dev.join(mad, keys)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
@@ -354,10 +373,12 @@ object ScaleOps {
     * sizes, and the share of all rows held by the hottest key.
     *
     * Scale note: the first aggregate is the only pass over the data;
-    * the percentile runs on the per-key SIZES (cardinality = keys, not
-    * rows), which is where Spark's exact `percentile` is fine. Mean,
-    * shares, and quantile interpolation are single IEEE divisions over
-    * exact integers — rounded at 1e-4 for cross-engine gating.
+    * the percentiles run on the per-key SIZES (cardinality = keys, not
+    * rows), which is where Spark's exact aggregate is fine. p50/p99
+    * are DISCRETE (percentile_disc): group sizes are integers, so the
+    * quantiles are exact longs with no interpolation — drift-free
+    * across engines and engine versions. Mean and share are single
+    * IEEE divisions over exact integers — rounded at 1e-4.
     */
   def keyDistribution(df: DataFrame, keys: Seq[String]): DataFrame = {
     val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
@@ -365,9 +386,11 @@ object ScaleOps {
       count(lit(1)).as("n_keys"),
       sum("_n").as("n_rows"),
       max("_n").as("max_key_rows"),
-      round(avg("_n"), 4).as("mean_key_rows"),
-      round(expr("percentile(_n, 0.5)"), 4).as("p50_key_rows"),
-      round(expr("percentile(_n, 0.99)"), 4).as("p99_key_rows"),
+      round(sum("_n").cast("double") / count(lit(1)), 4).as("mean_key_rows"),
+      round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _n)").cast("double"), 4)
+        .as("p50_key_rows"),
+      round(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY _n)").cast("double"), 4)
+        .as("p99_key_rows"),
       round(max(col("_n")) * lit(1.0) / sum(col("_n")), 4).as("top_key_share"))
   }
 
@@ -380,17 +403,29 @@ object ScaleOps {
     * identical under any partitioning, ordering, or engine. min/max
     * row hashes narrow a mismatch's location cheaply.
     *
+    * Each column renders as `<decimal length>:<string value>` (NULL →
+    * the bare sentinel `N`, which no length-prefixed render can equal)
+    * joined with `|` — the length prefix makes every render
+    * self-delimiting, so `('a|b', NULL)` and `('a', 'b')` hash
+    * differently (a plain concat_ws would both skip the NULL and let
+    * an embedded `|` masquerade as a separator).
+    *
     * Caveats by design: columns must render identically across engines
     * (integers, strings, formatted dates — not raw floats), and XOR
     * cannot see a row appearing an EVEN number of times on one side —
     * the row count catches the common off-by-N case; callers needing
     * multiset strength add a second independent hash slice.
     */
-  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val rendered = cols.map { c =>
+      val s = c.cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+    }
+    df.select(conv(substring(md5(concat_ws("|", rendered: _*)), 1, 15), 16, 10)
         .cast("long").as("_h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(_h)").as("xor_checksum"),
         min("_h").as("min_hash"),
         max("_h").as("max_hash"))
+  }
 }

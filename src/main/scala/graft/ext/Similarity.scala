@@ -73,16 +73,25 @@ object Similarity {
     * cosine-similar corpus vectors. Queries broadcast; two-phase top-k.
     * Ties broken by ascending corpus id for determinism. Similarity is
     * the native codegen dot with norms computed per vector, not per pair.
+    *
+    * `roundAt >= 0` rounds the cosine to that many decimals BEFORE the
+    * ranking: raw-float ranks are accumulation-order sensitive (two
+    * engines' dot kernels disagree in the last ulp, flipping near-tie
+    * neighbor order), while ranks over rounded scores + the id
+    * tie-break are deterministic cross-engine. Use it whenever the
+    * RANKING (not the raw score) is the gated artifact.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundAt: Int = -1): DataFrame = {
     val q = withNorm(queries, vecCol, "q_nrm")
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("q_nrm"))
+    val rawCos = cosineFromParts(
+      dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm"))
     val scored = withNorm(corpus, vecCol, "c_nrm")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("c_nrm"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineFromParts(
-        dotNative(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .withColumn("cosine", if (roundAt >= 0) round(rawCos, roundAt) else rawCos)
       .select("query_id", "neighbor_id", "cosine")
     topKPerQuery(scored, k)
   }

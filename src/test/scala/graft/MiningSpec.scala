@@ -257,6 +257,17 @@ class MiningSpec extends SparkSpec {
     assert(changed.getAs[Long]("n_rows") === 3L)
   }
 
+  test("table checksum: length-prefixed render separates NULL-skip and embedded-separator collisions") {
+    import graft.ext.ScaleOps
+    def digest(rows: Seq[(String, Option[String])]) =
+      ScaleOps.tableChecksum(rows.toDF("a", "b"), Seq(col("a"), col("b")))
+        .collect().head.getAs[Long]("xor_checksum")
+    // ('a|b', NULL) vs ('a', 'b'): concat_ws would render both 'a|b'
+    assert(digest(Seq(("a|b", None))) !== digest(Seq(("a", Some("b")))))
+    // ('a|', 'b') vs ('a', '|b'): embedded separator vs real separator
+    assert(digest(Seq(("a|", Some("b")))) !== digest(Seq(("a", Some("|b")))))
+  }
+
   test("seasonal naive: lag-4 forecast and exact MAE") {
     // one series, 8 periods with y = period; forecast(p) = p-4 → abs_err 4
     val df = (1L to 8L).map(p => ("s", p, p)).toDF("k", "period", "y")

@@ -277,9 +277,11 @@ class ScaleSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == 10L)
     assert(r.getAs[Long]("max_key_rows") == 6L)
     assert(r.getAs[Double]("mean_key_rows") == 3.3333)
+    // DISCRETE quantiles over sizes [1,3,6]: p50 = smallest size whose
+    // cume count reaches half (3), p99 = the max (6) — actual values,
+    // never interpolated
     assert(r.getAs[Double]("p50_key_rows") == 3.0)
-    // p99 over sizes [1,3,6]: rank 0.99*2=1.98 -> 3 + 0.98*(6-3)
-    assert(r.getAs[Double]("p99_key_rows") == 5.94)
+    assert(r.getAs[Double]("p99_key_rows") == 6.0)
     assert(r.getAs[Double]("top_key_share") == 0.6)
   }
 
