@@ -428,4 +428,23 @@ object ScaleOps {
         min("_h").as("min_hash"),
         max("_h").as("max_hash"))
   }
+
+  /** Partition count for an iterated small-graph stage (connected
+    * components, PageRank), derived from the MEASURED edge count
+    * rather than a literal: ~[[rowsPerPartition]] edges per task,
+    * clamped to [minParts, maxParts]. A literal `coalesce(4)` is right
+    * for LSH-survivor graphs (thousands of edges) and wrong for a
+    * 100 TB pair graph that isn't tiny — per-round task counts must
+    * grow with the graph while tiny graphs keep O(1) tasks so driver
+    * scheduling latency doesn't dominate the rounds. Callers pay one
+    * cheap `count()` on the (already-persisted) pair frame, work the
+    * first iteration would have materialized anyway.
+    */
+  def graphPartitions(edgeCount: Long, rowsPerPartition: Long = 1000000L,
+                      minParts: Int = 4, maxParts: Int = 4096): Int = {
+    require(rowsPerPartition > 0 && minParts > 0 && maxParts >= minParts,
+      "graphPartitions bounds must be positive with maxParts >= minParts")
+    val want = (edgeCount + rowsPerPartition - 1) / rowsPerPartition
+    math.min(maxParts.toLong, math.max(minParts.toLong, want)).toInt
+  }
 }
