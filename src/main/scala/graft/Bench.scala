@@ -57,15 +57,23 @@ object Bench {
     val names = if (reverse) names0.reverse else names0
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // max/min ratio of the warm runs: a deterministic computation on a
+    // quiet host repeats within ~1.2x, so spread > 3x marks the row as
+    // contention-contaminated (this VM has measured 0.9 s vs 12 s for
+    // identical queries) — a reader can discard such rows mechanically
+    // instead of mistaking burst noise for a plan regression
+    val spread = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         cold(name) = timeOnce(fn)
-        warm(name) = best((1 to runs).map { _ =>
+        val times = (1 to runs).map { _ =>
           spark.catalog.clearCache()
           timeOnce(fn)
-        })
+        }
+        warm(name) = best(times)
+        spread(name) = if (times.min > 0) times.max / times.min else 1.0
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -91,7 +99,9 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadEnd = os.getSystemLoadAverage
     val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
+    val noisy = spread.filter(_._2 > 3.0).keys.toSeq.sorted
+    val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
@@ -108,7 +118,7 @@ object Bench {
       val omitPart =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
     }
     val bySlow = warm.toSeq.sortBy(-_._2)
     var keep = bySlow.size

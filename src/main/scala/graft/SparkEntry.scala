@@ -2846,16 +2846,24 @@ object SparkEntry {
       // fixture path keyed by a CONTENT-COLLISION-FREE digest of the sf
       // dir (hashCode could collide across dirs); write once, so
       // repeated runs time the DSv2 READ, not the fixture export — but
-      // re-export whenever the fixture's row count no longer matches
-      // the live lineitem table (dataset regenerated in place would
-      // otherwise silently serve a stale fixture)
+      // re-export whenever the fixture no longer matches the LIVE
+      // lineitem table by (row count, Σ l_orderkey): the driver has
+      // regenerated testdata in place between rounds, and a
+      // regeneration can keep the row count while changing values, so
+      // count alone would silently serve stale bytes
       val dirKey = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$dirKey"
-      val expectedRows = t(s, dir, "lineitem").count()
+      val liveSig = t(s, dir, "lineitem")
+        .agg(count(lit(1)), sum(col("l_orderkey"))).head()
       val fresh =
-        java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")) &&
-          s.read.textFile(fwDir).count() == expectedRows
+        java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")) && {
+          val fix = s.read.text(fwDir)
+            .select(expr("try_cast(trim(substring(value, 1, 12)) AS BIGINT)").as("okey"))
+            .agg(count(lit(1)), sum(col("okey"))).head()
+          fix.getLong(0) == liveSig.getLong(0) && !fix.isNullAt(1) &&
+            fix.getLong(1) == liveSig.getLong(1)
+        }
       if (!fresh)
         t(s, dir, "lineitem")
           .select(concat(
@@ -2882,6 +2890,17 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding, same total order).
+    *
+    * HARD-WON RULE — cast every integer aggregate in an OUTPUT column
+    * to BIGINT: DuckDB's `sum` over integers returns HUGEINT (int128),
+    * which surfaces as decimal128(38,0) on the gate's arrow/pandas
+    * path and renders `123.0` against Spark's integer `123` — a
+    * hash-mismatch with rows_match and schema_match both true (the
+    * exact signature of the 7 persistent round-4/5 reds plus
+    * q_variant_extract). Intermediate CTE hugeints are harmless; only
+    * the final SELECT's column types reach the hash. A decimal output
+    * compared against a Spark DOUBLE column is fine (q_flagship_agg,
+    * q_linkage) — the gate normalizes decimal to float.
     */
   def oracleSql: Map[String, String] = {
     val eventsHourlySql =
@@ -3598,8 +3617,8 @@ object SparkEntry {
            |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
            |                      ROWS UNBOUNDED PRECEDING) AS c
            |  FROM chunks)
-           |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
-           |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |SELECT bucket, CAST((c - n) // 256 AS BIGINT) AS seq_id, count(*) AS n_chunks,
+           |       CAST(sum(n) AS BIGINT) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
 
       "q_pack_sequences" ->
@@ -3617,8 +3636,8 @@ object SparkEntry {
            |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
            |                      ROWS UNBOUNDED PRECEDING) AS c
            |  FROM chunks)
-           |SELECT bucket, (c - n) // 256 AS seq_id, count(*) AS n_chunks,
-           |       sum(n) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |SELECT bucket, CAST((c - n) // 256 AS BIGINT) AS seq_id, count(*) AS n_chunks,
+           |       CAST(sum(n) AS BIGINT) AS n_tokens, count(DISTINCT doc_id) AS n_docs
            |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
 
       "q_token_entropy" ->
@@ -3652,7 +3671,7 @@ object SparkEntry {
           |  FROM dev),
           |mad AS (SELECT l_returnflag, min(adev) AS md FROM r2 WHERE 2 * ce >= n GROUP BY 1)
           |SELECT dev.l_returnflag, count(*) AS n,
-          |       sum(CASE WHEN adev > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS n_outliers,
+          |       CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
           |       round(min(m), 4) AS median, round(min(md), 4) AS mad
           |FROM dev JOIN mad USING (l_returnflag)
           |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
@@ -3710,7 +3729,7 @@ object SparkEntry {
            |d AS (
            |  SELECT doc_id, source FROM documents)
            |SELECT d.source, count(*) AS n_docs,
-           |       sum(CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+           |       CAST(sum(CASE WHEN fpn.fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
            |       round(CAST(sum(CAST(round(($sqlQualityScore) * 100.0) AS BIGINT)) AS DOUBLE)
            |             / (count($sqlQualityScore) * 100.0), 4) AS avg_quality
            |FROM d JOIN fp USING (doc_id) JOIN fpn USING (fpv) JOIN f USING (doc_id)
@@ -3723,9 +3742,9 @@ object SparkEntry {
           |                                       CAST(embedding AS DOUBLE[]))), 6) AS nrm
           |  FROM embeddings)
           |SELECT count(*) AS n_vectors,
-          |       sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS n_null,
+          |       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
           |       min(len(embedding)) AS min_dims, max(len(embedding)) AS max_dims,
-          |       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+          |       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
           |       round(CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS DOUBLE)
           |             / (count(nrm) * 1000000.0), 4) AS avg_norm,
           |       min(nrm) AS min_norm, max(nrm) AS max_norm
@@ -3753,7 +3772,7 @@ object SparkEntry {
           |  FROM v),
           |j AS (SELECT q.true_label AS label, p.pred_label FROM p JOIN q USING (query_id) WHERE pr = 1)
           |SELECT label, count(*) AS n,
-          |       sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS n_correct,
+          |       CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
           |       round(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
           |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
 
@@ -3792,7 +3811,7 @@ object SparkEntry {
           |  SELECT (SELECT min(_n) FROM w2 WHERE 2 * ce >= nk) AS p50,
           |         (SELECT min(_n) FROM w2 WHERE 100 * ce >= 99 * nk) AS p99),
           |r1 AS (
-          |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
+          |  SELECT count(*) AS n_keys, CAST(sum(_n) AS BIGINT) AS n_rows, max(_n) AS max_key_rows,
           |         round(CAST(sum(_n) AS DOUBLE) / count(*), 4) AS mean_key_rows,
           |         round(CAST((SELECT p50 FROM q1) AS DOUBLE), 4) AS p50_key_rows,
           |         round(CAST((SELECT p99 FROM q1) AS DOUBLE), 4) AS p99_key_rows,
@@ -3800,7 +3819,7 @@ object SparkEntry {
           |         'l_returnflag' AS key_set
           |  FROM s1),
           |r2 AS (
-          |  SELECT count(*) AS n_keys, sum(_n) AS n_rows, max(_n) AS max_key_rows,
+          |  SELECT count(*) AS n_keys, CAST(sum(_n) AS BIGINT) AS n_rows, max(_n) AS max_key_rows,
           |         round(CAST(sum(_n) AS DOUBLE) / count(*), 4) AS mean_key_rows,
           |         round(CAST((SELECT p50 FROM q2) AS DOUBLE), 4) AS p50_key_rows,
           |         round(CAST((SELECT p99 FROM q2) AS DOUBLE), 4) AS p99_key_rows,
@@ -4950,7 +4969,7 @@ object SparkEntry {
       "q_variant_extract" ->
         """SELECT event_type,
           |       count(*) AS n_events,
-          |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
           |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
           |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,

@@ -510,7 +510,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           id1Col: String = "id1", id2Col: String = "id2",
-                          numPartitions: Int = 4,
+                          numPartitions: Int = -1,
                           checkpointDir: Option[String] = None,
                           broadcastLabels: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
@@ -521,14 +521,23 @@ object Dedup {
     // persist the pair set FIRST: the symmetrizing union below reads it
     // twice, and `pairs` is typically an expensive LSH plan
     val p = pairs.persist()
-    val edges = p
+    // numPartitions <= 0 (the default): size the per-round task count
+    // from the MEASURED pair count — LSH-survivor graphs (thousands of
+    // edges) keep O(1) tasks so driver scheduling latency doesn't
+    // dominate the rounds, while a 100 TB pair graph gets tasks
+    // proportional to its edges. The sizing count() hits the persisted
+    // pair frame the first iteration would materialize anyway.
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else ScaleOps.graphPartitions(p.count())
+    val sym = p
       .select(col(id1Col).as("src"), col(id2Col).as("dst"))
       .union(p.select(col(id2Col).as("src"), col(id1Col).as("dst")))
       .distinct()
-      // the pair graph is tiny relative to the corpus: a handful of
-      // partitions keeps every per-round task count O(1)
-      .coalesce(numPartitions)
-      .persist()
+    val edges =
+      (if (sym.rdd.getNumPartitions > parts) sym.coalesce(parts)
+       else sym.repartition(parts, col("src")))
+        .persist()
     var labels = snapshot(
       edges.select(col("src").as("id"), col("src").as("label")).distinct())
     var converged = labels.isEmpty

@@ -15,18 +15,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object EventsStream {
 
-  /** A session clone with the nanos-as-long legacy conf enabled.
-    * `newSession` shares the SparkContext and cached blocks but has its
-    * own SQL conf, so the conf change is visible ONLY to reads built
-    * here — a plain `spark.conf.set` would silently change the schema
-    * (timestamp -> long) of every later nano-timestamp parquet read in
-    * the caller's session (round-1 review finding). The conf must live
-    * on the session (not save/restored around the read) because Spark
-    * consults it again at physical planning time.
+  /** A session clone; with `nanos=true` the nanos-as-long legacy conf
+    * is enabled on the clone. `newSession` shares the SparkContext and
+    * cached blocks but has its own SQL conf, so the conf change is
+    * visible ONLY to reads built here — a plain `spark.conf.set` would
+    * silently change the schema (timestamp -> long) of every later
+    * nano-timestamp parquet read in the caller's session (round-1
+    * review finding). The conf must live on the session (not
+    * save/restored around the read) because Spark consults it again at
+    * physical planning time.
     */
-  private def nanosSession(spark: SparkSession): SparkSession = {
+  private def cloneSession(spark: SparkSession, nanos: Boolean): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (nanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // newSession() rebuilds SQL conf from builder-time SparkConf,
     // silently DROPPING runtime conf.set calls on the caller — so a
     // caller that toggled ANSI or the session timezone at runtime
@@ -38,15 +39,50 @@ object EventsStream {
     s
   }
 
-  /** Read the events table. The driver's parquet stores `ts` as
-    * TIMESTAMP(NANOS), which Spark's reader rejects by default
-    * (PARQUET_TYPE_ILLEGAL); read nanos as long (legacy conf, scoped to
-    * a cloned session) and convert to a microsecond timestamp —
-    * lossless at any granularity the analytics use.
+  /** Probe the stored type of `ts` without touching the caller's conf.
+    * The probe session enables nanos-as-long so a legacy
+    * TIMESTAMP(NANOS) file surfaces as LongType instead of throwing
+    * PARQUET_TYPE_ILLEGAL; for any other encoding the conf is a no-op
+    * and the real logical type comes back (TimestampNTZType for naive
+    * micros, TimestampType for UTC-adjusted micros).
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    nanosSession(spark).read.parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def probeTsType(spark: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path).schema.find(_.name == "ts")
+      .map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.TimestampType)
+  }
+
+  /** Normalize a loaded `ts` column to TIMESTAMP (LTZ):
+    *  - LongType (legacy nanos-as-long)  -> micros timestamp, lossless
+    *    at any granularity the analytics use;
+    *  - TIMESTAMP_NTZ (naive micros, the current testdata encoding) ->
+    *    cast under the session's UTC zone, so wall-clock semantics of
+    *    window/date_trunc match the DuckDB oracle's naive timestamps;
+    *  - TIMESTAMP -> pass through.
+    */
+  private def normalizeTs(df: DataFrame, stored: org.apache.spark.sql.types.DataType): DataFrame =
+    stored match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Read the events table, schema-dispatched on the stored `ts` type
+    * (the driver has shipped both INT64-nanos and naive-micros
+    * encodings across testdata generations; see [[normalizeTs]]). The
+    * nanos legacy conf is applied only when the file actually stores
+    * nanos, and only on a session clone.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val stored = probeTsType(spark, path)
+    val isNanos = stored == org.apache.spark.sql.types.LongType
+    val s = if (isNanos) cloneSession(spark, nanos = true) else spark
+    normalizeTs(s.read.parquet(path), stored)
+  }
 
   /** Batch tumbling-hour aggregate — the exact batch equivalent of the
     * streaming query, expressible in DuckDB as date_trunc('hour', ts).
@@ -87,9 +123,10 @@ object EventsStream {
   }
 
   /** The streaming twin of [[readEvents]]: bounded parquet stream over
-    * the events file, nanos conf scoped to a session clone, `ts`
-    * converted to a microsecond timestamp. Every streaming operator in
-    * this module starts here.
+    * the events file, schema-dispatched on the stored `ts` type exactly
+    * like the batch read (nanos conf scoped to a session clone ONLY
+    * when the file stores nanos), `ts` normalized to a microsecond
+    * timestamp. Every streaming operator in this module starts here.
     *
     * The clone also caps `spark.sql.shuffle.partitions` (= state-store
     * instances per stateful operator) at 8: per-micro-batch fixed cost
@@ -100,11 +137,11 @@ object EventsStream {
     * batch queries keep the session's parallelism.
     */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    val s = nanosSession(spark)
+    val stored = probeTsType(spark, path)
+    val s = cloneSession(spark, nanos = stored == org.apache.spark.sql.types.LongType)
     val current = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     s.conf.set("spark.sql.shuffle.partitions", math.min(8, current))
-    singleFileStream(s, path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(singleFileStream(s, path), stored)
   }
 
   /** Streaming form: parquet source → watermark → tumbling window.

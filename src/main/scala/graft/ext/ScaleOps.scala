@@ -442,9 +442,12 @@ object ScaleOps {
     */
   def graphPartitions(edgeCount: Long, rowsPerPartition: Long = 1000000L,
                       minParts: Int = 4, maxParts: Int = 4096): Int = {
+    require(edgeCount >= 0, s"edgeCount must be non-negative, got $edgeCount")
     require(rowsPerPartition > 0 && minParts > 0 && maxParts >= minParts,
       "graphPartitions bounds must be positive with maxParts >= minParts")
-    val want = (edgeCount + rowsPerPartition - 1) / rowsPerPartition
+    // overflow-free ceiling division (edgeCount near Long.MaxValue)
+    val want = edgeCount / rowsPerPartition +
+      (if (edgeCount % rowsPerPartition == 0) 0 else 1)
     math.min(maxParts.toLong, math.max(minParts.toLong, want)).toInt
   }
 }

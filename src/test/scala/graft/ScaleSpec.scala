@@ -316,4 +316,33 @@ class ScaleSpec extends SparkSpec {
       ScaleOps.splitByKey($"k", trainSixteenths = 15, valSixteenths = 2)
     }
   }
+
+  test("graphPartitions: measured-edge sizing with clamped bounds") {
+    // tiny graphs stay at the floor so per-round task counts are O(1)
+    assert(ScaleOps.graphPartitions(0L) == 4)
+    assert(ScaleOps.graphPartitions(1L) == 4)
+    assert(ScaleOps.graphPartitions(1000000L) == 4)
+    // exact multiples don't round up an extra partition
+    assert(ScaleOps.graphPartitions(5000000L) == 5)
+    assert(ScaleOps.graphPartitions(5000001L) == 6)
+    // clamp at the ceiling (and no overflow near Long.MaxValue)
+    assert(ScaleOps.graphPartitions(5000000000L) == 4096)
+    assert(ScaleOps.graphPartitions(Long.MaxValue) == 4096)
+    intercept[IllegalArgumentException] { ScaleOps.graphPartitions(-1L) }
+    intercept[IllegalArgumentException] {
+      ScaleOps.graphPartitions(10L, rowsPerPartition = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.graphPartitions(10L, minParts = 8, maxParts = 4)
+    }
+  }
+
+  test("connectedComponents: auto partition sizing keeps tiny graphs at the floor") {
+    import spark.implicits._
+    // a 3-node path a-b-c plus isolated pair d-e: 2 components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = graft.ext.Dedup.connectedComponents(pairs) // default: auto sizing
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }

@@ -34,9 +34,15 @@ def norm_cell(v):
 
 
 def load_sorted(con, rel_sql):
-    cur = con.execute(rel_sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    # Fetch through arrow, not fetchall: DuckDB HUGEINT (the type of
+    # sum() over integers) becomes int via fetchall but decimal128(38,0)
+    # via arrow — the driver's gate sees the decimal form, and an
+    # integer-valued decimal normalizes to "123.0" vs Spark's "123".
+    # fetchall-based verification silently hid that class of mismatch
+    # for two rounds (the 7 persistent hash-fails).
+    tbl = con.execute(rel_sql).fetch_arrow_table()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
     out.sort(key=lambda r: tuple(norm_cell(c) for c in r))
