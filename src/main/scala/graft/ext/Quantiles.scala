@@ -27,19 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Shared pass 1+2 of both exact forms: collapse rows to
-    * (group, value, count) with map-side combine, then cumulative
-    * counts over the sorted distinct values — the value at 0-based
+  /** Rank a pre-collapsed (group, `_v`, `_c`) value-count table:
+    * cumulative counts over the sorted values — the value at 0-based
     * rank r is the row with _start <= r < _end; _n is the group size.
+    * Rows with equal `_v` need not be pre-merged: each gets its own
+    * interval, a rank target lands in exactly one of them, and both
+    * carry the same value, so every quantile below is tie-safe.
+    * Exposed package-private so operators that already hold a
+    * distinct-value table ([[ScaleOps.robustOutliers]]'s deviation
+    * pass) can rank it without a second pass over raw rows.
     */
-  private def rankedCounts(df: DataFrame, valueCol: String,
-                           groupCols: Seq[String]): DataFrame = {
+  private[ext] def rankCounts(counts: DataFrame,
+                              groupCols: Seq[String]): DataFrame = {
     val keys = groupCols.map(col)
-    val v = col(valueCol).cast("double")
-    val counts = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(keys :+ v.as("_v"): _*)
-      .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(keys: _*)
@@ -49,6 +49,21 @@ object Quantiles {
       .withColumn("_n", sum(col("_c")).over(wAll))
   }
 
+  /** Shared pass 1+2 of both exact forms: collapse rows to
+    * (group, value, count) with map-side combine (shuffle volume =
+    * distinct values, not rows), then [[rankCounts]].
+    */
+  private def rankedCounts(df: DataFrame, valueCol: String,
+                           groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    rankCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(keys :+ v.as("_v"): _*)
+        .agg(count(lit(1)).as("_c")),
+      groupCols)
+  }
+
   /** Exact interpolated quantiles (percentile_cont / Spark
     * `percentile` semantics, nulls ignored) per group. Returns one row
     * per group with `outCols(i)` holding the `ps(i)` quantile.
@@ -56,11 +71,17 @@ object Quantiles {
     * would return null rows for them).
     */
   def exactQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                     ps: Seq[Double], outCols: Seq[String]): DataFrame = {
+                     ps: Seq[Double], outCols: Seq[String]): DataFrame =
+    quantilesFromRanked(rankedCounts(df, valueCol, groupCols), groupCols, ps, outCols)
+
+  /** [[exactQuantiles]]' interpolation stage over an already-ranked
+    * table from [[rankCounts]].
+    */
+  private[ext] def quantilesFromRanked(ranked: DataFrame, groupCols: Seq[String],
+                                       ps: Seq[Double], outCols: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.size == outCols.size, "one output column per quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles must be in [0,1]")
     val keys = groupCols.map(col)
-    val ranked = rankedCounts(df, valueCol, groupCols)
 
     // per-row rank targets: pos_i = p_i * (n-1), lo/hi its floor/ceil
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
@@ -102,11 +123,17 @@ object Quantiles {
     * aggregate.
     */
   def exactQuantilesDisc(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                         ps: Seq[Double], outCols: Seq[String]): DataFrame = {
+                         ps: Seq[Double], outCols: Seq[String]): DataFrame =
+    quantilesDiscFromRanked(rankedCounts(df, valueCol, groupCols), groupCols, ps, outCols)
+
+  /** [[exactQuantilesDisc]]' rank-location stage over an already-ranked
+    * table from [[rankCounts]].
+    */
+  private[ext] def quantilesDiscFromRanked(ranked: DataFrame, groupCols: Seq[String],
+                                           ps: Seq[Double], outCols: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.size == outCols.size, "one output column per quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles must be in [0,1]")
     val keys = groupCols.map(col)
-    val ranked = rankedCounts(df, valueCol, groupCols)
     def cond(p: Double): Column =
       if (p == 0.0) col("_start") === 0L
       else {

@@ -322,14 +322,17 @@ object ScaleOps {
     * themselves the way they inflate a stddev — the standard
     * data-quality screen before training on numeric features.
     *
-    * Plan: median and MAD come from [[Quantiles.exactQuantiles]] — the
-    * rank-based two-pass form whose shuffle is bounded by DISTINCT
-    * values and whose per-row state is O(1), bit-equal to Spark's
-    * exact `percentile` but without its per-group value map (the OOM
-    * at datalake scale). The data↔aggregate joins are co-partitioned
-    * on the group keys. Every comparison is on unrounded doubles
-    * computed by the identical operation tree cross-engine; only the
-    * REPORTED med/mad round.
+    * Plan: ONE pass over the raw rows collapses to a per-group
+    * distinct-value count table (map-side combine; shuffle volume =
+    * distinct values, not rows); median, the |v−med| deviation table,
+    * MAD, and the weighted outlier count all derive from that table
+    * via [[Quantiles.rankCounts]]' cumulative-rank logic — bit-equal
+    * to Spark's exact `percentile` but with O(1) per-row state (no
+    * per-group value map, the OOM at datalake scale) and no second
+    * scan of the raw data for the MAD. The aggregate joins are
+    * co-partitioned on the group keys. Every comparison is on
+    * unrounded doubles computed by the identical operation tree
+    * cross-engine; only the REPORTED med/mad round.
     */
   def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
                      zCut: Double = 3.0): DataFrame =
@@ -349,17 +352,41 @@ object ScaleOps {
 
   private def robustOutliersImpl(df: DataFrame, keys: Seq[String], valueCol: String,
                                  zCut: Double, disc: Boolean): DataFrame = {
-    def q(d: DataFrame, v: String, out: String) =
-      if (disc) Quantiles.exactQuantilesDisc(d, v, keys, Seq(0.5), Seq(out))
-      else Quantiles.exactQuantiles(d, v, keys, Seq(0.5), Seq(out))
-    val med = q(df, valueCol, "_med")
-    val dev = df.join(med, keys)
-      .withColumn("_adev", abs(col(valueCol) - col("_med")))
-    val mad = q(dev, "_adev", "_mad")
+    val keyCols = keys.map(col)
+    def q(ranked: DataFrame, out: String) =
+      if (disc) Quantiles.quantilesDiscFromRanked(ranked, keys, Seq(0.5), Seq(out))
+      else Quantiles.quantilesFromRanked(ranked, keys, Seq(0.5), Seq(out))
+    // ONE pass over the raw rows: collapse to (group, value, count)
+    // with map-side combine (null measures dropped up front — `n`
+    // counts the group's non-null measure rows; a null is neither an
+    // outlier nor an inlier). Every downstream stage — median, the
+    // deviation table, MAD, the weighted outlier count — derives from
+    // the SAME ranked subtree, so the exchanges are plan-identical and
+    // runtime exchange reuse makes this physically one raw scan + one
+    // (keys, value) shuffle + one keys-partitioned window sort; the
+    // earlier form re-scanned and re-shuffled the RAW rows for the MAD
+    // pass and the final count.
+    val ranked = Quantiles.rankCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(keyCols :+ col(valueCol).cast("double").as("_v"): _*)
+        .agg(count(lit(1)).as("_c")),
+      keys)
+    val med = q(ranked, "_med")
+    // deviation table at distinct-value granularity: |v − med| carries
+    // the SAME counts, so the MAD shares the first pass's distinct
+    // scan. v = m−d and v = m+d collapse to two rows with equal `_v`,
+    // which rankCounts' interval logic handles without a re-merge. The
+    // med/mad joins broadcast a one-row-per-group frame, preserving
+    // ranked's keys partitioning, so neither the second window nor the
+    // final aggregate adds an exchange.
+    val dev = ranked.join(med, keys)
+      .select(keyCols ++ Seq(abs(col("_v") - col("_med")).as("_v"),
+        col("_c"), col("_med")): _*)
+    val mad = q(Quantiles.rankCounts(dev, keys), "_mad")
     dev.join(mad, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("_adev") > lit(zCut) * lit(1.4826) * col("_mad"), 1L)
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_c")).as("n"),
+        sum(when(col("_v") > lit(zCut) * lit(1.4826) * col("_mad"), col("_c"))
           .otherwise(0L)).as("n_outliers"),
         round(min("_med"), 4).as("median"),
         round(min("_mad"), 4).as("mad"))

@@ -191,6 +191,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "per-source totals join should broadcast")
   }
 
+  test("q_outliers: one raw scan, one raw shuffle — median and MAD share the distinct-value pass") {
+    val df = SparkEntry.queries("q_outliers")(spark, dir)
+    df.collect() // AQE finalizes exchange reuse only at execution
+    // the AQE string appends the pre-reuse "Initial Plan"; judge the
+    // final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "median/MAD/outlier-count branches must share ONE scan of the raw table")
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      "the (keys, value) count exchange must be reused across branches, " +
+        "not recomputed per quantile pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "group-median joins must broadcast")
+  }
+
   test("q_range_lookup: tiny interval dim broadcasts as a nested-loop, no shuffle join") {
     val p = plan("q_range_lookup")
     assert(p.contains("BroadcastNestedLoopJoin"), "band lookup should be a broadcast NLJ")
