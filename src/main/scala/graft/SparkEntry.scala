@@ -3875,7 +3875,10 @@ object SparkEntry {
            |FROM tok JOIN vocab USING (w) CROSS JOIN tot
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      // NOTE: the sized CTE mirrors lshCandidatePairs' maxBucketSize=1000
+      // NOTE: the sized CTEs' `BETWEEN 2 AND 316` mirrors
+      // lshCandidatePairs' default admission cap
+      // lshAdmissionCap(maxBucketSize=1000, maxPairsPerBucket=50000)
+      // = 316; ContractSpec pins the literal to the formula
       // cap so Spark and oracle agree even if a band bucket blows up at
       // larger scale factors (boilerplate-heavy corpora).
       "q_lsh_pairs" ->
@@ -3885,7 +3888,7 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
            |sized AS (
            |  SELECT band, bh FROM bands GROUP BY band, bh
-           |  HAVING count(*) BETWEEN 2 AND 1000)
+           |  HAVING count(*) BETWEEN 2 AND 316)
            |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
            |JOIN sized s ON s.band = a.band AND s.bh = a.bh
@@ -3901,7 +3904,7 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
            |sized AS (
            |  SELECT band, bh FROM bands GROUP BY band, bh
-           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |  HAVING count(*) BETWEEN 2 AND 316),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -4566,7 +4569,7 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
            |sized AS (
            |  SELECT band, bh FROM bands GROUP BY band, bh
-           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |  HAVING count(*) BETWEEN 2 AND 316),
            |tpairs AS (
            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -4616,7 +4619,7 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
           |sized AS (
           |  SELECT band, bh FROM bands GROUP BY band, bh
-          |  HAVING count(*) BETWEEN 2 AND 1000),
+          |  HAVING count(*) BETWEEN 2 AND 316),
           |cand AS (
           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -4688,7 +4691,7 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
            |sized AS (
            |  SELECT band, bh FROM bands GROUP BY band, bh
-           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |  HAVING count(*) BETWEEN 2 AND 316),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id

@@ -192,16 +192,34 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.band_hash"))
   }
 
+  /** Largest bucket size whose pair fan-out m(m-1)/2 stays within
+    * `maxPairs`, additionally clamped by `maxBucketSize` — the shared
+    * admission formula for [[lshCandidatePairs]] and its oracle SQL
+    * (one definition, two engines).
+    */
+  def lshAdmissionCap(maxBucketSize: Int, maxPairs: Long): Long = {
+    require(maxBucketSize >= 2 && maxPairs >= 1, "caps must admit at least one pair")
+    val fromPairs = ((1.0 + math.sqrt(1.0 + 8.0 * maxPairs.toDouble)) / 2.0).toLong
+    math.min(maxBucketSize.toLong, fromPairs)
+  }
+
   /** Candidate near-duplicate pairs from LSH bands: self-equi-join on
-    * (band, band_hash), `id1 < id2`, distinct. `maxBucketSize` drops
-    * degenerate buckets (e.g. empty-shingle docs) that would otherwise
-    * produce quadratic blowup at scale.
+    * (band, band_hash), `id1 < id2`, distinct. Bucket admission is the
+    * min of two caps: `maxBucketSize` bounds the collect_list buffer,
+    * and `maxPairsPerBucket` bounds the m(m-1)/2 explode fan-out — the
+    * cap that actually matters at 100x, since the old 1000-doc bucket
+    * cap alone still admitted ~500k pairs from ONE degenerate bucket
+    * (e.g. empty-shingle docs hashing identically). An over-full
+    * bucket signals a degenerate band hash, not real near-duplicates,
+    * so dropping it whole costs ~no recall.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String = "doc_id",
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000,
+                        maxPairsPerBucket: Long = 50000L): DataFrame = {
+    val cap = lshAdmissionCap(maxBucketSize, maxPairsPerBucket)
     val sized = bands.groupBy("band", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .filter(size(col("ids")).between(2, cap))
     // explode the (small, capped) bucket into ordered pairs
     sized
       .select(explode(col("ids")).as("id1"), col("ids"))

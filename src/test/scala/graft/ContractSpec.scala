@@ -28,4 +28,23 @@ class ContractSpec extends AnyFunSuite {
       assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle has no ORDER BY")
     }
   }
+
+  test("oracle LSH bucket-cap literal matches lshCandidatePairs' admission formula") {
+    // the five LSH oracles hardcode `BETWEEN 2 AND <cap>`; the Spark
+    // side computes the cap as lshAdmissionCap(maxBucketSize,
+    // maxPairsPerBucket). Pin the literal to the formula so a default
+    // change on either side fails here instead of at the driver gate.
+    val cap = graft.ext.Dedup.lshAdmissionCap(1000, 50000L)
+    assert(cap == 316L, s"admission formula moved: $cap")
+    val users = Seq("q_lsh_pairs", "q_dedup_clusters", "q_dedup_keep_best",
+      "q_dedup_ensemble", "q_minhash_eval")
+    val withCap = SparkEntry.oracleSql.filter(_._2.contains(s"BETWEEN 2 AND $cap")).keySet
+    users.foreach { q =>
+      assert(withCap.contains(q),
+        s"$q oracle bucket cap does not match lshAdmissionCap = $cap")
+    }
+    assert(SparkEntry.oracleSql.forall { case (n, s) =>
+      !s.contains("BETWEEN 2 AND 1000") },
+      "stale 1000-doc bucket cap survives in an oracle")
+  }
 }
