@@ -2835,6 +2835,117 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // chi-square independence: does event_type depend on the user's
+    // A/B arm? One contingency pass; per-cell contributions quantized
+    // to nano-units so the global Σ runs over exact longs
+    // (Inference.chi2 scaladoc) — the categorical complement to
+    // q_ab_ttest/q_ks_test.
+    "q_chi2_test" -> ((s, dir) => {
+      Inference.chi2(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+            .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm")),
+          "event_type", "arm")
+        .orderBy("n")
+    }),
+
+    // sample ACF of the daily event-count series, lags 1..7 — the
+    // seasonality screen a forecasting pipeline runs before picking a
+    // model. Integer power sums with N²-cleared denominators: one
+    // division per lag (Inference.autocorr scaladoc).
+    "q_autocorr" -> ((s, dir) => {
+      val days = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Inference.autocorr(days, ord = col("day"), y = col("y"), maxLag = 7)
+        .orderBy("lag")
+    }),
+
+    // CUSUM mean-shift changepoint on the daily purchase-value series:
+    // where does the mean level shift? Exact-integer argmax of the
+    // N-scaled cumulative deviation (Forecast.cusumChangepoint
+    // scaladoc); cents-quantized values.
+    "q_changepoint" -> ((s, dir) => {
+      val days = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value") * 100)).cast("long").as("cents"))
+      Forecast.cusumChangepoint(days, ord = col("day"), y = col("cents"))
+        .select(col("ord").as("day"), col("t"), col("n"), col("cusum_n"),
+          col("mean_dev"))
+    }),
+
+    // Gini concentration of the corpus source mix — the one-number
+    // "how skewed is my training-data mixture" readout. Sorted-rank
+    // form Σ(2i−n−1)·x_i / (n·Σx): the numerator is exact integer
+    // (rank window over the tiny per-source count table), one final
+    // division. Complements q_mixture_balance's per-source shares.
+    "q_gini_mixture" -> ((s, dir) => {
+      val counts = spread(t(s, dir, "documents"))
+        .groupBy("source").agg(count(lit(1)).as("x"))
+      val i = row_number().over(Window.orderBy(col("x").asc, col("source").asc))
+        .cast("long")
+      val ranked = counts.select(col("x"),
+        ((lit(2) * i).cast("long") * col("x")).as("ix2"))
+      ranked.agg(count(lit(1)).as("n_sources"), sum("x").as("total_docs"),
+          sum("ix2").as("s_ix2"))
+        .select(col("n_sources"), col("total_docs"),
+          round((col("s_ix2") - (col("n_sources") + 1) * col("total_docs"))
+            .cast("double") /
+            (col("n_sources") * col("total_docs")).cast("double"), 6)
+            .as("gini"))
+    }),
+
+    // duplicated-span mining: word 8-grams shared by ≥2 DISTINCT docs
+    // — the repeated-boilerplate detector (Lee et al.-style span dedup
+    // at shingle granularity). Shingle explode → one map-side-combined
+    // count per distinct span; the ≥2-docs filter prunes the long tail
+    // before the top-k sort, so what reaches the driver is boilerplate
+    // only. Same tokenize-once shape as q_top_ngrams.
+    "q_dup_spans" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("span"))
+        .groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), desc("n_occur"), asc("span"))
+        .limit(30)
+    }),
+
+    // bucketed co-located fact-fact join: both sides written bucketed
+    // (and sorted) on the join key, so the join plans with ZERO
+    // exchange — the persisted-co-location pattern every incremental
+    // 100-TB pipeline uses for its repeated big-big joins
+    // (ScaleOps.writeBucketed scaladoc; shuffle-freedom is
+    // plan-asserted in PlanSpec). External-path tables keep bench/
+    // verify runs from writing into the working directory; the
+    // catalog-existence guard makes warm bench runs time the JOIN, not
+    // the one-time bucketed write.
+    "q_bucket_join" -> ((s, dir) => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val (to, tl) = (s"bj_orders_$dirKey", s"bj_lineitem_$dirKey")
+      if (!s.catalog.tableExists(to)) {
+        ScaleOps.writeBucketed(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          to, "o_orderkey", 8, path = Some(s"$tmp/graft_$to"))
+        ScaleOps.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity"), col("l_extendedprice")),
+          tl, "o_orderkey", 8, path = Some(s"$tmp/graft_$tl"))
+      }
+      // merge hint: at this sf the planner would broadcast the tiny
+      // orders side, hiding the property under test; at 100 TB neither
+      // side broadcasts and sort-merge over co-bucketed scans IS the
+      // natural plan — the hint pins the at-scale shape locally
+      s.table(tl).join(s.table(to).hint("merge"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // DataSource V2 fixed-width scan end-to-end: materialize a
     // deterministic fixed-width extract of lineitem, read it back
     // through graft-fixedwidth with maxSplitBytes forcing multiple
@@ -5525,6 +5636,110 @@ object SparkEntry {
           |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
           |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
           |FROM c, t ORDER BY bin""".stripMargin,
+
+      // per-cell contributions quantized to nano-units before the SUM
+      // (exact longs — accumulation-order-free), mirroring
+      // Inference.chi2's fixed-point discipline
+      "q_chi2_test" ->
+        """WITH joint AS (
+          |  SELECT event_type AS x, user_id % 2 AS y, count(*)::BIGINT AS nxy
+          |  FROM events GROUP BY 1, 2),
+          |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+          |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+          |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+          |               CAST(count(DISTINCT x) AS BIGINT) AS dx,
+          |               CAST(count(DISTINCT y) AS BIGINT) AS dy FROM joint),
+          |cells AS (
+          |  SELECT n, dx, dy,
+          |         CAST(round((CAST(COALESCE(nxy, 0) AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+          |              * (CAST(COALESCE(nxy, 0) AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+          |              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS c9
+          |  FROM mx CROSS JOIN my LEFT JOIN joint USING (x, y), tot),
+          |s AS (SELECT n, dx, dy, CAST(sum(c9) AS BIGINT) AS chi9
+          |      FROM cells GROUP BY 1, 2, 3)
+          |SELECT n, (dx - 1) * (dy - 1) AS dof,
+          |       round(CAST(chi9 AS DOUBLE) / 1e9, 6) AS chi2_stat,
+          |       round(sqrt(CAST(chi9 AS DOUBLE) / 1e9 /
+          |             (CAST(n AS DOUBLE) * CAST(least(dx - 1, dy - 1) AS DOUBLE))), 6) AS cramers_v
+          |FROM s ORDER BY n""".stripMargin,
+
+      // integer power sums with N²-cleared denominators: one division
+      // per lag over identical longs (Inference.autocorr scaladoc)
+      "q_autocorr" -> {
+        val lagCols = (1 to 7).map(k => s"lag(y, $k) OVER w AS y$k").mkString(", ")
+        val sumCols = (1 to 7).map(k =>
+          s"CAST(count(y$k) AS BIGINT) AS c$k, CAST(sum(y*y$k) AS BIGINT) AS sab$k, " +
+          s"CAST(sum(CASE WHEN y$k IS NOT NULL THEN y END) AS BIGINT) AS sa$k, " +
+          s"CAST(sum(y$k) AS BIGINT) AS sb$k").mkString(", ")
+        val rows = (1 to 7).map(k =>
+          s"""SELECT CAST($k AS INTEGER) AS "lag", c$k AS n_pairs,
+             |  round(CAST(n*n*sab$k - n*s*(sa$k + sb$k) + c$k*s*s AS DOUBLE) /
+             |        CAST(n*(n*ss - s*s) AS DOUBLE), 6) AS acf FROM t""".stripMargin)
+          .mkString("\n", "\nUNION ALL\n", "\n")
+        s"""WITH days AS (
+           |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |         count(*)::BIGINT AS y
+           |  FROM events GROUP BY 1),
+           |l AS (SELECT y, $lagCols FROM days WINDOW w AS (ORDER BY day)),
+           |t AS (SELECT count(*)::BIGINT AS n, CAST(sum(y) AS BIGINT) AS s,
+           |             CAST(sum(y*y) AS BIGINT) AS ss, $sumCols FROM l)
+           |$rows
+           |ORDER BY "lag"""".stripMargin
+      },
+
+      // exact-integer argmax of the N-scaled cumulative deviation with
+      // a total (|stat| desc, day asc) tie-break
+      "q_changepoint" ->
+        """WITH days AS (
+          |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |c AS (
+          |  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+          |         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+          |                               AND CURRENT ROW) AS BIGINT) AS st
+          |  FROM days),
+          |tot AS (SELECT count(*)::BIGINT AS n, CAST(sum(cents) AS BIGINT) AS s FROM days)
+          |SELECT day, t, n, n*st - t*s AS cusum_n,
+          |       round(CAST(n*st - t*s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_dev
+          |FROM c, tot
+          |ORDER BY abs(n*st - t*s) DESC, day LIMIT 1""".stripMargin,
+
+      // integer rank-weighted numerator; one final division
+      "q_gini_mixture" ->
+        """WITH c AS (SELECT source, count(*)::BIGINT AS x FROM documents GROUP BY 1),
+          |r AS (SELECT x,
+          |             CAST(2 * row_number() OVER (ORDER BY x, source) AS BIGINT) * x AS ix2
+          |      FROM c),
+          |s AS (SELECT count(*)::BIGINT AS n_sources, CAST(sum(x) AS BIGINT) AS total_docs,
+          |             CAST(sum(ix2) AS BIGINT) AS s_ix2 FROM r)
+          |SELECT n_sources, total_docs,
+          |       round(CAST(s_ix2 - (n_sources + 1) * total_docs AS DOUBLE) /
+          |             CAST(n_sources * total_docs AS DOUBLE), 6) AS gini
+          |FROM s""".stripMargin,
+
+      // same tokenize-once + list-slice shingling as q_top_ngrams,
+      // widened to 8-gram spans with a distinct-doc floor
+      "q_dup_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+7], ' ') for i in range(1, len(l) - 6)]) AS span
+          |  FROM toks)
+          |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+          |FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, n_occur DESC, span LIMIT 30""".stripMargin,
+
+      // the bucketed tables reproduce orders/lineitem exactly, so the
+      // oracle joins the originals; co-location is a plan property
+      // (PlanSpec), not a value property
+      "q_bucket_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the DSv2 round-trip reproduces lineitem exactly, so the oracle
       // aggregates the original table directly

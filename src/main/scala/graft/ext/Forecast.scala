@@ -35,6 +35,41 @@ object Forecast {
       .withColumn("abs_err", abs(col("y") - col("forecast")))
   }
 
+  /** CUSUM mean-shift changepoint detection over ONE global integral
+    * series: the cumulative-sum statistic C_t = S_t − t·(S/N) (the
+    * running deviation of the prefix sum from its expected share)
+    * peaks at the point where the series mean shifts; the argmax of
+    * |C_t| is the classic single-changepoint estimate. Multiplying by
+    * N clears the division: emitted `cusum_n` = N·S_t − t·S is EXACT
+    * integer arithmetic end to end, so the argmax (|cusum_n| desc,
+    * then ord asc — a total tie-break) is bit-deterministic on any
+    * engine or partitioning. `mean_shifted` = C_t/N in series units is
+    * the one final division.
+    *
+    * Scale shape: caller aggregates to the series grid first; one
+    * global-window prefix sum over grid cells (the [[Inference.ksTest]]
+    * CDF shape) + a broadcast one-row total. Overflow: N·S_t < 2⁶³ —
+    * with S ≤ N·y_max that is N²·y_max, safe past a 10⁶-cell grid of
+    * 10⁹-sized values.
+    */
+  def cusumChangepoint(series: DataFrame, ord: Column, y: Column): DataFrame = {
+    val base = series.select(ord.as("ord"), y.cast("long").as("y"))
+    val wCum = Window.orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base.agg(count(lit(1)).as("n"), sum("y").as("s"))
+    base
+      .select(col("ord"),
+        row_number().over(Window.orderBy("ord")).cast("long").as("t"),
+        sum("y").over(wCum).as("st"))
+      .crossJoin(broadcast(totals))
+      .select(col("ord"), col("t"), col("n"),
+        (col("n") * col("st") - col("t") * col("s")).as("cusum_n"))
+      .withColumn("mean_dev",
+        round(col("cusum_n").cast("double") / col("n").cast("double"), 6))
+      .orderBy(abs(col("cusum_n")).desc, col("ord").asc)
+      .limit(1)
+  }
+
   /** Backtest summary per series: evaluation count, MAE, and MAPE (in
     * percent, over periods with nonzero actuals) of the seasonal-naive
     * forecast. One additional map-side-combined aggregate over

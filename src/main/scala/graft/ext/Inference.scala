@@ -200,6 +200,89 @@ object Inference {
         round((gShare - bShare) * log(gShare / bShare), 6).as("iv_part"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V effect size: one contingency pass, then
+    * χ² = Σ_cells (O − E)²/E with E = n_x·n_y/n, dof = (|X|−1)(|Y|−1),
+    * V = √(χ²/(n·min(|X|−1, |Y|−1))).
+    *
+    * Determinism: the per-cell contribution is a double, and a global
+    * Σ of doubles is accumulation-order-dependent — so each cell is
+    * quantized to nano-units (`round(c·1e9)` → long) and the SUM runs
+    * over exact longs, which are associative under any partitioning or
+    * engine. The ≤1e-9-per-cell quantization error is far below the
+    * 1e-6 output rounding for any contingency table small enough to be
+    * one (cells ≪ 1000). Same one-scan-plus-tiny-exchange scale shape
+    * as [[mutualInfo]]; marginals and the total broadcast.
+    */
+  def chi2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(xCol, yCol).agg(count(lit(1)).as("nxy"))
+    val margX = joint.groupBy(xCol).agg(sum("nxy").as("nx"))
+    val margY = joint.groupBy(yCol).agg(sum("nxy").as("ny"))
+    val total = joint.agg(sum("nxy").as("n"),
+      countDistinct(col(xCol)).as("dx"), countDistinct(col(yCol)).as("dy"))
+    val e = col("nx").cast("double") * col("ny").cast("double") / col("n").cast("double")
+    val d = col("nxy").cast("double") - e
+    // the FULL dx×dy grid, not just observed cells: an absent cell
+    // (O = 0) still contributes E to χ² — skipping zeros understates
+    // the statistic exactly when the association is strongest
+    margX.crossJoin(broadcast(margY))
+      .join(joint, Seq(xCol, yCol), "left")
+      .withColumn("nxy", coalesce(col("nxy"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("n"), col("dx"), col("dy"),
+        round(d * d / e * lit(1e9), 0).cast("long").as("c9"))
+      .groupBy("n", "dx", "dy")
+      .agg(sum("c9").as("chi9"))
+      .select(col("n"),
+        ((col("dx") - 1) * (col("dy") - 1)).as("dof"),
+        round(col("chi9").cast("double") / lit(1e9), 6).as("chi2_stat"),
+        round(sqrt(col("chi9").cast("double") / lit(1e9) /
+          (col("n").cast("double") *
+            least(col("dx") - 1, col("dy") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Sample autocorrelation function r_k for lags 1..maxLag over ONE
+    * global integral series (aggregate first — days × metric, not raw
+    * rows): r_k = Σ_{t>k}(y_t−ȳ)(y_{t−k}−ȳ) / Σ_t(y_t−ȳ)², the
+    * standard ACF with the full-series mean. Clearing denominators by
+    * N² turns every term into exact integer arithmetic:
+    *   r_k = (N²·Σab_k − N·S·(Σa_k+Σb_k) + c_k·S²) / (N·(N·SS − S²))
+    * over longs, with ONE final division — bit-identical cross-engine.
+    *
+    * Scale shape: the caller aggregates the fact table down to the
+    * series grid first (same contract as [[ksTest]]'s quantized grid),
+    * so the lag windows run over grid cells. One global window sort
+    * over the series (bounded: it IS a series), one row out per lag.
+    * Overflow bound: N^1.5·y_max·√N ≈ N²·y² must stay < 2⁶³ — coarsen
+    * the series unit (or scale y down) past ~1e9·√N.
+    */
+  def autocorr(series: DataFrame, ord: Column, y: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val w = Window.orderBy("ord")
+    val base = series.select(ord.as("ord"), y.cast("long").as("y"))
+    val lagged = (1 to maxLag).foldLeft(base)((d, k) =>
+      d.withColumn(s"y_$k", lag("y", k).over(w)))
+    val aggs = Seq(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("ss")) ++
+      (1 to maxLag).flatMap(k => Seq(
+        count(col(s"y_$k")).as(s"c$k"),
+        sum(col("y") * col(s"y_$k")).as(s"sab$k"),
+        sum(when(col(s"y_$k").isNotNull, col("y"))).as(s"sa$k"),
+        sum(col(s"y_$k")).as(s"sb$k")))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    val perLag = (1 to maxLag).map { k =>
+      val num = col("n") * col("n") * col(s"sab$k") -
+        col("n") * col("s") * (col(s"sa$k") + col(s"sb$k")) +
+        col(s"c$k") * col("s") * col("s")
+      val den = col("n") * (col("n") * col("ss") - col("s") * col("s"))
+      struct(lit(k).cast("int").as("lag"), col(s"c$k").as("n_pairs"),
+        round(num.cast("double") / den.cast("double"), 6).as("acf"))
+    }
+    sums.select(explode(array(perLag: _*)).as("r"))
+      .select(col("r.lag"), col("r.n_pairs"), col("r.acf"))
+  }
+
   /** Mutual information I(X;Y) in nats between two categorical columns,
     * from one contingency-count pass: I = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))).
     * Output is the per-x partial contribution plus the cell count, so

@@ -50,12 +50,18 @@ object ScaleOps {
     * co-location; worth it whenever a big table is joined on the same
     * key many times (fact-to-fact joins, incremental pipelines).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    // an explicit path makes the table EXTERNAL — bucketing metadata
+    // still lives in the catalog, but the files land where the caller
+    // says instead of the session's warehouse directory (bench/verify
+    // runs must not write into the working directory)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Z-order (Morton) clustering key: interleaves the low `bits` bits
     * of two dimensions so that sorting by the key co-locates rows that

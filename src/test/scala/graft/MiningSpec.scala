@@ -127,6 +127,52 @@ class MiningSpec extends SparkSpec {
     assert(r1.getAs[Double]("ks_stat") === 1.0)
   }
 
+  test("chi2: balanced table gives 0; perfect 2x2 association gives chi2=n, V=1") {
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .flatMap(Seq.fill(5)(_)).toDF("xc", "yc")
+    val r0 = Inference.chi2(ind, "xc", "yc").collect().head
+    assert(r0.getAs[Double]("chi2_stat") === 0.0)
+    assert(r0.getAs[Double]("cramers_v") === 0.0)
+    assert(r0.getAs[Long]("dof") === 1L)
+    // perfect association: only (a,u) and (b,v) observed — the two
+    // ABSENT cells contribute E each, so chi2 = n exactly (textbook
+    // 2x2 identity) and V = 1; an observed-cells-only sum would say 5
+    val dep = Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))
+    val r1 = Inference.chi2(dep.toDF("xc", "yc"), "xc", "yc").collect().head
+    assert(r1.getAs[Long]("n") === 10L)
+    assert(r1.getAs[Double]("chi2_stat") === 10.0)
+    assert(r1.getAs[Double]("cramers_v") === 1.0)
+  }
+
+  test("autocorr: alternating series has exact negative lag-1, positive lag-2 ACF") {
+    // y = 1,2,1,2,1,2: N=6 S=9 SS=15.
+    // k=1: c=5 Σab=10 Σa=8 Σb=7 → num = 36·10−6·9·15+5·81 = −45,
+    //      den = 6·(6·15−81) = 54 → r1 = −45/54 = −0.833333
+    // k=2: c=4 Σab=10 Σa=6 Σb=6 → num = 360−648+324 = 36 → r2 = 36/54
+    val s = Seq(1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (y, i) => (i.toLong, y) }.toDF("ord", "y")
+    val out = Inference.autocorr(s, col("ord"), col("y"), maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(out(1) === ((5L, -0.833333)))
+    assert(out(2) === ((4L, 0.666667)))
+  }
+
+  test("cusum changepoint: level shift is located exactly with integer stat") {
+    // y = 1,1,1,5,5,5: N·S_t − t·S peaks (in |·|) at t=3: 6·3−3·18 = −36
+    val s = (1L to 6L).map(t => (t, if (t <= 3) 1L else 5L)).toDF("ord", "y")
+    val r = Forecast.cusumChangepoint(s, col("ord"), col("y")).collect().head
+    assert(r.getAs[Long]("ord") === 3L)
+    assert(r.getAs[Long]("t") === 3L)
+    assert(r.getAs[Long]("cusum_n") === -36L)
+    assert(r.getAs[Double]("mean_dev") === -6.0)
+    // constant series: every stat is 0; the tie-break picks the first ord
+    val flat = (1L to 4L).map((_, 7L)).toDF("ord", "y")
+    val rf = Forecast.cusumChangepoint(flat, col("ord"), col("y")).collect().head
+    assert(rf.getAs[Long]("cusum_n") === 0L)
+    assert(rf.getAs[Long]("ord") === 1L)
+  }
+
   test("source overlap: shared fingerprints counted once; jaccard exact") {
     // s1 = {A,B,C}, s2 = {B,C,D}, s3 = {E}: s1∩s2 = 2, J = 2/4
     val df = Seq(("s1", "A"), ("s1", "B"), ("s1", "C"), ("s2", "B"),

@@ -79,6 +79,18 @@ class PlanSpec extends SparkSpec {
       || p.contains("EqualTo(c_mktsegment"), "segment filter not pushed to scan")
   }
 
+  test("q_bucket_join: bucketed sides join with NO exchange; only the agg shuffles") {
+    val df = SparkEntry.queries("q_bucket_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the one exchange allowed is the tiny o_orderpriority aggregate;
+    // a second would mean a bucketed side got re-shuffled for the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed join re-shuffled a side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected a co-located big-big join operator")
+    assert(p.contains("Bucketed: true"), "scan did not use bucketing")
+  }
+
   test("q_count_distinct: Expand fan-out with partial aggregation") {
     val p = plan("q_count_distinct")
     assert(p.contains("Expand"), "multi-distinct should plan through Expand")
