@@ -2835,6 +2835,17 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Mann–Whitney rank-sum between the user_id%2 arms on the
+    // cent-quantized value — the nonparametric twin of q_ab_ttest,
+    // with the AUC effect size. Doubled-rank integer machinery on the
+    // distinct-value grid (Inference.mannWhitney scaladoc).
+    "q_mann_whitney" -> ((s, dir) => {
+      Inference.mannWhitney(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("n0")
+    }),
+
     // chi-square independence: does event_type depend on the user's
     // A/B arm? One contingency pass; per-cell contributions quantized
     // to nano-units so the global Σ runs over exact longs
@@ -5636,6 +5647,38 @@ object SparkEntry {
           |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
           |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
           |FROM c, t ORDER BY bin""".stripMargin,
+
+      // doubled midranks keep every aggregate an exact long; the
+      // halving happens in the final float tower (x.5 is IEEE-exact)
+      "q_mann_whitney" ->
+        """WITH cells AS (
+          |  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+          |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          |  FROM events GROUP BY 1),
+          |c2 AS (
+          |  SELECT c0, c1, c0 + c1 AS cnt,
+          |         COALESCE(CAST(sum(c0 + c1) OVER (ORDER BY v ROWS BETWEEN
+          |           UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+          |  FROM cells),
+          |s AS (
+          |  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+          |         CAST(sum(c1 * (2*cb + cnt + 1)) AS BIGINT) AS r2,
+          |         CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS t3
+          |  FROM c2)
+          |SELECT n0, n1,
+          |       CAST(r2 - n1*(n1+1) AS DOUBLE) / 2.0 AS u1,
+          |       round(CAST(r2 - n1*(n1+1) AS DOUBLE) /
+          |             (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS auc,
+          |       CASE WHEN CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+          |                 (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(t3 AS DOUBLE) /
+          |                  (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE))) > 0
+          |            THEN round(CAST((r2 - n1*(n1+1)) - n0*n1 AS DOUBLE) / 2.0 /
+          |                 sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+          |                      (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(t3 AS DOUBLE) /
+          |                       (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 - 1 AS DOUBLE)))), 6)
+          |       END AS z
+          |FROM s ORDER BY n0""".stripMargin,
 
       // per-cell contributions quantized to nano-units before the SUM
       // (exact longs — accumulation-order-free), mirroring

@@ -133,6 +133,52 @@ object Inference {
       .withColumn("reject_05", col("ks_stat") > col("crit_05"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between arms 0 and 1 of an
+    * integral (caller-quantized) measure — the nonparametric
+    * complement to [[welchT]] when the distribution is skewed or
+    * heavy-tailed. Emits U₁, the rank-biserial-free effect size
+    * AUC = U₁/(n₀·n₁) (the probability a random arm-1 draw exceeds a
+    * random arm-0 draw, ties half — exactly the ROC-AUC of the arm as
+    * a classifier), and the tie-corrected normal-approximation z.
+    *
+    * Exactness trick: with ties, midranks are half-integers — so the
+    * machinery carries DOUBLED ranks (2·midrank = 2·cumBefore+cnt+1,
+    * an integer) and 2·U₁, keeping every aggregate an exact long; the
+    * halving happens in the final float tower (x.5 is IEEE-exact).
+    * Same distinct-value-grid scale shape as [[ksTest]]: counts
+    * collapse map-side to the grid, the one ordered pass (cumulative
+    * counts) runs over grid cells, not rows. z is null when the
+    * tie-corrected variance is 0 (all values identical).
+    */
+  def mannWhitney(df: DataFrame, arm: Column, x: Column): DataFrame = {
+    val cells = df.select(arm.cast("int").as("arm"), x.cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("c0"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("c1"))
+    val wBefore = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cnt = col("c0") + col("c1")
+    val sums = cells
+      .withColumn("cb", coalesce(sum(col("c0") + col("c1")).over(wBefore), lit(0L)))
+      .agg(sum("c0").as("n0"), sum("c1").as("n1"),
+        sum(col("c1") * (lit(2) * col("cb") + cnt + 1)).as("r2"),
+        sum(cnt * cnt * cnt - cnt).as("t3"))
+    val u2 = col("r2") - col("n1") * (col("n1") + 1) // = 2·U₁, exact
+    val varU = col("n0").cast("double") * col("n1").cast("double") / lit(12.0) *
+      ((col("n0") + col("n1") + 1).cast("double") -
+        col("t3").cast("double") /
+          ((col("n0") + col("n1")).cast("double") *
+            (col("n0") + col("n1") - 1).cast("double")))
+    sums.select(col("n0"), col("n1"),
+      (u2.cast("double") / lit(2.0)).as("u1"),
+      round(u2.cast("double") /
+        (lit(2.0) * col("n0").cast("double") * col("n1").cast("double")), 6)
+        .as("auc"),
+      when(varU > 0,
+        round((u2 - col("n0") * col("n1")).cast("double") / lit(2.0) /
+          sqrt(varU), 6)).as("z"))
+  }
+
   /** Kaplan–Meier survival curve over integral durations, all events
     * observed (no censoring — the retention/churn readout: "what
     * fraction of entities survive past duration d"). Per distinct

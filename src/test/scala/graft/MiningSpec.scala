@@ -158,6 +158,24 @@ class MiningSpec extends SparkSpec {
     assert(out(2) === ((4L, 0.666667)))
   }
 
+  test("mann-whitney: separated arms give U=n0*n1, AUC=1; all-tied gives AUC=.5, null z") {
+    // arm0 = {1,2,3}, arm1 = {4,5,6}: no ties, R1 = 15, U1 = 9 = n0·n1
+    val sep = Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 6L))
+      .toDF("arm", "v")
+    val r = Inference.mannWhitney(sep, col("arm"), col("v")).collect().head
+    assert(r.getAs[Double]("u1") === 9.0)
+    assert(r.getAs[Double]("auc") === 1.0)
+    val expZ = 4.5 / math.sqrt(9.0 * 7 / 12) // no ties: var = n0·n1·(N+1)/12
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-6)
+    // every value identical: midrank machinery gives U1 = n0·n1/2,
+    // AUC exactly .5, and the tie-corrected variance collapses to 0
+    val tied = Seq((0, 7L), (0, 7L), (1, 7L), (1, 7L)).toDF("arm", "v")
+    val rt = Inference.mannWhitney(tied, col("arm"), col("v")).collect().head
+    assert(rt.getAs[Double]("u1") === 2.0)
+    assert(rt.getAs[Double]("auc") === 0.5)
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+  }
+
   test("cusum changepoint: level shift is located exactly with integer stat") {
     // y = 1,1,1,5,5,5: N·S_t − t·S peaks (in |·|) at t=3: 6·3−3·18 = −36
     val s = (1L to 6L).map(t => (t, if (t <= 3) 1L else 5L)).toDF("ord", "y")
