@@ -2835,6 +2835,35 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // embedding-distribution drift between two shards (vec_id parity
+    // as ref/cur): IVF-assign every vector to the fixed centroids,
+    // then PSI over the per-centroid assignment distribution — the
+    // embedding-space analogue of q_psi_drift that catches semantic
+    // mix shift before any scalar feature moves. Emits per-centroid
+    // terms (exact counts, one float tower each) rather than the
+    // order-dependent global Σ; the caller sums 4 rounded terms.
+    // Assignment is the map-side-combined argmax against broadcast
+    // centroids (Similarity.ivfAssign) — one shuffled row per vector.
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val asg = Similarity.ivfAssign(spread(emb), emb.filter(col("vec_id") < 4))
+        .select(col("vec_id"), col("centroid_id"))
+      val counts = asg
+        .groupBy("centroid_id")
+        .agg(count(when(col("vec_id") % 2 === 0, 1)).as("c_ref"),
+          count(when(col("vec_id") % 2 === 1, 1)).as("c_cur"))
+      val tot = counts.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p_ref",
+          greatest(col("c_ref").cast("double") / col("n_ref"), lit(1e-6)))
+        .withColumn("p_cur",
+          greatest(col("c_cur").cast("double") / col("n_cur"), lit(1e-6)))
+        .select(col("centroid_id"), col("c_ref"), col("c_cur"),
+          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+            .as("psi_term"))
+        .orderBy("centroid_id")
+    }),
+
     // Mann–Whitney rank-sum between the user_id%2 arms on the
     // cent-quantized value — the nonparametric twin of q_ab_ttest,
     // with the AUC effect size. Doubled-rank integer machinery on the
@@ -5647,6 +5676,34 @@ object SparkEntry {
           |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
           |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
           |FROM c, t ORDER BY bin""".stripMargin,
+
+      // same brute-force assignment CTE as q_ivf_assign (only the
+      // argmax is consumed), then exact counts into one PSI tower per
+      // centroid
+      "q_embed_drift" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+          |s AS (
+          |  SELECT e.vec_id, centroid_id,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |                            ORDER BY list_cosine_similarity(v, cv) DESC,
+          |                                     centroid_id) AS rn
+          |  FROM e, c),
+          |a AS (SELECT vec_id, centroid_id FROM s WHERE rn = 1),
+          |counts AS (
+          |  SELECT centroid_id,
+          |         CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS c_ref,
+          |         CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS c_cur
+          |  FROM a GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |               CAST(sum(c_cur) AS BIGINT) AS n_cur FROM counts)
+          |SELECT centroid_id, c_ref, c_cur,
+          |       round((greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) -
+          |              greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6)) *
+          |             ln(greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) /
+          |                greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6)), 6) AS psi_term
+          |FROM counts, tot ORDER BY centroid_id""".stripMargin,
 
       // doubled midranks keep every aggregate an exact long; the
       // halving happens in the final float tower (x.5 is IEEE-exact)
