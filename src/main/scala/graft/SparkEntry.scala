@@ -2835,6 +2835,27 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // small-file compaction planning — the decision step behind every
+    // lakehouse OPTIMIZE: pack the (ordered) file list into
+    // target-sized bins by running total (next-fit, order-preserving —
+    // compaction must not destroy the sort/z-order clustering the
+    // files already have). Documents stand in for the file-metadata
+    // table (doc_id = file, n_chars = bytes). The window runs over
+    // FILE METADATA, not data — thousands of rows per table partition
+    // in production, partitioned by the table's partition key; the
+    // plan's bin ids then drive a grouped rewrite job.
+    "q_compaction_plan" -> ((s, dir) => {
+      val target = 65536L
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum_before") / lit(65536.0)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
+          min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+        .orderBy("bin")
+    }),
+
     // embedding-distribution drift between two shards (vec_id parity
     // as ref/cur): IVF-assign every vector to the fixed centroids,
     // then PSI over the per-centroid assignment distribution — the
@@ -5676,6 +5697,18 @@ object SparkEntry {
           |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
           |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
           |FROM c, t ORDER BY bin""".stripMargin,
+
+      // running-total next-fit binning; exact integer cumulative sums
+      "q_compaction_plan" ->
+        """WITH c AS (
+          |  SELECT doc_id, n_chars,
+          |         COALESCE(CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN
+          |           UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+          |  FROM documents)
+          |SELECT CAST(floor(cb / 65536.0) AS BIGINT) AS bin,
+          |       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+          |       min(doc_id) AS first_id, max(doc_id) AS last_id
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // same brute-force assignment CTE as q_ivf_assign (only the
       // argmax is consumed), then exact counts into one PSI tower per
