@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, TextStats, TimeFill}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, StatefulOps, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -2833,6 +2833,17 @@ object SparkEntry {
       Inference.woeIv(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
           bin = floor(col("value") / 10), label = col("user_id") % 2 === 1)
         .orderBy("bin")
+    }),
+
+    // ext streaming: per-user running purchase totals via
+    // transformWithState (typed per-key ValueState on the RocksDB
+    // provider) — the arbitrary-state API the declarative operators
+    // can't replace for whole-stream per-key reductions. The bounded
+    // run's final state must equal the batch groupBy, which is the
+    // oracle (StatefulOps scaladoc).
+    "q_stream_stateful_totals" -> ((s, dir) => {
+      StatefulOps.runRunningTotalsOnce(s, s"$dir/events.parquet")
+        .orderBy("user_id")
     }),
 
     // small-file compaction planning — the decision step behind every
@@ -5697,6 +5708,13 @@ object SparkEntry {
           |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
           |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
           |FROM c, t ORDER BY bin""".stripMargin,
+
+      // the stream's final per-key state must equal the batch groupBy
+      "q_stream_stateful_totals" ->
+        """SELECT user_id, count(*) AS n_purchases,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       // running-total next-fit binning; exact integer cumulative sums
       "q_compaction_plan" ->

@@ -568,6 +568,20 @@ class ExtSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("events: transformWithState running totals equal the batch groupBy") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val batch = EventsStream.readEvents(spark, path)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100)).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = graft.ext.StatefulOps.runRunningTotalsOnce(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("events: streaming dedup summary equals batch COUNT(DISTINCT)") {
     val path = s"${SparkSpec.sf0001}/events.parquet"
     val batch = EventsStream.readEvents(spark, path)
