@@ -91,6 +91,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), "scan did not use bucketing")
   }
 
+  test("q_mann_whitney / q_chi2_test: map-side partial aggregation feeds the grid") {
+    for (q <- Seq("q_mann_whitney", "q_chi2_test")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no map-side partial aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product planned")
+    }
+  }
+
+  test("q_embed_drift: assignment uses the native dot kernel, no cartesian") {
+    val p = plan("q_embed_drift")
+    assert(p.contains("dot_f32"), "native DotFloat kernel missing from assignment")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_compaction_plan: one metadata window + one bin aggregate, nothing else") {
+    val p = plan("q_compaction_plan")
+    // the single-partition window exchange + the bin groupBy exchange;
+    // a third would mean the file-metadata pass re-shuffled data
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"unexpected extra exchanges:\n$p")
+    assert(p.contains("Window"))
+  }
+
   test("q_count_distinct: Expand fan-out with partial aggregation") {
     val p = plan("q_count_distinct")
     assert(p.contains("Expand"), "multi-distinct should plan through Expand")
