@@ -2856,11 +2856,11 @@ object SparkEntry {
     // in production, partitioned by the table's partition key; the
     // plan's bin ids then drive a grouped rewrite job.
     "q_compaction_plan" -> ((s, dir) => {
-      val target = 65536L
+      val targetBytes = 65536.0 // 64 KiB bins at this sf; production: 1 GiB
       val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
       t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
-        .withColumn("bin", floor(col("cum_before") / lit(65536.0)))
+        .withColumn("bin", floor(col("cum_before") / lit(targetBytes)))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
           min("doc_id").as("first_id"), max("doc_id").as("last_id"))
@@ -2997,7 +2997,7 @@ object SparkEntry {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val tmp = System.getProperty("java.io.tmpdir")
       val (to, tl) = (s"bj_orders_$dirKey", s"bj_lineitem_$dirKey")
-      if (!s.catalog.tableExists(to)) {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl)) {
         ScaleOps.writeBucketed(
           t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
           to, "o_orderkey", 8, path = Some(s"$tmp/graft_$to"))
