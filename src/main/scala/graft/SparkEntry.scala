@@ -3068,6 +3068,54 @@ object SparkEntry {
           min(col("sdate")).as("min_sdate"),
           countDistinct(col("okey")).as("n_orders"))
         .orderBy("rflag")
+    }),
+
+    // robust trend estimation: Theil–Sen slope (median of pairwise
+    // slopes) per event_type over the daily integral value grid — the
+    // outlier-proof answer to "is this metric drifting?" that one bad
+    // day cannot move. Pair space is over the ~30-cell grid, never
+    // rows; the median is a picked data value under a total order.
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("x"))
+        .agg(sum(floor(col("value") * 100)).cast("long").as("y"))
+      Forecast.theilSen(daily, Seq("event_type"), col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+
+    // data forensics: Benford first-digit conformance of the price
+    // column — exact digit counts over one map-side-combined pass,
+    // expected proportions as plan literals, χ² terms nano-quantized
+    // so the statistic is an exact-long rollup (the q_chi2_test rule).
+    "q_benford" -> ((s, dir) => {
+      Inference.benford(t(s, dir, "lineitem"), floor(col("l_extendedprice")))
+    }),
+
+    // rolling co-movement monitor: trailing-14-day Pearson correlation
+    // between daily click and purchase value totals, from six exact
+    // long frame sums — the drift alarm that fires when two coupled
+    // business metrics decouple. Window runs over the bounded day
+    // grid (aggregate-first contract), not events.
+    "q_rolling_corr" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "click", floor(col("value") * 100))
+            .otherwise(0L)).cast("long").as("a"),
+          sum(when(col("event_type") === "purchase", floor(col("value") * 100))
+            .otherwise(0L)).cast("long").as("b"))
+      Inference.rollingCorr(daily, col("d"), col("a"), col("b"), window = 14)
+    }),
+
+    // embedding class geometry: pairwise cosine between per-label
+    // centroids from exact scaled-long component sums (cosine of the
+    // SUM vector ≡ cosine of the centroid — scale invariance), k·d
+    // shuffle and a k² pair table, corpus never pairwise-joined.
+    "q_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroidSims(t(s, dir, "embeddings"))
+        .orderBy("label_a", "label_b")
     })
   )
 
@@ -5900,7 +5948,112 @@ object SparkEntry {
           |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
           |       strftime(min(l_shipdate), '%Y-%m-%d') AS min_sdate,
           |       count(DISTINCT l_orderkey) AS n_orders
-          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // median-of-pairwise-slopes over the daily grid; the median is a
+      // picked value under the (slope, x1, x2) total order — drift-free
+      "q_theil_sen" ->
+        """WITH grid AS (
+          |  SELECT event_type,
+          |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+          |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a.event_type, a.x AS x1, b.x AS x2,
+          |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+          |  FROM grid a JOIN grid b
+          |    ON a.event_type = b.event_type AND a.x < b.x),
+          |ranked AS (
+          |  SELECT event_type, x1, x2, slope,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY slope, x1, x2) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS np
+          |  FROM pairs)
+          |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+          |       round(slope, 6) AS ts_slope
+          |FROM ranked WHERE rn = (np + 1) // 2
+          |ORDER BY event_type""".stripMargin,
+
+      // expected proportions are the SAME driver-computed literals the
+      // Spark plan carries — no engine log10 in either query
+      // p literals go through a STRING->DOUBLE cast: DuckDB parses a bare
+      // decimal literal as DECIMAL and its decimal->double conversion is
+      // one IEEE division (not a correctly-rounded parse) — 1 ulp off
+      // the Scala literal for digit 3. varchar->double parses exactly.
+      "q_benford" -> {
+        val grid = (1 to 9)
+          .map(d => s"(${d}, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))")
+          .mkString(", ")
+        s"""WITH counts AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           |         count(*) AS n_obs
+           |  FROM lineitem WHERE CAST(floor(l_extendedprice) AS BIGINT) > 0
+           |  GROUP BY 1),
+           |grid AS (SELECT d AS digit, CAST(p AS DOUBLE) AS p
+           |         FROM (VALUES $grid) t(d, p)),
+           |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+           |SELECT g.digit, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           |       t.n AS n, g.p AS expected_p,
+           |       CAST(round((coalesce(c.n_obs, 0) - t.n * g.p) *
+           |                  (coalesce(c.n_obs, 0) - t.n * g.p) /
+           |                  (t.n * g.p) * 1e9, 0) AS BIGINT) AS chi2_nano
+           |FROM grid g LEFT JOIN counts c ON c.digit = g.digit CROSS JOIN tot t
+           |ORDER BY g.digit""".stripMargin
+      },
+
+      // six exact-long frame sums -> one float tower; same ROWS frame
+      "q_rolling_corr" ->
+        """WITH grid AS (
+          |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ord,
+          |         CAST(sum(CASE WHEN event_type = 'click'
+          |                       THEN CAST(floor(value * 100) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS a,
+          |         CAST(sum(CASE WHEN event_type = 'purchase'
+          |                       THEN CAST(floor(value * 100) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS b
+          |  FROM events GROUP BY 1),
+          |w AS (
+          |  SELECT ord,
+          |         count(*) OVER win AS n_win,
+          |         sum(a) OVER win AS sa, sum(b) OVER win AS sb,
+          |         sum(a * a) OVER win AS saa, sum(b * b) OVER win AS sbb,
+          |         sum(a * b) OVER win AS sab
+          |  FROM grid
+          |  WINDOW win AS (ORDER BY ord ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT ord, CAST(n_win AS BIGINT) AS n_win,
+          |       CASE WHEN (n_win * saa - sa * sa) > 0 AND (n_win * sbb - sb * sb) > 0
+          |            THEN round(CAST(n_win * sab - sa * sb AS DOUBLE) /
+          |                 (sqrt(CAST(n_win * saa - sa * sa AS DOUBLE)) *
+          |                  sqrt(CAST(n_win * sbb - sb * sb AS DOUBLE))), 6)
+          |       END AS corr
+          |FROM w ORDER BY ord""".stripMargin,
+
+      // scaled-long component sums; cosine of SUM vectors == centroid
+      // cosine (scale invariance); every gated float one fixed tower
+      "q_label_centroids" ->
+        """WITH comps AS (
+          |  SELECT label, idx,
+          |         CAST(floor(CAST(embedding[idx + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+          |  FROM (SELECT label, embedding, unnest(range(len(embedding))) AS idx
+          |        FROM embeddings)),
+          |cent AS (SELECT label, idx, sum(q) AS sq FROM comps GROUP BY 1, 2),
+          |norms AS (SELECT label, sum(sq * sq) AS nrm FROM cent GROUP BY 1),
+          |cnts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+          |pair AS (
+          |  SELECT a.label AS label_a, b.label AS label_b, sum(a.sq * b.sq) AS dt
+          |  FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+          |  GROUP BY 1, 2)
+          |SELECT p.label_a, p.label_b,
+          |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+          |       round(CAST(p.dt AS DOUBLE) /
+          |             (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6)
+          |         AS centroid_cos
+          |FROM pair p
+          |JOIN norms na ON na.label = p.label_a
+          |JOIN norms nb ON nb.label = p.label_b
+          |JOIN cnts ca ON ca.label = p.label_a
+          |JOIN cnts cb ON cb.label = p.label_b
+          |ORDER BY label_a, label_b""".stripMargin
     )
   }
 }

@@ -85,4 +85,45 @@ object Forecast {
         round(avg(when(col("y") =!= 0,
           col("abs_err").cast("double") / abs(col("y")).cast("double") * 100)), 6)
           .as("mape_pct"))
+
+  /** Theil–Sen robust trend estimator per series: the (discrete lower)
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i), i < j — the
+    * classic outlier-resistant alternative to least-squares slope
+    * (breakdown point ≈ 29%, vs 0 for OLS: one corrupted period cannot
+    * move it). Inputs are integral by contract (quantize floats first),
+    * so every slope is ONE IEEE division of exact longs — bit-identical
+    * cross-engine — and the median is an actual data value picked by a
+    * total order (slope, x1, x2), never an interpolation: drift-free.
+    *
+    * Scale shape: the caller aggregates the fact table to the per-series
+    * grid FIRST (same contract as [[cusumChangepoint]] /
+    * [[Inference.autocorr]]), so the O(m²) pair space is over grid
+    * cells (m = periods per series, bounded), not rows. The self-join
+    * and the ranking window share the series-key partitioning: one
+    * shuffle. For very long series (m > ~10⁴) sample pairs per series
+    * (Theil's incomplete estimator) — the median of a uniform pair
+    * sample converges at the same rate.
+    */
+  def theilSen(series: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val base = series.select(keys.map(col) :+ x.cast("long").as("x")
+      :+ y.cast("long").as("y"): _*)
+    val a = base.select(keys.map(col) :+ col("x").as("x1") :+ col("y").as("y1"): _*)
+    val b = base.select(keys.map(k => col(k).as(s"${k}_b"))
+      :+ col("x").as("x2") :+ col("y").as("y2"): _*)
+    val cond = keys.map(k => col(k) === col(s"${k}_b")).reduce(_ && _) &&
+      col("x1") < col("x2")
+    val pairs = a.join(b, cond)
+      .select(keys.map(col) :+ col("x1") :+ col("x2")
+        :+ ((col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double")).as("slope"): _*)
+    val wRank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("slope"), col("x1"), col("x2"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === ((col("np") + lit(1)) / lit(2)).cast("long"))
+      .select(keys.map(col) :+ col("np").as("n_pairs")
+        :+ round(col("slope"), 6).as("ts_slope"): _*)
+  }
 }

@@ -352,4 +352,82 @@ object Inference {
       .agg(count(lit(1)).as("n_cells"), sum("nxy").as("nx"),
         round(sum("contrib"), 6).as("mi_part"))
   }
+
+  /** Benford first-significant-digit conformance screen over a positive
+    * integral measure — the classic fabricated-data / unit-mixing
+    * forensic: naturally-grown magnitudes follow P(d) = log₁₀(1+1/d);
+    * hand-entered, capped, or synthesized values don't. Emits the full
+    * 1..9 digit grid (absent digits still contribute E to χ², the
+    * [[chi2]] rule) with exact observed counts, the expected
+    * proportion, and the per-digit χ² contribution quantized at
+    * nano-units so the total is an exact-long sum any reader can roll
+    * up. The expected proportions are PLAN LITERALS (computed once on
+    * the driver), never engine `log10` calls — the two engines' libm
+    * need not agree to the last ulp.
+    *
+    * Scale shape: one map-side-combined 9-group aggregate over the
+    * scan; the grid join is a broadcast of 9 rows. First-digit
+    * extraction is numeric when possible; the string form used here
+    * (first char of the decimal rendering) is exact for integral longs.
+    */
+  def benford(df: DataFrame, x: Column): DataFrame = {
+    val counts = df.select(x.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spark = df.sparkSession
+    val expected = spark.range(1, 10).select(
+      col("id").cast("int").as("digit"),
+      typedLit(
+        (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      ).getItem(col("id").cast("int") - 1).as("p"))
+    val total = counts.agg(sum("n_obs").as("n"))
+    broadcast(expected)
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), col("n"),
+        col("p").as("expected_p"),
+        round(
+          (col("n_obs").cast("double") - col("n").cast("double") * col("p")) *
+          (col("n_obs").cast("double") - col("n").cast("double") * col("p")) /
+          (col("n").cast("double") * col("p")) * lit(1e9), 0)
+          .cast("long").as("chi2_nano"))
+      .orderBy("digit")
+  }
+
+  /** Trailing-window Pearson correlation between two integral series
+    * over one ordered grid: for each period, corr(a, b) over the last
+    * `window` periods — the rolling co-movement monitor (metric vs
+    * metric, arm vs arm) that flags coupling changes long before a
+    * global correlation would. All six frame aggregates (n, Σa, Σb,
+    * Σa², Σb², Σab) are exact longs; the correlation is one fixed
+    * float tower (two sqrt, one division) over them — bit-identical
+    * cross-engine. Undefined frames (either variance zero) yield null.
+    *
+    * Scale shape: the caller aggregates to the (bounded) series grid
+    * first — the [[autocorr]] / [[Forecast.cusumChangepoint]] contract
+    * — so the window runs over grid cells. Overflow bound:
+    * window·a_max·b_max < 2⁶³ and n·Σa² < 2⁶³ — quantize the series
+    * units down past ~3e9/√window.
+    */
+  def rollingCorr(series: DataFrame, ord: Column, a: Column, b: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val w = Window.orderBy("ord").rowsBetween(-(window - 1), 0)
+    val base = series.select(ord.as("ord"),
+      a.cast("long").as("a"), b.cast("long").as("b"))
+    val n = count(lit(1)).over(w)
+    val sa = sum("a").over(w); val sb = sum("b").over(w)
+    val saa = sum(col("a") * col("a")).over(w)
+    val sbb = sum(col("b") * col("b")).over(w)
+    val sab = sum(col("a") * col("b")).over(w)
+    val num = (n * sab - sa * sb).cast("double")
+    val da = (n * saa - sa * sa).cast("double")
+    val db = (n * sbb - sb * sb).cast("double")
+    base.select(col("ord"), n.as("n_win"),
+        when(da > 0 && db > 0,
+          round(num / (sqrt(da) * sqrt(db)), 6)).as("corr"))
+      .orderBy("ord")
+  }
 }

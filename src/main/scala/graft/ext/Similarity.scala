@@ -505,4 +505,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "n_label", "cosine")
     topKPerQuery(scored, k)
   }
+
+  /** Pairwise cosine similarity between per-label centroid embeddings —
+    * the class-geometry audit (which labels' examples occupy the same
+    * region? is a merge/split warranted? does a new labeling scheme
+    * separate?). Components are quantized to scaled longs on the way in
+    * (`floor(v·scale + 0.5)` — identical half-up semantics on every
+    * engine), so the per-(label, component) sums are EXACT integers;
+    * cosine is computed over the label SUM vectors, which equals the
+    * centroid cosine exactly (cosine is scale-invariant and the
+    * centroid is sum/n), so no division happens until the final
+    * fixed float tower (one exact-long dot, two sqrt, one divide) —
+    * bit-identical cross-engine.
+    *
+    * Scale shape: posexplode is narrow; the component-sum shuffle
+    * carries labels×dim rows (k·d, not corpus); the pairwise join is
+    * over the k·d centroid table with k² output — for label
+    * cardinality past ~10³, block the pair space (the LSH/IVF rule)
+    * or feed the centroids to [[bucketedTopK]]. Overflow bound:
+    * (n_max·v_max·scale)²·d < 2⁶³ — at scale=10⁶ that holds through
+    * ~10⁵ unit-normed vectors per label; shrink `scale` past that.
+    */
+  def labelCentroidSims(vecs: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", scale: Long = 1000000L): DataFrame = {
+    val comps = vecs
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("idx", "v")))
+      .select(col("label"), col("idx"),
+        floor(col("v").cast("double") * lit(scale) + lit(0.5)).cast("long").as("q"))
+    val cent = comps.groupBy("label", "idx").agg(sum("q").as("sq"))
+    val norms = cent.groupBy("label")
+      .agg(sum(col("sq") * col("sq")).as("nrm"), count(lit(1)).as("d"))
+    val counts = vecs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = cent.select(col("label").as("label_a"), col("idx"), col("sq").as("qa"))
+    val b = cent.select(col("label").as("label_b"), col("idx"), col("sq").as("qb"))
+    a.join(b, Seq("idx"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("qa") * col("qb")).as("dt"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nrm").as("na"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nrm").as("nb"))), "label_b")
+      .join(broadcast(counts.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(counts.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dt").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("centroid_cos"))
+  }
 }

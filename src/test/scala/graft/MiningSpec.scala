@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Sessionize}
+import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Sessionize, Similarity}
 
 /** Specs for the round-4 mining/inference operators: gaps-and-islands,
   * association rules / PMI, Welch t, linear fit, mutual information,
@@ -342,5 +342,67 @@ class MiningSpec extends SparkSpec {
     val bt = Forecast.seasonalNaiveBacktest(df, Seq("k"), col("period"), col("y"), 4)
       .collect().head
     assert(bt.getAs[Long]("n_eval") === 4L && bt.getAs[Double]("mae") === 4.0)
+  }
+
+  test("theil-sen: exact line recovered; one wild outlier cannot move the slope") {
+    // y = 3x on 5 points → every pairwise slope is 3
+    val clean = (1L to 5L).map(x => ("s", x, 3 * x)).toDF("k", "x", "y")
+    val r0 = Forecast.theilSen(clean, Seq("k"), col("x"), col("y")).collect().head
+    assert(r0.getAs[Long]("n_pairs") === 10L && r0.getAs[Double]("ts_slope") === 3.0)
+    // corrupt one point to y=1000: 4 of 15 pair slopes go wild, but the
+    // median pair slope is still 3 (breakdown resistance — OLS would not be)
+    val dirty = ((1L to 5L).map(x => ("s", x, 3 * x)) :+ (("s", 6L, 1000L)))
+      .toDF("k", "x", "y")
+    val r1 = Forecast.theilSen(dirty, Seq("k"), col("x"), col("y")).collect().head
+    assert(r1.getAs[Long]("n_pairs") === 15L && r1.getAs[Double]("ts_slope") === 3.0)
+  }
+
+  test("benford: grid complete, counts exact, conformant digits get ~0 terms") {
+    // 30/18/12/10/8/7/6/5/4 first-digit counts over n=100 ≈ Benford
+    val counts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
+    val vals = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((i + 1) * 100L + 7L) // e.g. digit 3 -> value 307
+    } ++ Seq(-5L, 0L) // non-positive values must be ignored
+    val out = Inference.benford(vals.toDF("v"), col("v")).collect()
+    assert(out.length === 9)
+    assert(out.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    assert(out.map(_.getAs[Long]("n_obs")).toSeq === counts.map(_.toLong))
+    assert(out.forall(_.getAs[Long]("n") === 100L))
+    // digit 1: E = 30.103, O = 30 → chi2 term (O-E)²/E ≈ 0.00035
+    val d1 = out.head
+    assert(d1.getAs[Double]("expected_p") === math.log10(2.0))
+    assert(math.abs(d1.getAs[Long]("chi2_nano")) < 1000000L) // < 0.001
+  }
+
+  test("rolling corr: coupled series pins +1, inverted pins -1, flat is null") {
+    // b = 2a + 5 exactly → corr +1 once the frame has 2+ distinct points
+    val up = (1L to 6L).map(t => (t, t, 2 * t + 5)).toDF("d", "a", "b")
+    val r = Inference.rollingCorr(up, col("d"), col("a"), col("b"), 3).collect()
+    assert(r.head.getAs[Long]("n_win") === 1L && r.head.isNullAt(2)) // 1-pt frame
+    assert(r.last.getAs[Double]("corr") === 1.0)
+    val down = (1L to 6L).map(t => (t, t, 100 - 4 * t)).toDF("d", "a", "b")
+    val rd = Inference.rollingCorr(down, col("d"), col("a"), col("b"), 3).collect()
+    assert(rd.last.getAs[Double]("corr") === -1.0)
+    // constant b → zero variance → null, never a division blowup
+    val flat = (1L to 4L).map(t => (t, t, 9L)).toDF("d", "a", "b")
+    val rf = Inference.rollingCorr(flat, col("d"), col("a"), col("b"), 3).collect()
+    assert(rf.forall(_.isNullAt(2)))
+  }
+
+  test("label centroids: identical direction gives cos 1, orthogonal gives 0") {
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(2.0f, 0.0f)),   // label 0 along e1
+      (1, Seq(0.0f, 1.0f)), (1, Seq(0.0f, 3.0f)),   // label 1 along e2
+      (2, Seq(4.0f, 0.0f))                          // label 2 along e1 too
+    ).toDF("label", "embedding")
+    val out = Similarity.labelCentroidSims(vecs)
+      .orderBy("label_a", "label_b").collect()
+    assert(out.length === 3) // (0,1) (0,2) (1,2)
+    val m = out.map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+    assert(m((0, 1)).getAs[Double]("centroid_cos") === 0.0)
+    assert(m((0, 2)).getAs[Double]("centroid_cos") === 1.0)
+    assert(m((1, 2)).getAs[Double]("centroid_cos") === 0.0)
+    assert(m((0, 2)).getAs[Long]("n_a") === 2L &&
+      m((0, 2)).getAs[Long]("n_b") === 1L)
   }
 }
