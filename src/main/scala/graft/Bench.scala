@@ -106,8 +106,11 @@ object Bench {
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
     System.err.println(fullJson)
+    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the archived
+    // full-surface record — it lands in BENCH_SUBSET.json instead
+    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
     // stdout: ONE JSON line sized to survive a 2000-char tail capture.
     // Keep every query if it fits; otherwise keep the slowest (the ones

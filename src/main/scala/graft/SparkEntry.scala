@@ -2312,34 +2312,36 @@ object SparkEntry {
     // time series: exponentially weighted moving average — the
     // recursion s_t = α·x_t + (1−α)·s_{t−1} that no window function
     // expresses (weights depend on distance, state on all history).
-    // Native recursive CTE over the per-(type, day) aggregate: the
-    // recursion FIXES the float evaluation order, so cross-engine
-    // results are bit-equal given identical inputs — which the
-    // round(2) on the daily totals guarantees. Scale: the recursion
-    // runs on the AGGREGATED series (days × types), never raw events;
-    // each iteration is one co-partitioned equi-join on (type, rn).
+    // Executed as ONE sequential `aggregate` (fold) per series over the
+    // collected per-(type, day) grid: the fold evaluates s_t in exactly
+    // the recursion's op order (0.3·x + 0.7·s_prev, left to right), so
+    // results stay bit-equal with the DuckDB RECURSIVE-CTE oracle given
+    // identical inputs — which the round(2) on daily totals guarantees.
+    // (An earlier native recursive-CTE form computed the same values in
+    // ~30 iterative joins — one driver-scheduled job per day; the fold
+    // is one job. q_recursive_cte keeps the native recursion covered.)
+    // Scale: the fold holds ONE series in memory (days per type —
+    // bounded by the grid contract), parallel across series.
     "q_ewma" -> ((s, dir) => {
-      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+      EventsStream.readEvents(s, s"$dir/events.parquet")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(round(sum("value"), 2).as("day_total"))
         .select(col("event_type"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
-          row_number().over(
-            Window.partitionBy("event_type").orderBy("day")).cast("int").as("rn"))
-        .persist()
-      // readEvents hands back a frame on a session CLONE (the nano
-      // conf is scoped there); the view must register — and the SQL
-      // must run — on that same clone's catalog
-      daily.createOrReplaceTempView("daily_v")
-      daily.sparkSession.sql("""WITH RECURSIVE ewma(event_type, day, day_total, rn, s) AS (
-              |  SELECT event_type, day, day_total, rn, day_total FROM daily_v WHERE rn = 1
-              |  UNION ALL
-              |  SELECT d.event_type, d.day, d.day_total, d.rn,
-              |         0.3 * d.day_total + 0.7 * w.s
-              |  FROM ewma w JOIN daily_v d
-              |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
-              |SELECT event_type, day, day_total, round(s, 6) AS ewma
-              |FROM ewma ORDER BY event_type, day""".stripMargin)
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("day_total"))))
+          .as("ser"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS ARRAY<STRUCT<day: STRING, day_total: DOUBLE, s: DOUBLE>>),
+            |  (acc, p) -> array_append(acc, named_struct(
+            |    'day', p.day, 'day_total', p.day_total,
+            |    's', CASE WHEN size(acc) = 0 THEN p.day_total
+            |              ELSE 0.3D * p.day_total + 0.7D * element_at(acc, -1).s
+            |         END)))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.day_total").as("day_total"), round(col("r.s"), 6).as("ewma"))
+        .orderBy("event_type", "day")
     }),
 
     // robust feature preprocessing: winsorization — clamp the tails to

@@ -37,7 +37,7 @@ class AnsiSmokeSpec extends SparkSpec {
     "q_quantized_topk",   // round→long quantization + int dot tower
     "q_oov_rate",         // exact-count division
     "q_containment",      // count-ratio divisions
-    "q_ewma",             // decimal-literal x double coercion in recursive SQL
+    "q_ewma",             // double-literal fold tower inside aggregate() HOF
     "q_psi_drift",        // floor-div binning + ln ratio tower
     "q_winsorize",        // percentile bounds + clamp
     "q_standardize",      // double->long power-sum casts
