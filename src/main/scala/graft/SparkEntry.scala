@@ -3118,6 +3118,43 @@ object SparkEntry {
     "q_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroidSims(t(s, dir, "embeddings"))
         .orderBy("label_a", "label_b")
+    }),
+
+    // bigram LM quality score: mean −ln P(w2|w1) per doc from the
+    // corpus's own bigram counts — catches plausible-words-implausible-
+    // order text (shuffled/stuffed/template spam) that the unigram
+    // score (q_lm_surprisal) cannot. Bigrams built narrowly (zip_with,
+    // no pre-count shuffle); count and join-back share the bigram key.
+    "q_bigram_surprisal" -> ((s, dir) => {
+      Corpus.bigramSurprisal(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // ML-ops: model calibration audit (reliability diagram) of the
+    // hashed linear quality classifier against the lang=='en' label —
+    // per predicted-score decile: exact counts, observed positive
+    // rate, and mean prediction from micro-quantized exact sums. Bins
+    // cut on the ROUND-6 score (the proven hash-stable boundary), so
+    // binning is engine-independent.
+    "q_calibration" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val scored = TextStats.classifierScore(
+          docs, TextStats.hashedModel(s, 1024), dim = 1024)
+        .select(col("doc_id"), round(col("score"), 6).as("r"))
+      val lab = t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("pos"))
+      scored.join(lab, "doc_id")
+        .select(least(floor(col("r") * 10), lit(9L)).cast("int").as("bin"),
+          col("pos"), floor(col("r") * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("n_pos"),
+          sum("sq").as("ssq"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("ssq").cast("double") / col("n").cast("double") / lit(1e6), 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("obs_rate"))
+        .orderBy("bin")
     })
   )
 
@@ -6055,7 +6092,63 @@ object SparkEntry {
           |JOIN norms nb ON nb.label = p.label_b
           |JOIN cnts ca ON ca.label = p.label_a
           |JOIN cnts cb ON cb.label = p.label_b
-          |ORDER BY label_a, label_b""".stripMargin
+          |ORDER BY label_a, label_b""".stripMargin,
+
+      // same tokenize CTE as q_dup_spans; bigram strings via the
+      // 2-element list slice; conditional margin = c12 grouped by the
+      // first word. Docs with < 2 tokens emit no rows on either engine.
+      "q_bigram_surprisal" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |big AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS bg
+          |  FROM toks),
+          |c12 AS (SELECT bg, count(*) AS n12 FROM big GROUP BY 1),
+          |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(n12) AS n1
+          |       FROM c12 GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       round(avg(ln(CAST(n1 AS DOUBLE)) - ln(CAST(n12 AS DOUBLE))), 4)
+          |         AS bigram_surprisal
+          |FROM big
+          |JOIN c12 USING (bg)
+          |JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // classifier score CTEs identical to q_quality_classifier; bins
+      // cut on the round-6 score (hash-stable), stats from exact counts
+      // and micro-quantized prediction sums
+      "q_calibration" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substring(md5('f:' || t), 1, 8)) AS BIGINT) % 1024 AS bucket
+          |  FROM (SELECT doc_id, unnest(l) AS t FROM toks)),
+          |m AS (
+          |  SELECT i AS bucket,
+          |         (CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          |  FROM range(1024) r(i)),
+          |z AS (
+          |  SELECT doc_id, sum(w) / count(*) AS mean_w
+          |  FROM f JOIN m USING (bucket) GROUP BY 1),
+          |s AS (
+          |  SELECT t.doc_id,
+          |         round(1.0 / (1.0 + exp(-8.0 * coalesce(z.mean_w, 0.0))), 6) AS r
+          |  FROM toks t LEFT JOIN z USING (doc_id)),
+          |lab AS (
+          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |b AS (
+          |  SELECT least(CAST(floor(r * 10) AS BIGINT), 9) AS bin, pos,
+          |         CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS sq
+          |  FROM s JOIN lab USING (doc_id))
+          |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n,
+          |       CAST(sum(pos) AS BIGINT) AS n_pos,
+          |       round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_pred,
+          |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS obs_rate
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -263,4 +263,41 @@ object Corpus {
       .orderBy(desc("n_pair"), asc("pair"))
       .limit(topK)
   }
+
+  /** Bigram conditional-surprisal quality score per document: the mean
+    * of −ln P(w₂|w₁) = ln c(w₁·) − ln c(w₁w₂) over the document's
+    * bigrams, with probabilities from the corpus's own bigram counts —
+    * the next step up from [[unigramSurprisal]]: a document of common
+    * WORDS in implausible SEQUENCE (shuffled text, keyword stuffing,
+    * template spam) scores high here while the unigram score stays
+    * low. Out-of-corpus bigrams can't occur (the corpus is the model);
+    * to score a held-out batch against a frozen corpus, add-one or
+    * backoff smoothing goes in the c12 join (documented, not built).
+    *
+    * Scale shape: bigrams are built NARROWLY with `zip_with` over the
+    * tokenized array (no per-doc window sort, no shuffle before the
+    * count); the c12 aggregate and the join back share the bigram
+    * shuffle key; the conditional margin c1 collapses c12 map-side
+    * (vocab-sized) and broadcasts. Docs with < 2 tokens emit no rows
+    * on any engine (empty zip). The per-doc mean is over ln's of
+    * exact-integer ratios, rounded at 4 — the [[unigramSurprisal]]
+    * convention.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val big = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("l"))
+      .select(col(idCol), explode(expr(
+        """zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
+          |         slice(l, 2, greatest(size(l) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+    val c12 = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    big.join(c12, Seq("bg"))
+      .join(broadcast(c1), substring_index(col("bg"), " ", 1) === col("w1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c1").cast("double")) - log(col("c12").cast("double"))), 4)
+          .as("bigram_surprisal"))
+  }
 }

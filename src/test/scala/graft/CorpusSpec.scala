@@ -151,4 +151,23 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 6L, 1L, 1.0 / 6), (2L, 4L, 3L, 0.75)))
   }
+
+  test("bigramSurprisal: deterministic sequences score 0; short docs drop") {
+    // corpus: "a b" always (a is only ever followed by b) → P(b|a)=1 →
+    // surprisal 0 for a doc made of that bigram; "c d" vs "c e" split
+    // evenly → P(d|c)=1/2 → a "c d" doc scores ln 2
+    val d = docs(
+      1L -> "a b",
+      2L -> "a b",
+      3L -> "c d",
+      4L -> "c e",
+      5L -> "solo") // 1 token -> no bigrams -> absent from output
+    val out = Corpus.bigramSurprisal(d).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out.take(2).forall(_.getAs[Double]("bigram_surprisal") === 0.0))
+    val ln2 = math.BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2).getAs[Double]("bigram_surprisal") === ln2)
+    assert(out(2).getAs[Long]("n_bigrams") === 1L)
+  }
 }
