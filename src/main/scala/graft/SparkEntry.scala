@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, StatefulOps, TextStats, TimeFill}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Privacy, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, StatefulOps, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -3155,6 +3155,63 @@ object SparkEntry {
           round(col("n_pos").cast("double") / col("n").cast("double"), 6)
             .as("obs_rate"))
         .orderBy("bin")
+    }),
+
+    // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    // evicts key state as the watermark passes — the unbounded-key
+    // production form of q_stream_dedup. Bounded single-batch run ⇒
+    // surviving keys == exact distinct (the oracle); the state-size
+    // contract is the difference at scale.
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      EventsStream.runDedupWithinWatermarkOnce(s, s"$dir/events.parquet")
+        .orderBy("event_type")
+    }),
+
+    // privacy: deterministic keyed pseudonymization — same user maps to
+    // the same opaque token everywhere (referential integrity survives;
+    // the raw id does not). Heavy-user profile over tokens proves
+    // group-bys still work on the pseudonymized stream.
+    "q_pseudonymize" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(Privacy.pseudonymize(col("user_id"), "pepper").as("user_token"),
+          col("event_type"), col("value"))
+        .groupBy("user_token")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"),
+          sum(floor(col("value") * 100)).cast("long").as("value_cents"))
+        .orderBy(desc("n_events"), asc("user_token"))
+        .limit(25)
+    }),
+
+    // privacy audit: k-anonymity (k=5) of the (event_type, day-hour)
+    // quasi-identifier — per type: how many quasi-id groups exist, how
+    // many are small enough to re-identify, and how many rows sit in
+    // them. Exact counts end to end.
+    "q_k_anonymity" -> ((s, dir) => {
+      Privacy.kAnonymityGroups(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH").as("qh")),
+          k = 5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("violates_k"), 1)).as("n_violating"),
+          sum(when(col("violates_k"), col("n")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          min("n").as("min_group"))
+        .orderBy("event_type")
+    }),
+
+    // uncertainty quantification: jackknife SE of the per-flag monthly
+    // mean revenue — leave-one-out reduced to exact integer algebra
+    // (Q = Σ(S − n·xᵢ)² over decimal(38,0)), one IEEE tower at the end.
+    "q_jackknife" -> ((s, dir) => {
+      val grid = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("rev"))
+      Inference.jackknifeSE(grid, Seq("l_returnflag"), col("rev"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -6148,7 +6205,54 @@ object SparkEntry {
           |       CAST(sum(pos) AS BIGINT) AS n_pos,
           |       round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_pred,
           |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS obs_rate
-          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // bounded single-batch run ⇒ within-watermark dedup == exact
+      // distinct (same oracle as q_stream_dedup; the state contract
+      // differs, not the bounded result)
+      "q_stream_dedup_wm" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_pseudonymize" ->
+        """SELECT md5('pepper:' || CAST(user_id AS VARCHAR)) AS user_token,
+          |       count(*) AS n_events,
+          |       count(DISTINCT event_type) AS n_types,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1
+          |ORDER BY n_events DESC, user_token LIMIT 25""".stripMargin,
+
+      "q_k_anonymity" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS qh, count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, count(*) AS n_groups,
+          |       count(CASE WHEN n < 5 THEN 1 END) AS n_violating,
+          |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+          |       CAST(min(n) AS BIGINT) AS min_group
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Q = Σ(S − n·x)² over HUGEINT (squares overflow int64); the
+      // final sqrt/division tower mirrors the Spark expression exactly
+      "q_jackknife" ->
+        """WITH grid AS (
+          |  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ym,
+          |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT l_returnflag, count(*) AS n, CAST(sum(rev) AS BIGINT) AS s
+          |  FROM grid GROUP BY 1),
+          |d AS (
+          |  SELECT g.l_returnflag, t.n, t.s,
+          |         CAST(t.s - t.n * g.rev AS HUGEINT) AS dd
+          |  FROM grid g JOIN tot t USING (l_returnflag)),
+          |q AS (SELECT l_returnflag, n, s, sum(dd * dd) AS q
+          |      FROM d GROUP BY 1, 2, 3)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n_periods,
+          |       round(CAST(s AS DOUBLE) / n, 4) AS mean_x,
+          |       round(sqrt(CAST(q AS DOUBLE) * (n - 1) / n) / (n * (n - 1)), 4)
+          |         AS jack_se
+          |FROM q ORDER BY l_returnflag""".stripMargin
     )
   }
 }

@@ -245,6 +245,33 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes its event
+    * time — the production form for an UNBOUNDED key universe, where
+    * [[dedupStream]]'s exact `dropDuplicates` state would grow without
+    * limit. The semantic contract is weaker and explicit: duplicates
+    * are only guaranteed suppressed if they arrive within the watermark
+    * delay of the first occurrence; a duplicate arriving after eviction
+    * re-emits. On the bounded demo (one file, AvailableNow → a single
+    * micro-batch, no mid-run eviction) the surviving key set equals
+    * exact distinct, which is what the oracle pins — the state-size
+    * difference, not the result, is the point at scale.
+    */
+  def dedupStreamWithinWatermark(spark: SparkSession, path: String): DataFrame =
+    readEventsStream(spark, path)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run [[dedupStreamWithinWatermark]] to completion and reduce to the
+    * order-independent per-type distinct-key summary ([[runDedupOnce]]'s
+    * contract).
+    */
+  def runDedupWithinWatermarkOnce(spark: SparkSession, path: String,
+                                  queryName: String = "events_dedup_wm"): DataFrame =
+    runToMemory(dedupStreamWithinWatermark(spark, path), queryName, OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Production file sink: `foreachBatch` writing each micro-batch to
     * a `batch_id=N` partition with overwrite — the standard idempotent
     * exactly-once-per-batch pattern. A replayed batch (restart between

@@ -396,6 +396,40 @@ object Inference {
       .orderBy("digit")
   }
 
+  /** Jackknife standard error of the per-group mean over a bounded
+    * grid: leave-one-out resampling, the assumption-free uncertainty
+    * estimate every reported mean should carry. The textbook form
+    * (SE² = (n−1)/n · Σ(m̄₍ᵢ₎ − m̄)²) reduces algebraically to exact
+    * integer arithmetic: m̄₍ᵢ₎ − m̄ = (S − n·xᵢ)/(n(n−1)), so
+    * Q = Σ(S − n·xᵢ)² is computed over DECIMAL(38,0) (the squares
+    * overflow int64 at profiler scale; decimal sums stay exact and
+    * order-independent) and only the final sqrt/divisions are IEEE —
+    * one fixed tower, cross-engine stable under round(4).
+    *
+    * Scale shape: the totals aggregate and the join-back share the
+    * group-key partitioning (one exchange); the caller aggregates the
+    * fact table to the grid first (the [[autocorr]] contract), so rows
+    * here are grid cells. Overflow: (n·x_max)² < 10³⁸ — safe to
+    * ~10¹⁹·cell, far past any real grid.
+    */
+  def jackknifeSE(series: DataFrame, keys: Seq[String], x: Column): DataFrame = {
+    val base = series.select(keys.map(col) :+ x.cast("long").as("x"): _*)
+    val tot = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    base.join(tot, keys)
+      .select(keys.map(col) :+ col("n") :+ col("s")
+        :+ (col("s") - col("n") * col("x")).cast("decimal(38,0)").as("d"): _*)
+      .groupBy(keys.map(col) :+ col("n") :+ col("s"): _*)
+      .agg(sum(col("d") * col("d")).as("q"))
+      .select(keys.map(col)
+        :+ col("n").as("n_periods")
+        :+ round(col("s").cast("double") / col("n").cast("double"), 4).as("mean_x")
+        :+ round(
+          sqrt(col("q").cast("double") * (col("n") - lit(1)).cast("double") /
+            col("n").cast("double")) /
+          (col("n") * (col("n") - lit(1))).cast("double"), 4).as("jack_se"): _*)
+  }
+
   /** Trailing-window Pearson correlation between two integral series
     * over one ordered grid: for each period, corr(a, b) over the last
     * `window` periods — the rolling co-movement monitor (metric vs

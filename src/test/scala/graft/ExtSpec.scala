@@ -594,6 +594,19 @@ class ExtSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("events: within-watermark dedup equals exact dedup on a bounded run") {
+    // one file + AvailableNow = a single micro-batch, so no key state
+    // is evicted mid-run and the bounded-state operator must land on
+    // the same surviving key set as exact dropDuplicates
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val exact = EventsStream.runDedupOnce(spark, path, "wm_ref")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wm = EventsStream.runDedupWithinWatermarkOnce(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wm == exact)
+    assert(wm.nonEmpty)
+  }
+
   test("events: stream-stream funnel join emits exactly the batch join rows") {
     val path = s"${SparkSpec.sf0001}/events.parquet"
     def key(r: org.apache.spark.sql.Row) =

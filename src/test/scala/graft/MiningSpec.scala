@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Sessionize, Similarity}
+import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Privacy, Sessionize, Similarity}
 
 /** Specs for the round-4 mining/inference operators: gaps-and-islands,
   * association rules / PMI, Welch t, linear fit, mutual information,
@@ -404,5 +404,46 @@ class MiningSpec extends SparkSpec {
     assert(m((1, 2)).getAs[Double]("centroid_cos") === 0.0)
     assert(m((0, 2)).getAs[Long]("n_a") === 2L &&
       m((0, 2)).getAs[Long]("n_b") === 1L)
+  }
+
+  test("jackknife SE: textbook leave-one-out value from the integer form") {
+    // g: x = 1..5 → S=15, n=5; pseudo-means (S-x)/4 = 3.5,3.25,3,2.75,2.5
+    // → var_jack = (4/5)·0.625 = 0.5, SE = √0.5 ≈ 0.7071; mean 3.0.
+    // integer form: Q = Σ(15−5x)² = 100+25+0+25+100 = 250,
+    // SE = √(250·4/5)/(5·4) = √200/20 — same number, exact path
+    val df = (1L to 5L).map(x => ("g", x)).toDF("k", "x")
+    val r = Inference.jackknifeSE(df, Seq("k"), col("x")).collect().head
+    assert(r.getAs[Long]("n_periods") === 5L)
+    assert(r.getAs[Double]("mean_x") === 3.0)
+    assert(r.getAs[Double]("jack_se") ===
+      math.BigDecimal(math.sqrt(200.0) / 20.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant series → zero SE
+    val c = (1L to 4L).map(_ => ("g", 7L)).toDF("k", "x")
+    assert(Inference.jackknifeSE(c, Seq("k"), col("x"))
+      .collect().head.getAs[Double]("jack_se") === 0.0)
+  }
+
+  test("privacy: pseudonym is stable per id, distinct across ids, id-free") {
+    val df = Seq(101L, 101L, 202L).toDF("uid")
+      .select(Privacy.pseudonymize(col("uid"), "pep").as("tok"))
+    val toks = df.as[String].collect()
+    assert(toks(0) === toks(1))
+    assert(toks(0) !== toks(2))
+    assert(toks.forall(t => t.length === 32 && !t.contains("101")))
+    // a different pepper severs the linkage (rotation = crypto-shred)
+    val rot = Seq(101L).toDF("uid")
+      .select(Privacy.pseudonymize(col("uid"), "pep2").as("tok")).as[String].head()
+    assert(rot !== toks(0), "pepper rotation must change tokens")
+  }
+
+  test("privacy: k-anonymity flags exactly the groups below k") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"))
+      .toDF("qi1", "qi2")
+    val out = Privacy.kAnonymityGroups(df, Seq(col("qi1"), col("qi2")), k = 3)
+      .orderBy("qi1", "qi2").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getBoolean(3))).toSeq ===
+      Seq(("a", "x", 3L, false), ("b", "x", 1L, true), ("b", "y", 1L, true)))
   }
 }
