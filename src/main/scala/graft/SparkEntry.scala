@@ -3212,6 +3212,116 @@ object SparkEntry {
           .cast("long").as("rev"))
       Inference.jackknifeSE(grid, Seq("l_returnflag"), col("rev"))
         .orderBy("l_returnflag")
+    }),
+
+    // lexical near-neighbors with no embeddings: TF-IDF cosine over the
+    // inverted-index self-join, df-banded so no stopword posting list
+    // ever joins. Integer-scaled idf keeps dot/norms exact; cosine is
+    // one fixed IEEE tower — bit-identical cross-engine.
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextStats.tfidfCosinePairs(spread(t(s, dir, "documents")))
+        .withColumn("cos_r", round(col("cosine"), 6))
+        .filter(col("cos_r") >= 0.25)
+        .select(col("a"), col("b"), col("n_shared"), col("cos_r"))
+        .orderBy(desc("cos_r"), asc("a"), asc("b"))
+        .limit(50)
+    }),
+
+    // model-eval gain table: rank by classifier score, cut into
+    // deciles, report exact counts + cumulative precision and lift —
+    // the "top-10% is k× richer" number a selection pipeline quotes.
+    "q_lift_table" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val scored = TextStats.classifierScore(
+          docs, TextStats.hashedModel(s, 1024), dim = 1024)
+        .select(col("doc_id"), round(col("score"), 6).as("r"))
+      val lab = t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("pos"))
+      Inference.liftTable(scored.join(lab, "doc_id"),
+        col("doc_id"), col("r"), col("pos"), buckets = 10)
+    }),
+
+    // privacy: l-diversity audit (l=3) — groups that pass k-anonymity
+    // can still leak the sensitive attribute if everyone in them shares
+    // it. Sensitive stand-in: a demographic code derived from user_id.
+    "q_l_diversity" -> ((s, dir) => {
+      Privacy.lDiversityGroups(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("qd")),
+          sensitive = col("user_id") % 10, l = 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("violates_l"), 1)).as("n_violating"),
+          sum(when(col("violates_l"), col("n")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          min("l").as("min_l"))
+        .orderBy("event_type")
+    }),
+
+    // 2-D skyline: parts undominated on (total quantity sold, best unit
+    // price in cents) — anti-correlated axes, so the frontier is a real
+    // curve. Grid-first: the ordered frontier pass runs over the part
+    // grid, never lineitem rows.
+    "q_pareto_frontier" -> ((s, dir) => {
+      val grid = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum("l_quantity").cast("long").as("tot_qty"),
+          max(floor(col("l_extendedprice") / col("l_quantity") * 100))
+            .cast("long").as("unit_cents"))
+      ScaleOps.paretoFrontier(grid, "l_partkey", "tot_qty", "unit_cents")
+        .orderBy(desc("tot_qty"))
+    }),
+
+    // Holt double exponential smoothing (level + trend): the q_ewma
+    // sequential-fold contract with TWO carried states; l' then b'
+    // reuse the identical expression text, so the IEEE op sequence —
+    // hence every bit — matches the oracle's recursive CTE. α=0.5,
+    // β=0.3; init l₁=y₁, b₁=0.
+    "q_holt" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("day_total"))))
+          .as("ser"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS ARRAY<STRUCT<day: STRING, day_total: DOUBLE, l: DOUBLE, b: DOUBLE>>),
+            |  (acc, p) -> array_append(acc, CASE WHEN size(acc) = 0
+            |    THEN named_struct('day', p.day, 'day_total', p.day_total,
+            |      'l', p.day_total, 'b', CAST(0.0 AS DOUBLE))
+            |    ELSE named_struct('day', p.day, 'day_total', p.day_total,
+            |      'l', 0.5D * p.day_total + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+            |      'b', 0.3D * ((0.5D * p.day_total + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b)) - element_at(acc, -1).l)
+            |         + 0.7D * element_at(acc, -1).b)
+            |    END))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.day_total").as("day_total"),
+          round(col("r.l"), 6).as("level"), round(col("r.b"), 6).as("trend"),
+          round(col("r.l") + col("r.b"), 6).as("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
+    // entity matching: reciprocal best match among LSH-bucket
+    // candidates — each side's argmax ranks on (rounded cosine, id),
+    // and only mutually-best pairs survive.
+    "q_reciprocal_match" -> ((s, dir) => {
+      Similarity.reciprocalBestMatch(spread(t(s, dir, "embeddings")), annPlanes)
+        .orderBy("id1")
+    }),
+
+    // uncertainty at scale: deterministic Poisson bootstrap — hash-
+    // drawn Poisson(1) multiplicities per (row, replicate) mean the
+    // resample is a pure function of the data (retry/AQE/engine-
+    // stable); CI = explicit ranks 2 and 49 of the 50 replicate means.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      Inference.poissonBootstrapCI(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          rowKey = concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+          x = floor(col("l_extendedprice") * 100), reps = 50)
+        .orderBy("l_returnflag")
     })
   )
 
@@ -6252,7 +6362,197 @@ object SparkEntry {
           |       round(CAST(s AS DOUBLE) / n, 4) AS mean_x,
           |       round(sqrt(CAST(q AS DOUBLE) * (n - 1) / n) / (n * (n - 1)), 4)
           |         AS jack_se
-          |FROM q ORDER BY l_returnflag""".stripMargin
+          |FROM q ORDER BY l_returnflag""".stripMargin,
+
+      // integer-scaled idf ((N*1000) // df — no ln), exact integer
+      // dot/norms, one final IEEE tower: bit-identical to Spark
+      "q_tfidf_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM documents),
+          |wt AS (
+          |  SELECT doc_id, tf.term, tf * ((n_docs * 1000) // df) AS w
+          |  FROM tf JOIN dfr USING (term) CROSS JOIN nd
+          |  WHERE df >= 2 AND df <= n_docs * 0.1),
+          |norms AS (SELECT doc_id, sum(w * w) AS ssq FROM wt GROUP BY 1),
+          |pairs AS (
+          |  SELECT wa.doc_id AS a, wb.doc_id AS b,
+          |         sum(wa.w * wb.w) AS dot, count(*) AS n_shared
+          |  FROM wt wa JOIN wt wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+          |  GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+          |         round(CAST(dot AS DOUBLE) /
+          |               (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))), 6) AS cos_r
+          |  FROM pairs JOIN norms na ON pairs.a = na.doc_id
+          |             JOIN norms nb ON pairs.b = nb.doc_id)
+          |SELECT a, b, n_shared, cos_r FROM scored
+          |WHERE cos_r >= 0.25
+          |ORDER BY cos_r DESC, a, b LIMIT 50""".stripMargin,
+
+      // classifier-score CTE chain shared with q_calibration; decile
+      // rank over (r DESC, doc_id) is a total order, so ntile matches
+      "q_lift_table" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substring(md5('f:' || t), 1, 8)) AS BIGINT) % 1024 AS bucket
+          |  FROM (SELECT doc_id, unnest(l) AS t FROM toks)),
+          |m AS (
+          |  SELECT i AS bucket,
+          |         (CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          |  FROM range(1024) r(i)),
+          |z AS (
+          |  SELECT doc_id, sum(w) / count(*) AS mean_w
+          |  FROM f JOIN m USING (bucket) GROUP BY 1),
+          |s AS (
+          |  SELECT t.doc_id,
+          |         round(1.0 / (1.0 + exp(-8.0 * coalesce(z.mean_w, 0.0))), 6) AS r
+          |  FROM toks t LEFT JOIN z USING (doc_id)),
+          |lab AS (
+          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |rk AS (
+          |  SELECT s.doc_id, r, pos,
+          |         ntile(10) OVER (ORDER BY r DESC, s.doc_id) AS bucket
+          |  FROM s JOIN lab USING (doc_id)),
+          |pb AS (
+          |  SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+          |  FROM rk GROUP BY 1),
+          |c AS (
+          |  SELECT bucket, n, n_pos,
+          |         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+          |         sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_pos,
+          |         sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+          |  FROM pb)
+          |SELECT CAST(bucket AS INTEGER) AS bucket, n, n_pos,
+          |       CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+          |       round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6) AS cum_precision,
+          |       CASE WHEN tot_pos > 0
+          |            THEN round(CAST(cum_pos * tot_n AS DOUBLE) / CAST(cum_n * tot_pos AS DOUBLE), 6)
+          |       END AS lift
+          |FROM c ORDER BY bucket""".stripMargin,
+
+      "q_l_diversity" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS qd, count(*) AS n,
+          |         count(DISTINCT user_id % 10) AS l
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, count(*) AS n_groups,
+          |       count(CASE WHEN l < 3 THEN 1 END) AS n_violating,
+          |       CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+          |       CAST(min(l) AS BIGINT) AS min_l
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same distinct-x collapse + strictly-greater-x running max as
+      // ScaleOps.paretoFrontier (rows-frame valid because x is distinct)
+      "q_pareto_frontier" ->
+        """WITH grid AS (
+          |  SELECT l_partkey,
+          |         CAST(sum(l_quantity) AS BIGINT) AS tot_qty,
+          |         CAST(max(floor(l_extendedprice / l_quantity * 100)) AS BIGINT) AS unit_cents
+          |  FROM lineitem GROUP BY 1),
+          |perx AS (SELECT tot_qty, max(unit_cents) AS best_y FROM grid GROUP BY 1),
+          |reps AS (
+          |  SELECT g.tot_qty, p.best_y, min(g.l_partkey) AS rep_id
+          |  FROM grid g JOIN perx p ON g.tot_qty = p.tot_qty AND g.unit_cents = p.best_y
+          |  GROUP BY 1, 2),
+          |fr AS (
+          |  SELECT rep_id, tot_qty, best_y,
+          |         max(best_y) OVER (ORDER BY tot_qty DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+          |  FROM reps)
+          |SELECT rep_id, tot_qty, CAST(best_y AS BIGINT) AS unit_cents FROM fr
+          |WHERE prev_best IS NULL OR best_y > prev_best
+          |ORDER BY tot_qty DESC""".stripMargin,
+
+      // recursive twin of the Spark fold; l' appears verbatim inside
+      // b' on both sides so the IEEE op sequences are identical
+      "q_holt" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |holt(event_type, day, day_total, rn, l, b) AS (
+          |  SELECT event_type, day, day_total, rn, day_total, CAST(0.0 AS DOUBLE)
+          |  FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.5 * d.day_total + 0.5 * (h.l + h.b),
+          |         0.3 * ((0.5 * d.day_total + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+          |  FROM holt h JOIN daily d
+          |    ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(l, 6) AS level, round(b, 6) AS trend,
+          |       round(l + b, 6) AS forecast_next
+          |FROM holt ORDER BY event_type, day""".stripMargin,
+
+      // same bucket CTE as the ANN family; both argmax directions rank
+      // on the rounded cosine with the neighbor id tie-break
+      "q_reciprocal_match" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS src, bb.vec_id AS dst,
+           |         round(list_cosine_similarity(a.v, bb.v), 6) AS c
+           |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+           |best AS (
+           |  SELECT src, dst, c FROM (
+           |    SELECT src, dst, c,
+           |           row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS r
+           |    FROM p) WHERE r = 1)
+           |SELECT f.src AS id1, f.dst AS id2, f.c AS cosine
+           |FROM best f JOIN best g ON f.src = g.dst AND f.dst = g.src
+           |WHERE f.src < f.dst
+           |ORDER BY id1""".stripMargin,
+
+      // identical md5-inverse-CDF Poisson(1) draw (integer cutpoints,
+      // no float in the weight decision); CI by explicit rank
+      "q_bootstrap_ci" ->
+        """WITH base AS (
+          |  SELECT l_returnflag,
+          |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rk,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS xc
+          |  FROM lineitem),
+          |fan AS (
+          |  SELECT l_returnflag, rk, xc, i AS rep
+          |  FROM base CROSS JOIN range(50) r(i)),
+          |wt AS (
+          |  SELECT l_returnflag, rep, xc,
+          |         CAST(('0x' || substring(md5(rk || ':' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+          |  FROM fan),
+          |wts AS (
+          |  SELECT l_returnflag, rep, xc,
+          |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+          |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+          |              WHEN u < 996340 THEN 4 ELSE 5 END AS w
+          |  FROM wt),
+          |rm AS (
+          |  SELECT l_returnflag, rep,
+          |         CAST(sum(w * xc) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+          |  FROM wts GROUP BY 1, 2),
+          |rk2 AS (
+          |  SELECT l_returnflag, rep, m,
+          |         row_number() OVER (PARTITION BY l_returnflag ORDER BY m, rep) AS rn
+          |  FROM rm),
+          |pt AS (
+          |  SELECT l_returnflag, count(*) AS n_rows, CAST(sum(xc) AS BIGINT) AS sx
+          |  FROM base GROUP BY 1)
+          |SELECT p.l_returnflag, p.n_rows,
+          |       round(CAST(sx AS DOUBLE) / n_rows, 6) AS point_mean,
+          |       round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi
+          |FROM pt p
+          |JOIN rk2 lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = 2
+          |JOIN rk2 hi ON hi.l_returnflag = p.l_returnflag AND hi.rn = 49
+          |ORDER BY 1""".stripMargin
     )
   }
 }

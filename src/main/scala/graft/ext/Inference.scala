@@ -464,4 +464,111 @@ object Inference {
           round(num / (sqrt(da) * sqrt(db)), 6)).as("corr"))
       .orderBy("ord")
   }
+
+  /** Cumulative gain / lift table for a scored binary classifier —
+    * the model-eval twin of the calibration curve: rank the population
+    * by score, cut into `buckets` equal slices, and per slice report
+    * exact counts plus cumulative precision and lift vs the base rate.
+    * Lift@decile-1 is THE number a data-selection pipeline quotes
+    * ("the top 10% by classifier score is 3.2× richer in positives").
+    *
+    * Determinism: ranking orders by (pre-rounded score desc, id) — a
+    * total order, so ntile assignment is engine-exact; every output
+    * except `lift`/`cum_precision` is an exact count, and those two
+    * are one division each over exact-long products.
+    *
+    * Scale: ntile needs a global rank — over the SCORED table this is
+    * the one global sort of the eval job (ranking 10⁹ scored rows is
+    * a sort-merge well inside Spark's wheelhouse; the per-bucket agg
+    * that follows collapses map-side). For a quick gate at corpus
+    * scale, pre-compute approx score-quantile edges and bucket by
+    * range instead — the lift curve tolerates edge-rank error.
+    */
+  def liftTable(scored: DataFrame, id: Column, score: Column, label: Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val ranked = scored.select(id.as("id"), score.as("r"),
+        label.cast("long").as("pos"))
+      .withColumn("bucket",
+        ntile(buckets).over(Window.orderBy(col("r").desc, col("id"))))
+    val perBucket = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .select(col("bucket"), col("n"), col("n_pos"),
+        sum("n").over(cum).as("cum_n"), sum("n_pos").over(cum).as("cum_pos"),
+        sum("n").over(tot).as("tot_n"), sum("n_pos").over(tot).as("tot_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("cum_n").cast("double"), 6)
+          .as("cum_precision"),
+        when(col("tot_pos") > 0,
+          round((col("cum_pos") * col("tot_n")).cast("double") /
+            (col("cum_n") * col("tot_pos")).cast("double"), 6)).as("lift"))
+      .orderBy("bucket")
+  }
+
+  /** Inverse-CDF cutpoints of Poisson(1) on a uniform integer draw in
+    * [0, 1e6): P(X ≤ k) · 1e6, truncated. Integer compares — no float
+    * enters the weight decision on any engine.
+    */
+  private val poissonCdfMicro = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+
+  /** Deterministic Poisson bootstrap CI for a per-group mean — the
+    * industrial-scale bootstrap: instead of resampling n rows WITH
+    * replacement (which needs global coordination), each row gets an
+    * independent Poisson(1) multiplicity per replicate, drawn by
+    * INVERSE CDF from a hash of (row key, replicate) — so the "random"
+    * weights are pure functions of the data: identical under retries,
+    * speculative execution, AQE re-plans, and across engines (the
+    * property that lets a DuckDB oracle regenerate the exact draw).
+    *
+    * One pass computes all `reps` replicate means (explode ×reps, then
+    * a map-side-combined weighted sum); the CI is the empirical
+    * [2.5%, 97.5%] of the replicate means by explicit rank — no
+    * quantile interpolation to diverge cross-engine.
+    *
+    * Scale: shuffle = groups × reps rows (never data); the explode
+    * multiplies scan width by `reps`, so at corpus scale either run
+    * the fan-out map-side (it combines before the shuffle — cost is
+    * CPU, not network) or drop to reps=20 (CI degrades gracefully).
+    * `x` must be integer-scaled by the caller (cents, micros) so
+    * replicate sums stay exact longs; overflow bound reps-independent:
+    * 5 · x_max · rows-per-group < 2⁶³.
+    */
+  def poissonBootstrapCI(df: DataFrame, group: Seq[String], rowKey: Column,
+                         x: Column, reps: Int = 50): DataFrame = {
+    require(reps >= 10, "need >= 10 replicates for a 95% CI rank")
+    val loRank = (0.025 * reps).toInt + 1
+    val hiRank = reps - (0.025 * reps).toInt
+    val gcols = group.map(col)
+    val base = df.select(gcols :+ rowKey.cast("string").as("rk") :+
+      x.cast("long").as("xc"): _*)
+    val u = conv(substring(md5(concat(col("rk"), lit(":"), col("rep"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    val w = poissonCdfMicro.zipWithIndex
+      .foldRight(lit(poissonCdfMicro.length.toLong)) { case ((cut, k), rest) =>
+        when(u < cut, k.toLong).otherwise(rest)
+      }
+    val repMeans = base
+      .select(gcols :+ col("rk") :+ col("xc") :+
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"): _*)
+      .withColumn("w", w)
+      .groupBy(gcols :+ col("rep"): _*)
+      .agg(sum(col("w") * col("xc")).as("swx"), sum("w").as("sw"))
+      .withColumn("m", col("swx").cast("double") / col("sw").cast("double"))
+    val ranked = repMeans.withColumn("rn", row_number().over(
+      Window.partitionBy(gcols: _*).orderBy(col("m"), col("rep"))))
+    val point = base.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"), sum("xc").as("sx"))
+    point
+      .join(ranked.filter(col("rn") === loRank)
+        .select(gcols :+ col("m").as("lo"): _*), group)
+      .join(ranked.filter(col("rn") === hiRank)
+        .select(gcols :+ col("m").as("hi"): _*), group)
+      .select(gcols :+ col("n_rows") :+
+        round(col("sx").cast("double") / col("n_rows").cast("double"), 6)
+          .as("point_mean") :+
+        round(col("lo"), 6).as("ci_lo") :+ round(col("hi"), 6).as("ci_hi"): _*)
+  }
 }

@@ -40,4 +40,25 @@ object Privacy {
     df.groupBy(quasiIds: _*).agg(count(lit(1)).as("n"))
       .withColumn("violates_k", col("n") < k)
   }
+
+  /** l-diversity audit — the attribute-disclosure complement to
+    * [[kAnonymityGroups]]: a quasi-identifier group can satisfy k
+    * (many candidate subjects) and still leak, if every subject in it
+    * shares the SAME sensitive value. Per group: size `n`, distinct
+    * sensitive values `l`, and `violates_l` when l < `l` threshold —
+    * an attacker narrowing a subject to that group learns the
+    * sensitive attribute outright (or to < l candidates).
+    *
+    * Scale: one aggregate keyed by the quasi-id combination;
+    * `countDistinct` expands to the standard two-phase distinct-agg
+    * Expand plan, map-side-combined — shuffle is (group × distinct
+    * sensitive) rows, never the table.
+    */
+  def lDiversityGroups(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                       l: Long): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("l"))
+      .withColumn("violates_l", col("l") < l)
+  }
 }

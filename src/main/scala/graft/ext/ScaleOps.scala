@@ -483,4 +483,41 @@ object ScaleOps {
       (if (edgeCount % rowsPerPartition == 0) 0 else 1)
     math.min(maxParts.toLong, math.max(minParts.toLong, want)).toInt
   }
+
+  /** 2-D Pareto frontier (skyline): entities not dominated on the
+    * maximize-both (`x`, `y`) plane — a point is OFF the frontier iff
+    * some other point is ≥ on both axes and > on at least one. The
+    * "best suppliers by revenue AND breadth" / "best configs by
+    * quality AND throughput" query.
+    *
+    * Algorithm: collapse to one row per distinct `x` keeping the max
+    * `y` (same-x domination falls out here), then one ordered pass
+    * over the distinct-x grid — a row survives iff its y exceeds the
+    * running max over all STRICTLY greater x (a rows-frame works
+    * because x is distinct after the collapse). A deterministic
+    * representative (`min` id among the arg-max entities) rides along
+    * via one co-grouped join-back.
+    *
+    * Scale contract (grid-first, as [[keyDistribution]]): callers
+    * aggregate the fact table to one row per entity FIRST, so the
+    * single-partition window runs over |distinct x| grid cells, not
+    * rows. For a frontier over raw 10⁹-point clouds, pre-prune with
+    * per-partition LOCAL frontiers (each partition's skyline is a
+    * superset filter of the global one) and run this on the
+    * survivors.
+    */
+  def paretoFrontier(entities: DataFrame, id: String, x: String, y: String): DataFrame = {
+    val perX = entities.groupBy(col(x)).agg(max(col(y)).as("best_y"))
+    val reps = entities.as("e")
+      .join(perX.as("p"),
+        col(s"e.$x") === col(s"p.$x") && col(s"e.$y") === col("p.best_y"))
+      .select(col(s"p.$x").as(x), col("p.best_y").as("best_y"), col(s"e.$id").as(id))
+      .groupBy(x, "best_y").agg(min(col(id)).as("rep_id"))
+    val strictlyHigherX = Window.orderBy(col(x).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    reps
+      .withColumn("prev_best", max("best_y").over(strictlyHigherX))
+      .filter(col("prev_best").isNull || col("best_y") > col("prev_best"))
+      .select(col("rep_id"), col(x), col("best_y").as(y))
+  }
 }

@@ -552,4 +552,43 @@ object Similarity {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
           .as("centroid_cos"))
   }
+
+  /** Reciprocal best match: pairs (a, b) where b is a's single nearest
+    * neighbor AND a is b's — the high-precision entity-matching filter
+    * (two records that each consider the other their best candidate
+    * are near-certainly the same entity; a one-directional best match
+    * is routinely a hub attracting many records). Candidates come from
+    * the hyperplane-bucket join — the pair space is bucketed, never
+    * all-pairs — so "best" means best among LSH candidates, the
+    * standard production semantics (with multiprobe widening when
+    * recall matters).
+    *
+    * Determinism: per-side argmax ranks on the ROUNDED cosine with the
+    * neighbor id as tie-break — a total order, so the winner cannot
+    * flip on float re-association across engines, retries, or AQE.
+    *
+    * Scale: bucket equi-join (same bound as [[embeddingNearDupPairs]]);
+    * the two argmax windows partition by the high-cardinality vector
+    * id; the reciprocity check is a self-equi-join on (src, dst) of
+    * the one-row-per-vector best table.
+    */
+  def reciprocalBestMatch(corpus: DataFrame, planes: Seq[Seq[Double]],
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairs(corpus, threshold = -1.0, planes, idCol, vecCol)
+      .withColumn("c", round(col("cosine"), 6))
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("c"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("c")))
+    val best = sym
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("c").desc, col("dst"))))
+      .filter(col("r") === 1)
+      .select(col("src"), col("dst"), col("c"))
+    best.as("f")
+      .join(best.as("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("id1"), col("f.dst").as("id2"),
+        col("f.c").as("cosine"))
+  }
 }

@@ -164,6 +164,54 @@ object TextStats {
       .agg(sum(weight).as("bm25"), count(lit(1)).as("n_terms_matched"))
   }
 
+  /** Sparse TF-IDF cosine similarity between document PAIRS via the
+    * inverted-index self-join — lexical near-neighbor search with no
+    * embeddings, the classic complement to [[graft.ext.Similarity]]'s
+    * dense cosine. Per term surviving the df band, the posting list
+    * joins against itself (doc_a < doc_b); a pair's dot product sums
+    * the products of its shared-term weights.
+    *
+    * Exactness discipline (the repo rule: integers until one final
+    * fixed-shape tower): the weight is `tf · ((N·1000) div df)` — an
+    * integer-scaled idf with NO `ln`, so dots and squared norms are
+    * exact integer sums (decimal(38,0) — order-free under any
+    * partitioning), and cosine = dot / (√ssqₐ·√ssq_b) is a fixed
+    * 4-op IEEE tower over exactly-represented inputs: bit-identical
+    * on any engine. Linear 1/df damping ranks the same pairs as
+    * ln-idf for the near-dup band this finds (both are monotone
+    * decreasing in df); the band filter has already removed the
+    * stopword regime where they differ materially.
+    *
+    * Scale: the term equi-join is the whole cost, and the df band is
+    * the knob — candidate volume is Σ_term df², so `maxDfFrac` caps
+    * the worst posting list (a stopword's list is quadratic; it never
+    * joins). Same bounded-candidate shape as
+    * [[Dedup.jaccardPairsPrefix]]; norms and N broadcast.
+    */
+  def tfidfCosinePairs(docs: DataFrame, minDf: Long = 2, maxDfFrac: Double = 0.1,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tfdf = termDocFrequency(docs, idCol, textCol)
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tfdf.crossJoin(broadcast(corpus))
+      .filter(col("df") >= minDf && col("df") <= (col("n_docs") * maxDfFrac))
+      .select(col(idCol), col("term"),
+        expr("tf * ((n_docs * 1000) div df)").as("w"))
+    val norms = weighted.groupBy(idCol)
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("ssq"))
+    val a = weighted.select(col(idCol).as("a"), col("term"), col("w").as("wa"))
+    val b = weighted.select(col(idCol).as("b"), col("term"), col("w").as("wb"))
+    a.join(b, Seq("term")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .join(broadcast(norms.select(col(idCol).as("a"), col("ssq").as("ssq_a"))), "a")
+      .join(broadcast(norms.select(col(idCol).as("b"), col("ssq").as("ssq_b"))), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("dot").cast("double") /
+          (sqrt(col("ssq_a").cast("double")) * sqrt(col("ssq_b").cast("double"))))
+          .as("cosine"))
+  }
+
   /** Rolling-hash shingle fingerprint (winnowing-style): the minimum
     * md5 over character `w`-gram windows of the normalized text — a
     * compact near-dup signature computed in one narrow expression.

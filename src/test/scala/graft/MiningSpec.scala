@@ -446,4 +446,83 @@ class MiningSpec extends SparkSpec {
       r.getBoolean(3))).toSeq ===
       Seq(("a", "x", 3L, false), ("b", "x", 1L, true), ("b", "y", 1L, true)))
   }
+
+  test("privacy: l-diversity flags the k-anonymous group with a uniform sensitive value") {
+    // group "a": 3 members but ONE sensitive value -> violates l=2
+    // group "b": 2 members, two sensitive values -> ok
+    val df = Seq(("a", "hiv"), ("a", "hiv"), ("a", "hiv"),
+        ("b", "flu"), ("b", "ok"))
+      .toDF("qi", "diag")
+    val out = Privacy.lDiversityGroups(df, Seq(col("qi")), col("diag"), l = 2)
+      .orderBy("qi").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).toSeq ===
+      Seq(("a", 3L, 1L, true), ("b", 2L, 2L, false)))
+  }
+
+  test("lift table: exact counts, cumulative precision, and lift by hand") {
+    // 8 rows, scores descending 0.8..0.1; positives at the top 3 ranks
+    // and one at rank 6. buckets=4 -> 2 rows each.
+    val df = Seq((1L, 0.8, 1), (2L, 0.7, 1), (3L, 0.6, 1), (4L, 0.5, 0),
+        (5L, 0.4, 0), (6L, 0.3, 1), (7L, 0.2, 0), (8L, 0.1, 0))
+      .toDF("id", "r", "pos")
+    val out = Inference.liftTable(df, col("id"), col("r"), col("pos"), buckets = 4)
+      .collect()
+    // bucket1: n=2 pos=2 cum 2/2 prec 1.0 lift (2*8)/(2*4)=2.0
+    assert(out(0).getAs[Long]("n_pos") === 2L &&
+      out(0).getAs[Double]("cum_precision") === 1.0 &&
+      out(0).getAs[Double]("lift") === 2.0)
+    // bucket2: cum 4 rows, 3 pos -> prec .75, lift (3*8)/(4*4)=1.5
+    assert(out(1).getAs[Long]("cum_pos") === 3L &&
+      out(1).getAs[Double]("lift") === 1.5)
+    // last bucket: base rate -> lift exactly 1
+    assert(out(3).getAs[Long]("cum_pos") === 4L &&
+      out(3).getAs[Double]("lift") === 1.0)
+  }
+
+  test("lift table: zero positives leaves lift null, counts intact") {
+    val df = Seq((1L, 0.9, 0), (2L, 0.1, 0)).toDF("id", "r", "pos")
+    val out = Inference.liftTable(df, col("id"), col("r"), col("pos"), buckets = 2)
+      .collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("lift"))))
+    assert(out.map(_.getAs[Long]("n")).sum === 2L)
+  }
+
+  test("pareto frontier: dominated points drop, x-ties collapse to best y, rep is min id") {
+    import graft.ext.ScaleOps
+    // (10,1) frontier; (8,5) frontier; (8,3) dominated by same-x (8,5);
+    // (5,5) dominated by (8,5); (3,9) frontier; ids 30/31 tie on (8,5) -> rep 30
+    val df = Seq((10L, 10L, 1L), (30L, 8L, 5L), (31L, 8L, 5L), (40L, 8L, 3L),
+        (50L, 5L, 5L), (60L, 3L, 9L))
+      .toDF("id", "x", "y")
+    val out = ScaleOps.paretoFrontier(df, "id", "x", "y")
+      .orderBy(desc("x")).collect()
+    assert(out.map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("x"),
+      r.getAs[Long]("y"))).toSeq ===
+      Seq((10L, 10L, 1L), (30L, 8L, 5L), (60L, 3L, 9L)))
+  }
+
+  test("tfidf cosine pairs: near-identical docs score ~1, df band prunes corpus-wide terms") {
+    import graft.ext.TextStats
+    // "common" appears in ALL 6 docs -> df=6 > 0.5*6=3 -> pruned, so
+    // docs sharing ONLY "common" never pair. Docs 1/2 share their full
+    // banded vocabulary with equal tf -> cosine exactly 1.
+    val docs = Seq(
+      (1L, "common alpha beta"), (2L, "common alpha beta"),
+      (3L, "common alpha gamma"), (4L, "common delta epsilon"),
+      (5L, "common zeta eta"), (6L, "common theta iota"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tfidfCosinePairs(docs, minDf = 2, maxDfFrac = 0.5)
+      .orderBy("a", "b").collect()
+    // banded vocab: alpha (df=3 <= 3); beta (df=2); gamma..iota df=1 (pruned)
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val c12 = out.find(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L).get
+    assert(math.abs(c12.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(c12.getAs[Long]("n_shared") === 2L)
+    // 1-3 share only alpha of {alpha,beta} x {alpha,gamma}: cos = w_a^2/(|w|*|w|) < 1
+    val c13 = out.find(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 3L).get
+    assert(c13.getAs[Double]("cosine") < 1.0 && c13.getAs[Double]("cosine") > 0.0)
+    assert(c13.getAs[Long]("n_shared") === 1L)
+  }
 }
