@@ -3322,6 +3322,89 @@ object SparkEntry {
           rowKey = concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
           x = floor(col("l_extendedprice") * 100), reps = 50)
         .orderBy("l_returnflag")
+    }),
+
+    // SQL rank-function surface in one query: dense_rank /
+    // percent_rank / cume_dist / ntile over the same value-ordered
+    // window (value order ⇒ tie handling is engine-exact by the SQL
+    // standard). Top-3 spenders per nation off the customer grid.
+    "q_rank_functions" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice"))).cast("long").as("spend"))
+      val g = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(spend, col("c_custkey") === col("o_custkey"))
+      val w = Window.partitionBy("c_nationkey").orderBy(desc("spend"))
+      g.select(col("c_nationkey"), col("c_custkey"), col("spend"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(Window.partitionBy("c_nationkey")
+            .orderBy(desc("spend"), asc("c_custkey"))).as("quartile"))
+        .filter(col("drank") <= 3)
+        .orderBy(asc("c_nationkey"), desc("spend"), asc("c_custkey"))
+    }),
+
+    // feature preprocessing: quantile normalization — map each value
+    // to its empirical quantile rank/(n+1) within the group, then
+    // summarize per subgroup. Rank sums stay exact longs; one division.
+    "q_quantile_normalize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), floor(col("l_extendedprice") * 100).as("cents"))
+      val ranked = li
+        .withColumn("rk", rank().over(
+          Window.partitionBy("l_returnflag").orderBy("cents")))
+        .withColumn("n_group", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+      ranked.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("rk").as("sum_rank"),
+          max("n_group").as("ng"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          round(col("sum_rank").cast("double") /
+            (col("n_rows") * (col("ng") + 1)).cast("double"), 6)
+            .as("mean_qnorm"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // annotation QA: Cohen's kappa of the heuristic language-id vs the
+    // gold lang label — chance-corrected agreement in cleared-
+    // denominator integer form; exactly one float division.
+    "q_cohen_kappa" -> ((s, dir) => {
+      Inference.cohenKappa(
+        spread(t(s, dir, "documents"))
+          .select(col("lang"), TextStats.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+    // retrieval eval: nDCG@3 + reciprocal rank of the bucketed ANN
+    // against same-label relevance. Rank-2/3 discounts and the ideal
+    // DCG are CASE literals (no float accumulation to diverge); the
+    // only sums are over {0, .5, .63..., 1} rounded at 1e-6.
+    "q_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val topk = Similarity.bucketedTopK(spread(emb),
+        emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+      val rel = topk
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlab")),
+          "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlab")),
+          "neighbor_id")
+        .withColumn("rel", (col("qlab") === col("nlab")).cast("int"))
+      val disc = when(col("rank") === 1, lit(1.0))
+        .when(col("rank") === 2, lit(0.6309297535714574))
+        .otherwise(lit(0.5))
+      rel.groupBy("query_id")
+        .agg(sum("rel").cast("long").as("n_rel"),
+          sum(col("rel") * disc).as("dcg"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .select(col("query_id"), col("n_rel"), round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / when(col("n_rel") === 1, lit(1.0))
+            .when(col("n_rel") === 2, lit(1.6309297535714574))
+            .when(col("n_rel") === 3, lit(2.1309297535714574))
+            .otherwise(lit(1.0)), 6).as("ndcg"),
+          coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("rr"))
+        .orderBy("query_id")
     })
   )
 
@@ -6552,7 +6635,106 @@ object SparkEntry {
           |FROM pt p
           |JOIN rk2 lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = 2
           |JOIN rk2 hi ON hi.l_returnflag = p.l_returnflag AND hi.rn = 49
-          |ORDER BY 1""".stripMargin
+          |ORDER BY 1""".stripMargin,
+
+      "q_rank_functions" ->
+        """WITH spend AS (
+          |  SELECT o_custkey,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS spend
+          |  FROM orders GROUP BY 1),
+          |g AS (
+          |  SELECT c_nationkey, c_custkey, spend
+          |  FROM customer JOIN spend ON c_custkey = o_custkey),
+          |r AS (
+          |  SELECT c_nationkey, c_custkey, spend,
+          |         CAST(dense_rank() OVER w AS INTEGER) AS drank,
+          |         round(percent_rank() OVER w, 6) AS pct_rank,
+          |         round(cume_dist() OVER w, 6) AS cume,
+          |         CAST(ntile(4) OVER (PARTITION BY c_nationkey
+          |           ORDER BY spend DESC, c_custkey) AS INTEGER) AS quartile
+          |  FROM g WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC))
+          |SELECT * FROM r WHERE drank <= 3
+          |ORDER BY c_nationkey, spend DESC, c_custkey""".stripMargin,
+
+      "q_quantile_normalize" ->
+        """WITH li AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |r AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         rank() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS ng
+          |  FROM li)
+          |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |       round(CAST(sum(rk) AS DOUBLE) / CAST(count(*) * (max(ng) + 1) AS DOUBLE), 6) AS mean_qnorm
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // cleared-denominator integer kappa: exactly one float division,
+      // mirrored op for op
+      "q_cohen_kappa" ->
+        s"""WITH toks AS (
+           |  SELECT lang, $sqlTokens AS l FROM documents),
+           |v AS (
+           |  SELECT lang,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks),
+           |conf AS (
+           |  SELECT lang AS x, $sqlLangCase AS y, count(*) AS n
+           |  FROM v GROUP BY 1, 2),
+           |t AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+           |         CAST(sum(CASE WHEN x = y THEN n ELSE 0 END) AS BIGINT) AS n_agree
+           |  FROM conf),
+           |r AS (SELECT x, CAST(sum(n) AS BIGINT) AS rm FROM conf GROUP BY 1),
+           |c AS (SELECT y, CAST(sum(n) AS BIGINT) AS cm FROM conf GROUP BY 1),
+           |p AS (
+           |  SELECT COALESCE(CAST(sum(rm * cm) AS BIGINT), 0) AS pe_num
+           |  FROM r JOIN c ON r.x = c.y)
+           |SELECT n_tot, n_agree,
+           |       round(CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS p_observed,
+           |       round(CAST(pe_num AS DOUBLE) / CAST(n_tot * n_tot AS DOUBLE), 6) AS p_expected,
+           |       round(CAST(n_tot * n_agree - pe_num AS DOUBLE)
+           |             / CAST(n_tot * n_tot - pe_num AS DOUBLE), 6) AS kappa
+           |FROM t, p""".stripMargin,
+
+      // same bucket/top-3 CTEs as q_ann_topk; discounts and ideal DCG
+      // are CASE literals so no float accumulation can diverge
+      "q_ndcg" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |tk AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM s QUALIFY rank <= 3),
+           |rel AS (
+           |  SELECT tk.query_id, tk.rank,
+           |         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+           |  FROM tk JOIN embeddings ql ON ql.vec_id = tk.query_id
+           |          JOIN embeddings nl ON nl.vec_id = tk.neighbor_id),
+           |agg AS (
+           |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           |         sum(rel * CASE rank WHEN 1 THEN CAST(1.0 AS DOUBLE)
+           |                             WHEN 2 THEN 0.6309297535714574
+           |                             ELSE CAST(0.5 AS DOUBLE) END) AS dcg,
+           |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           |  FROM rel GROUP BY 1)
+           |SELECT query_id, n_rel, round(dcg, 6) AS dcg,
+           |       round(dcg / CASE n_rel WHEN 1 THEN CAST(1.0 AS DOUBLE)
+           |                              WHEN 2 THEN 1.6309297535714574
+           |                              WHEN 3 THEN 2.1309297535714574
+           |                              ELSE CAST(1.0 AS DOUBLE) END, 6) AS ndcg,
+           |       COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 6), 0.0) AS rr
+           |FROM agg ORDER BY query_id""".stripMargin
     )
   }
 }

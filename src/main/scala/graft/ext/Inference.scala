@@ -571,4 +571,36 @@ object Inference {
           .as("point_mean") :+
         round(col("lo"), 6).as("ci_lo") :+ round(col("hi"), 6).as("ci_hi"): _*)
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical columns (two annotators, or predicted vs gold
+    * labels): κ = (p_o − p_e)/(1 − p_e), computed entirely from the
+    * confusion counts in cleared-denominator integer form,
+    * κ = (n·Σdiag − Σ row_c·col_c) / (n² − Σ row_c·col_c), so exactly
+    * one float division exists end to end.
+    *
+    * Scale: one contingency pass (the [[chi2]] shape — shuffle =
+    * observed cells); marginal products run over the tiny class grid.
+    * Overflow: n² < 2⁶³ holds to ~3·10⁹ rows; past that, compute on
+    * a hash sample — κ is a rate, it concentrates fast.
+    */
+  def cohenKappa(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val conf = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum("n").as("n_tot"),
+      sum(when(col("x") === col("y"), col("n")).otherwise(0L)).as("n_agree"))
+    val rm = conf.groupBy("x").agg(sum("n").as("rm"))
+    val cm = conf.groupBy("y").agg(sum("n").as("cm"))
+    val pe = rm.join(cm, col("x") === col("y"))
+      .agg(coalesce(sum(col("rm") * col("cm")), lit(0L)).as("pe_num"))
+    tot.crossJoin(pe) // two 1-row scalar aggregates
+      .select(col("n_tot"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_tot").cast("double"), 6)
+          .as("p_observed"),
+        round(col("pe_num").cast("double") /
+          (col("n_tot") * col("n_tot")).cast("double"), 6).as("p_expected"),
+        round((col("n_tot") * col("n_agree") - col("pe_num")).cast("double") /
+          (col("n_tot") * col("n_tot") - col("pe_num")).cast("double"), 6)
+          .as("kappa"))
+  }
 }

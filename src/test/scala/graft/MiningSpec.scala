@@ -563,4 +563,21 @@ class MiningSpec extends SparkSpec {
     // sw > 0, so point/lo/hi are all 1.0 — pins sum/count plumbing
     assert(out.getAs[Double]("ci_lo") === 1.0 && out.getAs[Double]("ci_hi") === 1.0)
   }
+
+  test("cohen kappa: perfect agreement gives 1, independence gives 0, textbook 2x2 matches") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("xc", "yc")
+    assert(Inference.cohenKappa(perfect, "xc", "yc")
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("xc", "yc")
+    assert(Inference.cohenKappa(indep, "xc", "yc")
+      .collect().head.getAs[Double]("kappa") === 0.0)
+    // hand case: n=100, agree=70, both marginals (60,40):
+    // pe_num = 60*60+40*40 = 5200 -> kappa = (7000-5200)/(10000-5200) = 0.375
+    val conf = Seq.fill(45)(("y", "y")) ++ Seq.fill(25)(("n", "n")) ++
+      Seq.fill(15)(("y", "n")) ++ Seq.fill(15)(("n", "y"))
+    val r = Inference.cohenKappa(conf.toDF("xc", "yc"), "xc", "yc").collect().head
+    assert(r.getAs[Long]("n_tot") === 100L && r.getAs[Long]("n_agree") === 70L)
+    assert(r.getAs[Double]("p_observed") === 0.7)
+    assert(r.getAs[Double]("kappa") === 0.375)
+  }
 }
