@@ -3405,6 +3405,70 @@ object SparkEntry {
             .otherwise(lit(1.0)), 6).as("ndcg"),
           coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("rr"))
         .orderBy("query_id")
+    }),
+
+    // classical seasonal decomposition, grid-first and integer-exact:
+    // trend = centered 7-day sum (full windows only), 7×detrended =
+    // 7·y − Σ₇ stays an exact long, and the per-(type, weekday)
+    // seasonal index divides once at the end.
+    "q_seasonal_decompose" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"), col("day"),
+          floor(col("day_total") * 100 + lit(0.5)).cast("long").as("cents"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("sum7", sum("cents").over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("d7", col("cents") * 7 - col("sum7"))
+        .groupBy(col("event_type"), expr("weekday(day)").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum("d7").as("sd7"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round(col("sd7").cast("double") /
+            (col("n_days") * 7).cast("double") / 100.0, 4).as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // storage advisor: candidate partition-key audit in ONE scan (the
+    // q_column_profile Expand pattern) — per candidate: partition
+    // count, max/min partition rows, integer skew ratio, and a
+    // recommendation under the standard layout rules (not too few
+    // partitions, not too many, skew bounded).
+    "q_partition_layout" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type").as("c1"),
+          date_format(col("ts"), "yyyy-MM-dd").as("c2"),
+          (col("user_id") % 64).cast("string").as("c3"))
+        .select(expr(
+          "stack(3, 'day', c2, 'event_type', c1, 'user_mod64', c3) AS (cand, v)"))
+        .groupBy("cand", "v").agg(count(lit(1)).as("n"))
+        .groupBy("cand")
+        .agg(count(lit(1)).as("n_partitions"), max("n").as("max_rows"),
+          min("n").as("min_rows"), sum("n").as("n_rows"))
+        .withColumn("skew_x100",
+          expr("(max_rows * n_partitions * 100) div n_rows"))
+        .withColumn("recommended",
+          col("n_partitions").between(5, 10000) && col("skew_x100") < 300)
+        .orderBy("cand")
+    }),
+
+    // train/val/test leakage audit: normalized-fingerprint collisions
+    // that CROSS the hash-split boundary — the contamination a random
+    // row split invites and a key split prevents. Exact counts.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), ScaleOps.splitByKey(col("doc_id")).as("split"),
+          Dedup.normalizedFingerprint(col("text")).as("fp"))
+      val fpSplits = docs.groupBy("fp")
+        .agg(countDistinct("split").as("n_splits"))
+      docs.join(fpSplits, "fp")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_splits") > 1, 1)).as("n_leaky_docs"),
+          countDistinct(when(col("n_splits") > 1, col("fp"))).as("n_leaky_fps"))
+        .orderBy("split")
     })
   )
 
@@ -6734,7 +6798,64 @@ object SparkEntry {
            |                              WHEN 3 THEN 2.1309297535714574
            |                              ELSE CAST(1.0 AS DOUBLE) END, 6) AS ndcg,
            |       COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 6), 0.0) AS rr
-           |FROM agg ORDER BY query_id""".stripMargin
+           |FROM agg ORDER BY query_id""".stripMargin,
+
+      // isodow(day)-1 == Spark weekday (Monday=0); 7×detrended stays
+      // integer so only the final index divides
+      "q_seasonal_decompose" ->
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day,
+          |         CAST(floor(round(sum(value), 2) * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, day, cents,
+          |         sum(cents) OVER (PARTITION BY event_type ORDER BY day
+          |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+          |         count(*) OVER (PARTITION BY event_type ORDER BY day
+          |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+          |  FROM daily),
+          |d AS (
+          |  SELECT event_type, isodow(day) - 1 AS dow, cents * 7 - sum7 AS d7
+          |  FROM w WHERE n7 = 7)
+          |SELECT event_type, CAST(dow AS INTEGER) AS dow, count(*) AS n_days,
+          |       round(CAST(sum(d7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE) / 100.0, 4) AS seasonal_idx
+          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_partition_layout" ->
+        """WITH ev AS (
+          |  SELECT event_type AS v1, strftime(ts, '%Y-%m-%d') AS v2,
+          |         CAST(user_id % 64 AS VARCHAR) AS v3
+          |  FROM events),
+          |st AS (
+          |  SELECT 'day' AS cand, v2 AS v FROM ev
+          |  UNION ALL SELECT 'event_type', v1 FROM ev
+          |  UNION ALL SELECT 'user_mod64', v3 FROM ev),
+          |g AS (SELECT cand, v, count(*) AS n FROM st GROUP BY 1, 2)
+          |SELECT cand, count(*) AS n_partitions,
+          |       CAST(max(n) AS BIGINT) AS max_rows,
+          |       CAST(min(n) AS BIGINT) AS min_rows,
+          |       CAST(sum(n) AS BIGINT) AS n_rows,
+          |       CAST((max(n) * count(*) * 100) // sum(n) AS BIGINT) AS skew_x100,
+          |       (count(*) BETWEEN 5 AND 10000
+          |        AND (max(n) * count(*) * 100) // sum(n) < 300) AS recommended
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same md5 split-bucket mirror as q_group_split; fingerprint =
+      // md5 of whitespace-normalized lowercased text
+      "q_split_leakage" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split,
+          |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |  FROM (SELECT doc_id, text,
+          |          instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+          |        FROM documents)),
+          |f AS (SELECT fp, count(DISTINCT split) AS n_splits FROM d GROUP BY 1)
+          |SELECT split, count(*) AS n_docs,
+          |       count(CASE WHEN n_splits > 1 THEN 1 END) AS n_leaky_docs,
+          |       count(DISTINCT CASE WHEN n_splits > 1 THEN fp END) AS n_leaky_fps
+          |FROM d JOIN f USING (fp)
+          |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }
