@@ -6762,7 +6762,7 @@ object SparkEntry {
            |       round(CAST(pe_num AS DOUBLE) / CAST(n_tot * n_tot AS DOUBLE), 6) AS p_expected,
            |       round(CAST(n_tot * n_agree - pe_num AS DOUBLE)
            |             / CAST(n_tot * n_tot - pe_num AS DOUBLE), 6) AS kappa
-           |FROM t, p""".stripMargin,
+           |FROM t, p ORDER BY n_tot""".stripMargin,
 
       // same bucket/top-3 CTEs as q_ann_topk; discounts and ideal DCG
       // are CASE literals so no float accumulation can diverge
