@@ -3469,6 +3469,54 @@ object SparkEntry {
           count(when(col("n_splits") > 1, 1)).as("n_leaky_docs"),
           countDistinct(when(col("n_splits") > 1, col("fp"))).as("n_leaky_fps"))
         .orderBy("split")
+    }),
+
+    // stats: Spearman rank correlation per returnflag between quantity
+    // and price cents — the outlier-proof monotone-association screen.
+    // Doubled-midrank machinery keeps every power sum an exact integer
+    // (see Inference.spearman); one group-key exchange, two
+    // in-partition sorts, map-side-combined sums.
+    "q_spearman" -> ((s, dir) => {
+      Inference.spearman(spread(t(s, dir, "lineitem")), Seq("l_returnflag"),
+        col("l_quantity"), floor(col("l_extendedprice") * 100))
+        .orderBy("l_returnflag")
+    }),
+
+    // stats: pairwise Pearson matrix over the four quantized lineitem
+    // measures in ONE map-side-combined pass (shuffle = one row of
+    // power sums; never k² scans, never a row-pair join) — the
+    // feature-redundancy screen before training-data export.
+    "q_corr_matrix" -> ((s, dir) => {
+      Inference.corrMatrix(spread(t(s, dir, "lineitem")), Seq(
+        "qty" -> col("l_quantity"),
+        "price_c" -> floor(col("l_extendedprice") * 100),
+        "disc_c" -> floor(col("l_discount") * 100),
+        "tax_c" -> floor(col("l_tax") * 100)))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // export: deterministic multiplicative-hash shards (high bits) —
+    // reproducible training-data placement any consumer can recompute;
+    // per-shard balance audit is one narrow scan + one small groupBy.
+    "q_shard_assign" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .withColumn("shard", ScaleOps.shardOf(col("doc_id"), 8))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_total"),
+          countDistinct("lang").as("n_langs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
+    // features: leave-one-out target encoding of `source` by n_chars —
+    // the leakage-safe mean encoding (each row's feature excludes its
+    // own target). One category aggregate + broadcast join-back; the
+    // encode pass itself is narrow.
+    "q_target_encode" -> ((s, dir) => {
+      Inference.targetEncodeLOO(spread(t(s, dir, "documents")), "source",
+        col("doc_id"), col("n_chars"))
+        .orderBy("id")
     })
   )
 
@@ -6855,7 +6903,96 @@ object SparkEntry {
           |       count(CASE WHEN n_splits > 1 THEN 1 END) AS n_leaky_docs,
           |       count(DISTINCT CASE WHEN n_splits > 1 THEN fp END) AS n_leaky_fps
           |FROM d JOIN f USING (fp)
-          |GROUP BY 1 ORDER BY 1""".stripMargin
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // doubled midranks (minrank + peers-inclusive cumulative count)
+      // keep every power sum exact; DuckDB sums promote to HUGEINT,
+      // matching Spark's decimal(38,0) — both cast exactly-once to
+      // double in the same tower
+      "q_spearman" ->
+        """WITH b AS (
+          |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS yv
+          |  FROM lineitem),
+          |r AS (
+          |  SELECT g,
+          |         rank() OVER (PARTITION BY g ORDER BY xv)
+          |           + count(*) OVER (PARTITION BY g ORDER BY xv
+          |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+          |         rank() OVER (PARTITION BY g ORDER BY yv)
+          |           + count(*) OVER (PARTITION BY g ORDER BY yv
+          |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry
+          |  FROM b),
+          |s AS (
+          |  SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+          |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          |  FROM r GROUP BY 1)
+          |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+          |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+          |                sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+          |       END AS rho
+          |FROM s ORDER BY l_returnflag""".stripMargin,
+
+      "q_corr_matrix" ->
+        """WITH b AS (
+          |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+          |         CAST(floor(l_discount * 100) AS BIGINT) AS disc_c,
+          |         CAST(floor(l_tax * 100) AS BIGINT) AS tax_c
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT count(*) AS n,
+          |         sum(qty) AS s_qty, sum(price_c) AS s_price,
+          |         sum(disc_c) AS s_disc, sum(tax_c) AS s_tax,
+          |         sum(qty * qty) AS ss_qty, sum(price_c * price_c) AS ss_price,
+          |         sum(disc_c * disc_c) AS ss_disc, sum(tax_c * tax_c) AS ss_tax,
+          |         sum(qty * price_c) AS sp_qp, sum(qty * disc_c) AS sp_qd,
+          |         sum(qty * tax_c) AS sp_qt, sum(price_c * disc_c) AS sp_pd,
+          |         sum(price_c * tax_c) AS sp_pt, sum(disc_c * tax_c) AS sp_dt
+          |  FROM b),
+          |p AS (
+          |  SELECT 'qty' AS col_a, 'price_c' AS col_b, n, sp_qp AS sp,
+          |         s_qty AS sa, s_price AS sb, ss_qty AS ssa, ss_price AS ssb FROM s
+          |  UNION ALL SELECT 'qty', 'disc_c', n, sp_qd, s_qty, s_disc, ss_qty, ss_disc FROM s
+          |  UNION ALL SELECT 'qty', 'tax_c', n, sp_qt, s_qty, s_tax, ss_qty, ss_tax FROM s
+          |  UNION ALL SELECT 'price_c', 'disc_c', n, sp_pd, s_price, s_disc, ss_price, ss_disc FROM s
+          |  UNION ALL SELECT 'price_c', 'tax_c', n, sp_pt, s_price, s_tax, ss_price, ss_tax FROM s
+          |  UNION ALL SELECT 'disc_c', 'tax_c', n, sp_dt, s_disc, s_tax, ss_disc, ss_tax FROM s)
+          |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+          |       CASE WHEN n * ssa - sa * sa > 0 AND n * ssb - sb * sb > 0 THEN
+          |         round(CAST(n * sp - sa * sb AS DOUBLE) /
+          |               (sqrt(CAST(n * ssa - sa * sa AS DOUBLE)) *
+          |                sqrt(CAST(n * ssb - sb * sb AS DOUBLE))), 6)
+          |       END AS corr
+          |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+      // high bits of the Knuth multiplicative hash; ·8 then >>32 is an
+      // exact power-of-two division, integer end to end
+      "q_shard_assign" ->
+        """WITH b AS (
+          |  SELECT *, ((((doc_id * 2654435761) % 4294967296) * 8) >> 32) AS shard
+          |  FROM documents)
+          |SELECT shard, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+          |       count(DISTINCT lang) AS n_langs,
+          |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+          |       CAST(max(doc_id) AS BIGINT) AS max_doc
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_target_encode" ->
+        """WITH g AS (
+          |  SELECT source, count(*) AS n_cat, CAST(sum(n_chars) AS BIGINT) AS s_cat
+          |  FROM documents GROUP BY 1)
+          |SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS t,
+          |       CAST(n_cat AS BIGINT) AS n_cat,
+          |       CASE WHEN n_cat > 1 THEN
+          |         round(CAST(s_cat - n_chars AS DOUBLE) /
+          |               CAST(n_cat - 1 AS DOUBLE), 6)
+          |       END AS loo_mean
+          |FROM documents JOIN g USING (source)
+          |ORDER BY id""".stripMargin
     )
   }
 }

@@ -572,6 +572,131 @@ object Inference {
         round(col("lo"), 6).as("ci_lo") :+ round(col("hi"), 6).as("ci_hi"): _*)
   }
 
+  /** Spearman rank correlation per group between two integral
+    * (caller-quantized) measures — the monotone-association readout
+    * that survives outliers and nonlinearity where Pearson breaks.
+    * Ties take midranks, the standard (Spearman-with-ties ≡ Pearson
+    * over midranks).
+    *
+    * Exactness trick (the [[mannWhitney]] device): midranks with ties
+    * are half-integers, so the machinery carries DOUBLED ranks
+    * (2·midrank = minrank + maxrank, an integer: `rank()` plus the
+    * peers-INCLUSIVE cumulative count from a RANGE frame) — Pearson is
+    * invariant under the affine map r → 2r, so ρ over doubled ranks IS
+    * ρ over midranks, with every power sum an exact integer. Products
+    * are summed in DECIMAL(38,0) (4n³ passes int64 only to n ≈ 1.3e6;
+    * decimal stays exact and order-independent to any real group), and
+    * the only IEEE ops are the final two sqrt and one division —
+    * bit-identical cross-engine under round(6).
+    *
+    * Scale shape: ranking shuffles ONCE on the group key; both rank
+    * windows and both cumulative-count windows are partitioned by that
+    * same key (the tie count is a RANGE frame, not a per-value
+    * partition — a per-value partition would be a second exchange), so
+    * the plan is one exchange and two in-partition sorts. Power sums
+    * then collapse map-side to one row per group. A 100-TB fact keyed
+    * by a high-cardinality group spreads the sorts across reducers; a
+    * LOW-cardinality group funnels rows — same caveat as every
+    * per-group ordered pass in this module.
+    */
+  def spearman(df: DataFrame, group: Seq[String], x: Column, y: Column): DataFrame = {
+    val gcols = group.map(col)
+    val base = df.select(gcols :+ x.cast("long").as("xv") :+ y.cast("long").as("yv"): _*)
+    val wg = Window.partitionBy(gcols: _*)
+    // 2·midrank = minrank + maxrank; maxrank = count of rows ≤ v =
+    // peers-inclusive cumulative count (RANGE frame includes peers)
+    def doubledRank(v: String) =
+      rank().over(wg.orderBy(v)) +
+        count(lit(1)).over(wg.orderBy(v)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val ranked = base.select(gcols :+ doubledRank("xv").as("rx") :+
+      doubledRank("yv").as("ry"): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
+        sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+        sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+    val n = dec(col("n"))
+    val num = (n * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val da = (n * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val db = (n * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
+    sums.select(gcols :+ col("n") :+
+      when(da > 0 && db > 0,
+        round(num / (sqrt(da) * sqrt(db)), 6)).as("rho"): _*)
+  }
+
+  /** Pairwise Pearson correlation matrix over k integral
+    * (caller-quantized) measures in ONE scan: a single aggregate
+    * computes n, the k sums, k sums-of-squares, and k(k−1)/2 cross
+    * sums — all exact (products in DECIMAL(38,0), the [[jackknifeSE]]
+    * rule: x² at 1e7-unit scale overflows int64 by 6e5 rows) — then
+    * the pair grid explodes from that one row. The correlation itself
+    * is the [[rollingCorr]] float tower (numerator and the two
+    * variance factors cast exactly-once to double, two sqrt, one
+    * division), so the matrix is bit-stable cross-engine under
+    * round(6).
+    *
+    * Scale: this is THE way to screen features at 100 TB — one pass,
+    * map-side-combined, shuffle = one row of k(k+3)/2 decimals;
+    * never k² passes, never a row-pair join. Degenerate (zero
+    * variance) columns yield null cells rather than NaN.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least 2 columns")
+    val names = cols.map(_._1)
+    val base = df.select(cols.map { case (nm, c) => c.cast("long").as(nm) }: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.map(nm => sum(col(nm)).as(s"s_$nm")) ++
+      names.map(nm => sum(dec(col(nm)) * dec(col(nm))).as(s"ss_$nm")) ++
+      names.combinations(2).map { case Seq(a, b) =>
+        sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b")
+      }.toSeq
+    val sums = base.agg(aggs.head, aggs.tail: _*)
+    val n = dec(col("n"))
+    val pairs = names.combinations(2).map { case Seq(a, b) =>
+      val num = (n * col(s"sp_${a}_$b") - dec(col(s"s_$a")) * dec(col(s"s_$b")))
+        .cast("double")
+      val da = (n * col(s"ss_$a") - dec(col(s"s_$a")) * dec(col(s"s_$a"))).cast("double")
+      val db = (n * col(s"ss_$b") - dec(col(s"s_$b")) * dec(col(s"s_$b"))).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        when(da > 0 && db > 0, round(num / (sqrt(da) * sqrt(db)), 6)).as("corr"))
+    }.toSeq
+    sums.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr"))
+  }
+
+  /** Leave-one-out target encoding of a categorical column — the
+    * leakage-safe way to turn a high-cardinality category into a
+    * numeric feature: each row gets its category's target mean
+    * COMPUTED WITHOUT ITSELF, (Σ_cat − x)/(n_cat − 1), so the encoding
+    * never smuggles the row's own label into its feature (the failure
+    * mode that makes naive mean-encoding look brilliant in training
+    * and collapse in production). Singleton categories (n = 1) yield
+    * null — the caller backfills with a global prior.
+    *
+    * Exactness: the target is integral (caller-quantized), so Σ_cat is
+    * an exact long and the LOO value is one division, rounded 1e-6.
+    *
+    * Scale shape: one map-side-combined aggregate (shuffle =
+    * categories), then the per-category sums BROADCAST back onto the
+    * fact scan — the encode pass is narrow, no row shuffle. At
+    * extreme category cardinality (beyond broadcast) the join-back
+    * degrades to a shuffle join on the same key — still one exchange.
+    */
+  def targetEncodeLOO(df: DataFrame, cat: String, id: Column, target: Column): DataFrame = {
+    val base = df.select(id.as("id"), col(cat), target.cast("long").as("t"))
+    val grp = base.groupBy(cat)
+      .agg(count(lit(1)).as("n_cat"), sum("t").as("s_cat"))
+    base.join(broadcast(grp), cat)
+      .select(col("id"), col(cat), col("t"), col("n_cat"),
+        when(col("n_cat") > 1,
+          round((col("s_cat") - col("t")).cast("double") /
+            (col("n_cat") - lit(1)).cast("double"), 6)).as("loo_mean"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical columns (two annotators, or predicted vs gold
     * labels): κ = (p_o − p_e)/(1 − p_e), computed entirely from the

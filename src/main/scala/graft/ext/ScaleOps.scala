@@ -227,6 +227,29 @@ object ScaleOps {
       .otherwise("test")
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * the HIGH bits of a Knuth multiplicative hash of the integer key
+    * (`⌊(k·2654435761 mod 2³²)·shards / 2³²⌋` — high bits, because the
+    * low bits of a multiplicative hash are the weakly-mixed ones).
+    * A pure function of the key: identical under retries, speculative
+    * execution, engine, and cluster layout — so a re-export writes
+    * byte-identical shards, and any consumer can recompute a row's
+    * shard without a lookup table. Contrast `repartition(n)`:
+    * hash-partitioning balances too, but the assignment is an engine
+    * implementation detail no reader can reproduce.
+    *
+    * Scale: narrow (three integer ops per row, codegen'd, no shuffle —
+    * the shard column is what you hand to `partitionBy` at write
+    * time). Safe to k·2654435761 < 2⁶³, i.e. keys to ~3.4e9.
+    */
+  def shardOf(key: Column, shards: Int): Column = {
+    require(shards >= 2 && shards <= 65536, "shards must be in [2, 65536]")
+    // ·shards then >>32 ≡ ÷2³² exactly (power-of-two divisor) — stays
+    // in integer ops end to end, no float division to round
+    shiftright((key.cast("long") * lit(2654435761L) % lit(4294967296L)) *
+      lit(shards.toLong), 32)
+  }
+
   /** Type-2 slowly-changing-dimension history build: collapse a
     * changelog into per-key validity intervals of `attr`. Consecutive
     * rows (in `ord` order) with the same attribute value merge into one

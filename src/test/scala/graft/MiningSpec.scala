@@ -580,4 +580,61 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("p_observed") === 0.7)
     assert(r.getAs[Double]("kappa") === 0.375)
   }
+
+  test("spearman: perfect monotone gives 1, reversal -1, ties take midranks") {
+    val mono = Seq(("g", 1L, 10L), ("g", 2L, 40L), ("g", 3L, 90L)).toDF("k", "x", "y")
+    assert(Inference.spearman(mono, Seq("k"), col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") === 1.0)
+    val rev = Seq(("g", 1L, 9L), ("g", 2L, 5L), ("g", 3L, 1L)).toDF("k", "x", "y")
+    assert(Inference.spearman(rev, Seq("k"), col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") === -1.0)
+    // hand case with a tie: x = (1,2,2,3) -> midranks (1, 2.5, 2.5, 4);
+    // y = (10,20,30,40) -> ranks (1,2,3,4); scipy spearmanr = 0.9486833
+    val tied = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 30L), ("g", 3L, 40L))
+      .toDF("k", "x", "y")
+    val rho = Inference.spearman(tied, Seq("k"), col("x"), col("y"))
+      .collect().head.getAs[Double]("rho")
+    assert(rho === 0.948683)
+  }
+
+  test("corr matrix: exact pair grid — identity 1, anti-identity -1, constant null") {
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L))
+      .toDF("a", "b", "c", "d")
+    val out = Inference.corrMatrix(df, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "d" -> col("d")))
+      .orderBy("col_a", "col_b").collect()
+    assert(out.length === 6)
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.get(3)).toMap
+    assert(m(("a", "b")) === 1.0 && m(("a", "c")) === -1.0 && m(("b", "c")) === -1.0)
+    // zero-variance column d: every cell involving it is null, not NaN
+    assert(m(("a", "d")) === null && m(("b", "d")) === null && m(("c", "d")) === null)
+    assert(out.forall(_.getLong(2) === 3L))
+  }
+
+  test("shardOf: deterministic, in range, balanced-ish, and matches the closed form") {
+    val keys = (0L until 1000L)
+    val expected = keys.map(k => ((k * 2654435761L % 4294967296L) * 8) >> 32)
+    val df = keys.toDF("k").withColumn("s", graft.ext.ScaleOps.shardOf(col("k"), 8))
+    val got = df.orderBy("k").collect().map(_.getAs[Long]("s"))
+    assert(got.toSeq === expected)
+    assert(got.forall(s => s >= 0 && s < 8))
+    // multiplicative high-bits should spread 1000 sequential keys well:
+    // every shard populated, none holding more than 2x the fair share
+    val byShard = got.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size === 8 && byShard.values.forall(n => n > 0 && n < 250))
+    intercept[IllegalArgumentException](graft.ext.ScaleOps.shardOf(col("k"), 1))
+  }
+
+  test("target encoding: LOO mean excludes own row; singleton category is null") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 7L))
+      .toDF("id", "cat", "t")
+    val out = Inference.targetEncodeLOO(df, "cat", col("id"), col("t"))
+      .orderBy("id").collect()
+    // cat a: S=60, n=3 -> LOO for t=10 is (60-10)/2 = 25
+    assert(out(0).getAs[Double]("loo_mean") === 25.0)
+    assert(out(1).getAs[Double]("loo_mean") === 20.0)
+    assert(out(2).getAs[Double]("loo_mean") === 15.0)
+    assert(out(3).get(out(3).fieldIndex("loo_mean")) === null)
+    assert(out(0).getAs[Long]("n_cat") === 3L)
+  }
 }

@@ -304,4 +304,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"),
       "weighted sampling must not shuffle the corpus")
   }
+
+  test("q_spearman: both rank windows share ONE group-key exchange") {
+    val df = SparkEntry.queries("q_spearman")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // partitioning by l_returnflag serves the x-sort, the y-sort, and
+    // the power-sum aggregate; a per-(group,value) tie-count partition
+    // would show up as a second hash key set
+    assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1,
+      s"rank windows must share the group exchange:\n$p")
+    assert(p.contains("partial_"), "power sums must combine map-side")
+  }
+
+  test("q_corr_matrix: one scan, one partial-aggregated reduction, no join") {
+    val df = SparkEntry.queries("q_corr_matrix")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "corr matrix must be a single-pass aggregate")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "must scan lineitem once")
+    assert(p.contains("partial_"), "power sums must combine map-side")
+  }
+
+  test("q_shard_assign: narrow shard expression, single aggregate exchange") {
+    val df = SparkEntry.queries("q_shard_assign")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_"), "per-shard stats must combine map-side")
+  }
+
+  test("q_target_encode: category sums broadcast back; the encode pass is narrow") {
+    val df = SparkEntry.queries("q_target_encode")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "join-back should broadcast the category sums")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
