@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.qcew.{NaicsAgg, Resample, Series}
-import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Privacy, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, StatefulOps, TextStats, TimeFill}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Privacy, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, Spatial, StatefulOps, TextStats, TimeFill}
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -3517,6 +3517,43 @@ object SparkEntry {
       Inference.targetEncodeLOO(spread(t(s, dir, "documents")), "source",
         col("doc_id"), col("n_chars"))
         .orderBy("id")
+    }),
+
+    // corpus: skip-gram (center, context) training pairs within
+    // positional distance 2 — generated narrowly (nested-HOF zip_with;
+    // token arrays never self-join), counted on the Zipf-bounded pair
+    // grid, top-30 by an engine-exact total order.
+    "q_skipgram" -> ((s, dir) => {
+      Corpus.skipgramPairs(spread(t(s, dir, "documents")), window = 2, topK = 30)
+    }),
+
+    // spatial: grid-blocked proximity self-join — synthetic uniform
+    // coordinates from two independent 32-bit halves of md5(event_id)
+    // (a multiplicative hash would put both coords on one lattice
+    // line: linear in the id), all pairs within Chebyshev distance 8
+    // via 3x3 cell blocking, reduced to the distance histogram. The
+    // join is an equi-join on the cell key; pair work is bounded by
+    // per-cell density.
+    "q_grid_join" -> ((s, dir) => {
+      val pts = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_id"),
+          (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % lit(10000L)).as("x"),
+          (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
+            .cast("long") % lit(10000L)).as("y"))
+      Spatial.gridNeighborPairs(pts, "event_id", col("x"), col("y"),
+          cellSize = 8, radius = 8)
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("dist")
+    }),
+
+    // sampling: recency-weighted popularity — step-decay halving per
+    // 7 elapsed days keeps every weight a power of two (no libm), so
+    // the score is exact integer arithmetic end to end.
+    "q_decayed_count" -> ((s, dir) => {
+      ScaleOps.decayedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq("event_type"), col("ts"), halfLifeDays = 7)
+        .orderBy("event_type")
     })
   )
 
@@ -6992,7 +7029,61 @@ object SparkEntry {
           |               CAST(n_cat - 1 AS DOUBLE), 6)
           |       END AS loo_mean
           |FROM documents JOIN g USING (source)
-          |ORDER BY id""".stripMargin
+          |ORDER BY id""".stripMargin,
+
+      // positional self-join mirror of the narrow zip_with generation:
+      // unnest-with-subscripts, pairs at index distance 1..2
+      "q_skipgram" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+           |u AS (
+           |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+           |  FROM toks),
+           |p AS (
+           |  SELECT a.w AS w1, b.w AS w2, CAST(b.i - a.i AS INTEGER) AS dist
+           |  FROM u a JOIN u b
+           |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2),
+           |c AS (SELECT w1, w2, dist, count(*) AS n FROM p GROUP BY 1, 2, 3)
+           |SELECT w1, w2, dist, CAST(n AS BIGINT) AS n FROM c
+           |ORDER BY n DESC, w1, w2, dist LIMIT 30""".stripMargin,
+
+      "q_grid_join" ->
+        """WITH c AS (
+          |  SELECT event_id,
+          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
+          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+          |  FROM events),
+          |g AS (SELECT event_id, x, y, x // 8 AS cx, y // 8 AS cy FROM c),
+          |o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+          |                            (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+          |pr AS (
+          |  SELECT a.event_id AS id_a, a.x AS ax, a.y AS ay,
+          |         a.cx + dx AS ncx, a.cy + dy AS ncy
+          |  FROM g a CROSS JOIN o),
+          |j AS (
+          |  SELECT greatest(abs(ax - b.x), abs(ay - b.y)) AS dist
+          |  FROM pr JOIN g b ON pr.ncx = b.cx AND pr.ncy = b.cy
+          |                  AND pr.id_a < b.event_id
+          |  WHERE greatest(abs(ax - b.x), abs(ay - b.y)) <= 8)
+          |SELECT dist, count(*) AS n_pairs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // step decay: weights are exact powers of two (1 << steps), the
+      // nano-quantized terms exact doubles — no libm anywhere
+      "q_decayed_count" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT max(day) AS max_day FROM daily),
+          |w AS (
+          |  SELECT event_type, n, least((max_day - day) // 7, 62) AS steps
+          |  FROM daily, m),
+          |q AS (
+          |  SELECT event_type, n,
+          |         CAST(floor(CAST(n AS DOUBLE) * 1e9 /
+          |              CAST(1 << steps AS DOUBLE)) AS BIGINT) AS w_nano
+          |  FROM w)
+          |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+          |       round(CAST(sum(w_nano) AS DOUBLE) / 1e9, 6) AS decayed_count
+          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -283,6 +283,38 @@ object Corpus {
     * exact-integer ratios, rounded at 4 — the [[unigramSurprisal]]
     * convention.
     */
+  /** Skip-gram (center, context) pair counts — the word2vec / fastText
+    * training-pair extraction: every ordered token pair at positional
+    * distance 1..`window`, counted corpus-wide, top `topK` by count.
+    *
+    * Generation is NARROW (the [[bigramSurprisal]] zip_with discipline,
+    * generalized): one `flatten(transform(sequence(1, w), d ->
+    * zip_with(slice, slice, ...)))` per document — token arrays never
+    * self-join, no shuffle happens until the (w1, w2, dist) count,
+    * which map-side-combines to the distinct-pair grid (Zipf-bounded,
+    * ≪ corpus). The top-k is a total order (count desc, then the pair
+    * itself), so the cut is engine-exact; at 100 TB swap the single
+    * TakeOrdered for a count threshold if k·groups stops fitting the
+    * driver.
+    */
+  def skipgramPairs(docs: DataFrame, window: Int = 2, topK: Int = 30,
+                    textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= 8, "window must be in [1, 8]")
+    require(topK >= 1, "topK must be positive")
+    docs.select(TextStats.tokens(col(textCol)).as("l"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $window), d ->
+           |  zip_with(slice(l, 1, greatest(size(l) - d, 0)),
+           |           slice(l, d + 1, greatest(size(l) - d, 0)),
+           |           (x, y) -> named_struct('w1', x, 'w2', y, 'dist', d))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.dist").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w1"), asc("w2"), asc("dist"))
+      .limit(topK)
+  }
+
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val big = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("l"))

@@ -507,6 +507,45 @@ object ScaleOps {
     math.min(maxParts.toLong, math.max(minParts.toLong, want)).toInt
   }
 
+  /** Exponentially time-decayed counts per key — the recency-weighted
+    * popularity score a sampling pipeline uses to favor fresh sources
+    * without discarding history: score = Σ_days n_day · 2^(−⌊age/half⌋).
+    * STEP decay (integer halving exponent) on purpose: 1/2^k is a
+    * power of two, exact in IEEE — so no `pow`/`exp` libm call exists
+    * anywhere and the score is bit-identical cross-engine, unlike a
+    * continuous 2^(−age/h) whose last ulp is at the mercy of each
+    * engine's libm. Terms are floor-quantized to nano-units (exact:
+    * n·1e9 is an exact double below 2⁵³, i.e. n < 9e6 per (key, day) —
+    * coarsen the grid past that) and summed as longs, so accumulation
+    * order cannot drift.
+    *
+    * Scale shape: one map-side-combined (key, day) count collapses the
+    * fact table to the grid; the max-day scalar broadcasts back; the
+    * final per-key sum shuffles grid cells, not rows. Rolling the
+    * score forward a day is a multiply-by-½ on k-boundary days plus
+    * the new day's count — no history re-scan (the [[graft.ext.Sketch]]
+    * merge discipline).
+    */
+  def decayedCounts(df: DataFrame, keys: Seq[String], ts: Column,
+                    halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be positive")
+    val gcols = keys.map(col)
+    val daily = df.select(gcols :+ ts.cast("date").as("day"): _*)
+      .groupBy(gcols :+ col("day"): _*).agg(count(lit(1)).as("n"))
+    val maxDay = daily.agg(max("day").as("max_day"))
+    daily.crossJoin(broadcast(maxDay))
+      .withColumn("steps", least(
+        floor(datediff(col("max_day"), col("day")).cast("double") / halfLifeDays),
+        lit(62.0)).cast("int"))
+      .withColumn("w_nano",
+        floor(col("n").cast("double") * lit(1e9) /
+          expr("shiftleft(CAST(1 AS BIGINT), steps)").cast("double")).cast("long"))
+      .groupBy(gcols: _*)
+      .agg(sum("n").as("n_total"), sum("w_nano").as("s_nano"))
+      .select(gcols :+ col("n_total") :+
+        round(col("s_nano").cast("double") / lit(1e9), 6).as("decayed_count"): _*)
+  }
+
   /** 2-D Pareto frontier (skyline): entities not dominated on the
     * maximize-both (`x`, `y`) plane — a point is OFF the frontier iff
     * some other point is ≥ on both axes and > on at least one. The

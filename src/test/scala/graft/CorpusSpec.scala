@@ -170,4 +170,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(2).getAs[Double]("bigram_surprisal") === ln2)
     assert(out(2).getAs[Long]("n_bigrams") === 1L)
   }
+
+  test("skipgramPairs: window-2 pairs by hand; short docs contribute nothing") {
+    val d = docs(
+      1L -> "a b c",   // d1: (a,b),(b,c); d2: (a,c)
+      2L -> "a b",     // d1: (a,b)
+      3L -> "solo",    // 1 token -> nothing
+      4L -> "")        // empty -> nothing
+    val out = Corpus.skipgramPairs(d, window = 2, topK = 10).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(m === Map(("a", "b", 1) -> 2L, ("b", "c", 1) -> 1L, ("a", "c", 2) -> 1L))
+    // total order: count desc then pair — (a,b,1) must lead
+    assert(out.head.getString(0) === "a" && out.head.getLong(3) === 2L)
+    // topK cuts after ordering
+    assert(Corpus.skipgramPairs(d, window = 2, topK = 1).collect().length === 1)
+    intercept[IllegalArgumentException](Corpus.skipgramPairs(d, window = 0))
+  }
 }

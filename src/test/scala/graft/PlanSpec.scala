@@ -337,4 +337,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "join-back should broadcast the category sums")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_skipgram: narrow pair generation — no join before the count") {
+    val df = SparkEntry.queries("q_skipgram")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "skipgram pairs must come from HOFs, not a self-join")
+    assert(p.contains("partial_"), "pair counts must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should be a TakeOrdered")
+  }
+
+  test("q_grid_join: equi-join on the cell key, never a cartesian/NL join") {
+    val df = SparkEntry.queries("q_grid_join")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "grid blocking must plan as an equi-join on (ncx, ncy)")
+  }
+
+  test("q_decayed_count: grid-first — raw events aggregate before any join") {
+    val df = SparkEntry.queries("q_decayed_count")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "daily grid must combine map-side")
+    // the only join is the 1-row max-day broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

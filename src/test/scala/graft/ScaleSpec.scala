@@ -345,4 +345,44 @@ class ScaleSpec extends SparkSpec {
     val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("gridNeighborPairs: exact pairs incl. cross-cell adjacency; radius cut; each pair once") {
+    import spark.implicits._
+    // cell=8: p1(0,0) p2(3,4) share cell (0,0), Chebyshev 4;
+    // p4(7,7) cell (0,0) and p5(9,9) cell (1,1) are cross-cell, dist 2;
+    // p1-p4 dist 7; p2-p4 dist 4; p1/p2 vs p5 dist 9 > 8 excluded;
+    // p3(100,100) isolated
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L),
+      (4L, 7L, 7L), (5L, 9L, 9L)).toDF("id", "x", "y")
+    val out = graft.ext.Spatial
+      .gridNeighborPairs(pts, "id", col("x"), col("y"), cellSize = 8, radius = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 2L) -> 4L, (1L, 4L) -> 7L, (2L, 4L) -> 4L,
+      (2L, 5L) -> 6L, (4L, 5L) -> 2L))
+    // tighter radius drops the far pairs but keeps the close one
+    val tight = graft.ext.Spatial
+      .gridNeighborPairs(pts, "id", col("x"), col("y"), cellSize = 8, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === Set((4L, 5L)))
+    intercept[IllegalArgumentException](graft.ext.Spatial
+      .gridNeighborPairs(pts, "id", col("x"), col("y"), cellSize = 8, radius = 9))
+  }
+
+  test("decayedCounts: step halving by elapsed half-lives, exact at the grid") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-15"), ("a", "2024-01-15"), ("a", "2024-01-15"), // today x3
+      ("a", "2024-01-07"), ("a", "2024-01-07"),                      // 8d -> w 1/2
+      ("a", "2023-12-31"),                                           // 15d -> w 1/4
+      ("b", "2024-01-15"))
+      .toDF("k", "d").withColumn("ts", col("d").cast("timestamp"))
+    val out = ScaleOps.decayedCounts(df, Seq("k"), col("ts"), halfLifeDays = 7)
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("n_total") === 6L)
+    assert(out(0).getAs[Double]("decayed_count") === 3.0 + 2.0 / 2 + 1.0 / 4)
+    assert(out(1).getAs[Long]("n_total") === 1L)
+    assert(out(1).getAs[Double]("decayed_count") === 1.0)
+    intercept[IllegalArgumentException](
+      ScaleOps.decayedCounts(df, Seq("k"), col("ts"), halfLifeDays = 0))
+  }
 }
