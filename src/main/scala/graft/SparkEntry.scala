@@ -72,6 +72,36 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Synthetic uniform 2-D points for the spatial queries: two
+    * independent 32-bit halves of md5(event_id), mod 10⁴ — nonlinear
+    * in the id (a multiplicative hash would lattice both coords), and
+    * reproducible in DuckDB by the same md5-hex-slice arithmetic.
+    */
+  private def eventPoints(s: SparkSession, dir: String): DataFrame =
+    EventsStream.readEvents(s, s"$dir/events.parquet")
+      .select(col("event_id"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % lit(10000L)).as("x"),
+        (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
+          .cast("long") % lit(10000L)).as("y"))
+
+  /** DuckDB mirror of [[eventPoints]] + cell assignment + the ×9
+    * neighbor-cell probe explode, shared by the spatial oracles.
+    */
+  private val sqlGridCtes =
+    """c AS (
+      |  SELECT event_id,
+      |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
+      |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+      |  FROM events),
+      |g AS (SELECT event_id, x, y, x // 8 AS cx, y // 8 AS cy FROM c),
+      |o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+      |                            (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+      |pr AS (
+      |  SELECT a.event_id AS id_a, a.x AS ax, a.y AS ay,
+      |         a.cx + dx AS ncx, a.cy + dy AS ncy
+      |  FROM g a CROSS JOIN o)""".stripMargin
+
   /** DuckDB mirror of [[Dedup.simhash16]]'s per-bit expression. */
   private def sqlSimhashBit(b: Int): String =
     s"(((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) % 2 * 2 - 1)"
@@ -3535,16 +3565,58 @@ object SparkEntry {
     // join is an equi-join on the cell key; pair work is bounded by
     // per-cell density.
     "q_grid_join" -> ((s, dir) => {
-      val pts = EventsStream.readEvents(s, s"$dir/events.parquet")
-        .select(col("event_id"),
-          (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % lit(10000L)).as("x"),
-          (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
-            .cast("long") % lit(10000L)).as("y"))
-      Spatial.gridNeighborPairs(pts, "event_id", col("x"), col("y"),
-          cellSize = 8, radius = 8)
+      Spatial.gridNeighborPairs(eventPoints(s, dir), "event_id",
+          col("x"), col("y"), cellSize = 8, radius = 8)
         .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
         .orderBy("dist")
+    }),
+
+    // spatial: per-point nearest neighbor within radius — cell-blocked
+    // argmin (the geometric twin of ANN top-k); isolated points emit
+    // nothing.
+    "q_spatial_nn" -> ((s, dir) => {
+      Spatial.nearestNeighbors(eventPoints(s, dir), "event_id",
+          col("x"), col("y"), cellSize = 8, radius = 8)
+        .orderBy("id")
+    }),
+
+    // ops: peak concurrent sessions per day — sweep line over the
+    // sessionized intervals (+1/−1 boundaries, one grid-bounded
+    // ordered pass), inclusive-overlap tie order.
+    "q_max_concurrency" -> ((s, dir) => {
+      Sessionize.peakConcurrency(
+          Sessionize.sessionizeBatch(
+            EventsStream.readEvents(s, s"$dir/events.parquet"),
+            gapSeconds = 300, keyCol = "user_id"))
+        .orderBy("day")
+    }),
+
+    // lake: schema-evolution read — two parquet generations (gen 2
+    // adds disc_c) merged by mergeSchema; early rows surface null for
+    // the late column. The fixture derives deterministically from
+    // lineitem and is REWRITTEN every run (overwrite, no cache) so a
+    // testdata regeneration can never serve stale bytes; the oracle
+    // recomputes the same split from the live table.
+    "q_schema_evolution" -> ((s, dir) => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val evoDir = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$dirKey"
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_returnflag").as("rflag"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/gen1")
+      li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_returnflag").as("rflag"),
+          floor(col("l_quantity")).cast("long").as("qty"),
+          floor(col("l_discount") * 100).cast("long").as("disc_c"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$evoDir/gen1", s"$evoDir/gen2")
+        .groupBy("rflag")
+        .agg(count(lit(1)).as("n"), count(col("disc_c")).as("n_with_disc"),
+          sum("qty").as("sum_qty"), sum("disc_c").as("sum_disc"))
+        .orderBy("rflag")
     }),
 
     // sampling: recency-weighted popularity — step-decay halving per
@@ -7047,24 +7119,56 @@ object SparkEntry {
            |ORDER BY n DESC, w1, w2, dist LIMIT 30""".stripMargin,
 
       "q_grid_join" ->
-        """WITH c AS (
-          |  SELECT event_id,
-          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
-          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
-          |  FROM events),
-          |g AS (SELECT event_id, x, y, x // 8 AS cx, y // 8 AS cy FROM c),
-          |o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
-          |                            (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
-          |pr AS (
-          |  SELECT a.event_id AS id_a, a.x AS ax, a.y AS ay,
-          |         a.cx + dx AS ncx, a.cy + dy AS ncy
-          |  FROM g a CROSS JOIN o),
-          |j AS (
-          |  SELECT greatest(abs(ax - b.x), abs(ay - b.y)) AS dist
-          |  FROM pr JOIN g b ON pr.ncx = b.cx AND pr.ncy = b.cy
-          |                  AND pr.id_a < b.event_id
-          |  WHERE greatest(abs(ax - b.x), abs(ay - b.y)) <= 8)
-          |SELECT dist, count(*) AS n_pairs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+        s"""WITH $sqlGridCtes,
+           |j AS (
+           |  SELECT greatest(abs(ax - b.x), abs(ay - b.y)) AS dist
+           |  FROM pr JOIN g b ON pr.ncx = b.cx AND pr.ncy = b.cy
+           |                  AND pr.id_a < b.event_id
+           |  WHERE greatest(abs(ax - b.x), abs(ay - b.y)) <= 8)
+           |SELECT dist, count(*) AS n_pairs FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // directional join (id_a <> id_b) gives the symmetric candidate
+      // set directly; argmin by the (dist, id) total order
+      "q_spatial_nn" ->
+        s"""WITH $sqlGridCtes,
+           |j AS (
+           |  SELECT id_a, b.event_id AS id_b,
+           |         greatest(abs(ax - b.x), abs(ay - b.y)) AS dist
+           |  FROM pr JOIN g b ON pr.ncx = b.cx AND pr.ncy = b.cy
+           |                  AND pr.id_a <> b.event_id
+           |  WHERE greatest(abs(ax - b.x), abs(ay - b.y)) <= 8),
+           |n AS (
+           |  SELECT id_a, id_b, dist,
+           |         row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rn
+           |  FROM j)
+           |SELECT id_a AS id, id_b AS nn_id, CAST(dist AS BIGINT) AS nn_dist
+           |FROM n WHERE rn = 1 ORDER BY id""".stripMargin,
+
+      "q_max_concurrency" ->
+        s"""WITH $sqlSessionCtes,
+           |dd AS (
+           |  SELECT session_start AS t, 1 AS d FROM sess
+           |  UNION ALL SELECT session_end, -1 FROM sess),
+           |r AS (
+           |  SELECT t, d,
+           |         sum(d) OVER (ORDER BY t ASC, d DESC ROWS UNBOUNDED PRECEDING) AS running
+           |  FROM dd)
+           |SELECT strftime(t, '%Y-%m-%d') AS day,
+           |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |       CAST(max(running) AS BIGINT) AS peak_concurrency
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the oracle recomputes the two-generation split from the live
+      // table: generation 1 (l_linenumber=1) has no disc_c, so its
+      // rows contribute null to the merged column
+      "q_schema_evolution" ->
+        """SELECT l_returnflag AS rflag, count(*) AS n,
+          |       count(CASE WHEN l_linenumber = 2 THEN 1 END) AS n_with_disc,
+          |       CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CASE WHEN l_linenumber = 2
+          |                     THEN floor(l_discount * 100) END) AS BIGINT) AS sum_disc
+          |FROM lineitem WHERE l_linenumber IN (1, 2)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // step decay: weights are exact powers of two (1 << steps), the
       // nano-quantized terms exact doubles — no libm anywhere

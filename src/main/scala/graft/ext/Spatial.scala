@@ -58,4 +58,31 @@ object Spatial {
       .select(col("id_a"), col("id_b"),
         greatest(abs(col("ax") - col("bx")), abs(col("ay") - col("by"))).as("dist"))
   }
+
+  /** Each point's nearest neighbor within Chebyshev `radius` (points
+    * with no neighbor in range emit nothing — the caller decides what
+    * isolation means). Built on [[gridNeighborPairs]]: symmetrize the
+    * unordered pairs (cheap: pair count ≪ point count after the radius
+    * cut), then one per-point argmin by the total order (dist, id) —
+    * deterministic under ties.
+    *
+    * Scale: the argmin window partitions on the point id — maximal
+    * key cardinality, so the sort spreads across all reducers and
+    * each group is the handful of in-radius candidates. This is the
+    * geometric twin of the ANN top-k in [[graft.ext.Similarity]]:
+    * blocking by cell instead of by hash bucket.
+    */
+  def nearestNeighbors(points: DataFrame, id: String, x: Column, y: Column,
+                       cellSize: Int, radius: Int): DataFrame = {
+    val pairs = gridNeighborPairs(points, id, x, y, cellSize, radius)
+    val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"), col("dist")))
+    sym
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a").orderBy(col("dist"), col("id_b"))))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("nn_id"),
+        col("dist").as("nn_dist"))
+  }
 }

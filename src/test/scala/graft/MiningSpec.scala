@@ -581,6 +581,23 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("kappa") === 0.375)
   }
 
+  test("peakConcurrency: sweep line counts inclusive overlap; day split; exact peaks") {
+    // day 1: s1 [10:00,10:30], s2 [10:15,10:45], s3 [10:45,11:00] —
+    // s2/s3 touch at 10:45 (inclusive -> concurrent): peak 2, 3 starts;
+    // day 2: one session: peak 1
+    val sessions = Seq(
+      ("2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+      ("2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+      ("2024-01-01 10:45:00", "2024-01-01 11:00:00"),
+      ("2024-01-02 09:00:00", "2024-01-02 09:10:00"))
+      .toDF("st", "en")
+      .select(col("st").cast("timestamp").as("session_start"),
+        col("en").cast("timestamp").as("session_end"))
+    val out = Sessionize.peakConcurrency(sessions).orderBy("day").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("spearman: perfect monotone gives 1, reversal -1, ties take midranks") {
     val mono = Seq(("g", 1L, 10L), ("g", 2L, 40L), ("g", 3L, 90L)).toDF("k", "x", "y")
     assert(Inference.spearman(mono, Seq("k"), col("x"), col("y"))

@@ -368,6 +368,21 @@ class ScaleSpec extends SparkSpec {
       .gridNeighborPairs(pts, "id", col("x"), col("y"), cellSize = 8, radius = 9))
   }
 
+  test("nearestNeighbors: argmin per point with (dist, id) tie-break; isolated points absent") {
+    import spark.implicits._
+    // p1(0,0): neighbors p2 at dist 4 and p4 at dist 7 -> nn p2;
+    // tie case: p2(3,4) has p1 at dist 4 and p4 at dist 4 -> lower id p1 wins;
+    // p3 isolated -> absent
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L),
+      (4L, 7L, 7L), (5L, 9L, 9L)).toDF("id", "x", "y")
+    val nn = graft.ext.Spatial
+      .nearestNeighbors(pts, "id", col("x"), col("y"), cellSize = 8, radius = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nn === Map(1L -> (2L, 4L), 2L -> (1L, 4L), 4L -> (5L, 2L),
+      5L -> (4L, 2L)))
+    assert(!nn.contains(3L))
+  }
+
   test("decayedCounts: step halving by elapsed half-lives, exact at the grid") {
     import spark.implicits._
     val df = Seq(
