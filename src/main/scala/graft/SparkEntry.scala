@@ -85,6 +85,36 @@ object SparkEntry {
         (conv(substring(md5(col("event_id").cast("string")), 9, 8), 16, 10)
           .cast("long") % lit(10000L)).as("y"))
 
+  /** Part co-purchase graph: symmetric edges between parts appearing in
+    * the same order at least `minCount` times. The pair explode is the
+    * q_assoc_rules shape — a self-equi-join on the order key, fan-out
+    * bounded by basket size (~4–7 lines/order), never all-pairs — and
+    * the multiplicity HAVING runs map-side-combined on the pair key.
+    * Shared spine of the graph-algorithm queries (BFS, k-core).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String, minCount: Long): DataFrame = {
+    val li = spread(t(s, dir, "lineitem"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("id1"), col("b.pk").as("id2"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minCount)
+      .select("id1", "id2")
+    Graph.symmetrize(pairs)
+  }
+
+  /** DuckDB mirror of [[coPurchaseEdges]]: CTEs `p` (ordered pairs) and
+    * `e` (symmetrized), shared by the graph-algorithm oracles.
+    */
+  private def sqlCoPurchaseCtes(minCount: Int): String =
+    s"""p AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)""".stripMargin
+
   /** DuckDB mirror of [[eventPoints]] + cell assignment + the ×9
     * neighbor-cell probe explode, shared by the spatial oracles.
     */
@@ -2616,6 +2646,77 @@ object SparkEntry {
       // overhead per round (the CC small-graph discipline)
       Graph.pageRank(Graph.symmetrize(pairs).coalesce(4).persist(), iters = 3)
         .orderBy("id")
+    }),
+
+    // multi-source BFS over the sparse (co-ordered ≥ 2×) part graph:
+    // min hop distance from the seed parts, bounded at 4 — the
+    // "blast radius" query every recall/contamination audit runs on an
+    // entity graph. Frontier joins only (Graph.bfsHops scaladoc), so
+    // per-round shuffle ≤ |E|; edges persisted — every round re-reads
+    // them and the pair self-join must not replay.
+    "q_bfs_hops" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir, minCount = 2).persist()
+      val seeds = e.filter(col("src") % 97 === 0).select(col("src").as("id"))
+      Graph.bfsHops(e, seeds, maxHops = 4).orderBy("id")
+    }),
+
+    // fixed-round k-core peeling (k=90, 3 rounds) over the dense
+    // co-purchase graph: the high-degree backbone left after the
+    // peeling cascade — the graph-hygiene pass that separates hub
+    // structure from incidental co-occurrence. Each round is one
+    // degree aggregate + two semi-join restrictions, O(|E|) shuffle
+    // (Graph.kCorePeel scaladoc).
+    "q_kcore" -> ((s, dir) => {
+      Graph.kCorePeel(coPurchaseEdges(s, dir, minCount = 1).persist(),
+          k = 90, rounds = 3)
+        .orderBy("id")
+    }),
+
+    // split-conformal prediction intervals per market segment:
+    // hash-split train/val/test, floor-mean predictor, discrete
+    // 0.9-quantile of |y − ŷ| on calibration, empirical coverage on
+    // test in basis points — the distribution-free interval calibration
+    // every model-serving pipeline should gate on. Integer-exact end to
+    // end (Inference.conformalInterval scaladoc).
+    "q_conformal" -> ((s, dir) => {
+      val o = spread(t(s, dir, "orders"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      Inference.conformalInterval(o, Seq("c_mktsegment"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100), p = 0.9)
+        .orderBy("c_mktsegment")
+    }),
+
+    // RFM segmentation with BROADCAST breakpoints instead of a global
+    // ntile: per-customer recency/frequency/monetary, then each metric
+    // bucketed 1–5 by comparison against its four disc-quantile
+    // breakpoints (a 1-row broadcast). Unlike ntile(5) OVER () — one
+    // partition sorting every customer — the bucket assignment here is
+    // a narrow codegen'd projection, and the only ordered pass ranks
+    // DISTINCT metric values (Quantiles scaladoc). Ties at a breakpoint
+    // go to the lower bucket on both engines (strict >).
+    "q_rfm" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice"))).as("monetary"))
+        .persist() // read 4×: three breakpoint passes + the bucket join
+      def bps(c: String) = Quantiles.exactQuantilesDisc(m, c, Seq(),
+        Seq(0.2, 0.4, 0.6, 0.8), Seq(s"${c}_b1", s"${c}_b2", s"${c}_b3", s"${c}_b4"))
+      def bucket(c: String) = (lit(1) +
+        (col(c) > col(s"${c}_b1")).cast("int") + (col(c) > col(s"${c}_b2")).cast("int") +
+        (col(c) > col(s"${c}_b3")).cast("int") + (col(c) > col(s"${c}_b4")).cast("int"))
+      m.crossJoin(broadcast(
+          bps("recency_days").crossJoin(bps("frequency")).crossJoin(bps("monetary"))))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          bucket("recency_days").as("r_bucket"), bucket("frequency").as("f_bucket"),
+          bucket("monetary").as("m_bucket"))
+        .withColumn("rfm_code",
+          col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
+        .orderBy("o_custkey")
     }),
 
     // seasonal-naive forecast rows (ŷ_t = y_{t−4} on quarterly order
@@ -5956,6 +6057,87 @@ object SparkEntry {
            |             FROM e JOIN pr2 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
            |             GROUP BY 1) i3 ON i3.id = nodes.id)
            |SELECT id, round(pr, 6) AS pr FROM pr3 ORDER BY id""".stripMargin,
+
+      "q_bfs_hops" ->
+        s"""WITH RECURSIVE ${sqlCoPurchaseCtes(2)},
+           |seeds AS (SELECT DISTINCT src AS id FROM e WHERE src % 97 = 0),
+           |walk(id, hop) AS (
+           |  SELECT id, 0 AS hop FROM seeds
+           |  UNION
+           |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.id
+           |  WHERE w.hop < 4)
+           |SELECT id, CAST(min(hop) AS INTEGER) AS hop
+           |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+      "q_kcore" ->
+        s"""WITH ${sqlCoPurchaseCtes(1)},
+           |d1 AS (SELECT src FROM e GROUP BY src HAVING count(*) >= 90),
+           |e1 AS (SELECT e.src, e.dst FROM e
+           |       JOIN d1 a ON e.src = a.src JOIN d1 b ON e.dst = b.src),
+           |d2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 90),
+           |e2 AS (SELECT e1.src, e1.dst FROM e1
+           |       JOIN d2 a ON e1.src = a.src JOIN d2 b ON e1.dst = b.src),
+           |d3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 90),
+           |e3 AS (SELECT e2.src, e2.dst FROM e2
+           |       JOIN d3 a ON e2.src = a.src JOIN d3 b ON e2.dst = b.src)
+           |SELECT src AS id, count(*) AS degree
+           |FROM e3 GROUP BY src ORDER BY id""".stripMargin,
+
+      "q_conformal" ->
+        """WITH r AS (
+          |  SELECT c_mktsegment,
+          |         instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS b,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey),
+          |s AS (SELECT c_mktsegment,
+          |             CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split,
+          |             y
+          |      FROM r),
+          |m AS (SELECT c_mktsegment, count(*) AS n_train,
+          |             CAST(sum(y) AS BIGINT) // count(*) AS y_hat
+          |      FROM s WHERE split = 'train' GROUP BY 1),
+          |q AS (SELECT s.c_mktsegment, CAST(quantile_disc(abs(y - y_hat), 0.9) AS BIGINT) AS qhat
+          |      FROM s JOIN m ON s.c_mktsegment = m.c_mktsegment
+          |      WHERE split = 'val' GROUP BY 1),
+          |tst AS (SELECT s.c_mktsegment, count(*) AS n_test,
+          |               count(*) FILTER (WHERE abs(y - y_hat) <= qhat) AS covered
+          |        FROM s JOIN m ON s.c_mktsegment = m.c_mktsegment
+          |        JOIN q ON s.c_mktsegment = q.c_mktsegment
+          |        WHERE split = 'test' GROUP BY 1)
+          |SELECT m.c_mktsegment, n_train, y_hat, qhat, n_test, covered,
+          |       (covered * 10000) // n_test AS coverage_bp
+          |FROM m JOIN q ON m.c_mktsegment = q.c_mktsegment
+          |JOIN tst ON m.c_mktsegment = tst.c_mktsegment
+          |ORDER BY m.c_mktsegment""".stripMargin,
+
+      "q_rfm" ->
+        """WITH m AS (
+          |  SELECT o_custkey,
+          |         CAST(date_diff('day', max(o_orderdate), DATE '1998-12-31') AS INTEGER) AS recency_days,
+          |         count(*) AS frequency,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS monetary
+          |  FROM orders GROUP BY 1),
+          |bp AS (
+          |  SELECT quantile_disc(recency_days, 0.2) AS r1, quantile_disc(recency_days, 0.4) AS r2,
+          |         quantile_disc(recency_days, 0.6) AS r3, quantile_disc(recency_days, 0.8) AS r4,
+          |         quantile_disc(frequency, 0.2) AS f1, quantile_disc(frequency, 0.4) AS f2,
+          |         quantile_disc(frequency, 0.6) AS f3, quantile_disc(frequency, 0.8) AS f4,
+          |         quantile_disc(monetary, 0.2) AS m1, quantile_disc(monetary, 0.4) AS m2,
+          |         quantile_disc(monetary, 0.6) AS m3, quantile_disc(monetary, 0.8) AS m4
+          |  FROM m),
+          |b AS (
+          |  SELECT o_custkey, recency_days, frequency, monetary,
+          |         1 + CAST(recency_days > r1 AS INTEGER) + CAST(recency_days > r2 AS INTEGER)
+          |           + CAST(recency_days > r3 AS INTEGER) + CAST(recency_days > r4 AS INTEGER) AS r_bucket,
+          |         1 + CAST(frequency > f1 AS INTEGER) + CAST(frequency > f2 AS INTEGER)
+          |           + CAST(frequency > f3 AS INTEGER) + CAST(frequency > f4 AS INTEGER) AS f_bucket,
+          |         1 + CAST(monetary > m1 AS INTEGER) + CAST(monetary > m2 AS INTEGER)
+          |           + CAST(monetary > m3 AS INTEGER) + CAST(monetary > m4 AS INTEGER) AS m_bucket
+          |  FROM m CROSS JOIN bp)
+          |SELECT o_custkey, recency_days, frequency, monetary,
+          |       r_bucket, f_bucket, m_bucket,
+          |       r_bucket * 100 + f_bucket * 10 + m_bucket AS rfm_code
+          |FROM b ORDER BY o_custkey""".stripMargin,
 
       "q_seasonal_naive" ->
         """WITH q AS (

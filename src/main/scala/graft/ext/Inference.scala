@@ -728,4 +728,51 @@ object Inference {
           (col("n_tot") * col("n_tot") - col("pe_num")).cast("double"), 6)
           .as("kappa"))
   }
+
+  /** Split-conformal prediction intervals per group, fully
+    * integer-exact. The rows are hash-split by `key`
+    * ([[ScaleOps.splitByKey]]): the TRAIN split fits the predictor
+    * (per-group floor-mean of the integer measure `y` — `sum DIV n`,
+    * exact long arithmetic), the VAL split calibrates (nonconformity
+    * score = |y − ŷ|, q̂ = the DISCRETE p-quantile of the scores — an
+    * actual observed score, no interpolation), and the TEST split
+    * reports empirical coverage of ŷ ± q̂ in integer basis points
+    * (`covered·10⁴ DIV n_test`). Split conformal's guarantee —
+    * P(|y−ŷ| ≤ q̂) ≥ p for exchangeable data, regardless of how bad
+    * the predictor is — is distribution-free, which is why the
+    * deliberately crude mean predictor still yields calibrated
+    * intervals.
+    *
+    * Scale: three grouped aggregates over one scan each plus two
+    * broadcast-sized joins (the per-group model and q̂ frames are one
+    * row per group); the only ordered pass is the discrete quantile,
+    * which [[Quantiles.exactQuantilesDisc]] runs over per-group
+    * DISTINCT score values, not rows. No floats anywhere in the gated
+    * output.
+    */
+  def conformalInterval(df: DataFrame, group: Seq[String], key: Column,
+      y: Column, p: Double = 0.9): DataFrame = {
+    val g = group.map(col)
+    val rows = df.select(g :+ ScaleOps.splitByKey(key).as("split")
+      :+ y.cast("long").as("y"): _*)
+    val model = rows.filter(col("split") === "train")
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_train"), sum("y").as("sy"))
+      .select(g :+ col("n_train") :+ expr("sy DIV n_train").as("y_hat"): _*)
+    val calScores = rows.filter(col("split") === "val")
+      .join(broadcast(model), group)
+      .select(g :+ abs(col("y") - col("y_hat")).as("score"): _*)
+    val qhat = Quantiles.exactQuantilesDisc(calScores, "score", group,
+      Seq(p), Seq("qhat"))
+    val test = rows.filter(col("split") === "test")
+      .join(broadcast(model.join(qhat, group)), group)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("y") - col("y_hat")) <= col("qhat"), 1L).otherwise(0L))
+          .as("covered"))
+    model.join(qhat, group).join(test, group)
+      .select(g ++ Seq(col("n_train"), col("y_hat"), col("qhat").cast("long").as("qhat"),
+        col("n_test"), col("covered"),
+        expr("(covered * 10000) DIV n_test").as("coverage_bp")): _*)
+  }
 }

@@ -654,4 +654,56 @@ class MiningSpec extends SparkSpec {
     assert(out(3).get(out(3).fieldIndex("loo_mean")) === null)
     assert(out(0).getAs[Long]("n_cat") === 3L)
   }
+
+  test("bfsHops: min distance wins on the shortcut; hop bound truncates; seeds are 0") {
+    // path 1-2-3-4-5 plus shortcut 1-3: node 3 is hop 1, not 2
+    val edges = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L)).toDF("id1", "id2"))
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.bfsHops(edges, seeds, maxHops = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // hop 2 reaches 4 (via 3); 5 is beyond the bound and absent
+    assert(out === Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
+    // maxHops = 0 returns exactly the seed layer
+    assert(Graph.bfsHops(edges, seeds, 0).collect().toSeq === Seq(Row(1L, 0)))
+  }
+
+  test("kCorePeel: pendant drops in one round; chain cascades to empty") {
+    // triangle {1,2,3} + pendant 4: k=2 drops 4, triangle survives at deg 2
+    val tri = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("id1", "id2"))
+    val out = Graph.kCorePeel(tri, k = 2, rounds = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // chain 1-2-3-4-5 under k=2: endpoints peel first, cascade empties
+    // the graph in 2 rounds (1,5 then 2,4 — leaving 3 edgeless)
+    val chain = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2"))
+    assert(Graph.kCorePeel(chain, k = 2, rounds = 2).count() === 0L)
+  }
+
+  test("conformal interval: matches a straight-line reimplementation over the hash split") {
+    val df = (1L to 200L).map(k => ("g", k, k * 10L)).toDF("grp", "k", "y")
+    // independently recompute: split each key with the same hash rule,
+    // then floor-mean / disc-quantile / coverage in plain Scala
+    val splits = df.select(col("k"),
+        graft.ext.ScaleOps.splitByKey(col("k")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val y = (k: Long) => k * 10L
+    val train = (1L to 200L).filter(splits(_) == "train").map(y)
+    val cal = (1L to 200L).filter(splits(_) == "val").map(y)
+    val test = (1L to 200L).filter(splits(_) == "test").map(y)
+    val yHat = train.sum / train.size
+    val scores = cal.map(v => math.abs(v - yHat)).sorted
+    val qHat = scores(math.ceil(0.9 * scores.size).toInt - 1)
+    val covered = test.count(v => math.abs(v - yHat) <= qHat)
+    val out = Inference.conformalInterval(df, Seq("grp"), col("k"), col("y"))
+      .collect().head
+    assert(out.getAs[Long]("n_train") === train.size.toLong)
+    assert(out.getAs[Long]("y_hat") === yHat)
+    assert(out.getAs[Long]("qhat") === qHat)
+    assert(out.getAs[Long]("n_test") === test.size.toLong)
+    assert(out.getAs[Long]("covered") === covered.toLong)
+    assert(out.getAs[Long]("coverage_bp") === covered.toLong * 10000L / test.size)
+  }
 }

@@ -360,4 +360,32 @@ class PlanSpec extends SparkSpec {
     // the only join is the 1-row max-day broadcast
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_bfs_hops / q_kcore: every graph join is an equi-join, never cartesian") {
+    for (q <- Seq("q_bfs_hops", "q_kcore")) {
+      val p = SparkEntry.queries(q)(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q must stay on keyed joins (frontier/edge and degree restrictions):\n$p")
+    }
+  }
+
+  test("q_conformal: model and q-hat frames broadcast back to the row splits") {
+    val df = SparkEntry.queries("q_conformal")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group model/qhat joins must broadcast, not shuffle the rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_rfm: breakpoints broadcast; the customer metrics are never globally sorted") {
+    val df = SparkEntry.queries("q_rfm")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row breakpoint frame joins as a broadcast nested loop (a
+    // true scalar cross join); a global ntile would instead plan a
+    // single-partition Window over every customer
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "breakpoint attach should be a 1-row broadcast")
+    assert(!p.contains("Window [ntile"), "bucketing must not use a global ntile")
+  }
 }
