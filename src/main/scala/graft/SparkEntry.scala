@@ -2586,6 +2586,49 @@ object SparkEntry {
         .orderBy("item1", "item2")
     }),
 
+    // A-priori stage 3: frequent supplier TRIPLES per order basket —
+    // the nested-HOF expansion over each basket's sorted item set, so
+    // the Spark side needs NO self-join at all (one basket-keyed
+    // shuffle + one triple-keyed count; Affinity.tripleCounts
+    // scaladoc). The oracle stages pair→triple joins explicitly —
+    // a single 3-way SQL join misplans into an inequality-first
+    // explosion on DuckDB, which is the point of the array form.
+    "q_itemsets3" -> ((s, dir) => {
+      Affinity.frequentTriples(spread(t(s, dir, "lineitem")),
+          basket = col("l_orderkey"), item = col("l_suppkey"),
+          minItemCount = 50, minTripleCount = 2)
+        .orderBy("item1", "item2", "item3")
+    }),
+
+    // exact WEIGHTED discrete quantiles: quantity-weighted price
+    // median/p90 per return flag — each row counts its weight, the
+    // inventory-weighted "typical price" form. Same distinct-value
+    // cumulative machinery as q_percentile_disc with Σw in place of
+    // row counts (Quantiles.exactWeightedQuantilesDisc scaladoc).
+    "q_weighted_median" -> ((s, dir) => {
+      Quantiles.exactWeightedQuantilesDisc(spread(t(s, dir, "lineitem")),
+          "l_extendedprice", "l_quantity", Seq("l_returnflag"),
+          Seq(0.5, 0.9), Seq("wp50", "wp90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // funnel latency profile: disc p50/p90 of the click→purchase
+    // delay (exact integer microseconds) per user-id cohort — the
+    // time-to-convert readout on top of the q_event_funnel join,
+    // composed with the distinct-value quantile pass.
+    "q_funnel_delay" -> ((s, dir) => {
+      val f = EventsStream.funnelBatch(
+        spread(EventsStream.readEvents(s, s"$dir/events.parquet")))
+      val d = f.select((col("user_id") % 10).as("cohort"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+      Quantiles.exactQuantilesDisc(d, "delay_us", Seq("cohort"),
+          Seq(0.5, 0.9), Seq("p50_us", "p90_us"))
+        .select(col("cohort"), col("p50_us").cast("long").as("p50_us"),
+          col("p90_us").cast("long").as("p90_us"))
+        .orderBy("cohort")
+    }),
+
     // token-pair PMI over documents — which terms co-occur more than
     // their document frequencies predict. Same pruned-pair skeleton as
     // q_assoc_rules, over the tokenize-once token sets.
@@ -5919,6 +5962,59 @@ object SparkEntry {
           |        JOIN freq f2 ON f2.item = pc.item2
           |        CROSS JOIN total
           |ORDER BY item1, item2""".stripMargin,
+
+      // staged pair→triple joins: a single 3-way join misplans on
+      // DuckDB (inequality-first explosion)
+      "q_itemsets3" ->
+        """WITH bi AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item FROM lineitem),
+          |freq AS (
+          |  SELECT item FROM bi GROUP BY 1 HAVING count(*) >= 50),
+          |total AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+          |kept AS (SELECT bi.basket, bi.item FROM bi JOIN freq USING (item)),
+          |pr AS (
+          |  SELECT a.basket, a.item AS item1, b.item AS item2
+          |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item),
+          |tr AS (
+          |  SELECT p.item1, p.item2, d.item AS item3, count(*) AS n_triple
+          |  FROM pr p JOIN kept d ON p.basket = d.basket AND p.item2 < d.item
+          |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+          |SELECT item1, item2, item3, n_triple,
+          |       round(CAST(n_triple AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support
+          |FROM tr CROSS JOIN total
+          |ORDER BY item1, item2, item3""".stripMargin,
+
+      // manual cumulative-weight mirror of exactWeightedQuantilesDisc:
+      // the qualifying value's interval satisfies cum−c < p·Σw ≤ cum
+      "q_weighted_median" ->
+        """WITH vc AS (
+          |  SELECT l_returnflag, l_extendedprice AS v,
+          |         sum(CAST(l_quantity AS BIGINT)) AS c
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |    AND l_quantity > 0
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT l_returnflag, v, c,
+          |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+          |         sum(c) OVER (PARTITION BY l_returnflag) AS tot
+          |  FROM vc)
+          |SELECT l_returnflag,
+          |       min(CASE WHEN cum - c < 0.5 * tot AND 0.5 * tot <= cum THEN v END) AS wp50,
+          |       min(CASE WHEN cum - c < 0.9 * tot AND 0.9 * tot <= cum THEN v END) AS wp90
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_funnel_delay" ->
+        """WITH f AS (
+          |  SELECT c.user_id % 10 AS cohort,
+          |         epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+          |  FROM events c JOIN events p ON c.user_id = p.user_id
+          |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |    AND epoch(p.ts) - epoch(c.ts) BETWEEN 0 AND 600)
+          |SELECT cohort,
+          |       CAST(quantile_disc(delay_us, 0.5) AS BIGINT) AS p50_us,
+          |       CAST(quantile_disc(delay_us, 0.9) AS BIGINT) AS p90_us
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_pmi_cooccur" ->
         s"""WITH tok AS (

@@ -67,6 +67,50 @@ object Affinity {
       .agg(count(lit(1)).as("n_pair"))
   }
 
+  /** Ordered-triple co-occurrence counts (item1 < item2 < item3) of
+    * frequent items — the 3-itemset stage of A-priori. Same design as
+    * [[pairCounts]]: the pruned vocabulary broadcasts for a semi-join
+    * prune, each basket collapses to its sorted item set in ONE
+    * basket-keyed shuffle, and triples expand with a nested array
+    * lambda — no self-join, so the only quadratic-free cost is the
+    * cubic-in-basket-size expansion itself, which the `minCount` prune
+    * bounds exactly as in the pair stage (a basket too large to cube
+    * was too large to mine; prune harder).
+    */
+  def tripleCounts(bi: DataFrame, freq: DataFrame): DataFrame = {
+    val kept = bi.join(broadcast(freq.select("item")), Seq("item"), "left_semi")
+    kept.groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .filter(size(col("items")) >= 3)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  flatten(transform(slice(items, i + 2, size(items)), (y, j) ->
+          |    transform(slice(items, i + j + 3, size(items)), z ->
+          |      named_struct('item1', x, 'item2', y, 'item3', z))))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.item1").as("item1"), col("p.item2").as("item2"),
+        col("p.item3").as("item3"))
+      .agg(count(lit(1)).as("n_triple"))
+  }
+
+  /** Frequent 3-itemsets with basket support: [[tripleCounts]] over the
+    * `minItemCount`-pruned vocabulary, kept at `minTripleCount`, with
+    * support = n_triple / |baskets| (the basket total computed once and
+    * broadcast, as in [[associationRules]]).
+    */
+  def frequentTriples(df: DataFrame, basket: Column, item: Column,
+      minItemCount: Long, minTripleCount: Long): DataFrame = {
+    val bi = basketItems(df, basket, item)
+    val freq = frequentItems(bi, minItemCount)
+    val total = bi.select(countDistinct(col("basket")).as("n_baskets"))
+    tripleCounts(bi, freq)
+      .filter(col("n_triple") >= minTripleCount)
+      .crossJoin(broadcast(total))
+      .select(col("item1"), col("item2"), col("item3"), col("n_triple"),
+        round(col("n_triple").cast("double") / col("n_baskets").cast("double"), 6)
+          .as("support"))
+  }
+
   /** Association rules over baskets: for each frequent ordered pair,
     * support = P(1∧2), confidence in both directions, and lift =
     * P(1∧2) / (P(1)·P(2)). The basket total is computed once here

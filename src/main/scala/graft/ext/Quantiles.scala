@@ -163,4 +163,31 @@ object Quantiles {
     }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact WEIGHTED discrete quantiles: the smallest value whose
+    * cumulative WEIGHT reaches p · Σw — `percentile_disc` where each
+    * row counts `weightCol` times instead of once (the weighted median
+    * at p = 0.5). Null values/weights and non-positive weights are
+    * ignored (a zero weight must not make its value eligible as a
+    * quantile).
+    *
+    * Scale shape is [[exactQuantilesDisc]]'s unchanged: rows collapse
+    * map-side to (group, distinct value, Σweight), the cumulative
+    * window runs over distinct values, and one filter extracts the ≤
+    * |ps| qualifying rows per group — integer weights keep every
+    * cumulative bound an exact long, so the only float is the p·Σw
+    * rank target itself.
+    */
+  def exactWeightedQuantilesDisc(df: DataFrame, valueCol: String, weightCol: String,
+                                 groupCols: Seq[String], ps: Seq[Double],
+                                 outCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val ranked = rankCounts(
+      df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+          col(weightCol) > 0)
+        .groupBy(keys :+ col(valueCol).cast("double").as("_v"): _*)
+        .agg(sum(col(weightCol).cast("long")).as("_c")),
+      groupCols)
+    quantilesDiscFromRanked(ranked, groupCols, ps, outCols)
+  }
 }

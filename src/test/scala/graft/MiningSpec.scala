@@ -655,6 +655,31 @@ class MiningSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_cat") === 3L)
   }
 
+  test("frequent triples: nested-HOF expansion counts ordered triples by hand") {
+    // baskets: 1={a,b,c,d}, 2={a,b,c}, 3={a,b}, 4={a,c,d,d} (dup d once)
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (1, "d"),
+        (2, "a"), (2, "b"), (2, "c"), (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"), (4, "d"), (4, "d"))
+      .toDF("b", "i")
+    val out = Affinity.frequentTriples(df, col("b"), col("i"),
+        minItemCount = 1, minTripleCount = 1)
+      .orderBy("item1", "item2", "item3").collect()
+    // (a,b,c): baskets 1,2 -> 2; (a,b,d)/(b,c,d): basket 1; (a,c,d):
+    // baskets 1,4 -> 2 (the duplicate d in basket 4 counts once)
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq ===
+      Seq(("a", "b", "c", 2L), ("a", "b", "d", 1L), ("a", "c", "d", 2L),
+        ("b", "c", "d", 1L)))
+    // support over 4 baskets
+    assert(out.head.getDouble(4) === 0.5)
+    // the item prune cascades into triples: minItemCount=3 keeps only
+    // {a: 4, b: 3, c: 3}, so the abc triple survives alone
+    val pruned = Affinity.frequentTriples(df, col("b"), col("i"),
+        minItemCount = 3, minTripleCount = 1).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq(("a", "b", "c")))
+  }
+
   test("bfsHops: min distance wins on the shortcut; hop bound truncates; seeds are 0") {
     // path 1-2-3-4-5 plus shortcut 1-3: node 3 is hop 1, not 2
     val edges = Graph.symmetrize(

@@ -361,6 +361,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_itemsets3: triples expand from basket arrays — no self-join anywhere") {
+    val df = SparkEntry.queries("q_itemsets3")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "triple generation must be the nested-HOF expansion, not a 3-way join")
+    assert(p.contains("partial_count"), "triple counts must combine map-side")
+  }
+
+  test("q_weighted_median: weights collapse map-side; the window runs over distinct values") {
+    val df = SparkEntry.queries("q_weighted_median")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), "Σweight per distinct value must combine map-side")
+    assert(!p.contains("Join"), "weighted quantiles are a single-table pass")
+  }
+
   test("q_bfs_hops / q_kcore: every graph join is an equi-join, never cartesian") {
     for (q <- Seq("q_bfs_hops", "q_kcore")) {
       val p = SparkEntry.queries(q)(spark, SparkSpec.sf0001)

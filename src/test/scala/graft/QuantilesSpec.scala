@@ -136,4 +136,34 @@ class QuantilesSpec extends SparkSpec {
       }
     }
   }
+
+  test("exactWeightedQuantilesDisc == percentile_disc over weight-expanded rows") {
+    val ps = Seq(0.1, 0.5, 0.9)
+    val names = Seq("w10", "w50", "w90")
+    val df = li.select($"l_returnflag".as("k"), $"l_extendedprice".as("v"),
+        $"l_quantity".cast("long").as("w"))
+      .filter($"w" > 0)
+    val got = Quantiles.exactWeightedQuantilesDisc(df, "v", "w", Seq("k"), ps, names)
+      .orderBy("k").collect()
+    // gold: physically repeat each row `w` times, then plain disc
+    val expanded = df.select($"k", $"v", explode(expr("sequence(1L, w)")))
+    val want = expanded.groupBy("k")
+      .agg(expr(s"percentile_disc(${ps.head}) WITHIN GROUP (ORDER BY v)").as(names.head),
+        ps.tail.zip(names.tail).map { case (p, n) =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n) }: _*)
+      .orderBy("k").collect()
+    assert(got.nonEmpty && got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      names.indices.foreach { i =>
+        assert(g.getDouble(i + 1) == w.getDouble(i + 1),
+          s"weighted disc p=${ps(i)} group ${g.getString(0)}: " +
+            s"${g.getDouble(i + 1)} != ${w.getDouble(i + 1)}")
+      }
+    }
+    // zero/negative weights are ignored, not treated as count-1 rows
+    val z = Seq(("g", 1.0, 0L), ("g", 2.0, 3L), ("g", 9.0, -1L)).toDF("k", "v", "w")
+    val out = Quantiles.exactWeightedQuantilesDisc(z, "v", "w", Seq("k"),
+      Seq(0.5), Seq("m")).collect()
+    assert(out.head.getDouble(1) == 2.0)
+  }
 }
