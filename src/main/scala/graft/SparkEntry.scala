@@ -2715,6 +2715,49 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // global clustering coefficient by degree-ORIENTED triangle
+    // counting over the sparse co-purchase graph — the skew-proof
+    // triangle algorithm (out-degree bounded by orientation; wedge
+    // join Σout², not Σdeg²; Graph.globalTransitivity scaladoc).
+    "q_transitivity" -> ((s, dir) => {
+      Graph.globalTransitivity(coPurchaseEdges(s, dir, minCount = 2))
+    }),
+
+    // degree assortativity of the co-purchase graph: do hub parts
+    // co-sell with other hubs? One degree pass + two edge annotations
+    // + exact power sums (Graph.degreeAssortativity scaladoc).
+    "q_degree_assort" -> ((s, dir) => {
+      Graph.degreeAssortativity(coPurchaseEdges(s, dir, minCount = 2))
+    }),
+
+    // inter-event burstiness per user: (σ−μ)/(σ+μ) of microsecond
+    // gaps — separates machine-regular from human-bursty actors.
+    // One keyed lag window + exact power sums
+    // (Sessionize.burstiness scaladoc).
+    "q_burstiness" -> ((s, dir) => {
+      Sessionize.burstiness(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          keyCol = "user_id", ord = Seq("ts", "event_id"), minGaps = 20)
+        .orderBy("user_id")
+    }),
+
+    // order-2 Markov transitions: trigram (t₁,t₂)→t₃ counts and
+    // conditional probability over each user's time-ordered event
+    // types — the sequence-model step past q_event_transitions'
+    // order-1 chain. Two leads on ONE per-user window partitioning.
+    "q_markov2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+      tri.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("t1", "t2")).cast("double"))
+        .orderBy("t1", "t2", "t3")
+    }),
+
     // split-conformal prediction intervals per market segment:
     // hash-split train/val/test, floor-mean predictor, discrete
     // 0.9-quantile of |y − ŷ| on calibration, empirical coverage on
@@ -6178,6 +6221,85 @@ object SparkEntry {
            |       JOIN d3 a ON e2.src = a.src JOIN d3 b ON e2.dst = b.src)
            |SELECT src AS id, count(*) AS degree
            |FROM e3 GROUP BY src ORDER BY id""".stripMargin,
+
+      // degree-oriented triangle closure, staged exactly as the Spark
+      // side: orient small→large by (deg, id), pair out-neighbors in
+      // orientation order, close with a semi-join
+      "q_transitivity" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |orient AS (
+           |  SELECT e.src, e.dst, dd.deg AS ddst
+           |  FROM e JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src
+           |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+           |wedge AS (
+           |  SELECT a.dst AS v, b.dst AS w
+           |  FROM orient a JOIN orient b ON a.src = b.src
+           |  WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+           |tri AS (
+           |  SELECT count(*) AS n_triangles
+           |  FROM wedge WHERE EXISTS (
+           |    SELECT 1 FROM orient o WHERE o.src = wedge.v AND o.dst = wedge.w)),
+           |ow AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
+           |SELECT n_triangles, n_wedges,
+           |       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+           |         AS transitivity
+           |FROM tri CROSS JOIN ow""".stripMargin,
+
+      "q_degree_assort" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |xy AS (
+           |  SELECT dx.deg AS x, dy.deg AS y
+           |  FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+           |s AS (
+           |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |         CAST(sum(x * y) AS BIGINT) AS sxy,
+           |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM xy)
+           |SELECT n AS n_edges,
+           |       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           |             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           |         AS assortativity
+           |FROM s""".stripMargin,
+
+      "q_burstiness" ->
+        """WITH g AS (
+          |  SELECT user_id,
+          |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS g
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, count(*) AS n_gaps, CAST(sum(g) AS BIGINT) AS sg,
+          |         CAST(sum(g * g) AS BIGINT) AS sgg
+          |  FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 20)
+          |SELECT user_id, n_gaps,
+          |       round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_ms,
+          |       round(sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          |                  - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |                    * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))), 6) AS sd_gap_ms,
+          |       round((sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          |                   - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |                     * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+          |              - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |             / (sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          |                     - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |                       * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+          |                + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness
+          |FROM s ORDER BY user_id""".stripMargin,
+
+      "q_markov2" ->
+        """WITH st AS (
+          |  SELECT user_id, event_type AS t1,
+          |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+          |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+          |  FROM events),
+          |c AS (
+          |  SELECT t1, t2, t3, count(*) AS n
+          |  FROM st WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT t1, t2, t3, n,
+          |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY t1, t2) AS DOUBLE) AS p
+          |FROM c ORDER BY t1, t2, t3""".stripMargin,
 
       "q_conformal" ->
         """WITH r AS (

@@ -31,6 +31,75 @@ object Graph {
     pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
+  /** Global transitivity (clustering coefficient) by DEGREE-ORIENTED
+    * triangle counting — the algorithm that survives skew: each
+    * undirected edge is kept once, directed from its (degree, id)-
+    * smaller endpoint to the larger, so every node's OUT-degree is
+    * O(√|E|) regardless of its real degree, and the wedge self-join
+    * (out-neighbor pairs per node) is bounded by Σ out² instead of
+    * Σ deg² — a hub with a million neighbors contributes almost no
+    * wedges because nearly all its edges point INTO it. Each triangle
+    * is generated exactly once (its orientation-ordered wedge), closed
+    * by one semi-join against the oriented edge list.
+    *
+    * Returns one row: n_triangles, n_wedges (open+closed,
+    * Σ deg·(deg−1)/2 on the undirected graph), and transitivity =
+    * 3·triangles / wedges (rounded at 6; the two counts are exact
+    * longs).
+    */
+  def globalTransitivity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
+    val oriented = withDeg.filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+      .persist() // read 3×: both wedge legs + the closing semi-join
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("ddst").as("dw")), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val openW = deg.agg((sum(col("deg") * (col("deg") - 1)) / 2)
+      .cast("long").as("n_wedges"))
+    tri.crossJoin(openW) // two 1-row scalar aggregates
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("transitivity"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the directed (symmetrized) edge list — positive when hubs
+    * attach to hubs. One degree aggregate, two joins to annotate the
+    * edges, then a single map-side-combined power-sum pass (Σx, Σy,
+    * Σxy, Σx², Σy² as exact longs); the only floats are the final
+    * closed-form division. Returns one row (n_edges, r).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+    val sums = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val cov = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / n
+    val vx = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n
+    val vy = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / n
+    // zero endpoint-degree variance (a regular graph) leaves r
+    // undefined: emit null, never a divide-by-zero (ANSI) or NaN
+    sums.select(col("n").as("n_edges"),
+      when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)).as("assortativity"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, bounded at
     * `maxHops`. Frontier formulation — each round joins ONLY the
     * just-reached frontier against the edge list, anti-joins the

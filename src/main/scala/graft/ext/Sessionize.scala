@@ -28,6 +28,45 @@ object Sessionize {
     */
   case class OpenSession(startMicros: Long, endMicros: Long, n: Long)
 
+  /** Per-key burstiness of inter-event gaps: B = (σ−μ)/(σ+μ) over the
+    * MILLISECOND gaps between consecutive events — −1 for a perfectly
+    * regular stream, →1 for extreme bursts, ~0 for Poisson arrivals
+    * (Goh & Barabási's signal for separating machine-regular from
+    * human-bursty keys). Gaps come from one per-key lag window; μ and
+    * the population σ derive from exact long power sums (n, Σg, Σg²),
+    * so the only floats are the final closed forms. Keys with fewer
+    * than `minGaps` gaps are dropped — B is noise below that.
+    *
+    * Millisecond (not µs) gaps are the overflow headroom: Σg²
+    * overflows long once gaps·√n pass ~2·10⁵ seconds in µs — hour-long
+    * gaps already breach it — while ms units carry day-scale gaps at
+    * billions of rows. The µs→ms floor (`DIV 1000` on the exact µs
+    * difference) is itself exact integer arithmetic, so cross-engine
+    * determinism survives.
+    *
+    * Scale: one keyed sort window + one map-side-combined aggregate.
+    */
+  def burstiness(events: DataFrame, keyCol: String, ord: Seq[String],
+                 minGaps: Long = 5): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ord.map(col): _*)
+    val gaps = events
+      .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col(keyCol),
+        ((unix_micros(col("ts")) - col("_prev")) / 1000).cast("long").as("g"))
+    val sums = gaps.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= minGaps)
+    val n = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / n
+    val sigma = sqrt(col("sgg").cast("double") / n - mu * mu)
+    sums.select(col(keyCol), col("n_gaps"),
+      round(mu, 6).as("mean_gap_ms"),
+      round(sigma, 6).as("sd_gap_ms"),
+      round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+  }
+
   /** Batch twin: a new session starts when the gap to the previous
     * event (same key) exceeds `gapSeconds`; `sess_id` numbers sessions
     * per key in time order. Second-fraction-exact: timestamps compare

@@ -707,6 +707,52 @@ class MiningSpec extends SparkSpec {
     assert(Graph.kCorePeel(chain, k = 2, rounds = 2).count() === 0L)
   }
 
+  test("globalTransitivity: triangle+pendant by hand; oriented count finds each once") {
+    // triangle {1,2,3} + pendant 4 on node 1: T=1; degrees (3,2,2,1)
+    // give Σ deg(deg−1)/2 = 3+1+1+0 = 5 wedges; C = 3/5
+    val g = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("id1", "id2"))
+    val r = Graph.globalTransitivity(g).collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 5L && r.getDouble(2) === 0.6)
+    // two triangles sharing edge {1,2}: K4 minus edge {3,4}
+    val g2 = Graph.symmetrize(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("id1", "id2"))
+    val r2 = Graph.globalTransitivity(g2).collect().head
+    // degrees (3,3,2,2): wedges 3+3+1+1 = 8; T = 2; C = 6/8
+    assert(r2.getLong(0) === 2L && r2.getLong(1) === 8L && r2.getDouble(2) === 0.75)
+  }
+
+  test("degreeAssortativity: path is perfectly disassortative; regular graph is undefined") {
+    // path 1-2-3: every edge joins deg-1 to deg-2 -> r = −1
+    val path = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+    val r = Graph.degreeAssortativity(path).collect().head
+    assert(r.getLong(0) === 4L && r.getDouble(1) === -1.0)
+    // triangle: all degrees equal -> zero variance -> null (undefined),
+    // never an ANSI divide-by-zero
+    val tri = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"))
+    assert(Graph.degreeAssortativity(tri).collect().head.get(1) === null)
+  }
+
+  test("burstiness: regular stream pins −1; a burst pushes B positive; minGaps filters") {
+    def ev(uid: Long, ms: Seq[Long]) = ms.zipWithIndex.map { case (m, i) =>
+      (uid, i.toLong, m)
+    }
+    // user 1: perfectly regular 1s grid; user 2: three quick + one huge
+    // gap; user 3: too few gaps for minGaps = 3
+    val df = (ev(1L, Seq(0L, 1000L, 2000L, 3000L, 4000L)) ++
+        ev(2L, Seq(0L, 1L, 2L, 3L, 10000L)) ++ ev(3L, Seq(0L, 500L)))
+      .toDF("user_id", "event_id", "ms")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(col("ms")).as("ts"))
+    val out = Sessionize.burstiness(df, "user_id", Seq("ts", "event_id"), minGaps = 3)
+      .orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 1L && out(0).getDouble(2) === 1000.0 &&
+      out(0).getDouble(3) === 0.0 && out(0).getDouble(4) === -1.0)
+    val b2 = out(1).getDouble(4)
+    assert(out(1).getLong(0) === 2L && b2 > 0.0 && b2 < 1.0)
+  }
+
   test("conformal interval: matches a straight-line reimplementation over the hash split") {
     val df = (1L to 200L).map(k => ("g", k, k * 10L)).toDF("grp", "k", "y")
     // independently recompute: split each key with the same hash rule,

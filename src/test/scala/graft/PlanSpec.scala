@@ -385,6 +385,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_transitivity / q_degree_assort / q_burstiness: keyed joins and map-side sums only") {
+    for (q <- Seq("q_transitivity", "q_degree_assort")) {
+      val p = SparkEntry.queries(q)(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$q: wedge/degree joins must stay keyed:\n$p")
+    }
+    val pb = SparkEntry.queries("q_burstiness")(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Join"), "burstiness is one window + one aggregate")
+    assert(pb.contains("partial_"), "gap power sums must combine map-side")
+  }
+
   test("q_conformal: model and q-hat frames broadcast back to the row splits") {
     val df = SparkEntry.queries("q_conformal")(spark, SparkSpec.sf0001)
     val p = df.queryExecution.executedPlan.toString
