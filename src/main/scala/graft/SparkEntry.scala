@@ -2586,6 +2586,34 @@ object SparkEntry {
         .orderBy("item1", "item2")
     }),
 
+    // item-item collaborative filtering: top-3 cosine (Ochiai)
+    // neighbors per supplier from order co-baskets — the "also bought"
+    // kernel; rank on (rounded cosine DESC, id) so ties are engine-
+    // and retry-stable (Affinity.itemCosineTopK scaladoc).
+    "q_item_cosine" -> ((s, dir) => {
+      Affinity.itemCosineTopK(spread(t(s, dir, "lineitem")),
+          basket = col("l_orderkey"), item = col("l_suppkey"),
+          minItemCount = 50, minPairCount = 10, k = 3)
+        .orderBy("item1", "rank")
+    }),
+
+    // functional-dependency audit across four candidate FDs — the
+    // schema-inference probe run before trusting a column as a key or
+    // a dimension as derivable. Each row is one two-phase distinct
+    // aggregate; o_orderkey→o_custkey is the key check (0 violations
+    // expected), the others measure real violation rates
+    // (ScaleOps.fdViolations scaladoc).
+    "q_fd_audit" -> ((s, dir) => {
+      val o = spread(t(s, dir, "orders"))
+      ScaleOps.fdViolations(o, "o_orderkey", "o_custkey")
+        .unionAll(ScaleOps.fdViolations(o, "o_custkey", "o_orderpriority"))
+        .unionAll(ScaleOps.fdViolations(spread(t(s, dir, "lineitem")),
+          "l_orderkey", "l_returnflag"))
+        .unionAll(ScaleOps.fdViolations(t(s, dir, "customer"),
+          "c_nationkey", "c_mktsegment"))
+        .orderBy("fd")
+    }),
+
     // A-priori stage 3: frequent supplier TRIPLES per order basket —
     // the nested-HOF expansion over each basket's sorted item set, so
     // the Spark side needs NO self-join at all (one basket-keyed
@@ -6006,6 +6034,72 @@ object SparkEntry {
           |        CROSS JOIN total
           |ORDER BY item1, item2""".stripMargin,
 
+      "q_item_cosine" ->
+        """WITH bi AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item FROM lineitem),
+          |freq AS (
+          |  SELECT item, count(*) AS n_item FROM bi GROUP BY 1 HAVING count(*) >= 50),
+          |kept AS (SELECT bi.basket, bi.item FROM bi JOIN freq USING (item)),
+          |pc AS (
+          |  SELECT a.item AS item1, b.item AS item2, count(*) AS n_pair
+          |  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 10),
+          |dirs AS (
+          |  SELECT item1, item2, n_pair FROM pc
+          |  UNION ALL SELECT item2, item1, n_pair FROM pc),
+          |scored AS (
+          |  SELECT item1, item2, n_pair,
+          |         round(CAST(n_pair AS DOUBLE)
+          |               / sqrt(CAST(f1.n_item * f2.n_item AS DOUBLE)), 6) AS cosine
+          |  FROM dirs JOIN freq f1 ON f1.item = dirs.item1
+          |            JOIN freq f2 ON f2.item = dirs.item2),
+          |ranked AS (
+          |  SELECT item1,
+          |         CAST(row_number() OVER (PARTITION BY item1
+          |                                 ORDER BY cosine DESC, item2) AS INTEGER) AS rank,
+          |         item2, n_pair, cosine
+          |  FROM scored)
+          |SELECT item1, rank, item2, n_pair, cosine
+          |FROM ranked WHERE rank <= 3 ORDER BY item1, rank""".stripMargin,
+
+      "q_fd_audit" ->
+        """WITH a AS (
+          |  SELECT o_orderkey AS lhs,
+          |         count(DISTINCT o_custkey)
+          |           + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_rhs
+          |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+          |b AS (
+          |  SELECT o_custkey AS lhs,
+          |         count(DISTINCT o_orderpriority)
+          |           + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_rhs
+          |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+          |c AS (
+          |  SELECT l_orderkey AS lhs,
+          |         count(DISTINCT l_returnflag)
+          |           + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_rhs
+          |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+          |d AS (
+          |  SELECT c_nationkey AS lhs,
+          |         count(DISTINCT c_mktsegment)
+          |           + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_rhs
+          |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+          |r AS (
+          |  SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
+          |         count(*) FILTER (WHERE n_rhs > 1) AS n_violating,
+          |         CAST(max(n_rhs) AS BIGINT) AS max_distinct_rhs FROM a
+          |  UNION ALL
+          |  SELECT 'o_custkey->o_orderpriority', count(*),
+          |         count(*) FILTER (WHERE n_rhs > 1), CAST(max(n_rhs) AS BIGINT) FROM b
+          |  UNION ALL
+          |  SELECT 'l_orderkey->l_returnflag', count(*),
+          |         count(*) FILTER (WHERE n_rhs > 1), CAST(max(n_rhs) AS BIGINT) FROM c
+          |  UNION ALL
+          |  SELECT 'c_nationkey->c_mktsegment', count(*),
+          |         count(*) FILTER (WHERE n_rhs > 1), CAST(max(n_rhs) AS BIGINT) FROM d)
+          |SELECT fd, n_groups, n_violating, max_distinct_rhs,
+          |       (n_violating * 10000) // n_groups AS violation_bp
+          |FROM r ORDER BY fd""".stripMargin,
+
       // staged pair→triple joins: a single 3-way join misplans on
       // DuckDB (inequality-first explosion)
       "q_itemsets3" ->
@@ -7223,15 +7317,18 @@ object SparkEntry {
       "q_bootstrap_ci" ->
         """WITH base AS (
           |  SELECT l_returnflag,
-          |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rk,
+          |         CAST(('0x' || substring(md5(
+          |           CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+          |         ), 1, 8)) AS BIGINT) AS h,
           |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS xc
           |  FROM lineitem),
           |fan AS (
-          |  SELECT l_returnflag, rk, xc, i AS rep
+          |  SELECT l_returnflag, h, xc, i AS rep
           |  FROM base CROSS JOIN range(50) r(i)),
           |wt AS (
           |  SELECT l_returnflag, rep, xc,
-          |         CAST(('0x' || substring(md5(rk || ':' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+          |         (((((h + rep * 2654435761) % 4294967296) * 1597334677) % 4294967296)
+          |           * 1812433253) % 4294967296 % 1000000 AS u
           |  FROM fan),
           |wts AS (
           |  SELECT l_returnflag, rep, xc,

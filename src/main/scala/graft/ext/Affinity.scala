@@ -140,6 +140,41 @@ object Affinity {
           (col("n1") * col("n2")).cast("double"), 6).as("lift"))
   }
 
+  /** Item-item collaborative filtering: cosine (Ochiai) similarity
+    * between items from basket co-occurrence — cos(i,j) =
+    * n_ij / √(n_i·n_j) — cut to the top `k` neighbors per item, the
+    * classic "customers who bought X also bought" kernel. Built on the
+    * same pair scaffold as [[associationRules]] (pruned vocabulary
+    * broadcast, narrow array-lambda pair expansion); the per-item
+    * top-k ranks on the (rounded cosine DESC, neighbor id) total
+    * order, so ties cannot flip cross-engine or under retries. Pairs
+    * are emitted in BOTH directions before ranking — each item sees
+    * its full neighbor list.
+    */
+  def itemCosineTopK(df: DataFrame, basket: Column, item: Column,
+      minItemCount: Long, minPairCount: Long, k: Int): DataFrame = {
+    val bi = basketItems(df, basket, item)
+    val freq = frequentItems(bi, minItemCount)
+    val pairs = pairCounts(bi, freq)
+      .filter(col("n_pair") >= minPairCount)
+    val both = pairs.unionAll(pairs.select(col("item2").as("item1"),
+      col("item1").as("item2"), col("n_pair")))
+    val scored = both
+      .join(broadcast(freq.withColumnRenamed("item", "item1")
+        .withColumnRenamed("n_item", "n1")), "item1")
+      .join(broadcast(freq.withColumnRenamed("item", "item2")
+        .withColumnRenamed("n_item", "n2")), "item2")
+      .select(col("item1"), col("item2"), col("n_pair"),
+        round(col("n_pair").cast("double") /
+          sqrt((col("n1") * col("n2")).cast("double")), 6).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("item1").orderBy(col("cosine").desc, col("item2"))))
+      .filter(col("rank") <= k)
+      .select(col("item1"), col("rank").cast("int").as("rank"),
+        col("item2"), col("n_pair"), col("cosine"))
+  }
+
   /** Pointwise mutual information of token pairs co-occurring in
     * documents: PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with document-
     * level probabilities. Same skeleton as [[associationRules]] —

@@ -528,6 +528,14 @@ object Inference {
     * [2.5%, 97.5%] of the replicate means by explicit rank — no
     * quantile interpolation to diverge cross-engine.
     *
+    * The draw is priced for the fan-out: md5 runs ONCE PER ROW (its
+    * leading 32 bits become the row seed h); each replicate's uniform
+    * then comes from an exact integer mixer over (h, rep) — two
+    * multiplicative rounds mod 2³², every intermediate < 2⁶³ so both
+    * engines (and DuckDB's checked arithmetic) compute it exactly.
+    * Hashing per (row, replicate) instead costs reps× the md5s and
+    * dominated the whole query (~10× slower at reps=50).
+    *
     * Scale: shuffle = groups × reps rows (never data); the explode
     * multiplies scan width by `reps`, so at corpus scale either run
     * the fan-out map-side (it combines before the shuffle — cost is
@@ -544,14 +552,18 @@ object Inference {
     val gcols = group.map(col)
     val base = df.select(gcols :+ rowKey.cast("string").as("rk") :+
       x.cast("long").as("xc"): _*)
-    val u = conv(substring(md5(concat(col("rk"), lit(":"), col("rep"))), 1, 8),
-      16, 10).cast("long") % 1000000L
+      .withColumn("h", conv(substring(md5(col("rk")), 1, 8), 16, 10).cast("long"))
+    // mixer bounds: h < 2³², rep·K₀ < 2³⁸ ⇒ s < 2³²; s·K₁ and u₁·K₂
+    // stay under 2⁶³ because K₁, K₂ < 2³¹
+    val s = (col("h") + col("rep") * lit(2654435761L)) % lit(4294967296L)
+    val u1 = (s * lit(1597334677L)) % lit(4294967296L)
+    val u = ((u1 * lit(1812433253L)) % lit(4294967296L)) % lit(1000000L)
     val w = poissonCdfMicro.zipWithIndex
       .foldRight(lit(poissonCdfMicro.length.toLong)) { case ((cut, k), rest) =>
         when(u < cut, k.toLong).otherwise(rest)
       }
     val repMeans = base
-      .select(gcols :+ col("rk") :+ col("xc") :+
+      .select(gcols :+ col("rk") :+ col("xc") :+ col("h") :+
         explode(sequence(lit(0), lit(reps - 1))).as("rep"): _*)
       .withColumn("w", w)
       .groupBy(gcols :+ col("rep"): _*)

@@ -582,4 +582,32 @@ object ScaleOps {
       .filter(col("prev_best").isNull || col("best_y") > col("prev_best"))
       .select(col("rep_id"), col(x), col("best_y").as(y))
   }
+
+  /** Functional-dependency audit: does `lhs → rhs` hold? One row per
+    * candidate FD: determinant-group count, groups violating (more
+    * than one distinct rhs), the worst group's distinct-rhs count, and
+    * the violation rate in integer basis points. The schema-inference
+    * probe you run before declaring a column a key, a dimension
+    * functionally derived, or a join safe to denormalize.
+    *
+    * Scale: one two-phase distinct aggregate keyed by the determinant
+    * (shuffle = lhs × distinct rhs per group, never rows), then a
+    * scalar rollup. Null determinants are excluded — SQL keys don't
+    * compare null=null; null rhs counts as a value (a group with one
+    * real value and null is two-valued, i.e. violating).
+    */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val groups = df.filter(col(lhs).isNotNull)
+      .groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("n_rhs_nn"),
+        max(when(col(rhs).isNull, 1).otherwise(0)).as("has_null"))
+      .select(col(lhs), (col("n_rhs_nn") + col("has_null")).as("n_rhs"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("n_rhs")).as("max_distinct_rhs"))
+      .select(lit(s"$lhs->$rhs").as("fd"), col("n_groups"), col("n_violating"),
+        col("max_distinct_rhs"),
+        expr("(n_violating * 10000) DIV n_groups").as("violation_bp"))
+  }
 }

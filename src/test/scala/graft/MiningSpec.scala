@@ -707,6 +707,39 @@ class MiningSpec extends SparkSpec {
     assert(Graph.kCorePeel(chain, k = 2, rounds = 2).count() === 0L)
   }
 
+  test("item cosine top-k: Ochiai values by hand; both directions ranked; k cuts") {
+    // baskets: {x,y} ×2, {x,z} ×1, {x} ×1 -> n_x=4, n_y=2, n_z=1;
+    // cos(x,y) = 2/√8, cos(x,z) = 1/√4
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+        (4, "x")).toDF("b", "i")
+    val out = Affinity.itemCosineTopK(df, col("b"), col("i"),
+        minItemCount = 1, minPairCount = 1, k = 2)
+      .orderBy("item1", "rank").collect()
+    val m = out.map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getString(2), r.getDouble(4))).toMap
+    assert(m(("x", 1)) === (("y", 0.707107))) // 2/√8 rounded
+    assert(m(("x", 2)) === (("z", 0.5)))
+    assert(m(("y", 1)) === (("x", 0.707107))) // reverse direction present
+    assert(m(("z", 1)) === (("x", 0.5)))
+    assert(out.length === 4)
+  }
+
+  test("fdViolations: key FD passes, violated FD counted, null rhs is a value") {
+    val df = Seq((1, "a", "p"), (2, "a", "p"), (3, "b", "q"), (3, "b", "q"),
+        (4, null, "q")).toDF("k", "v", "w")
+    // k -> v: group 4 has only null v (counts as 1 value) -> no violation
+    val kv = graft.ext.ScaleOps.fdViolations(df, "k", "v").collect().head
+    assert(kv.getString(0) === "k->v" && kv.getLong(1) === 4L &&
+      kv.getLong(2) === 0L && kv.getLong(4) === 0L)
+    // v -> w: 'a'->{p}, 'b'->{q}; null determinants excluded -> holds
+    assert(graft.ext.ScaleOps.fdViolations(df, "v", "w")
+      .collect().head.getLong(2) === 0L)
+    // w -> v: 'p'->{a}, 'q'->{b, null} = 2 values -> 1 of 2 violating
+    val wv = graft.ext.ScaleOps.fdViolations(df, "w", "v").collect().head
+    assert(wv.getLong(1) === 2L && wv.getLong(2) === 1L &&
+      wv.getLong(3) === 2L && wv.getLong(4) === 5000L)
+  }
+
   test("globalTransitivity: triangle+pendant by hand; oriented count finds each once") {
     // triangle {1,2,3} + pendant 4 on node 1: T=1; degrees (3,2,2,1)
     // give Σ deg(deg−1)/2 = 3+1+1+0 = 5 wedges; C = 3/5

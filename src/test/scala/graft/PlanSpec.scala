@@ -361,6 +361,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_item_cosine: vocabulary broadcasts; neighbor ranking never cartesians") {
+    val df = SparkEntry.queries("q_item_cosine")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "freq counts must broadcast onto the pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q_fd_audit: each FD is one two-phase distinct aggregate, no joins") {
+    val df = SparkEntry.queries("q_fd_audit")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "FD audit must be pure aggregation")
+    assert(p.contains("partial_"), "distinct counts must combine in two phases")
+  }
+
   test("q_itemsets3: triples expand from basket arrays — no self-join anywhere") {
     val df = SparkEntry.queries("q_itemsets3")(spark, SparkSpec.sf0001)
     val p = df.queryExecution.executedPlan.toString
