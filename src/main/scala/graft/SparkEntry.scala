@@ -1939,6 +1939,52 @@ object SparkEntry {
     }),
 
     // ext multimodal: per-partition batched decode (stub codec) metadata
+    // multimodal step 0: two-level binary dedup — hash the first
+    // 64-byte CHUNK as the cheap prefilter, confirm with the full
+    // content hash (dedup BEFORE decode: a chunk hash costs a fraction
+    // of a scan, a codec costs orders more). Groups sharing a header
+    // chunk are dedup candidates; n_distinct_full separates true
+    // copies from header-only collisions that need a byte compare.
+    // Payloads are ASCII here (probed at every SF), so DuckDB's char
+    // slicing equals Spark's byte slicing — the q_frame_sample device.
+    "q_media_dedup" -> ((s, dir) => {
+      Multimodal.asMedia(spread(t(s, dir, "documents")), "doc_id", "text", "image")
+        .select(col("media_id"),
+          md5(substring(col("payload"), 1, 64)).as("chunk_md5"),
+          md5(col("payload")).as("full_md5"))
+        .groupBy("chunk_md5")
+        .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct("full_md5").as("n_distinct_full"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keep_id")
+    }),
+
+    // cohort LTV curve: cumulative revenue per signup-week cohort by
+    // week offset, plus integer cents-per-user — the revenue twin of
+    // q_cohort_retention. Cents are exact longs; the cumulative window
+    // runs over the (cohort, offset) grid, never rows.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), floor(col("value") * 100).as("cents"))
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val sizes = firsts.groupBy("cw")
+        .agg(countDistinct("user_id").as("cohort_users"))
+      val grid = ev.join(firsts, "user_id")
+        .groupBy(col("cw"),
+          expr("datediff(cast(date_trunc('week', ts) as date), cast(cw as date)) div 7")
+            .cast("int").as("week_offset"))
+        .agg(sum("cents").as("rev_cents"))
+      grid
+        .withColumn("cum_rev_cents",
+          sum("rev_cents").over(Window.partitionBy("cw").orderBy("week_offset")))
+        .join(broadcast(sizes), "cw")
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents DIV cohort_users").as("ltv_cents_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeBatches(
           Multimodal.asMedia(spread(t(s, dir, "documents")), "doc_id", "text", "image"))
@@ -4323,6 +4369,42 @@ object SparkEntry {
           |       CAST(date_diff('day', cw, ew) // 7 AS INT) AS week_offset,
           |       count(DISTINCT user_id) AS active_users
           |FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+      "q_media_dedup" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         md5(substring(text, 1, 64)) AS chunk_md5,
+          |         md5(text) AS full_md5
+          |  FROM documents)
+          |SELECT chunk_md5, min(media_id) AS keep_id, count(*) AS n_copies,
+          |       count(DISTINCT full_md5) AS n_distinct_full
+          |FROM m GROUP BY 1 HAVING count(*) > 1
+          |ORDER BY keep_id""".stripMargin,
+
+      "q_cohort_ltv" ->
+        """WITH ev AS (
+          |  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+          |  FROM ev GROUP BY 1),
+          |sz AS (SELECT cw, count(DISTINCT user_id) AS cohort_users FROM f GROUP BY 1),
+          |grid AS (
+          |  SELECT f.cw,
+          |         CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7 AS INT) AS week_offset,
+          |         CAST(sum(e.cents) AS BIGINT) AS rev_cents
+          |  FROM ev e JOIN f ON e.user_id = f.user_id
+          |  GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT cw, week_offset, rev_cents,
+          |         CAST(sum(rev_cents) OVER (PARTITION BY cw ORDER BY week_offset) AS BIGINT)
+          |           AS cum_rev_cents
+          |  FROM grid)
+          |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
+          |       c.rev_cents, c.cum_rev_cents,
+          |       c.cum_rev_cents // s.cohort_users AS ltv_cents_per_user
+          |FROM cum c JOIN sz s ON c.cw = s.cw
+          |ORDER BY cohort_week, week_offset""".stripMargin,
 
       "q_pii_redact" ->
         """WITH raw AS (
