@@ -1179,6 +1179,54 @@ object SparkEntry {
     // same-nation residual (c_nationkey = s_nationkey) and a date
     // range on orders. Catalyst orders the tree; the revenue product
     // is per-row IEEE-identical cross-engine, the sum rounded 1e-2.
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer
+    // BROADCASTS into orders, the date-filtered lineitem joins on the
+    // order key, and the top-10 lands in one TakeOrdered — no global
+    // sort. Revenue ranks as exact integer cents (floor of the IEEE
+    // product, identical expression text both engines), so the order
+    // can never drift sub-cent across engines or retries.
+    "q_tpch_q3ish" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100))
+          .as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): one quarter of
+    // orders × returned lines × customer, nation broadcast, top-20
+    // lossy customers by exact-cents returned revenue (same
+    // drift-free ranking discipline as q3ish).
+    "q_tpch_q10ish" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100))
+          .as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q_tpch_q5ish" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val ord = t(s, dir, "orders")
@@ -4713,6 +4761,31 @@ object SparkEntry {
           |       round(min(m), 4) AS median, round(min(md), 4) AS mad
           |FROM dev JOIN mad USING (l_returnflag)
           |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+      "q_tpch_q3ish" ->
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+          |         AS rev_cents
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+          |GROUP BY 1, 2
+          |ORDER BY rev_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q_tpch_q10ish" ->
+        """SELECT c_custkey, c_name, n_name,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+          |         AS rev_cents
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1999-04-01 00:00:00'
+          |  AND l_returnflag = 'R'
+          |GROUP BY 1, 2, 3
+          |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
 
       "q_tpch_q5ish" ->
         """SELECT n_name,

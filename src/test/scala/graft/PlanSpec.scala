@@ -361,6 +361,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_tpch_q3ish / q_tpch_q10ish: dims broadcast, top-k is one TakeOrdered") {
+    for (q <- Seq("q_tpch_q3ish", "q_tpch_q10ish")) {
+      val p = SparkEntry.queries(q)(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q: the small dim must broadcast")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: limit-after-sort must plan as TakeOrdered, not a global sort")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("q_item_cosine: vocabulary broadcasts; neighbor ranking never cartesians") {
     val df = SparkEntry.queries("q_item_cosine")(spark, SparkSpec.sf0001)
     val p = df.queryExecution.executedPlan.toString
