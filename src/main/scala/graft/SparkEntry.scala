@@ -2837,6 +2837,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // personalized PageRank from the seed parts over the sparse
+    // co-purchase graph — random-walk-with-restart proximity, the
+    // related-items recommendation kernel; same |E|-bounded rounds as
+    // q_pagerank with teleport pinned to the seeds
+    // (Graph.personalizedPageRank scaladoc).
+    "q_ppr" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir, minCount = 2).coalesce(4).persist()
+      val seeds = e.filter(col("src") % 97 === 0).select(col("src").as("id"))
+      Graph.personalizedPageRank(e, seeds, iters = 3).orderBy("id")
+    }),
+
+    // incremental JOIN-view maintenance: the nation-revenue rollup
+    // (orders ⋈ customer ⋈ nation) maintained from base + delta
+    // PARTIALS — the delta joins only ITS orders against the
+    // dimensions, history is never re-scanned, and the merge is a
+    // groupBy-sum over two partial states. The oracle recomputes from
+    // the full fact table, so the gate proves merged == full — the
+    // join generalization of q_incr_agg's aggregate maintenance.
+    "q_incr_join_view" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      def partial(o: DataFrame): DataFrame =
+        o.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), sum(floor(col("o_totalprice") * 100)).as("cents"))
+      val ord = t(s, dir, "orders")
+      val cut = lit("1999-01-01").cast("timestamp")
+      partial(ord.filter(col("o_orderdate") < cut))
+        .unionByName(partial(ord.filter(col("o_orderdate") >= cut)))
+        .groupBy("n_name")
+        .agg(sum("n").as("n_orders"), sum("cents").as("rev_cents"))
+        .orderBy("n_name")
+    }),
+
     // global clustering coefficient by degree-ORIENTED triangle
     // counting over the sparse co-purchase graph — the skew-proof
     // triangle algorithm (out-degree bounded by orientation; wedge
@@ -6471,6 +6506,51 @@ object SparkEntry {
            |SELECT src AS id, count(*) AS degree
            |FROM e3 GROUP BY src ORDER BY id""".stripMargin,
 
+      // teleport mass pinned to the seeds; three unrolled rounds over
+      // the same left-join spine as the Spark side
+      "q_ppr" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |seeds AS (SELECT DISTINCT src AS id FROM e WHERE src % 97 = 0),
+           |ns AS (SELECT count(*) AS n FROM seeds),
+           |tele AS (SELECT id, CAST(1.0 AS DOUBLE) / ns.n AS t FROM seeds CROSS JOIN ns),
+           |pr0 AS (SELECT id, t AS pr FROM tele),
+           |pr1 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) * COALESCE(tl.t, CAST(0.0 AS DOUBLE))
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i1.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes LEFT JOIN tele tl ON tl.id = nodes.id
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr0 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i1 ON i1.id = nodes.id),
+           |pr2 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) * COALESCE(tl.t, CAST(0.0 AS DOUBLE))
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i2.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes LEFT JOIN tele tl ON tl.id = nodes.id
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr1 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i2 ON i2.id = nodes.id),
+           |pr3 AS (
+           |  SELECT nodes.id,
+           |         CAST(0.15 AS DOUBLE) * COALESCE(tl.t, CAST(0.0 AS DOUBLE))
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes LEFT JOIN tele tl ON tl.id = nodes.id
+           |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+           |             FROM e JOIN pr2 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+           |             GROUP BY 1) i3 ON i3.id = nodes.id)
+           |SELECT id, round(pr, 6) AS ppr FROM pr3 ORDER BY id""".stripMargin,
+
+      // full recompute — the gate proves base+delta partial-state merge
+      // over the JOIN view equals rescanning the whole fact
+      "q_incr_join_view" ->
+        """SELECT n_name, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // degree-oriented triangle closure, staged exactly as the Spark
       // side: orient small→large by (deg, id), pair out-neighbors in
       // orientation order, close with a semi-join
@@ -6493,7 +6573,7 @@ object SparkEntry {
            |SELECT n_triangles, n_wedges,
            |       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
            |         AS transitivity
-           |FROM tri CROSS JOIN ow""".stripMargin,
+           |FROM tri CROSS JOIN ow ORDER BY n_triangles""".stripMargin,
 
       "q_degree_assort" ->
         s"""WITH ${sqlCoPurchaseCtes(2)},
@@ -6511,7 +6591,7 @@ object SparkEntry {
            |             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
            |                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
            |         AS assortativity
-           |FROM s""".stripMargin,
+           |FROM s ORDER BY n_edges""".stripMargin,
 
       "q_burstiness" ->
         """WITH g AS (

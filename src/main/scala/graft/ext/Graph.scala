@@ -173,6 +173,43 @@ object Graph {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Personalized PageRank: teleportation goes to the SEED set (mass
+    * 1/|seeds| each) instead of uniformly everywhere — the random walk
+    * restarts at the seeds, so scores measure proximity TO the seeds
+    * and the result is the classic graph-recommendation / related-
+    * entities kernel. Same fixed-iteration distributed shape as
+    * [[pageRank]]: one edge⋈rank join + one aggregate per round,
+    * shuffle bounded by |E|, no per-round driver actions; the teleport
+    * vector is a broadcast-sized (seed, 1/|seeds|) frame re-joined
+    * each round. Non-seed nodes unreachable from the seeds keep rank
+    * exactly 0. Returns (id, ppr) rounded at 6.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      d: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seedSet = nodes.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .persist()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+    val tele = seedSet.withColumn("t", lit(1.0 / nSeeds))
+    var pr = tele.select(col("id"), col("t").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("out_deg").cast("double")).as("inflow"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left")
+        .join(tele, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - d) * coalesce(col("t"), lit(0.0)) +
+            lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("ppr"))
+  }
+
   /** PageRank with damping `d` for a fixed `iters` rounds over a
     * directed edge list (src, dst). Nodes are those appearing in the
     * edge list; every node here has out-degree ≥ 1 (symmetrized

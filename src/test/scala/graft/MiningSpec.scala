@@ -740,6 +740,30 @@ class MiningSpec extends SparkSpec {
       wv.getLong(3) === 2L && wv.getLong(4) === 5000L)
   }
 
+  test("personalized PageRank: mass concentrates at the seed; unreachable stays 0") {
+    // path 1-2-3 plus isolated pair 4-5; seed = {1}
+    val g = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2"))
+    val out = Graph.personalizedPageRank(g, Seq(1L).toDF("id"), iters = 3)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // walk mass stays in the seed's component (on an odd iteration of
+    // a 3-path most mass sits on the middle node); the 2-hop node
+    // always trails the 1-hop one
+    assert(out(2L) > out(1L) && out(1L) > out(3L) && out(3L) > 0.0)
+    // the disconnected component receives exactly zero mass
+    assert(out(4L) === 0.0 && out(5L) === 0.0)
+    // hand-rolled round 1: pr0 = {1: 1.0};
+    // pr1(1) = 0.15·1 + 0 = 0.15 (node 2 had no rank yet)... then
+    // iterated — instead pin the closed first-round value for node 2:
+    // pr1(2) = 0.85 · (1.0 / deg(1)=1) = 0.85
+    val one = Graph.personalizedPageRank(g, Seq(1L).toDF("id"), iters = 1)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(1L) === 0.15 && one(2L) === 0.85 && one(3L) === 0.0)
+    // seed outside the graph -> require fires
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(g, Seq(99L).toDF("id"), 1))
+  }
+
   test("globalTransitivity: triangle+pendant by hand; oriented count finds each once") {
     // triangle {1,2,3} + pendant 4 on node 1: T=1; degrees (3,2,2,1)
     // give Σ deg(deg−1)/2 = 3+1+1+0 = 5 wedges; C = 3/5

@@ -361,6 +361,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_incr_join_view: dimension joins broadcast in BOTH partials; merge is an agg") {
+    val df = SparkEntry.queries("q_incr_join_view")(spark, SparkSpec.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "nation/customer must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "partial states must combine map-side")
+  }
+
   test("q_tpch_q3ish / q_tpch_q10ish: dims broadcast, top-k is one TakeOrdered") {
     for (q <- Seq("q_tpch_q3ish", "q_tpch_q10ish")) {
       val p = SparkEntry.queries(q)(spark, SparkSpec.sf0001)
