@@ -2188,6 +2188,26 @@ object SparkEntry {
     // partials. Same oracle as q_incr_agg: the full recompute — the
     // gate proves the streaming-maintained view equals rescanning
     // everything (EventsStream.maintainRollup scaladoc).
+    // streaming keyed UPSERT: the latest-row-per-user snapshot
+    // maintained by foreachBatch generations (streaming MERGE INTO
+    // without a table format; replay rewrites its own generation
+    // byte-identically — EventsStream.maintainSnapshot scaladoc). The
+    // oracle recomputes latest-by-key from the whole event history, so
+    // the gate proves stream-maintained == batch-recomputed.
+    "q_stream_upsert" -> ((s, dir) => {
+      val snap = java.nio.file.Files.createTempDirectory("graft_upsert_snap").toString
+      EventsStream.maintainSnapshot(
+        EventsStream.readEventsStream(s, s"$dir/events.parquet")
+          .select("user_id", "event_id", "event_type", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), snap,
+        java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString)
+      EventsStream.readSnapshot(s, snap)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
     "q_stream_rollup" -> ((s, dir) => {
       val state = java.nio.file.Files.createTempDirectory("graft_rollup_state").toString
       EventsStream.maintainRollup(
@@ -4385,6 +4405,17 @@ object SparkEntry {
           |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),
           |                            INTERVAL 1 DAY)) AS t(g)
           |ORDER BY 1, 2""".stripMargin,
+
+      // same latest-by-key recompute as the batch query — proving the
+      // stream-maintained snapshot equals the full-history answer
+      "q_stream_upsert" ->
+        """WITH ranked AS (
+          |  SELECT user_id, event_id, event_type, ts, value,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id, event_type,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value
+          |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
       "q_latest_by_key" ->
         """WITH ranked AS (

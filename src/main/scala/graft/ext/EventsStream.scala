@@ -340,6 +340,67 @@ object EventsStream {
     q
   }
 
+  /** Streaming keyed-UPSERT snapshot maintenance: each micro-batch
+    * merges into a latest-row-per-key snapshot — the streaming MERGE
+    * INTO, without a transactional table format. Batch k reads the
+    * newest `gen=<j>` generation with j < k, unions its rows, keeps
+    * the per-key max by `orderCols` ([[ScaleOps.latestByKey]] — one
+    * map-side-combined max_by, no per-key sort), and writes the merged
+    * snapshot as `gen=k`. Readers always see a COMPLETE generation
+    * ([[readSnapshot]] picks the max) — no torn reads, because a
+    * generation becomes the max only after its write finishes.
+    *
+    * Exactly-once comes from the generation discipline, same mechanism
+    * as [[sinkToParquetIdempotent]]'s partition overwrite: a REPLAYED
+    * batch k ignores its own stale `gen=k` (the `< k` filter) and
+    * rewrites it from the same inputs — byte-identical, because the
+    * merge is deterministic.
+    *
+    * Scale: each merge rewrites the SNAPSHOT (keys-sized), never the
+    * event history — right when keys ≪ events (the upsert use case).
+    * Old generations accumulate for time travel; prune by retention.
+    * For key universes too large to rewrite per batch, hash-partition
+    * the snapshot by key and overwrite only the partitions a batch
+    * touches (`partitionOverwriteMode=dynamic`, the
+    * [[maintainRollup]] device) — same generation rule per partition.
+    */
+  def maintainSnapshot(stream: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                       snapDir: String, checkpointDir: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(snapDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prevGen =
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+              .filter(_ < batchId).sorted.lastOption
+          else None
+        val prev = prevGen.map(g => s.read.parquet(s"$snapDir/gen=$g"))
+        val merged = ScaleOps.latestByKey(
+          prev.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF()),
+          keys, orderCols)
+        merged.write.mode("overwrite").parquet(s"$snapDir/gen=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+
+  /** Read the newest complete generation written by [[maintainSnapshot]]. */
+  def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).max
+    spark.read.parquet(s"$snapDir/gen=$latest")
+  }
+
   /** Serve the rollup maintained by [[maintainRollup]]: merge the
     * per-batch partials. Cheap — state is keys × batches, not events.
     */
