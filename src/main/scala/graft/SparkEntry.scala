@@ -2188,6 +2188,19 @@ object SparkEntry {
     // partials. Same oracle as q_incr_agg: the full recompute — the
     // gate proves the streaming-maintained view equals rescanning
     // everything (EventsStream.maintainRollup scaladoc).
+    // exact distinct users per type via the mergeable BITMAP aggregator
+    // — O(domain/8)-byte state per group regardless of row count,
+    // map-side OR-combine; the exact-bitmap point on the distinct
+    // spectrum between approx_count_distinct and the Expand plan
+    // (functions.BitmapDistinct scaladoc). Oracle = COUNT(DISTINCT).
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val bd = udaf(new graft.functions.BitmapDistinct(1 << 16))
+      spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy("event_type")
+        .agg(bd(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // streaming keyed UPSERT: the latest-row-per-user snapshot
     // maintained by foreachBatch generations (streaming MERGE INTO
     // without a table format; replay rewrites its own generation
@@ -4405,6 +4418,10 @@ object SparkEntry {
           |                            CAST(coalesce(next_d - 1, d) AS TIMESTAMP),
           |                            INTERVAL 1 DAY)) AS t(g)
           |ORDER BY 1, 2""".stripMargin,
+
+      "q_bitmap_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // same latest-by-key recompute as the batch query — proving the
       // stream-maintained snapshot equals the full-history answer

@@ -83,4 +83,25 @@ class TopKAggSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final object hash aggregate, got:\n$plan")
   }
+
+  test("bitmap distinct: equals count_distinct under any partitioning; domain guard fires") {
+    val agg = new graft.functions.BitmapDistinct(256)
+    // buffer algebra by hand: dup ids set one bit; merge is OR
+    val b1 = Seq(3L, 9L, 3L).foldLeft(agg.zero)(agg.reduce)
+    val b2 = Seq(9L, 200L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(b1, b2)) === 3L)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, 256L))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+    intercept[IllegalArgumentException](new graft.functions.BitmapDistinct(0))
+    // real data, shuffled across partitions: must equal count(DISTINCT)
+    val ev = spark.read.parquet(s"${SparkSpec.sf0001}/events.parquet")
+      .repartition(7)
+    val bd = udaf(new graft.functions.BitmapDistinct(1 << 16))
+    val got = ev.groupBy("event_type").agg(bd(col("user_id")).as("n"))
+      .orderBy("event_type").collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .orderBy("event_type").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+  }
 }
