@@ -4003,6 +4003,70 @@ object SparkEntry {
       ScaleOps.decayedCounts(EventsStream.readEvents(s, s"$dir/events.parquet"),
           Seq("event_type"), col("ts"), halfLifeDays = 7)
         .orderBy("event_type")
+    }),
+
+    // common-neighbor link prediction over the co-purchase graph:
+    // non-adjacent part pairs ranked by shared neighbors — the
+    // "related items you don't sell together YET" candidate set. Hub
+    // apexes above deg 60 are excluded BEFORE the wedge join (the IDF
+    // principle doubling as the skew bound; Graph.commonNeighbors
+    // scaladoc); deterministic (cn DESC, id1, id2) top-k.
+    "q_common_neighbors" -> ((s, dir) => {
+      Graph.commonNeighbors(coPurchaseEdges(s, dir, minCount = 2).persist(),
+        maxApexDegree = 60, minCommon = 2, topK = 40)
+    }),
+
+    // snapshot reconciliation via FULL OUTER join — the data-diff
+    // report every migration/backfill ends with: per-customer order
+    // count + exact cents from two halves of the order history,
+    // full-outer joined and classified left_only / right_only /
+    // changed. One co-keyed shuffle join of two partial aggregates;
+    // the classification and delta are narrow integer arithmetic, and
+    // the report collapses to |status| rows map-side.
+    "q_full_outer_recon" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val cut = lit("1996-01-01").cast("timestamp")
+      def snap(f: DataFrame): DataFrame = f.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+      val a = snap(ord.filter(col("o_orderdate") < cut))
+        .select(col("o_custkey"), col("n").as("n_a"), col("cents").as("cents_a"))
+      val b = snap(ord.filter(col("o_orderdate") >= cut))
+        .select(col("o_custkey"), col("n").as("n_b"), col("cents").as("cents_b"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(
+          when(col("n_a").isNull, lit("right_only"))
+            .when(col("n_b").isNull, lit("left_only"))
+            .otherwise(lit("changed")).as("status"),
+          coalesce(col("cents_b"), lit(0L)).minus(coalesce(col("cents_a"), lit(0L)))
+            .as("delta_cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("delta_cents").as("total_delta_cents"))
+        .orderBy("status")
+    }),
+
+    // URL parse + host rollup — the web-corpus ingestion primitive
+    // (every crawl pipeline groups by registered host before
+    // dedup/quality). URLs derive deterministically from document
+    // columns so the DuckDB oracle reproduces them; the PARSING is the
+    // operator: one regexp per component (host / first path segment /
+    // query param), all codegen'd, narrow until the per-host count —
+    // which map-side-combines to |hosts| rows.
+    "q_url_parse" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("lang"), lit("/"), col("doc_id"), lit("?ref=r"),
+          pmod(col("n_chars"), lit(7))).as("url"))
+      urls.select(
+          regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/?#]+/[^/?#]+/([^/?#]+)", 1).as("seg2"),
+          regexp_extract(col("url"), "[?&]ref=([^&#]*)", 1).as("ref"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("ref")).as("n_refs"),
+          countDistinct(col("seg2")).as("n_langs"))
+        .orderBy("host")
     })
   )
 
@@ -7967,7 +8031,59 @@ object SparkEntry {
           |  FROM w)
           |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
           |       round(CAST(sum(w_nano) AS DOUBLE) / 1e9, 6) AS decayed_count
-          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same apex cap, wedge grouping, anti-join, and (cn, id) total
+      // order as Graph.commonNeighbors
+      "q_common_neighbors" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |keep AS (SELECT src FROM deg WHERE deg <= 60),
+           |ke AS (SELECT e.src AS u, e.dst AS v FROM e
+           |       JOIN keep k ON e.src = k.src),
+           |cn AS (
+           |  SELECT a.v AS id1, b.v AS id2, count(*) AS cn
+           |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nonadj AS (
+           |  SELECT cn.id1, cn.id2, cn.cn FROM cn WHERE NOT EXISTS (
+           |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))
+           |SELECT id1, id2, CAST(cn AS BIGINT) AS cn FROM nonadj
+           |ORDER BY cn DESC, id1, id2 LIMIT 40""".stripMargin,
+
+      "q_full_outer_recon" ->
+        """WITH a AS (
+          |  SELECT o_custkey, count(*) AS n_a,
+          |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_a
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+          |b AS (
+          |  SELECT o_custkey, count(*) AS n_b,
+          |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_b
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1),
+          |j AS (
+          |  SELECT CASE WHEN a.o_custkey IS NULL THEN 'right_only'
+          |              WHEN b.o_custkey IS NULL THEN 'left_only'
+          |              ELSE 'changed' END AS status,
+          |         COALESCE(cents_b, 0) - COALESCE(cents_a, 0) AS delta_cents
+          |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+          |SELECT status, count(*) AS n_customers,
+          |       CAST(sum(delta_cents) AS BIGINT) AS total_delta_cents
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_url_parse" ->
+        """WITH u AS (
+          |  SELECT 'https://' || source || '.example.com/docs/' || lang || '/'
+          |           || doc_id || '?ref=r' || (n_chars % 7) AS url
+          |  FROM documents),
+          |p AS (
+          |  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+          |         regexp_extract(url, '^https?://[^/?#]+/[^/?#]+/([^/?#]+)', 1) AS seg2,
+          |         regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+          |  FROM u)
+          |SELECT host, count(*) AS n_urls,
+          |       CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+          |       CAST(count(DISTINCT seg2) AS BIGINT) AS n_langs
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

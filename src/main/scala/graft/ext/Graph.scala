@@ -210,6 +210,52 @@ object Graph {
     pr.select(col("id"), round(col("pr"), 6).as("ppr"))
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent node pair
+    * reachable in two hops, the number of shared neighbors — the
+    * classic "people you may know" / related-items candidate score.
+    * Wedges are generated by grouping the symmetrized edge list on the
+    * shared apex (u→v, u→w with v < w ⇒ candidate (v, w)), so each
+    * common neighbor contributes exactly one wedge and the per-pair
+    * count IS the common-neighbor count; existing edges are removed by
+    * one anti-join so only genuinely-new links remain.
+    *
+    * Scale design: exact CN counting is inherently Σ deg(apex)² wedge
+    * work, and that sum is dominated by hubs — so the skew control is
+    * `maxApexDegree`: apexes above it are EXCLUDED before the wedge
+    * self-join (one degree aggregate + one semi-join). That is not just
+    * a performance cap; it is the IDF principle — a neighbor shared
+    * with everyone carries no link signal — which is why production
+    * link-prediction systems (and the oracle, which applies the same
+    * filter) drop hub apexes rather than sampling them. After the cap,
+    * wedge work is ≤ |E_kept| · maxApexDegree, linear in edges. The
+    * final TopK orders by (cn DESC, v, w) — a deterministic total
+    * order, taken with TakeOrderedAndProject (no global sort).
+    *
+    * Input must be symmetrized ([[symmetrize]]); returns (id1, id2, cn)
+    * with id1 < id2.
+    */
+  def commonNeighbors(edges: DataFrame, maxApexDegree: Long, minCommon: Long,
+      topK: Int): DataFrame = {
+    require(maxApexDegree >= 1 && minCommon >= 1 && topK >= 1,
+      "maxApexDegree, minCommon and topK must be positive")
+    val keepApex = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxApexDegree)
+      .select(col("src"))
+    val kept = edges.join(keepApex, Seq("src"), "left_semi")
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist() // both wedge legs read it
+    val cn = kept
+      .join(kept.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("id1"), col("w").as("id2"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    cn.join(edges.select(col("src").as("id1"), col("dst").as("id2")),
+        Seq("id1", "id2"), "left_anti")
+      .orderBy(col("cn").desc, col("id1"), col("id2"))
+      .limit(topK)
+  }
+
   /** PageRank with damping `d` for a fixed `iters` rounds over a
     * directed edge list (src, dst). Nodes are those appearing in the
     * edge list; every node here has out-degree ≥ 1 (symmetrized

@@ -779,6 +779,33 @@ class MiningSpec extends SparkSpec {
     assert(r2.getLong(0) === 2L && r2.getLong(1) === 8L && r2.getDouble(2) === 0.75)
   }
 
+  test("commonNeighbors: adjacency excluded, apex cap drops hubs, (cn,id) order") {
+    // path 1-2-3: the only 2-hop non-adjacent pair is (1,3) through 2
+    val path = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+    val r = Graph.commonNeighbors(path, maxApexDegree = 10, minCommon = 1, topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 3L, 1L)))
+    // triangle: every 2-hop pair is already an edge -> empty
+    val tri = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"))
+    assert(Graph.commonNeighbors(tri, 10, 1, 10).count() === 0L)
+    // star center 0, leaves 1..4: six leaf pairs share only the hub;
+    // capping the apex degree below 4 removes the hub -> no candidates
+    val star = Graph.symmetrize(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("id1", "id2"))
+    assert(Graph.commonNeighbors(star, 10, 1, 10).count() === 6L)
+    assert(Graph.commonNeighbors(star, 3, 1, 10).count() === 0L)
+    // two shared neighbors rank above one; ties break on (id1, id2)
+    val g = Graph.symmetrize(Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), // (1,2) via 10 and 11
+      (3L, 10L), (4L, 11L)                        // (1,3),(2,3) via 10 …
+    ).toDF("id1", "id2"))
+    val top = Graph.commonNeighbors(g, 10, 1, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(top.head === ((1L, 2L, 2L)))
+    assert(top.toSeq === top.toSeq.sortBy(t => (-t._3, t._1, t._2)))
+    intercept[IllegalArgumentException](Graph.commonNeighbors(g, 0, 1, 1))
+  }
+
   test("degreeAssortativity: path is perfectly disassortative; regular graph is undefined") {
     // path 1-2-3: every edge joins deg-1 to deg-2 -> r = −1
     val path = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
