@@ -4067,6 +4067,84 @@ object SparkEntry {
           countDistinct(col("ref")).as("n_refs"),
           countDistinct(col("seg2")).as("n_langs"))
         .orderBy("host")
+    }),
+
+    // TPC-H Q17-shape: small-quantity outlier orders via a CORRELATED
+    // scalar subquery (quantity < 0.2 × that part's own average) —
+    // written as the subquery ON PURPOSE: Catalyst decorrelates it
+    // into an aggregate + join (no per-row re-scan), the optimization
+    // a naive engine gets catastrophically wrong. Revenue is exact
+    // cents; the avg comparison is engine-stable because quantities
+    // are integral doubles (Σ exact at any summation order).
+    "q_tpch_q17ish" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_v")
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql("""SELECT count(*) AS n_rows,
+              |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) DIV 7
+              |         AS avg_weekly_cents
+              |FROM li_v JOIN part_v ON p_partkey = l_partkey
+              |WHERE p_partkey % 5 = 0
+              |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM li_v l2
+              |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // audience-overlap matrix: pairwise Jaccard between event-type
+    // audiences (users with ≥ 15 events of the type). The per-user
+    // self-join fans out at most |types|² per user — bounded — and
+    // sizes/intersections stay exact longs until one final division.
+    "q_audience_overlap" -> ((s, dir) => {
+      val au = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .filter(col("n_ev") >= 15)
+        .select("event_type", "user_id")
+        .persist() // sizes + both intersection legs
+      val sz = au.groupBy("event_type").agg(count(lit(1)).as("n"))
+      au.select(col("event_type").as("t1"), col("user_id"))
+        .join(au.select(col("event_type").as("t2"), col("user_id")), Seq("user_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sz.select(col("event_type").as("t1"), col("n").as("n_a"))), Seq("t1"))
+        .join(broadcast(sz.select(col("event_type").as("t2"), col("n").as("n_b"))), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6).as("jaccard"))
+        .orderBy("t1", "t2")
+    }),
+
+    // per-group median imputation — the ML-prep null-fill: nulls are
+    // planted deterministically (so the oracle reproduces them), the
+    // fill value is the group's exact disc median (Quantiles machinery
+    // — shuffle is distinct values, never a per-group sort), and the
+    // gate pins the post-imputation integer sum.
+    "q_impute" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        when(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(13)) === 0, lit(null))
+          .otherwise(col("l_quantity")).as("qty"))
+        .persist() // median pass + imputation pass
+      val med = Quantiles.exactQuantilesDisc(li.filter(col("qty").isNotNull),
+        "qty", Seq("g"), Seq(0.5), Seq("med"))
+      li.join(broadcast(med), Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty").isNull.cast("long")).as("n_imputed"),
+          max(col("med")).as("median_used"),
+          sum(floor(coalesce(col("qty"), col("med")))).cast("long").as("sum_qty_filled"))
+        .orderBy("g")
+    }),
+
+    // sequence-contiguity audit: are each order's line numbers the
+    // contiguous run 1..n? One map-side-combined (count, min, max) per
+    // key, then a scalar rollup — the cheapest possible shape for a
+    // completeness check over an append log (no window, no sort).
+    "q_seq_gaps" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), min("l_linenumber").as("mn"),
+          max("l_linenumber").as("mx"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("mn") =!= 1 || col("mx") =!= col("n")).cast("long")).as("n_gappy"),
+          sum((col("mx") - col("n")).cast("long")).as("n_missing"))
     })
   )
 
@@ -8083,7 +8161,61 @@ object SparkEntry {
           |SELECT host, count(*) AS n_urls,
           |       CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
           |       CAST(count(DISTINCT seg2) AS BIGINT) AS n_langs
-          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // DuckDB decorrelates the same way; the avg is engine-stable
+      // (integral doubles sum exactly in any order)
+      "q_tpch_q17ish" ->
+        """SELECT count(*) AS n_rows,
+          |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) // 7
+          |         AS avg_weekly_cents
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_partkey % 5 = 0
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+      "q_audience_overlap" ->
+        """WITH au AS (
+          |  SELECT event_type, user_id FROM events
+          |  GROUP BY 1, 2 HAVING count(*) >= 15),
+          |sz AS (SELECT event_type, count(*) AS n FROM au GROUP BY 1),
+          |inter AS (
+          |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+          |  FROM au a JOIN au b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT t1, t2, sa.n AS n_a, sb.n AS n_b, n_both,
+          |       round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+          |FROM inter JOIN sz sa ON sa.event_type = t1
+          |JOIN sz sb ON sb.event_type = t2
+          |ORDER BY t1, t2""".stripMargin,
+
+      // quantile_disc == the exact disc median Quantiles computes
+      "q_impute" ->
+        """WITH li AS (
+          |  SELECT l_returnflag AS g,
+          |         CASE WHEN (l_orderkey * 8 + l_linenumber) % 13 = 0 THEN NULL
+          |              ELSE l_quantity END AS qty
+          |  FROM lineitem),
+          |med AS (
+          |  SELECT g, quantile_disc(qty, 0.5) AS med
+          |  FROM li WHERE qty IS NOT NULL GROUP BY 1)
+          |SELECT li.g, count(*) AS n_rows,
+          |       CAST(count(CASE WHEN qty IS NULL THEN 1 END) AS BIGINT) AS n_imputed,
+          |       max(med) AS median_used,
+          |       CAST(sum(CAST(floor(COALESCE(qty, med)) AS BIGINT)) AS BIGINT)
+          |         AS sum_qty_filled
+          |FROM li JOIN med ON li.g = med.g
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_seq_gaps" ->
+        """WITH g AS (
+          |  SELECT l_orderkey, count(*) AS n, min(l_linenumber) AS mn,
+          |         max(l_linenumber) AS mx
+          |  FROM lineitem GROUP BY 1)
+          |SELECT count(*) AS n_orders,
+          |       CAST(count(CASE WHEN mn <> 1 OR mx <> n THEN 1 END) AS BIGINT) AS n_gappy,
+          |       CAST(sum(mx - n) AS BIGINT) AS n_missing
+          |FROM g""".stripMargin
     )
   }
 }
