@@ -4133,6 +4133,19 @@ object SparkEntry {
         .orderBy("g")
     }),
 
+    // product-quantization ADC top-k — the memory-compression half of
+    // IVF-PQ: vectors stored as 4 one-byte codes (64× smaller than the
+    // floats), queries score by summing 4 table lookups. Codebook =
+    // designated data rows (vec_id < 16), like q_ivf_topk's centroids;
+    // every stage is exact integer arithmetic under ONE global int8
+    // scale (Similarity.pqTopK scaladoc), so the gate is hash-exact.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(spread(emb), emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") < 16), k = 3, subspaces = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // sequence-contiguity audit: are each order's line numbers the
     // contiguous run 1..n? One map-side-combined (count, min, max) per
     // key, then a scalar rollup — the cheapest possible shape for a
@@ -8206,6 +8219,48 @@ object SparkEntry {
           |         AS sum_qty_filled
           |FROM li JOIN med ON li.g = med.g
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // PQ mirrored stage-for-stage: one global int8 scale, codebook =
+      // sub-vectors of rows vec_id<16, integer-L2 argmin assignment
+      // (ties to smallest code), integer ADC lookup sums
+      "q_pq_topk" ->
+        """WITH base AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |sc AS (
+          |  SELECT max(list_max(list_transform(v, x -> abs(x)))) / 127.0 AS scale FROM base),
+          |q8 AS (
+          |  SELECT vec_id,
+          |         CASE WHEN sc.scale = 0 THEN [CAST(0 AS BIGINT) for x in v]
+          |              ELSE [CAST(round(x / sc.scale) AS BIGINT) for x in v] END AS q
+          |  FROM base, sc),
+          |sub AS (
+          |  SELECT vec_id, j, list_slice(q, j * (len(q) // 4) + 1,
+          |                               (j + 1) * (len(q) // 4)) AS s
+          |  FROM q8, range(0, 4) r(j)),
+          |cb AS (SELECT vec_id AS code_id, j, s AS c FROM sub WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id, j, code_id,
+          |         list_sum([(s[i] - c[i]) * (s[i] - c[i])
+          |                   for i in range(1, len(s) + 1)]) AS dist
+          |  FROM sub JOIN cb USING (j)),
+          |codes AS (
+          |  SELECT vec_id, j, code_id FROM assign
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) = 1),
+          |lut AS (
+          |  SELECT qs.vec_id AS query_id, qs.j, cb.code_id,
+          |         CAST(list_sum([qs.s[i] * cb.c[i]
+          |                        for i in range(1, len(qs.s) + 1)]) AS BIGINT) AS d
+          |  FROM sub qs JOIN cb ON qs.j = cb.j WHERE qs.vec_id < 8),
+          |score AS (
+          |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc
+          |  FROM codes c JOIN lut l ON l.j = c.j AND l.code_id = c.code_id
+          |  WHERE c.vec_id <> l.query_id
+          |  GROUP BY 1, 2)
+          |SELECT query_id,
+          |       CAST(row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank,
+          |       neighbor_id, adc
+          |FROM score QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
       "q_seq_gaps" ->
         """WITH g AS (

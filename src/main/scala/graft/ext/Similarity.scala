@@ -481,6 +481,87 @@ object Similarity {
       .withColumnRenamed("cosine", "approx_dot")
   }
 
+  /** Product quantization with asymmetric-distance (ADC) top-k — the
+    * memory-compression half of IVF-PQ, the serving layout every
+    * billion-vector ANN system uses: each vector is stored as
+    * `subspaces` one-byte CODES (here 4 codes for a 64-dim float
+    * vector = 64× compression), and a query scores a vector by summing
+    * `subspaces` LOOKUPS instead of a d-dim dot.
+    *
+    * Stages, all deterministic integer arithmetic:
+    *  1. ONE global int8 scale (max |component| / 127 — a scalar
+    *     aggregate, broadcast) quantizes every vector; unlike the
+    *     per-vector scale of [[quantizeInt8]], a shared scale makes
+    *     subvectors of DIFFERENT vectors directly comparable, which
+    *     codebook assignment needs.
+    *  2. The codebook is the sub-vectors of `codebook`'s rows (code id
+    *     = row id) — supplied data, like [[ivfTopK]]'s centroids, so
+    *     training stays a separate concern ([[kmeansTrain]] per
+    *     subspace is the production trainer).
+    *  3. Assignment: per (vector, subspace), the code minimizing the
+    *     exact integer L2 distance, ties to the smallest code id. The
+    *     codebook is broadcast (subspaces × codes × dim/subspaces
+    *     longs); the argmin window partitions on (vector, subspace) —
+    *     maximum key cardinality, reducers spread.
+    *  4. ADC: the query-side lookup table (query × subspace × code
+    *     integer dots) is broadcast; scoring joins the corpus CODES
+    *     (never the vectors) against it and sums `subspaces` integers
+    *     per (query, vector) — map-side-combined, so the shuffle
+    *     carries one row per (query, vector).
+    *
+    * At 100 TB only stage-4 touches the full corpus, reading 4 longs
+    * per vector (the codes) instead of 64 floats — the scan is
+    * bandwidth-bound, which is the entire point of PQ. Returns
+    * (query_id, rank, neighbor_id, adc) with `adc` the exact integer
+    * ADC score (scale²-proportional to the approximate dot).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+             k: Int, subspaces: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && subspaces >= 1, "k and subspaces must be positive")
+    val sc = corpus.agg(
+      (max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))) / 127.0)
+        .as("_scale"))
+    def q8(df: DataFrame, id: String): DataFrame = df
+      .crossJoin(broadcast(sc)) // 1-row scalar
+      .select(col(idCol).as(id),
+        when(col("_scale") === 0.0, transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col("_scale")).cast("long"))).as("q"))
+    // sub-vector explode: row → (row, j) with the j-th slice; subDim is
+    // resolved per row from the array length so dim stays data-driven
+    def subs(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), explode(sequence(lit(0), lit(subspaces - 1))).as("j"),
+        col("q"))
+      .select(col(id), col("j"),
+        slice(col("q"), col("j") * (size(col("q")) / subspaces) + 1,
+          size(col("q")) / subspaces).as("s"))
+    val cb = subs(q8(codebook, "code_id"), "code_id")
+      .select(col("code_id"), col("j"), col("s").as("c"))
+    val l2 = aggregate(zip_with(col("s"), col("c"),
+      (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+    val wAssign = Window.partitionBy(col("vid"), col("j"))
+      .orderBy(col("dist"), col("code_id"))
+    val codes = subs(q8(corpus, "vid"), "vid")
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2)
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("vid"), col("j"), col("code_id"))
+    val lut = subs(q8(queries, "query_id"), "query_id")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("code_id"),
+        aggregate(zip_with(col("s"), col("c"), _ * _), lit(0L), _ + _).as("d"))
+    val scored = codes
+      .join(broadcast(lut), Seq("j", "code_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid").as("neighbor_id"))
+      .agg(sum("d").as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
   /** Hard-negative mining for contrastive training: for each query,
     * the k most cosine-similar corpus vectors whose LABEL differs from
     * the query's — the near-misses that teach a retriever its decision

@@ -1033,6 +1033,24 @@ class ExtSpec extends SparkSpec {
       s"approx $approx vs exact $exact budget $budget")
   }
 
+  test("similarity: pqTopK hand example — assignment argmin, ADC sums, id tiebreak") {
+    // 2-dim vectors, 2 subspaces of 1 dim; codebook = rows 0,1.
+    // Global scale = 1/127 so q = round(127·v). Codes: axis-0 vs axis-1.
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),  // codebook code 0 = (127 | 0)
+      (1L, Array(0.0f, 1.0f)),  // codebook code 1 = (0 | 127)
+      (2L, Array(1.0f, 1.0f)),  // assigns (code0, code1)
+      (3L, Array(-1.0f, 0.0f))  // j0: closer to code1 (16129 < 64516); j1: code0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(d, d.filter($"vec_id" === 0),
+        d.filter($"vec_id" < 2), k = 3, subspaces = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // query 0 LUT: j0 -> (code0: 127·127 = 16129, code1: 0); j1 -> (0, 0).
+    // Scores: id2 = 16129, id1 = 0, id3 = 0 — zero tie breaks on id.
+    assert(got.toSeq === Seq((1, 2L, 16129L), (2, 1L, 0L), (3, 3L, 0L)))
+  }
+
   test("similarity: hardNegatives never returns a same-label neighbor and ranks by cosine") {
     val q = embs.filter($"vec_id" < 4)
     val got = Similarity.hardNegatives(embs, q, k = 3)
