@@ -4146,6 +4146,62 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // negative sampling for recommender / contrastive training: per
+    // customer, 5 popular parts they have NEVER bought, chosen by
+    // deterministic hash order — the classic popularity-negative
+    // sampler. The candidate pool is the top-50 popular parts
+    // (broadcast), so the per-customer explode is bounded by the pool,
+    // never |items|; interactions are removed by one anti-join on the
+    // (customer, part) key; md5 ordering makes the draw reproducible
+    // on any engine with no RNG state.
+    "q_neg_sample" -> ((s, dir) => {
+      val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val pop = t(s, dir, "lineitem").groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("p")).limit(50).select("p")
+      val w = Window.partitionBy("c")
+        .orderBy(md5(concat(col("c").cast("string"), lit("_"),
+          col("p").cast("string"))), col("p"))
+      t(s, dir, "customer").select(col("c_custkey").as("c"))
+        .crossJoin(broadcast(pop)) // bounded: 50-part pool per customer
+        .join(inter, Seq("c", "p"), "left_anti")
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("c").as("c_custkey"), col("rank"), col("p").as("p_partkey"))
+        .orderBy("c_custkey", "rank")
+    }),
+
+    // ABC (Pareto) revenue analysis per supplier nation: rank parts by
+    // exact cents, classify A/B/C at the 80/95% cumulative boundaries —
+    // decided by INTEGER cross-multiplication (cum·5 ≤ total·4), so the
+    // class never flips on float rounding. The cumulative window
+    // partitions per nation over the part-level aggregate (|parts|
+    // rows), not raw lineitem.
+    "q_abc_analysis" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey").as("p"))
+        .agg(sum(floor(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+      val wCum = Window.partitionBy("n_name").orderBy(desc("cents"), asc("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("n_name")
+      rev.withColumn("cum", sum("cents").over(wCum))
+        .withColumn("total", sum("cents").over(wTot))
+        .withColumn("abc",
+          when(col("cum") * 5 <= col("total") * 4, lit("A"))
+            .when(col("cum") * 20 <= col("total") * 19, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("n_name", "abc")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+        .orderBy("n_name", "abc")
+    }),
+
     // sequence-contiguity audit: are each order's line numbers the
     // contiguous run 1..n? One map-side-combined (count, min, max) per
     // key, then a scalar rollup — the cheapest possible shape for a
@@ -8261,6 +8317,47 @@ object SparkEntry {
           |                               ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank,
           |       neighbor_id, adc
           |FROM score QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      // md5 over the identical "c_p" string reproduces the draw
+      "q_neg_sample" ->
+        """WITH inter AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |pop AS (
+          |  SELECT l_partkey AS p FROM lineitem GROUP BY 1
+          |  ORDER BY count(*) DESC, l_partkey LIMIT 50),
+          |cand AS (SELECT c_custkey AS c, pop.p FROM customer CROSS JOIN pop),
+          |neg AS (
+          |  SELECT c, p FROM cand
+          |  WHERE NOT EXISTS (SELECT 1 FROM inter i WHERE i.c = cand.c AND i.p = cand.p))
+          |SELECT c AS c_custkey,
+          |       CAST(row_number() OVER (PARTITION BY c
+          |            ORDER BY md5(c || '_' || p), p) AS INTEGER) AS rank,
+          |       p AS p_partkey
+          |FROM neg QUALIFY rank <= 5 ORDER BY c_custkey, rank""".stripMargin,
+
+      // integer cross-multiplied class boundaries — no float share
+      "q_abc_analysis" ->
+        """WITH rev AS (
+          |  SELECT s_nationkey, l_partkey AS p,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  GROUP BY 1, 2),
+          |r2 AS (
+          |  SELECT n_name, p, cents,
+          |         sum(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, p
+          |                          ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cents) OVER (PARTITION BY n_name) AS total
+          |  FROM rev JOIN nation ON n_nationkey = s_nationkey),
+          |cls AS (
+          |  SELECT n_name,
+          |         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+          |              WHEN cum * 20 <= total * 19 THEN 'B'
+          |              ELSE 'C' END AS abc, cents
+          |  FROM r2)
+          |SELECT n_name, abc, count(*) AS n_parts,
+          |       CAST(sum(cents) AS BIGINT) AS cents
+          |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_seq_gaps" ->
         """WITH g AS (
