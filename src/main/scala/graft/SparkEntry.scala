@@ -4202,6 +4202,54 @@ object SparkEntry {
         .orderBy("n_name", "abc")
     }),
 
+    // TextRank keyword extraction: PageRank over the word co-occurrence
+    // graph (adjacent-word pairs above a support threshold — the
+    // sparsification that gives the graph degree structure), top-20
+    // words by score. Composition of two already-oracled kernels:
+    // Dedup.shingles bigrams → pair support → Graph.pageRank. The
+    // co-occurrence aggregate map-side-combines to the vocab²-bounded
+    // pair grid; the graph is vocab-sized, tiny next to the corpus.
+    "q_textrank" -> ((s, dir) => {
+      val pairs = spread(t(s, dir, "documents"))
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("w"))
+        .select(col("w").getItem(0).as("id1"), col("w").getItem(1).as("id2"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 35)
+        .select("id1", "id2")
+      Graph.pageRank(Graph.symmetrize(pairs).persist(), iters = 3)
+        .select(col("id").as("word"), col("pr").as("score"))
+        .orderBy(desc("score"), asc("word")).limit(20)
+    }),
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): word
+    // count bounds, mean word length bounds, alphabetic-word fraction,
+    // stopword presence — the published heuristic battery every LLM
+    // corpus pass starts with. All four rules decide on INTEGER
+    // cross-multiplied comparisons (sumlen ≤ 10·n, 5·nalpha ≥ 4·n), so
+    // no float share ever reaches the gate; per-rule pass counts
+    // map-side-combine from a single narrow scan.
+    "q_gopher_rules" -> ((s, dir) => {
+      val toks = Dedup.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val sumlen = aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), _ + _)
+      val nalpha = aggregate(transform(toks,
+        w => w.rlike("[a-z]").cast("long")), lit(0L), _ + _)
+      val nstop = Seq("the", "a", "of", "to", "and")
+        .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+      spread(t(s, dir, "documents"))
+        .select(explode(map(
+          lit("alpha_words"), nalpha * 5 >= n * 4,
+          lit("mean_word_len"), sumlen >= n * 3 && sumlen <= n * 10,
+          lit("stopwords"), nstop >= 2,
+          lit("word_count"), n.between(5, 10000))).as(Seq("rule", "pass")))
+        .groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass").cast("long")).as("n_pass"))
+        .orderBy("rule")
+    }),
+
     // sequence-contiguity audit: are each order's line numbers the
     // contiguous run 1..n? One map-side-combined (count, min, max) per
     // key, then a scalar rollup — the cheapest possible shape for a
@@ -8358,6 +8406,72 @@ object SparkEntry {
           |SELECT n_name, abc, count(*) AS n_parts,
           |       CAST(sum(cents) AS BIGINT) AS cents
           |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // same pair threshold, symmetrize, and 3 unrolled PR rounds as
+      // the q_pagerank oracle, over the word co-occurrence edges
+      "q_textrank" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |bg AS (
+          |  SELECT unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS bgm
+          |  FROM toks),
+          |sp AS (SELECT string_split(bgm, ' ') AS w FROM bg),
+          |p AS (
+          |  SELECT w[1] AS src, w[2] AS dst FROM sp WHERE w[1] < w[2]
+          |  GROUP BY 1, 2 HAVING count(*) >= 35),
+          |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+          |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT src AS id FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+          |pr1 AS (
+          |  SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n
+          |         + CAST(0.85 AS DOUBLE) * COALESCE(i1.inflow, CAST(0.0 AS DOUBLE)) AS pr
+          |  FROM nodes CROSS JOIN nn
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr0 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+          |             GROUP BY 1) i1 ON i1.id = nodes.id),
+          |pr2 AS (
+          |  SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n
+          |         + CAST(0.85 AS DOUBLE) * COALESCE(i2.inflow, CAST(0.0 AS DOUBLE)) AS pr
+          |  FROM nodes CROSS JOIN nn
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr1 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+          |             GROUP BY 1) i2 ON i2.id = nodes.id),
+          |pr3 AS (
+          |  SELECT nodes.id, CAST(0.15 AS DOUBLE) / nn.n
+          |         + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)) AS pr
+          |  FROM nodes CROSS JOIN nn
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(d.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr2 pp ON pp.id = e.src JOIN deg d ON d.src = e.src
+          |             GROUP BY 1) i3 ON i3.id = nodes.id)
+          |SELECT id AS word, round(pr, 6) AS score FROM pr3
+          |ORDER BY score DESC, word LIMIT 20""".stripMargin,
+
+      "q_gopher_rules" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+          |         list_sum(list_transform(l, w -> CAST(length(w) AS BIGINT))) AS sumlen,
+          |         list_sum(list_transform(l, w ->
+          |           CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)) AS nalpha,
+          |         ((CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)) AS nstop
+          |  FROM toks),
+          |r AS (
+          |  SELECT 'alpha_words' AS rule, (nalpha * 5 >= n * 4) AS pass FROM m
+          |  UNION ALL SELECT 'mean_word_len', (sumlen >= 3 * n AND sumlen <= 10 * n) FROM m
+          |  UNION ALL SELECT 'stopwords', (nstop >= 2) FROM m
+          |  UNION ALL SELECT 'word_count', (n BETWEEN 5 AND 10000) FROM m)
+          |SELECT rule, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_seq_gaps" ->
         """WITH g AS (
