@@ -8289,7 +8289,8 @@ object SparkEntry {
           |FROM lineitem JOIN part ON p_partkey = l_partkey
           |WHERE p_partkey % 5 = 0
           |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+          |                    WHERE l2.l_partkey = p_partkey)
+          |ORDER BY n_rows""".stripMargin,
 
       "q_audience_overlap" ->
         """WITH au AS (
@@ -8481,7 +8482,7 @@ object SparkEntry {
           |SELECT count(*) AS n_orders,
           |       CAST(count(CASE WHEN mn <> 1 OR mx <> n THEN 1 END) AS BIGINT) AS n_gappy,
           |       CAST(sum(mx - n) AS BIGINT) AS n_missing
-          |FROM g""".stripMargin
+          |FROM g ORDER BY n_orders""".stripMargin
     )
   }
 }
