@@ -4250,6 +4250,37 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // ext streaming: SLIDING-window aggregate run to completion — the
+    // overlapping-window shape (every event lands in two 2h/1h-slide
+    // windows; state = 2× windows-in-flight per type, watermark-
+    // bounded). The oracle reproduces the overlap by exploding each
+    // event into its two covering window starts.
+    "q_stream_sliding" -> ((s, dir) => {
+      EventsStream.runSlidingOnce(s, s"$dir/events.parquet")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // CDC apply with TOMBSTONES: each event is an op on its user key
+    // ('D' delete when event_id % 10 = 0, else upsert); the snapshot is
+    // the last op per key in (ts, event_id) order with deleted keys
+    // ABSENT — the delete-wins semantic q_merge_upsert's pure-upsert
+    // merge can't express. One map-side-combined latestByKey pass (no
+    // per-key sort); the tombstone filter runs on the keys-sized
+    // result, never the log.
+    "q_cdc_tombstone" -> ((s, dir) => {
+      val ops = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"),
+          when(pmod(col("event_id"), lit(10)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+      ScaleOps.latestByKey(ops, Seq("user_id"), Seq("ts", "event_id"))
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // sequence-contiguity audit: are each order's line numbers the
     // contiguous run 1..n? One map-side-combined (count, min, max) per
     // key, then a scalar rollup — the cheapest possible shape for a
@@ -8473,6 +8504,30 @@ object SparkEntry {
           |SELECT rule, count(*) AS n_docs,
           |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the two covering starts of a 2h-window/1h-slide grid
+      "q_stream_sliding" ->
+        """WITH w AS (
+          |  SELECT event_type,
+          |         unnest([date_trunc('hour', ts),
+          |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+          |  FROM events)
+          |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+          |       count(*) AS n_events
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_cdc_tombstone" ->
+        """WITH ops AS (
+          |  SELECT user_id, event_id, ts, event_type, value,
+          |         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          |  FROM events),
+          |last AS (
+          |  SELECT user_id, event_type, value, op,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM ops)
+          |SELECT user_id, event_type, value FROM last
+          |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
 
       "q_seq_gaps" ->
         """WITH g AS (

@@ -165,6 +165,27 @@ object EventsStream {
                     queryName: String = "events_hourly"): DataFrame =
     runToMemory(hourlyStream(spark, path), queryName, OutputMode.Complete())
 
+  /** SLIDING-window streaming aggregate — the overlapping-window shape
+    * ([[hourlyStream]] is tumbling, [[sessionWindowStream]] gap-based):
+    * `window(ts, "2 hours", "1 hour")` lands every event in exactly
+    * two windows, so the state store keys 2× the windows-in-flight per
+    * type — still bounded by the watermark, which evicts a window only
+    * after BOTH its overlapping successors close. The slide/length
+    * ratio is the state multiplier; that linear trade (smoother series
+    * ↔ more state) is the capacity rule for sliding windows at scale.
+    */
+  def slidingStream(spark: SparkSession, path: String): DataFrame =
+    readEventsStream(spark, path)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Run [[slidingStream]] to completion (memory sink, complete mode). */
+  def runSlidingOnce(spark: SparkSession, path: String,
+                     queryName: String = "events_sliding"): DataFrame =
+    runToMemory(slidingStream(spark, path), queryName, OutputMode.Complete())
+
   /** Declarative streaming sessionization: the built-in
     * `session_window` aggregate over a watermarked stream — Spark
     * merges overlapping per-key windows in the state store, so gap

@@ -568,6 +568,24 @@ class ExtSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("events: streaming SLIDING window equals the batch two-window explode") {
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    // batch truth: every event belongs to the 2h windows starting at
+    // floor(ts, 1h) and floor(ts, 1h) - 1h
+    val batch = EventsStream.readEvents(spark, path)
+      .select($"event_type", explode(array(
+        date_trunc("hour", $"ts"),
+        date_trunc("hour", $"ts") - expr("INTERVAL 1 HOUR"))).as("w_start"))
+      .groupBy("w_start", "event_type").agg(count(lit(1)).as("n_events"))
+      .withColumn("w_start", $"w_start".cast("string"))
+      .collect().map(_.toSeq).toSet
+    val stream = EventsStream.runSlidingOnce(spark, path)
+      .withColumn("w_start", $"w_start".cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("events: transformWithState running totals equal the batch groupBy") {
     val path = s"${SparkSpec.sf0001}/events.parquet"
     val batch = EventsStream.readEvents(spark, path)
