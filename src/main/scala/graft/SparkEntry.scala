@@ -4281,6 +4281,36 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // rolling z-score anomaly detection with NO floats: a day is
+    // anomalous when |x − mean₇| > 2·σ₇ over the trailing week —
+    // decided by the cross-multiplied INTEGER identity
+    // (7x − S)² > 4·(7Q − S²) over exact cent sums (S=Σx, Q=Σx²), so
+    // the sqrt/σ never materializes and the verdict is engine-exact.
+    // The window runs over the (nation, day) grid, not raw orders.
+    // Overflow bound: S² < 2⁶³ holds to ~3·10⁹ cents/day·group; past
+    // that, rescale the unit (whole dollars) — the inequality is
+    // scale-invariant up to quantization.
+    "q_rolling_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+      val win = Window.partitionBy("n_name").orderBy("day").rowsBetween(-6, 0)
+      val dev = lit(7) * col("cents") - col("s")
+      daily.withColumn("n", count(lit(1)).over(win))
+        .withColumn("s", sum("cents").over(win))
+        .withColumn("q", sum(col("cents") * col("cents")).over(win))
+        .withColumn("anom", col("n") === 7 &&
+          dev * dev > lit(4) * (lit(7) * col("q") - col("s") * col("s")))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("anom").cast("long")).as("n_anomalies"))
+        .orderBy("n_name")
+    }),
+
     // sequence-contiguity audit: are each order's line numbers the
     // contiguous run 1..n? One map-side-combined (count, min, max) per
     // key, then a scalar rollup — the cheapest possible shape for a
@@ -8528,6 +8558,31 @@ object SparkEntry {
           |  FROM ops)
           |SELECT user_id, event_type, value FROM last
           |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+
+      // the same integer cross-multiplied 2-sigma identity
+      "q_rolling_anomaly" ->
+        """WITH daily AS (
+          |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+          |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2),
+          |w AS (
+          |  SELECT n_name, day, cents,
+          |         count(*) OVER win AS n,
+          |         CAST(sum(cents) OVER win AS BIGINT) AS s,
+          |         CAST(sum(cents * cents) OVER win AS BIGINT) AS q
+          |  FROM daily
+          |  WINDOW win AS (PARTITION BY n_name ORDER BY day
+          |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+          |fl AS (
+          |  SELECT n_name,
+          |         (n = 7 AND (7 * cents - s) * (7 * cents - s)
+          |                    > 4 * (7 * q - s * s)) AS anom
+          |  FROM w)
+          |SELECT n_name, count(*) AS n_days,
+          |       CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+          |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_seq_gaps" ->
         """WITH g AS (
