@@ -68,9 +68,15 @@ object SparkEntry {
     * this fan-out for free; locally an explicit repartition makes the
     * bench reflect the machine. Only applied where downstream
     * aggregates are order-insensitive-exact (ints, min/max, counts).
+    * GUARDED: when the input already arrives split to ≥ parallelism
+    * (a real cluster's input splits, or an upstream shuffle), this is
+    * the identity — no Exchange is added, so the shim costs nothing
+    * exactly where it isn't needed.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 
   /** Synthetic uniform 2-D points for the spatial queries: two
     * independent 32-bit halves of md5(event_id), mod 10⁴ — nonlinear
@@ -2839,10 +2845,11 @@ object SparkEntry {
       val pairs = Similarity.embeddingNearDupPairs(
           spread(t(s, dir, "embeddings")), threshold = 0.2, planes = annPlanes)
         .select("id1", "id2")
-      // coalesce: the pair graph is orders of magnitude smaller than
-      // the corpus — iterating it over 32-partition shuffles pays task
-      // overhead per round (the CC small-graph discipline)
-      Graph.pageRank(Graph.symmetrize(pairs).coalesce(4).persist(), iters = 3)
+      // MEASURED partition sizing (ScaleOps.sizedEdges): an LSH-survivor
+      // graph iterates on O(1) tasks, while a pair graph that grows with
+      // the data gets tasks proportional to its edges — no literal
+      // partition count (the CC small-graph discipline)
+      Graph.pageRank(ScaleOps.sizedEdges(Graph.symmetrize(pairs)), iters = 3)
         .orderBy("id")
     }),
 
@@ -2876,7 +2883,8 @@ object SparkEntry {
     // q_pagerank with teleport pinned to the seeds
     // (Graph.personalizedPageRank scaladoc).
     "q_ppr" -> ((s, dir) => {
-      val e = coPurchaseEdges(s, dir, minCount = 2).coalesce(4).persist()
+      // measured edge sizing, not a literal — see q_pagerank
+      val e = ScaleOps.sizedEdges(coPurchaseEdges(s, dir, minCount = 2))
       val seeds = e.filter(col("src") % 97 === 0).select(col("src").as("id"))
       Graph.personalizedPageRank(e, seeds, iters = 3).orderBy("id")
     }),

@@ -31,6 +31,32 @@ object Graph {
     pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
 
+  /** Eager per-round snapshot for the iterative algorithms below: a
+    * round's result whose plan references the previous round's MORE
+    * THAN ONCE (BFS: union + anti-join; k-core: degree pass + two
+    * restrictions) grows the LOGICAL PLAN geometrically if merely
+    * persisted — persist caches data, not the plan, and analysis cost
+    * explodes long before the data does. `localCheckpoint` materializes
+    * the round AND truncates lineage to a scan of the cached blocks, so
+    * plan depth stays O(1) per round — the same trade
+    * [[Dedup.connectedComponents]] documents (a real cluster wanting
+    * fault-tolerant truncation uses reliable `checkpoint` storage).
+    */
+  private def snapshot(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Release the storage behind a [[snapshot]] (or any
+    * `localCheckpoint`ed frame) deterministically. Spark's public API
+    * gives no handle to a checkpoint's blocks — they linger until the
+    * driver GC collects the RDD — so iterative rounds release each
+    * superseded snapshot through this, and callers of [[bfsHops]] /
+    * [[kCorePeel]] can release the RETURNED frame once consumed.
+    * No-op on non-checkpointed frames.
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
   /** Global transitivity (clustering coefficient) by DEGREE-ORIENTED
     * triangle counting — the algorithm that survives skew: each
     * undirected edge is kept once, directed from its (degree, id)-
@@ -118,23 +144,41 @@ object Graph {
     * absent from the output — the caller distinguishes "far" from
     * "disconnected" by raising the bound.
     *
+    * Cache discipline (the [[Dedup.connectedComponents]] pattern): each
+    * round takes ONE eager [[snapshot]] of the grown visited set —
+    * materializing the round and truncating lineage so plan depth stays
+    * O(1) — and [[release]]s the previous snapshot, so at most the live
+    * snapshot plus the one being built are ever cached, no matter the
+    * hop bound. A round that reaches no new node ends the walk early
+    * (the remaining rounds could only re-derive the same set). The
+    * RETURNED frame is the final snapshot; callers iterating many BFS
+    * runs in one session should [[release]] it when consumed.
+    *
     * Returns (id, hop) with hop in [0, maxHops].
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col("src"), col("dst"))
-    var visited = seeds.select(col("id")).distinct()
-      .withColumn("hop", lit(0)).persist()
+    var visited = snapshot(seeds.select(col("id")).distinct()
+      .withColumn("hop", lit(0)))
+    var reached = visited.count() // trivial: scans the eager snapshot
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var h = 1
+    while (h <= maxHops && frontier != null) {
       val next = frontier
         .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
-        .persist()
-      visited = visited.unionAll(next)
-      frontier = next
+      val grown = snapshot(visited.unionAll(next)) // the round's ONE action
+      val total = grown.count()
+      release(visited) // superseded — every later read hits `grown`
+      frontier =
+        if (total == reached) null // empty frontier: nothing left to expand
+        else grown.filter(col("hop") === lit(h)) // narrow read of the snapshot
+      visited = grown
+      reached = total
+      h += 1
     }
     visited
   }
@@ -150,9 +194,16 @@ object Graph {
     *
     * Scale design: one degree aggregate + two semi-join-shaped edge
     * restrictions per round, all shuffling on the node key — O(|E|)
-    * per round, no adjacency materialization. The surviving edge list
-    * is persisted per round because the next round reads it twice
-    * (degree pass + restriction).
+    * per round, no adjacency materialization. Each round takes one
+    * eager [[snapshot]] of the surviving edge list — the next round
+    * reads it three times (degree pass + two restrictions), so without
+    * lineage truncation the plan would grow geometrically — and
+    * [[release]]s the previous round (the [[Dedup.connectedComponents]]
+    * pattern), so at most one superseded frame is ever held. A round
+    * that removes no edge ends the peel early: the cascade has reached
+    * its fixpoint and further rounds are identities. The final round's
+    * snapshot backs the returned degree aggregate; callers can
+    * [[release]] the result's backing frame once consumed.
     *
     * Input edges must be symmetrized ([[symmetrize]]); returns
     * (id, degree) for nodes with ≥ 1 surviving edge after the final
@@ -161,14 +212,25 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     var e = edges.select(col("src"), col("dst"))
-    for (_ <- 1 to rounds) {
+    var prev: Option[DataFrame] = None
+    var remaining = -1L // unknown until the first round materializes
+    var r = 0
+    var fixpoint = false
+    while (r < rounds && !fixpoint) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("id"))
-      e = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .persist()
+      val survived = snapshot( // the round's ONE action
+        e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      val n = survived.count()
+      prev.foreach(release) // superseded round released
+      prev = Some(survived)
+      fixpoint = n == remaining
+      remaining = n
+      e = survived
+      r += 1
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
@@ -238,6 +300,25 @@ object Graph {
       topK: Int): DataFrame = {
     require(maxApexDegree >= 1 && minCommon >= 1 && topK >= 1,
       "maxApexDegree, minCommon and topK must be positive")
+    // Sampled symmetry guard: the degree cap, the wedge grouping and
+    // the final anti-join all assume BOTH orientations of every edge
+    // are present — a directed input silently returns wrong counts.
+    // Probing a handful of edges for their reverses costs one
+    // early-stopping limit plus one scan with a pushed-down predicate;
+    // it catches the common mistake (caller forgot [[symmetrize]])
+    // without the O(|E|) shuffle a full except-based check would pay.
+    val probe = edges.select(col("src"), col("dst")).limit(16).collect()
+    if (probe.nonEmpty) {
+      val rev = probe.map(r => (r.get(1), r.get(0))).distinct
+      val cond = rev.map { case (s0, d0) =>
+          col("src") === lit(s0) && col("dst") === lit(d0) }
+        .reduce(_ || _)
+      val found = edges.filter(cond).select(col("src"), col("dst"))
+        .distinct().count()
+      require(found == rev.length,
+        s"commonNeighbors requires a symmetrized edge list (Graph.symmetrize): " +
+          s"only $found of ${rev.length} probed reverse edges exist")
+    }
     val keepApex = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxApexDegree)
       .select(col("src"))
@@ -250,10 +331,17 @@ object Graph {
       .groupBy(col("v").as("id1"), col("w").as("id2"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
-    cn.join(edges.select(col("src").as("id1"), col("dst").as("id2")),
+    // materialize the (≤ topK rows) result eagerly so the wedge-leg
+    // cache can be RELEASED before returning — library callers get no
+    // accumulating storage across calls (the Dedup persist/unpersist
+    // discipline); lineage truncation is a free side effect.
+    val out = cn.join(edges.select(col("src").as("id1"), col("dst").as("id2")),
         Seq("id1", "id2"), "left_anti")
       .orderBy(col("cn").desc, col("id1"), col("id2"))
       .limit(topK)
+      .localCheckpoint(eager = true)
+    kept.unpersist()
+    out
   }
 
   /** PageRank with damping `d` for a fixed `iters` rounds over a

@@ -507,6 +507,39 @@ object ScaleOps {
     math.min(maxParts.toLong, math.max(minParts.toLong, want)).toInt
   }
 
+  /** Persist an iterated edge frame at a MEASURED partition count —
+    * the call-site form of the sizing [[Dedup.connectedComponents]]
+    * does inline, so no literal partition count survives anywhere a
+    * graph loop reads its edges. persist → count → [[graphPartitions]]
+    * → coalesce (narrow, when shrinking) or repartition on `keyCol`
+    * (when the graph is big enough to need more tasks) → persist the
+    * sized frame, materialize it from the cached snapshot, and RELEASE
+    * the snapshot so exactly one copy of the edges stays cached.
+    *
+    * LSH-survivor graphs (thousands of edges) iterate on O(1) tasks so
+    * driver scheduling latency doesn't dominate the rounds; a pair
+    * graph that grows with the data gets tasks proportional to its
+    * edges. Cost: one count on the snapshot (work the first iteration
+    * would materialize anyway) + one cached-read pass to fill the
+    * sized frame. The caller owns the returned persisted frame and
+    * should unpersist it after the iteration's final action.
+    */
+  def sizedEdges(edges: DataFrame, keyCol: String = "src"): DataFrame = {
+    val p = edges.persist()
+    val parts = graphPartitions(p.count())
+    val have = p.rdd.getNumPartitions
+    if (have == parts) p // already right-sized; keep the one cached copy
+    else {
+      val sized =
+        (if (have > parts) p.coalesce(parts)
+         else p.repartition(parts, col(keyCol)))
+          .persist()
+      sized.count() // fill from the cached snapshot before releasing it
+      p.unpersist()
+      sized
+    }
+  }
+
   /** Exponentially time-decayed counts per key — the recency-weighted
     * popularity score a sampling pipeline uses to favor fresh sources
     * without discarding history: score = Σ_days n_day · 2^(−⌊age/half⌋).

@@ -17,6 +17,23 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The persisted RDD backing a `localCheckpoint`ed DataFrame, if any.
+    *
+    * `Dataset.localCheckpoint` truncates lineage by swapping the plan
+    * for a [[org.apache.spark.sql.execution.LogicalRDD]] over an
+    * internally-persisted RDD — but exposes no handle to release those
+    * blocks, so iterative algorithms that snapshot each round
+    * (connected components, BFS, k-core) would otherwise hold every
+    * superseded round's storage until the driver GC happens to collect
+    * the RDD reference. This accessor lets [[graft.ext.Graph]] release
+    * a superseded snapshot deterministically.
+    */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** A sibling session on the same SparkContext/SharedState with the
     * given [[org.apache.spark.sql.SparkSessionExtensions]] applied.
     *

@@ -337,6 +337,69 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sizedEdges: measured sizing, one cached copy, tiny graph at the floor") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+      .repartition(16) // deliberately oversplit for a 200-edge graph
+    val sized = ScaleOps.sizedEdges(edges)
+    // 200 edges -> graphPartitions floor (4), NOT the input's 16 and
+    // NOT any literal at the call site
+    assert(sized.rdd.getNumPartitions == ScaleOps.graphPartitions(200L))
+    assert(sized.count() == 200L)
+    // the sizing snapshot was released: exactly ONE new cached frame
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "sizedEdges must release its sizing snapshot after the resize")
+    sized.unpersist()
+  }
+
+  test("spread: identity (no added Exchange) when input is already split") {
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("x").repartition(par)
+    // already at parallelism: spread must return the SAME frame — the
+    // cluster's input splits make the repartition pure waste there
+    assert(SparkEntry.spread(wide) eq wide)
+    // single-partition local read: spread fans out to the machine
+    val narrow = spark.range(1000).toDF("x").coalesce(1)
+    assert(SparkEntry.spread(narrow).rdd.getNumPartitions == par)
+  }
+
+  test("graph loops: persisted frames stay bounded across rounds") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a 12-hop path forces many BFS rounds; bounded cache regardless
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = graft.ext.Graph.symmetrize(path)
+    val before = sc.getPersistentRDDs.size
+    val hops = graft.ext.Graph.bfsHops(edges, Seq(0L).toDF("id"), maxHops = 12)
+    assert(hops.count() == 13)
+    assert(sc.getPersistentRDDs.size <= before + 1,
+      "bfsHops must release superseded per-round snapshots")
+    graft.ext.Graph.release(hops)
+    assert(sc.getPersistentRDDs.size <= before,
+      "release must free the returned snapshot's blocks")
+    val beforeK = sc.getPersistentRDDs.size
+    val deg = graft.ext.Graph.kCorePeel(edges, k = 1, rounds = 8)
+    assert(deg.count() == 13)
+    assert(sc.getPersistentRDDs.size <= beforeK + 1,
+      "kCorePeel must release superseded per-round snapshots")
+    val beforeC = sc.getPersistentRDDs.size
+    val cn = graft.ext.Graph.commonNeighbors(edges, maxApexDegree = 10,
+      minCommon = 1, topK = 5)
+    assert(cn.count() == 5)
+    assert(sc.getPersistentRDDs.size <= beforeC + 1,
+      "commonNeighbors must release its wedge-leg cache before returning")
+  }
+
+  test("commonNeighbors: rejects a non-symmetrized edge list") {
+    import spark.implicits._
+    val directed = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.ext.Graph.commonNeighbors(directed, maxApexDegree = 10,
+        minCommon = 1, topK = 5)
+    }
+  }
+
   test("connectedComponents: auto partition sizing keeps tiny graphs at the floor") {
     import spark.implicits._
     // a 3-node path a-b-c plus isolated pair d-e: 2 components
