@@ -98,17 +98,19 @@ object SparkEntry {
     * the multiplicity HAVING runs map-side-combined on the pair key.
     * Shared spine of the graph-algorithm queries (BFS, k-core).
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String, minCount: Long): DataFrame = {
+  private def coPurchasePairs(s: SparkSession, dir: String, minCount: Long): DataFrame = {
     val li = spread(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
+    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("id1"), col("b.pk").as("id2"))
       .agg(count(lit(1)).as("m"))
       .filter(col("m") >= minCount)
       .select("id1", "id2")
-    Graph.symmetrize(pairs)
   }
+
+  private def coPurchaseEdges(s: SparkSession, dir: String, minCount: Long): DataFrame =
+    Graph.symmetrize(coPurchasePairs(s, dir, minCount))
 
   /** DuckDB mirror of [[coPurchaseEdges]]: CTEs `p` (ordered pairs) and
     * `e` (symmetrized), shared by the graph-algorithm oracles.
@@ -2889,6 +2891,20 @@ object SparkEntry {
       Graph.personalizedPageRank(e, seeds, iters = 3).orderBy("id")
     }),
 
+    // PageRank on the genuinely DIRECTED co-purchase pair graph
+    // (id1 < id2 orientation kept, NOT symmetrized) — every component's
+    // max-id part is a sink, so the dangling-mass redistribution
+    // pageRankDirected adds is load-bearing: total rank mass stays
+    // exactly 1 instead of leaking at the sinks. Complements
+    // q_pagerank, whose symmetrized input makes the dangling term
+    // vacuous by construction.
+    "q_pagerank_directed" -> ((s, dir) => {
+      val e = ScaleOps.sizedEdges(
+        coPurchasePairs(s, dir, minCount = 2)
+          .select(col("id1").as("src"), col("id2").as("dst")))
+      Graph.pageRankDirected(e, iters = 3).orderBy("id")
+    }),
+
     // incremental JOIN-view maintenance: the nation-revenue rollup
     // (orders ⋈ customer ⋈ nation) maintained from base + delta
     // PARTIALS — the delta joins only ITS orders against the
@@ -4295,9 +4311,11 @@ object SparkEntry {
     // (7x − S)² > 4·(7Q − S²) over exact cent sums (S=Σx, Q=Σx²), so
     // the sqrt/σ never materializes and the verdict is engine-exact.
     // The window runs over the (nation, day) grid, not raw orders.
-    // Overflow bound: S² < 2⁶³ holds to ~3·10⁹ cents/day·group; past
-    // that, rescale the unit (whole dollars) — the inequality is
-    // scale-invariant up to quantization.
+    // Overflow bound: S is the TRAILING-WEEK sum, so S² < 2⁶³ requires
+    // S < 3·10⁹ cents per 7-day window — about 4·10⁸ cents/day·group
+    // (the 7·Q and 4·(7Q − S²) intermediates bind at the same
+    // magnitude). Past that, rescale the unit (whole dollars) — the
+    // inequality is scale-invariant up to quantization.
     "q_rolling_anomaly" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
@@ -6918,6 +6936,57 @@ object SparkEntry {
            |             GROUP BY 1) i3 ON i3.id = nodes.id)
            |SELECT id, round(pr, 6) AS ppr FROM pr3 ORDER BY id""".stripMargin,
 
+      // DIRECTED pair graph (no symmetrizing union), node spine
+      // src ∪ dst, and the per-round dangling-mass scalar dg_i summed
+      // over out-degree-0 sinks — three unrolled rounds mirroring
+      // Graph.pageRankDirected term for term
+      "q_pagerank_directed" ->
+        """WITH p AS (
+          |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT src, dst FROM p),
+          |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT id FROM
+          |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |nd AS (SELECT nodes.id, COALESCE(d.out_deg, 0) AS out_deg
+          |       FROM nodes LEFT JOIN deg d ON d.src = nodes.id),
+          |pr0 AS (SELECT id, out_deg, CAST(1.0 AS DOUBLE) / nn.n AS pr
+          |        FROM nd CROSS JOIN nn),
+          |dg0 AS (SELECT COALESCE(sum(pr), CAST(0.0 AS DOUBLE)) AS dm
+          |        FROM pr0 WHERE out_deg = 0),
+          |pr1 AS (
+          |  SELECT nd.id, nd.out_deg,
+          |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+          |           (COALESCE(i1.inflow, CAST(0.0 AS DOUBLE)) + dg0.dm / nn.n) AS pr
+          |  FROM nd CROSS JOIN nn CROSS JOIN dg0
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(pp.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr0 pp ON pp.id = e.src GROUP BY 1) i1
+          |    ON i1.id = nd.id),
+          |dg1 AS (SELECT COALESCE(sum(pr), CAST(0.0 AS DOUBLE)) AS dm
+          |        FROM pr1 WHERE out_deg = 0),
+          |pr2 AS (
+          |  SELECT nd.id, nd.out_deg,
+          |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+          |           (COALESCE(i2.inflow, CAST(0.0 AS DOUBLE)) + dg1.dm / nn.n) AS pr
+          |  FROM nd CROSS JOIN nn CROSS JOIN dg1
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(pp.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr1 pp ON pp.id = e.src GROUP BY 1) i2
+          |    ON i2.id = nd.id),
+          |dg2 AS (SELECT COALESCE(sum(pr), CAST(0.0 AS DOUBLE)) AS dm
+          |        FROM pr2 WHERE out_deg = 0),
+          |pr3 AS (
+          |  SELECT nd.id, nd.out_deg,
+          |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+          |           (COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)) + dg2.dm / nn.n) AS pr
+          |  FROM nd CROSS JOIN nn CROSS JOIN dg2
+          |  LEFT JOIN (SELECT e.dst AS id, sum(pp.pr / CAST(pp.out_deg AS DOUBLE)) AS inflow
+          |             FROM e JOIN pr2 pp ON pp.id = e.src GROUP BY 1) i3
+          |    ON i3.id = nd.id)
+          |SELECT id, round(pr, 6) AS pr FROM pr3 ORDER BY id""".stripMargin,
+
       // full recompute — the gate proves base+delta partial-state merge
       // over the JOIN view equals rescanning the whole fact
       "q_incr_join_view" ->
@@ -8525,9 +8594,12 @@ object SparkEntry {
           |  FROM documents),
           |m AS (
           |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
-          |         list_sum(list_transform(l, w -> CAST(length(w) AS BIGINT))) AS sumlen,
-          |         list_sum(list_transform(l, w ->
-          |           CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)) AS nalpha,
+          |         -- COALESCE: DuckDB list_sum([]) is NULL while Spark's
+          |         -- aggregate seeds 0, so a zero-token doc must sum to 0
+          |         -- on both sides (rules then pass vacuously on both)
+          |         COALESCE(list_sum(list_transform(l, w -> CAST(length(w) AS BIGINT))), 0) AS sumlen,
+          |         COALESCE(list_sum(list_transform(l, w ->
+          |           CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)), 0) AS nalpha,
           |         ((CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
           |          + (CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END)
           |          + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)

@@ -369,4 +369,51 @@ object Graph {
     }
     pr.select(col("id"), round(col("pr"), 6).as("pr"))
   }
+
+  /** PageRank over a genuinely DIRECTED edge list, with the
+    * dangling-mass term [[pageRank]] deliberately omits: sink nodes
+    * (out-degree 0 — they exist in any directed graph, never in a
+    * symmetrized one) contribute their whole rank, damped, as a
+    * uniform redistribution, so total rank mass stays exactly 1 every
+    * round instead of leaking out at the sinks — the classic web-graph
+    * correction.
+    *
+    * Scale shape: per round, ONE |E|-bounded contribution join +
+    * aggregate (out-degree rides along in the rank frame, so no extra
+    * join) plus a 1-ROW dangling-rank scalar cross-joined back — a
+    * broadcast of one double, not a shuffle. Node spine = src ∪ dst.
+    * Fixed iteration count, no per-round driver actions;
+    * `truncateLineage` cuts the plan per round for deep counts (the
+    * rank frame is referenced twice per round — dangling scalar +
+    * contribution — so plan size doubles per round without it).
+    *
+    * Returns (id, pr) rounded at 6.
+    */
+  def pageRankDirected(edges: DataFrame, iters: Int, d: Double = 0.85,
+      truncateLineage: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val spine = nodes.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+    val n = nodes.count()
+    var pr = spine.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val dangling = pr.filter(col("out_deg") === 0L)
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm")) // 1-row scalar
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("out_deg").cast("double")).as("inflow"))
+      pr = spine
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(dangling) // one row: the broadcastable dangling mass
+        .select(col("id"), col("out_deg"),
+          (lit((1.0 - d) / n) + lit(d) *
+            (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("pr"))
+      if (truncateLineage) pr = pr.localCheckpoint(true)
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("pr"))
+  }
 }

@@ -519,6 +519,17 @@ object Similarity {
              k: Int, subspaces: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && subspaces >= 1, "k and subspaces must be positive")
+    // the sub-vector slice length is dim/subspaces; a non-dividing
+    // subspace count would silently DROP the trailing dim % subspaces
+    // components from assignment and ADC scoring — fail loudly instead.
+    // One 1-row probe, trivial next to the assignment join it guards.
+    corpus.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+      val dim = r.getInt(0)
+      require(dim % subspaces == 0,
+        s"pqTopK: embedding dimension $dim is not divisible by " +
+          s"subspaces=$subspaces — the tail ${dim % subspaces} components " +
+          "would be silently excluded from ADC distances")
+    }
     val sc = corpus.agg(
       (max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))) / 127.0)
         .as("_scale"))

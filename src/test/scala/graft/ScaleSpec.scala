@@ -391,6 +391,19 @@ class ScaleSpec extends SparkSpec {
       "commonNeighbors must release its wedge-leg cache before returning")
   }
 
+  test("pageRankDirected: dangling mass keeps total rank at exactly 1") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3: node 3 is a sink — without the dangling term its
+    // rank would leak out of the system every round
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val pr = graft.ext.Graph.pageRankDirected(e, iters = 5)
+    val rows = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val total = rows.values.sum
+    assert(math.abs(total - 1.0) < 1e-5, s"rank mass leaked: $total")
+    // everything flows into the sink: it must hold the most rank
+    assert(rows(3L) > rows(1L) && rows(3L) > rows(2L))
+  }
+
   test("commonNeighbors: rejects a non-symmetrized edge list") {
     import spark.implicits._
     val directed = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
