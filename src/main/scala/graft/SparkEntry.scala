@@ -194,6 +194,44 @@ object SparkEntry {
         s"(CASE WHEN ${sqlPlaneDot(pl, vecExpr)} >= 0 THEN ${1 << i} ELSE 0 END)" }
       .mkString(" + ")
 
+  /** Candidate planes for the AUTO-sized ANN oracles: a 12-plane
+    * prefix-consistent superset of [[annPlanes]] (defaultPlanes draws
+    * sequentially from one seeded stream, so plane i is identical for
+    * every requested count — the first `planesForCount(n)` of these ARE
+    * the planes `planesForCorpus` derives at runtime). 12 planes covers
+    * corpora to 64·2¹² ≈ 262k vectors at targetBucketSize 64 — far past
+    * every driver sf; a bigger corpus would need this literal raised.
+    */
+  private val autoPlanes = Similarity.defaultPlanes(dim = 64, nPlanes = 12)
+
+  /** DuckDB mirror of the auto-sized hyperplane bucket: every candidate
+    * plane gated by the MEASURED plane count `nps.np` (CTE from
+    * [[sqlAutoPlaneCountCte]]), so the SQL adapts to the corpus size
+    * exactly like [[Similarity.planesForCorpus]].
+    */
+  private def sqlHyperplaneBucketAuto(vecExpr: String): String =
+    autoPlanes.zipWithIndex
+      .map { case (pl, i) =>
+        s"(CASE WHEN nps.np >= ${i + 1} AND ${sqlPlaneDot(pl, vecExpr)} >= 0" +
+          s" THEN ${1 << i} ELSE 0 END)" }
+      .mkString(" + ")
+
+  /** CTE `nps`: [[Similarity.planesForCount]] (n, targetBucketSize=64)
+    * re-expressed as INTEGER thresholds — np = k ⇔ n ∈ (64·2ᵏ⁻¹, 64·2ᵏ],
+    * clamped to [1, 12] — so no log/ceil float boundary can ever
+    * disagree between engines (exact powers of two are the only inputs
+    * where a libm log2 could straddle the ceil; integer comparison has
+    * no such edge).
+    */
+  private val sqlAutoPlaneCountCte: String = {
+    val cases = (1 to 11)
+      .map(k => s"WHEN count(*) <= ${64L * (1L << k)} THEN $k")
+      .mkString("\n      |  ")
+    s"""nps AS (SELECT CASE
+      |  $cases
+      |  ELSE 12 END AS np FROM embeddings)""".stripMargin
+  }
+
   /** Shared CTE: tokens / 3-gram shingles / 4-perm minhash signatures of
     * `documents` (DuckDB mirror of [[Dedup.minhashSignatures]]).
     */
@@ -1760,13 +1798,38 @@ object SparkEntry {
 
     // ext similarity: embedding near-duplicate pairs via bucketed
     // self-join (cosine >= threshold within shared bucket). The oracle
-    // pins the 4-plane literal form; a production run derives the
-    // plane count from corpus size instead
-    // (Similarity.embeddingNearDupPairsAuto: ⌈log2(n/target)⌉ planes
-    // keeps buckets ~target-sized, so pair work grows linearly).
+    // pins the 4-plane literal form; q_embed_neardup_auto below gates
+    // the production corpus-sized-plane path.
     "q_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(spread(t(s, dir, "embeddings")),
           threshold = 0.2, planes = annPlanes)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ext similarity: the PRODUCTION auto-plane path, oracle-gated —
+    // bucketedTopKAuto derives ⌈log2(n/64)⌉ planes from the MEASURED
+    // corpus count (3 planes at sf0.01's 500 vectors, 5 at sf0.1's
+    // 2000), so buckets stay ~64 vectors and probe cost per query is
+    // bounded as the corpus grows; the oracle re-derives the same
+    // count by integer thresholds (sqlAutoPlaneCountCte) and gates a
+    // 12-plane candidate set per-plane, so it adapts with the data
+    // exactly like the engine.
+    "q_ann_topk_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopKAuto(spread(emb), emb.filter(col("vec_id") < 8),
+          k = 3, targetBucketSize = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext similarity: near-dup pairs with corpus-sized planes — the
+    // linear-pair-work production form of q_embed_neardup (total pair
+    // cost ~n·targetBucketSize instead of n²/2^planes at a literal)
+    "q_embed_neardup_auto" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairsAuto(spread(t(s, dir, "embeddings")),
+          threshold = 0.2, targetBucketSize = 64)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")
     }),
@@ -5829,6 +5892,37 @@ object SparkEntry {
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
            |  FROM embeddings)
+           |SELECT a.vec_id AS id1, bb.vec_id AS id2,
+           |       round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+           |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+           |WHERE list_cosine_similarity(a.v, bb.v) >= 0.2
+           |ORDER BY id1, id2""".stripMargin,
+
+      // same top-k shape as q_ann_topk, but the bucket adapts to the
+      // measured corpus count via the nps CTE — per-plane gating over
+      // the 12-plane candidate set
+      "q_ann_topk_auto" ->
+        s"""WITH $sqlAutoPlaneCountCte,
+           |b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucketAuto("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings CROSS JOIN nps),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+           |       neighbor_id, round(c, 6) AS cosine
+           |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_embed_neardup_auto" ->
+        s"""WITH $sqlAutoPlaneCountCte,
+           |b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucketAuto("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings CROSS JOIN nps)
            |SELECT a.vec_id AS id1, bb.vec_id AS id2,
            |       round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
            |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
