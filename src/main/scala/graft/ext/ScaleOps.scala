@@ -382,37 +382,57 @@ object ScaleOps {
   private def robustOutliersImpl(df: DataFrame, keys: Seq[String], valueCol: String,
                                  zCut: Double, disc: Boolean): DataFrame = {
     val keyCols = keys.map(col)
-    def q(ranked: DataFrame, out: String) =
-      if (disc) Quantiles.quantilesDiscFromRanked(ranked, keys, Seq(0.5), Seq(out))
-      else Quantiles.quantilesFromRanked(ranked, keys, Seq(0.5), Seq(out))
+    val wAll = Window.partitionBy(keyCols: _*)
+    // The median is attached to the ranked table as a WINDOW AGGREGATE
+    // over the same keys partition — not computed into a one-row-per-
+    // group frame and joined back. The join form re-executed the whole
+    // scan+collapse subtree once per consumer (4 file scans, 9 shuffles
+    // measured; runtime exchange reuse did not fire across the window),
+    // while the window form makes the entire operator ONE LINEAR CHAIN:
+    // raw scan → (keys, value) collapse shuffle → keys shuffle → rank
+    // window + median window → deviation projection → rank window +
+    // median window (no exchange: partitioning unchanged) → final
+    // aggregate (no exchange). Two shuffles total, one scan, no joins —
+    // plan-asserted in PlanSpec. The selection expressions mirror
+    // Quantiles.quantiles(Disc)FromRanked exactly, so the located
+    // values are identical.
+    def withMedian(ranked: DataFrame, out: String): DataFrame =
+      if (disc) {
+        // percentile_disc: smallest value whose interval covers 0.5·n
+        val t = lit(0.5) * col("_n").cast("double")
+        val qualifies =
+          col("_start").cast("double") < t && t <= col("_end").cast("double")
+        ranked.withColumn(out, min(when(qualifies, col("_v"))).over(wAll))
+      } else {
+        // Spark `percentile` interpolation at pos = 0.5·(n−1)
+        val pos = lit(0.5) * (col("_n") - 1).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        def covers(r: Column) = col("_start") <= r && r < col("_end")
+        val vLo = max(when(covers(lo), col("_v"))).over(wAll)
+        val vHi = max(when(covers(hi), col("_v"))).over(wAll)
+        ranked.withColumn(out,
+          when(hi === lo, vLo)
+            .otherwise((hi.cast("double") - pos) * vLo +
+              (pos - lo.cast("double")) * vHi))
+      }
     // ONE pass over the raw rows: collapse to (group, value, count)
     // with map-side combine (null measures dropped up front — `n`
     // counts the group's non-null measure rows; a null is neither an
-    // outlier nor an inlier). Every downstream stage — median, the
-    // deviation table, MAD, the weighted outlier count — derives from
-    // the SAME ranked subtree, so the exchanges are plan-identical and
-    // runtime exchange reuse makes this physically one raw scan + one
-    // (keys, value) shuffle + one keys-partitioned window sort; the
-    // earlier form re-scanned and re-shuffled the RAW rows for the MAD
-    // pass and the final count.
+    // outlier nor an inlier).
     val ranked = Quantiles.rankCounts(
       df.filter(col(valueCol).isNotNull)
         .groupBy(keyCols :+ col(valueCol).cast("double").as("_v"): _*)
         .agg(count(lit(1)).as("_c")),
       keys)
-    val med = q(ranked, "_med")
     // deviation table at distinct-value granularity: |v − med| carries
-    // the SAME counts, so the MAD shares the first pass's distinct
-    // scan. v = m−d and v = m+d collapse to two rows with equal `_v`,
-    // which rankCounts' interval logic handles without a re-merge. The
-    // med/mad joins broadcast a one-row-per-group frame, preserving
-    // ranked's keys partitioning, so neither the second window nor the
-    // final aggregate adds an exchange.
-    val dev = ranked.join(med, keys)
+    // the SAME counts. v = m−d and v = m+d collapse to two rows with
+    // equal `_v`, which rankCounts' interval logic handles without a
+    // re-merge; `_med` rides along as a per-row constant.
+    val dev = withMedian(ranked, "_med")
       .select(keyCols ++ Seq(abs(col("_v") - col("_med")).as("_v"),
         col("_c"), col("_med")): _*)
-    val mad = q(Quantiles.rankCounts(dev, keys), "_mad")
-    dev.join(mad, keys)
+    withMedian(Quantiles.rankCounts(dev, keys), "_mad")
       .groupBy(keyCols: _*)
       .agg(sum(col("_c")).as("n"),
         sum(when(col("_v") > lit(zCut) * lit(1.4826) * col("_mad"), col("_c"))

@@ -226,19 +226,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "per-source totals join should broadcast")
   }
 
-  test("q_outliers: one raw scan, one raw shuffle — median and MAD share the distinct-value pass") {
+  test("q_outliers: one scan, two shuffles, zero joins — medians attached by window") {
     val df = SparkEntry.queries("q_outliers")(spark, dir)
-    df.collect() // AQE finalizes exchange reuse only at execution
+    df.collect() // AQE finalizes the plan only at execution
     // the AQE string appends the pre-reuse "Initial Plan"; judge the
     // final section only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(p).size == 1,
-      "median/MAD/outlier-count branches must share ONE scan of the raw table")
-    assert("ReusedExchange".r.findAllIn(p).size >= 2,
-      "the (keys, value) count exchange must be reused across branches, " +
-        "not recomputed per quantile pass")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      "group-median joins must broadcast")
+      "median/MAD/outlier-count must derive from ONE scan of the raw table " +
+        "(the join form re-executed the scan once per consumer)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "the linear window form needs only the (keys, value) collapse " +
+        "shuffle and the keys shuffle; anything more means a branch " +
+        "re-shuffled or a join crept back in")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "medians must attach as window aggregates over the keys " +
+        "partition — no join of any kind")
   }
 
   test("q_range_lookup: tiny interval dim broadcasts as a nested-loop, no shuffle join") {
