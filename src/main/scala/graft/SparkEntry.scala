@@ -2965,7 +2965,12 @@ object SparkEntry {
       val e = ScaleOps.sizedEdges(
         coPurchasePairs(s, dir, minCount = 2)
           .select(col("id1").as("src"), col("id2").as("dst")))
-      Graph.pageRankDirected(e, iters = 3).orderBy("id")
+      // truncateLineage: the rank frame is referenced TWICE per round
+      // (dangling scalar + contribution join), so without per-round
+      // snapshots the pr subtree re-executes 2^iters times; three
+      // node-sized checkpoints are far cheaper (measured 4.6 → 3.5 s
+      // at sf0.1, and the gap widens with iters)
+      Graph.pageRankDirected(e, iters = 3, truncateLineage = true).orderBy("id")
     }),
 
     // incremental JOIN-view maintenance: the nation-revenue rollup
