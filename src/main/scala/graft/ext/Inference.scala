@@ -601,35 +601,47 @@ object Inference {
     * the only IEEE ops are the final two sqrt and one division —
     * bit-identical cross-engine under round(6).
     *
-    * Scale shape: ranking shuffles ONCE on the group key; both rank
-    * windows and both cumulative-count windows are partitioned by that
-    * same key (the tie count is a RANGE frame, not a per-value
-    * partition — a per-value partition would be a second exchange), so
-    * the plan is one exchange and two in-partition sorts. Power sums
-    * then collapse map-side to one row per group. A 100-TB fact keyed
-    * by a high-cardinality group spreads the sorts across reducers; a
-    * LOW-cardinality group funnels rows — same caveat as every
-    * per-group ordered pass in this module.
+    * Scale shape: rows collapse FIRST to the (group, x, y) distinct
+    * grid (map-side combine; shuffle = distinct pairs, not rows), the
+    * doubled midranks come from per-AXIS distinct-value grids via the
+    * cumulative-count identity 2·midrank(v) = 2·cum(<v) + c(v) + 1
+    * (algebraically equal to rank() + peers-inclusive count — verified
+    * in `MiningSpec` against the window form), and the rank joins
+    * shuffle on the HIGH-cardinality (group, value) keys. The earlier
+    * window form sorted EVERY ROW twice inside per-group partitions —
+    * with a 3-value group key that is 2 full-data sorts on 3 reducers,
+    * the classic low-cardinality window funnel; this form's only
+    * per-group sorts are over each axis's distinct values, and every
+    * row-sized exchange hashes on keys that spread. Power sums carry
+    * the grid multiplicity `c` and stay exact.
     */
   def spearman(df: DataFrame, group: Seq[String], x: Column, y: Column): DataFrame = {
     val gcols = group.map(col)
     val base = df.select(gcols :+ x.cast("long").as("xv") :+ y.cast("long").as("yv"): _*)
-    val wg = Window.partitionBy(gcols: _*)
-    // 2·midrank = minrank + maxrank; maxrank = count of rows ≤ v =
-    // peers-inclusive cumulative count (RANGE frame includes peers)
-    def doubledRank(v: String) =
-      rank().over(wg.orderBy(v)) +
-        count(lit(1)).over(wg.orderBy(v)
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-    val ranked = base.select(gcols :+ doubledRank("xv").as("rx") :+
-      doubledRank("yv").as("ry"): _*)
+    // (group, x, y) multiplicity grid — the only pass over raw rows
+    val grid = base.groupBy(gcols :+ col("xv") :+ col("yv"): _*)
+      .agg(count(lit(1)).as("_c"))
+    // doubled midrank per distinct axis value: 2·cum(<v) + c(v) + 1
+    def axisRanks(vcol: String, out: String): DataFrame = {
+      val counts = grid.groupBy(gcols :+ col(vcol): _*).agg(sum("_c").as("_ac"))
+      val wCum = Window.partitionBy(gcols: _*).orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.withColumn("_end", sum(col("_ac")).over(wCum))
+        .select(gcols :+ col(vcol) :+
+          (lit(2L) * (col("_end") - col("_ac")) + col("_ac") + lit(1L)).as(out): _*)
+    }
+    val ranked = grid
+      .join(axisRanks("xv", "rx"), group :+ "xv")
+      .join(axisRanks("yv", "ry"), group :+ "yv")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cDec = dec(col("_c"))
     val sums = ranked.groupBy(gcols: _*)
-      .agg(count(lit(1)).as("n"),
-        sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
-        sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
-        sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+      .agg(sum("_c").as("n"),
+        sum(cDec * dec(col("rx"))).cast("decimal(38,0)").as("sx"),
+        sum(cDec * dec(col("ry"))).cast("decimal(38,0)").as("sy"),
+        sum(cDec * dec(col("rx")) * dec(col("ry"))).as("sxy"),
+        sum(cDec * dec(col("rx")) * dec(col("rx"))).as("sxx"),
+        sum(cDec * dec(col("ry")) * dec(col("ry"))).as("syy"))
     val n = dec(col("n"))
     val num = (n * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast("double")
     val da = (n * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast("double")

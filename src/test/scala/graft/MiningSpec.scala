@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Privacy, Sessionize, Similarity}
@@ -612,6 +613,39 @@ class MiningSpec extends SparkSpec {
     val rho = Inference.spearman(tied, Seq("k"), col("x"), col("y"))
       .collect().head.getAs[Double]("rho")
     assert(rho === 0.948683)
+  }
+
+  test("spearman: grid form equals the row-window form on random tied data") {
+    // the production implementation ranks via the distinct-value grid
+    // (2·midrank = 2·cum(<v) + c + 1); this pins it to the textbook
+    // row-window form (rank() + peers-inclusive count) on data with
+    // heavy ties and several groups
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(400)(i =>
+      (s"g${i % 3}", rnd.nextInt(8).toLong, rnd.nextInt(12).toLong))
+    val df = rows.toDF("k", "x", "y")
+    val wg = Window.partitionBy(col("k"))
+    def doubledRank(v: String) =
+      rank().over(wg.orderBy(v)) +
+        count(lit(1)).over(wg.orderBy(v)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ranked = df.select(col("k"), doubledRank("x").as("rx"), doubledRank("y").as("ry"))
+    val sums = ranked.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
+        sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+        sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+    val n = dec(col("n"))
+    val num = (n * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val da = (n * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val db = (n * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
+    val windowForm = sums.select(col("k"), col("n"),
+        when(da > 0 && db > 0, round(num / (sqrt(da) * sqrt(db)), 6)).as("rho"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    val gridForm = Inference.spearman(df, Seq("k"), col("x"), col("y"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(gridForm === windowForm)
   }
 
   test("corr matrix: exact pair grid — identity 1, anti-identity -1, constant null") {

@@ -308,14 +308,22 @@ class PlanSpec extends SparkSpec {
       "weighted sampling must not shuffle the corpus")
   }
 
-  test("q_spearman: both rank windows share ONE group-key exchange") {
+  test("q_spearman: no full-row sort ever runs inside a group partition") {
     val df = SparkEntry.queries("q_spearman")(spark, SparkSpec.sf0001)
-    val p = df.queryExecution.executedPlan.toString
-    // partitioning by l_returnflag serves the x-sort, the y-sort, and
-    // the power-sum aggregate; a per-(group,value) tie-count partition
-    // would show up as a second hash key set
-    assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1,
-      s"rank windows must share the group exchange:\n$p")
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the grid form's only group-key-partitioned work is the two
+    // axis-rank windows over DISTINCT values; every row-sized exchange
+    // hashes on the high-cardinality (group, value) keys. A window
+    // whose sort input is the raw row stream would resurrect the
+    // 3-reducer funnel this form exists to kill — catch it by pinning
+    // the group-key-only exchanges to the two tiny axis windows (+1
+    // final single-row aggregate).
+    assert("Exchange hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findAllIn(p).size <= 3,
+      s"group-key-only exchanges must carry only distinct-value or group-row frames:\n$p")
+    assert("Exchange hashpartitioning\\(l_returnflag#\\d+, xv".r.findAllIn(p).size +
+      "Exchange hashpartitioning\\(l_returnflag#\\d+, yv".r.findAllIn(p).size >= 1,
+      "row-sized exchanges must hash on (group, value), not the group alone")
     assert(p.contains("partial_"), "power sums must combine map-side")
   }
 
