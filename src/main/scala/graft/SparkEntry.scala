@@ -3847,17 +3847,31 @@ object SparkEntry {
     // feature preprocessing: quantile normalization — map each value
     // to its empirical quantile rank/(n+1) within the group, then
     // summarize per subgroup. Rank sums stay exact longs; one division.
+    // Ranks come from the DISTINCT-VALUE cumulative-count grid (min
+    // rank of value v = cum(<v) + 1 — identical to rank() for ties),
+    // not a full-row window: with a 3-value group key the row window
+    // is two-reducer-funnel territory (the q_spearman lesson), while
+    // the grid form's only group-partitioned sort is over distinct
+    // cents values and every row-sized exchange hashes on
+    // high-cardinality keys.
     "q_quantile_normalize" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      val li = spread(t(s, dir, "lineitem")).select(col("l_returnflag"),
         col("l_linestatus"), floor(col("l_extendedprice") * 100).as("cents"))
-      val ranked = li
-        .withColumn("rk", rank().over(
-          Window.partitionBy("l_returnflag").orderBy("cents")))
-        .withColumn("n_group", count(lit(1)).over(
-          Window.partitionBy("l_returnflag")))
-      ranked.groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n_rows"), sum("rk").as("sum_rank"),
-          max("n_group").as("ng"))
+      // the only pass over raw rows: (flag, status, cents) multiplicities
+      val grid = li.groupBy("l_returnflag", "l_linestatus", "cents")
+        .agg(count(lit(1)).as("c"))
+      val axis = grid.groupBy("l_returnflag", "cents").agg(sum("c").as("ac"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = axis
+        .withColumn("end", sum("ac").over(wCum))
+        .withColumn("ng", sum("ac").over(Window.partitionBy("l_returnflag")))
+        .select(col("l_returnflag"), col("cents"),
+          (col("end") - col("ac") + lit(1L)).as("rk"), col("ng"))
+      grid.join(ranks, Seq("l_returnflag", "cents"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("c").as("n_rows"),
+          sum(col("c") * col("rk")).as("sum_rank"), max("ng").as("ng"))
         .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
           round(col("sum_rank").cast("double") /
             (col("n_rows") * (col("ng") + 1)).cast("double"), 6)
