@@ -575,7 +575,12 @@ object Dedup {
           min(when(col("own"), col("label"))).as("prev"))
         .observe(obs, count(when(col("label") < col("prev"), 1)).as("n_changed"))
         .select(col("id"), col("label"))
-      labels = snapshot(prop) // the round's ONE action; fills the metric
+      val next = snapshot(prop) // the round's ONE action; fills the metric
+      // superseded label snapshot released NOW, not at driver GC —
+      // without this a 50-round convergence holds 50 node-sized
+      // checkpoint block sets (Graph.release scaladoc)
+      Graph.release(labels)
+      labels = next
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       i += 1
     }

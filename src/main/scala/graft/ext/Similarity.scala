@@ -330,9 +330,11 @@ object Similarity {
         .select(col("centroid_id").as(idCol),
           transform(col("dm"), s => s.getField("m").cast("float")).as(vecCol))
       // clusters that captured no vectors keep their previous centroid
-      centroids = means
+      val next = means
         .unionByName(centroids.join(means.select(idCol), Seq(idCol), "left_anti"))
         .localCheckpoint(eager = true)
+      Graph.release(centroids) // superseded k-row snapshot, freed per round
+      centroids = next
       i += 1
     }
     centroids

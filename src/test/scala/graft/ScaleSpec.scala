@@ -389,6 +389,15 @@ class ScaleSpec extends SparkSpec {
     assert(cn.count() == 5)
     assert(sc.getPersistentRDDs.size <= beforeC + 1,
       "commonNeighbors must release its wedge-leg cache before returning")
+    // connected components over the same 12-hop path needs ~12
+    // propagation rounds: superseded label snapshots must be released
+    // per round, not left to driver GC
+    val beforeCC = sc.getPersistentRDDs.size
+    val cc = graft.ext.Dedup.connectedComponents(path)
+    assert(cc.count() == 13)
+    assert(sc.getPersistentRDDs.size <= beforeCC + 1,
+      "connectedComponents must release superseded label snapshots")
+    graft.ext.Graph.release(cc)
   }
 
   test("pageRankDirected: dangling mass keeps total rank at exactly 1") {
