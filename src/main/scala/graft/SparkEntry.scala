@@ -4370,6 +4370,17 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // stream-stream INTERVAL JOIN: clicks attributed to same-user views
+    // within 4 h — watermarks on BOTH legs + the time-range condition
+    // are what bound the join state (the unbounded-state cliff every
+    // stream-stream join must design against; EventsStream scaladoc).
+    // The oracle is the batch time-range self-join: bounded-input
+    // streaming must converge to exactly the batch answer.
+    "q_stream_interval_join" -> ((s, dir) => {
+      EventsStream.runIntervalJoinOnce(s, s"$dir/events.parquet")
+        .orderBy("click_id", "view_id")
+    }),
+
     // CDC apply with TOMBSTONES: each event is an op on its user key
     // ('D' delete when event_id % 10 = 0, else upsert); the snapshot is
     // the last op per key in (ts, event_id) order with deleted keys
@@ -8740,6 +8751,17 @@ object SparkEntry {
           |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
           |       count(*) AS n_events
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // batch time-range self-join — bounded-input streaming interval
+      // join must converge to exactly this
+      "q_stream_interval_join" ->
+        """SELECT v.user_id, c.event_id AS click_id, v.event_id AS view_id,
+          |       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+          |FROM events v JOIN events c
+          |  ON v.user_id = c.user_id
+          | AND v.event_type = 'view' AND c.event_type = 'click'
+          | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 240 MINUTE
+          |ORDER BY click_id, view_id""".stripMargin,
 
       "q_cdc_tombstone" ->
         """WITH ops AS (

@@ -157,6 +157,50 @@ object EventsStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Stream-stream INTERVAL JOIN: each click joined to every prior view
+    * by the SAME user within `lagMinutes` — the canonical two-stream
+    * time-range join (click attribution). Both sides carry watermarks
+    * AND the join condition includes the time range; together they let
+    * Spark BOUND each side's join state to the watermark horizon and
+    * evict rows whose match window has passed. Without the range
+    * condition (or with only one watermark) stream-stream join state
+    * grows forever — that unbounded-state cliff is the whole scale
+    * contract of this operator, which is why it is expressed here as a
+    * first-class form rather than left to callers to assemble.
+    *
+    * The self-join of one bounded source is the local harness shape; a
+    * production deployment points the two legs at separate sources.
+    * Returns (user_id, click_id, view_id, lag_sec) in Append mode —
+    * rows emit once both watermarks pass the match window.
+    */
+  def intervalJoinStream(spark: SparkSession, path: String,
+                         lagMinutes: Int = 240): DataFrame = {
+    val ev = readEventsStream(spark, path)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "60 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "60 minutes")
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lagMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        // exact micros, not unix_timestamp: second-floor vs the
+        // oracle's epoch rounding differs by 1 on sub-second tails
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
+  /** [[intervalJoinStream]] run to completion over the bounded input. */
+  def runIntervalJoinOnce(spark: SparkSession, path: String,
+                          lagMinutes: Int = 240): DataFrame =
+    runToMemory(intervalJoinStream(spark, path, lagMinutes),
+      s"events_interval_join_$lagMinutes", OutputMode.Append())
+
   /** Run the streaming query synchronously over the (bounded) input and
     * return the completed result from the in-memory sink — the local
     * smoke harness for the streaming path.
