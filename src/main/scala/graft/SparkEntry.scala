@@ -1841,7 +1841,12 @@ object SparkEntry {
     // rule is deterministic so the oracle reproduces it exactly.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.semanticDedup(spread(emb), emb.filter(col("vec_id") < 4),
+      // centroid count from the MEASURED corpus count (pure-integer
+      // ceil, mirrored by the oracle): clusters stay ~128 vectors so
+      // the within-cluster pair space is LINEAR in n — a fixed
+      // centroid literal is n²/k forever (measured 18.5× at 10× data)
+      val k = math.max(4L, (emb.count() + 127L) / 128L)
+      Similarity.semanticDedup(spread(emb), emb.filter(col("vec_id") < k),
           threshold = 0.2)
         .groupBy("centroid_id")
         .agg(count(lit(1)).as("n_vectors"),
@@ -3299,11 +3304,23 @@ object SparkEntry {
         col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         expr("right(c_name, 1)").as("sfx"),
         floor(col("c_acctbal") / 1000).as("balk"))
-      val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+      // oversize-block refinement (the fuzzyPairs/LSH cap discipline):
+      // a (nation, segment) block past 256 rows refines on the balance
+      // bucket — a COMPARED field, so the dropped cross-bucket pairs
+      // are exactly the balk-disagreement pairs that score lowest.
+      // Below the cap the sub-key is constant and the pair set is the
+      // plain blocked form. Without this the pair fan-out is
+      // Σ block² — measured 105 s at 10× data, quadratic forever.
+      val sizes = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("bn"))
+      val cc = c.join(sizes, Seq("c_nationkey", "c_mktsegment"))
+        .withColumn("subk",
+          when(col("bn") > 256, col("balk")).otherwise(lit(-999L)))
+      val a = cc.select(col("c_nationkey"), col("c_mktsegment"), col("subk"),
         col("c_custkey").as("id_a"), col("sfx").as("a_sfx"), col("balk").as("a_balk"))
-      val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+      val b = cc.select(col("c_nationkey"), col("c_mktsegment"), col("subk"),
         col("c_custkey").as("id_b"), col("sfx").as("b_sfx"), col("balk").as("b_balk"))
-      val pairs = a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      val pairs = a.join(b, Seq("c_nationkey", "c_mktsegment", "subk"))
         .filter(col("id_a") < col("id_b"))
       Dedup.linkageScore(pairs,
           Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05)), threshold = 1.0)
@@ -4993,11 +5010,20 @@ object SparkEntry {
           |         '\+?[0-9][0-9().\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
           |FROM raw ORDER BY event_id""".stripMargin,
 
+      // mirrors Dedup.fuzzyPairs' oversize-block refinement: blocks
+      // past 128 rows sub-block on the text's md5 nibble (below the
+      // cap the sub-key is '' and the join is the plain blocked form)
       "q_fuzzy_pairs" ->
-        """SELECT a.p_brand, a.p_size, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        """WITH bs AS (
+          |  SELECT p_brand, p_size, count(*) AS bn FROM part GROUP BY 1, 2),
+          |pp AS (
+          |  SELECT p.*, CASE WHEN bs.bn > 128 THEN substring(md5(p_name), 1, 1)
+          |                   ELSE '' END AS sub
+          |  FROM part p JOIN bs USING (p_brand, p_size))
+          |SELECT a.p_brand, a.p_size, a.p_partkey AS id_a, b.p_partkey AS id_b,
           |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-          |FROM part a JOIN part b
-          |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          |FROM pp a JOIN pp b
+          |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.sub = b.sub
           |     AND a.p_partkey < b.p_partkey
           |WHERE levenshtein(a.p_name, b.p_name) <= 8
           |ORDER BY 1, 2, 3, 4""".stripMargin,
@@ -5962,11 +5988,16 @@ object SparkEntry {
            |ORDER BY id1, id2""".stripMargin,
 
       // SemDeDup: same assignment CTE as q_ivf_assign, pair prune
-      // within clusters, smaller-id-keeps drop rule
+      // within clusters, smaller-id-keeps drop rule; centroid count
+      // derived from the corpus count by pure-integer ceiling math —
+      // mirrors the Spark side exactly with no libm boundary risk
       "q_semantic_dedup" ->
-        """WITH e AS (
+        """WITH kk AS (
+          |  SELECT GREATEST(4, (count(*) + 127) // 128) AS k FROM embeddings),
+          |e AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+          |c AS (SELECT vec_id AS centroid_id, v AS cv
+          |      FROM e CROSS JOIN kk WHERE vec_id < kk.k),
           |s AS (
           |  SELECT e.vec_id, centroid_id, list_cosine_similarity(v, cv) AS cc
           |  FROM e, c),
@@ -7506,11 +7537,18 @@ object SparkEntry {
         def wd(m: Double, u: Double) = math.log((1.0 - m) / (1.0 - u))
         // field order = sorted name order (balk, sfx), matching the
         // module's fixed left-assoc sum
-        s"""WITH c AS (
+        s"""WITH c0 AS (
            |  SELECT c_custkey, c_nationkey, c_mktsegment,
            |         right(c_name, 1) AS sfx,
            |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS balk
            |  FROM customer),
+           |bs AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS bn
+           |  FROM c0 GROUP BY 1, 2),
+           |c AS (
+           |  SELECT c0.*, CASE WHEN bs.bn > 256 THEN c0.balk
+           |                    ELSE -999 END AS subk
+           |  FROM c0 JOIN bs USING (c_nationkey, c_mktsegment)),
            |p AS (
            |  SELECT CASE WHEN a.balk = b.balk THEN ${wa(0.3, 0.05)}
            |              ELSE ${wd(0.3, 0.05)} END
@@ -7518,6 +7556,7 @@ object SparkEntry {
            |              ELSE ${wd(0.9, 0.1)} END AS s
            |  FROM c a JOIN c b
            |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           |   AND a.subk = b.subk
            |   AND a.c_custkey < b.c_custkey)
            |SELECT round(s, 6) AS score, round(s, 6) >= 1.0 AS is_link,
            |       count(*) AS n_pairs
