@@ -2269,11 +2269,21 @@ object SparkEntry {
     // map-side OR-combine; the exact-bitmap point on the distinct
     // spectrum between approx_count_distinct and the Expand plan
     // (functions.BitmapDistinct scaladoc). Oracle = COUNT(DISTINCT).
+    // exact distinct via CHUNKED bitmaps (the roaring-bitmap layout):
+    // ids split on their high bits into 64Ki-wide buckets and the
+    // 16-bit remainder is bitmapped within each (event_type, bucket)
+    // group, then bucket cardinalities sum — exact over ANY sparse id
+    // domain with a fixed 8 KiB buffer per group, where a single flat
+    // bitmap needs the full domain width and fails loudly on sparse
+    // ids (it did, at the key-shifted 10× dataset).
     "q_bitmap_distinct" -> ((s, dir) => {
       val bd = udaf(new graft.functions.BitmapDistinct(1 << 16))
       spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy(col("event_type"),
+          (col("user_id") / lit(65536L)).cast("long").as("id_chunk"))
+        .agg(bd(pmod(col("user_id"), lit(65536L))).as("n"))
         .groupBy("event_type")
-        .agg(bd(col("user_id")).as("n_users"))
+        .agg(sum("n").as("n_users"))
         .orderBy("event_type")
     }),
 
