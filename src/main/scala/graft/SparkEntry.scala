@@ -1824,6 +1824,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ext similarity: semantic decontamination — flag corpus vectors
+    // within cosine 0.2 of ANY eval vector (vec_id % 101 = 0 plays the
+    // held-out eval set). The embedding-space complement of the n-gram
+    // q_contamination: paraphrased leakage shares no shingle but still
+    // sits next to the eval point. Pair space = eval × corpus within
+    // shared buckets, eval broadcast — never corpus × corpus.
+    "q_semantic_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ev = emb.filter(col("vec_id") % 101 === 0)
+      val corpus = spread(emb.filter(col("vec_id") % 101 =!= 0))
+      Similarity.semanticContamination(corpus, ev, threshold = 0.2,
+          planes = annPlanes)
+        .orderBy("vec_id")
+    }),
+
     // ext similarity: near-dup pairs with corpus-sized planes — the
     // linear-pair-work production form of q_embed_neardup (total pair
     // cost ~n·targetBucketSize instead of n²/2^planes at a literal)
@@ -5984,6 +5999,24 @@ object SparkEntry {
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
            |       neighbor_id, round(c, 6) AS cosine
            |FROM s QUALIFY rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      // eval × corpus within shared buckets; max over eval cosines is
+      // order-independent, null when the bucket holds no eval vector
+      "q_semantic_contamination" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |ev AS (SELECT * FROM b WHERE vec_id % 101 = 0),
+           |co AS (SELECT * FROM b WHERE vec_id % 101 <> 0),
+           |h AS (
+           |  SELECT co.vec_id, max(list_cosine_similarity(co.v, ev.v)) AS mc
+           |  FROM co JOIN ev ON co.bucket = ev.bucket
+           |  GROUP BY 1)
+           |SELECT co.vec_id, round(h.mc, 6) AS max_eval_cos,
+           |       COALESCE(h.mc >= 0.2, false) AS contaminated
+           |FROM co LEFT JOIN h ON co.vec_id = h.vec_id
+           |ORDER BY co.vec_id""".stripMargin,
 
       "q_embed_neardup_auto" ->
         s"""WITH $sqlAutoPlaneCountCte,

@@ -440,6 +440,48 @@ object Similarity {
         coalesce(!col("_dropped"), lit(true)).as("kept"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * eval vector reaches `threshold` — the embedding-space complement
+    * of n-gram decontamination ([[graft.ext.Corpus]].decontaminate):
+    * paraphrased eval leakage that shares no shingle still sits next to
+    * the eval point in embedding space, and production pipelines run
+    * BOTH screens before training.
+    *
+    * Scale shape: the pair space is EVAL × corpus within shared
+    * hyperplane buckets — never corpus × corpus (the incremental-dedup
+    * discipline) — and the eval side is the small one, so it
+    * broadcasts; per-corpus-vector work is the bucket's eval density.
+    * The max over eval cosines is order-independent (each cosine is the
+    * strict native-kernel dot), so the verdict is engine-exact. A
+    * corpus row whose bucket holds no eval vector reports a null
+    * max_eval_cos and contaminated = false; an eval doc present
+    * verbatim in the corpus scores cosine 1 and is flagged — the
+    * correct reading, not a self-match artifact.
+    *
+    * Returns one row per corpus vector: (idCol, max_eval_cos rounded
+    * 1e-6, contaminated).
+    */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+                            threshold: Double, planes: Seq[Seq[Double]],
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, vecCol, "c_nrm")
+      .select(col(idCol), col(vecCol).as("c_vec"), col("c_nrm"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val e = withNorm(eval, vecCol, "e_nrm")
+      .select(col(vecCol).as("e_vec"), col("e_nrm"),
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val hits = c.join(broadcast(e), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(max(cosineFromParts(dotNative(col("c_vec"), col("e_vec")),
+        col("c_nrm"), col("e_nrm"))).as("_mc"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        round(col("_mc"), 6).as("max_eval_cos"),
+        coalesce(col("_mc") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
     * q_i = round(v_i / scale) ∈ [−127, 127] (all-zero vectors quantize
     * to zeros). 4× less memory bandwidth per vector than float32 — at
