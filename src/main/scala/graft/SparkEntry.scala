@@ -1031,12 +1031,10 @@ object SparkEntry {
 
     // ext: the same sessionization via Spark's BUILT-IN session_window
     // aggregation — the declarative, merge-on-overlap form (one
-    // ObjectHashAggregate, no per-key window sort). Boundary note: the
-    // built-in breaks a session when the gap is EXACTLY gapSeconds
-    // (strict <), the lag+cumsum form merges it (> breaks); at
-    // microsecond-resolution event data an exact-gap pair cannot
-    // realistically occur, and ExtSpec gates equivalence on the real
-    // testdata.
+    // ObjectHashAggregate, no per-key window sort). The exact-gap
+    // one-ulp convention (built-in splits an exactly-gap pair, the
+    // lag+cumsum form merges it) is a stated operator contract — see
+    // the Sessionize scaladoc's "Exact-gap boundary contract".
     "q_session_window" -> ((s, dir) => {
       val sess = EventsStream.readEvents(s, s"$dir/events.parquet")
         .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
@@ -2291,11 +2289,15 @@ object SparkEntry {
     // domain with a fixed 8 KiB buffer per group, where a single flat
     // bitmap needs the full domain width and fails loudly on sparse
     // ids (it did, at the key-shifted 10× dataset).
+    // Chunk key = arithmetic shiftright(id,16): a FLOORING quotient, so
+    // with pmod's floored remainder the pair is a true Euclidean
+    // decomposition for negative ids too (a truncating `/` would fold
+    // -1 and 65535 into the same cell and undercount by one).
     "q_bitmap_distinct" -> ((s, dir) => {
       val bd = udaf(new graft.functions.BitmapDistinct(1 << 16))
       spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .groupBy(col("event_type"),
-          (col("user_id") / lit(65536L)).cast("long").as("id_chunk"))
+          shiftright(col("user_id").cast("long"), 16).as("id_chunk"))
         .agg(bd(pmod(col("user_id"), lit(65536L))).as("n"))
         .groupBy("event_type")
         .agg(sum("n").as("n_users"))

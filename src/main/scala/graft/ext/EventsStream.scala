@@ -170,8 +170,10 @@ object EventsStream {
     *
     * The self-join of one bounded source is the local harness shape; a
     * production deployment points the two legs at separate sources.
-    * Returns (user_id, click_id, view_id, lag_sec) in Append mode —
-    * rows emit once both watermarks pass the match window.
+    * Returns (user_id, click_id, view_id, lag_us) — the click→view lag
+    * in MICROseconds via unix_micros, the full timestamp precision —
+    * in Append mode; rows emit once both watermarks pass the match
+    * window.
     */
   def intervalJoinStream(spark: SparkSession, path: String,
                          lagMinutes: Int = 240): DataFrame = {
@@ -248,6 +250,12 @@ object EventsStream {
     * encodes it: the expected rows are exactly the batch sessions
     * whose close precedes the final watermark. The withheld tail is
     * what a production pipeline sees as watermark latency.
+    *
+    * Boundary contract: `session_window` SPLITS a consecutive pair
+    * exactly `gap` apart (windows are `[ts, ts+gap)`, strict <) where
+    * the lag+cumsum batch form merges it (strict > starts a session) —
+    * see the [[Sessionize]] scaladoc for the one-ulp convention and
+    * when it matters (quantized timestamps).
     */
   def sessionWindowStream(spark: SparkSession, path: String,
                           gap: String = "5 minutes"): DataFrame =

@@ -51,7 +51,11 @@ object Graph {
     * driver GC collects the RDD — so iterative rounds release each
     * superseded snapshot through this, and callers of [[bfsHops]] /
     * [[kCorePeel]] can release the RETURNED frame once consumed.
-    * No-op on non-checkpointed frames.
+    * Only a frame whose plan root IS the checkpoint scan (the shape
+    * `localCheckpoint` returns) is released; anything else — including
+    * frames DERIVED from a snapshot, whose inner LogicalRDDs may still
+    * back other live frames — is a no-op. Release the original
+    * snapshot handle, not a projection of it.
     */
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(df)
@@ -307,7 +311,15 @@ object Graph {
     // early-stopping limit plus one scan with a pushed-down predicate;
     // it catches the common mistake (caller forgot [[symmetrize]])
     // without the O(|E|) shuffle a full except-based check would pay.
-    val probe = edges.select(col("src"), col("dst")).limit(16).collect()
+    // NOTE this makes the operator EAGER at call time (two jobs run
+    // before any action on the result). Null-keyed rows are excluded
+    // from the probe — `lit(null) === x` never matches, so probing
+    // them would fail a legitimately symmetrized list with a
+    // misleading "not symmetrized" message (they also generate no
+    // wedges downstream: the equi-joins drop null keys).
+    val probe = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .limit(16).collect()
     if (probe.nonEmpty) {
       val rev = probe.map(r => (r.get(1), r.get(0))).distinct
       val cond = rev.map { case (s0, d0) =>

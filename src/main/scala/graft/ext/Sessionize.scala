@@ -18,6 +18,20 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   * per-key partitions stay small. The streaming form holds ONE open
   * session per key in state and emits on close/timeout, so state is
   * O(active keys), bounded by the event-time timeout.
+  *
+  * ==Exact-gap boundary contract==
+  * The lag+cumsum batch form here and Spark's built-in
+  * `session_window` differ by one ulp of gap: a consecutive pair
+  * EXACTLY `gap` apart is MERGED by this form (a new session starts
+  * only when the gap is strictly `>`) but SPLIT by `session_window`
+  * (a window covers `[ts, ts+gap)` — strict `<`). Callers mixing the
+  * two forms over data with quantized timestamps (whole seconds,
+  * sampled clocks) must pick one convention and nudge the gap by one
+  * unit to match the other; at native microsecond event resolution an
+  * exact-gap tie has measure ~0 and the two forms agree — which
+  * ExtSpec ("streamed sessions are a subset of the batch sessions")
+  * and the `q_session_window` / `q_sessionize` oracles gate on the
+  * real testdata.
   */
 object Sessionize {
 

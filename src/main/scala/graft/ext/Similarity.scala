@@ -142,15 +142,28 @@ object Similarity {
     array(planes.map(pl => planeDot(vec, pl) * lit(inv)): _*)
   }
 
-  /** Plane count sized to the corpus: ⌈log2(n / targetBucketSize)⌉
-    * hyperplanes put the EXPECTED bucket population at
-    * ~targetBucketSize, so a bucketed self-join's pair cost stays
-    * ~n·targetBucketSize (linear in n) instead of n²/2^planes going
-    * quadratic when the plane count is a fixed literal. Clamped to ≥ 1.
+  /** Plane count sized to the corpus: the smallest k ≥ 1 with
+    * n ≤ targetBucketSize·2ᵏ (i.e. ⌈log2(n / targetBucketSize)⌉) puts
+    * the EXPECTED bucket population at ~targetBucketSize, so a bucketed
+    * self-join's pair cost stays ~n·targetBucketSize (linear in n)
+    * instead of n²/2^planes going quadratic when the plane count is a
+    * fixed literal.
+    *
+    * Computed as a pure INTEGER threshold loop clamped to [1,
+    * maxPlanes], mirroring the DuckDB oracle CTE
+    * (SparkEntry.sqlAutoPlaneCountCte) term for term: no libm
+    * log/ceil, so exact power-of-two corpus sizes can never
+    * desynchronize engine and oracle plane counts, and a corpus past
+    * targetBucketSize·2^maxPlanes clamps to maxPlanes on BOTH sides
+    * (the oracle's 12-plane candidate superset is the binding budget).
     */
-  def planesForCount(n: Long, targetBucketSize: Long = 1000L): Int =
-    math.max(1, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+  def planesForCount(n: Long, targetBucketSize: Long = 1000L,
+                     maxPlanes: Int = 12): Int = {
+    var k = 1
+    var cap = math.max(1L, targetBucketSize) * 2L
+    while (k < maxPlanes && n > cap) { k += 1; cap *= 2L }
+    k
+  }
 
   /** [[defaultPlanes]] with the plane count derived from the corpus
     * size via [[planesForCount]].

@@ -30,8 +30,17 @@ object ColumnBridge {
     */
   def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
       : Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    // Root-node-only match: `localCheckpoint` returns a frame whose
+    // analyzed plan IS a LogicalRDD (the checkpoint scan). Matching
+    // deeper would find LogicalRDDs that merely feed a derived frame —
+    // checkpointed inputs composed under projections/joins, or a
+    // user-created RDD-backed frame — and unpersisting those could
+    // yank storage still backing other live frames. Derived frames are
+    // therefore NOT releasable through this; release the original
+    // snapshot handle instead.
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
     }
 
   /** A sibling session on the same SparkContext/SharedState with the
