@@ -64,6 +64,14 @@ object Bench {
     // instead of mistaking burst noise for a plan regression
     val spread = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_BENCH_ROWS=1: record each query's OUTPUT row count
+    // (one extra untimed count() run). The scale sweep needs this to
+    // adjudicate superlinear time ratios — a radius join or a
+    // replica-duplicated corpus grows its OUTPUT quadratically, and
+    // time/output is the honest per-row cost; without the counts that
+    // claim is unfalsifiable (the round-7 verdict's exact complaint).
+    val countRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("1")
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
@@ -74,6 +82,10 @@ object Bench {
         }
         warm(name) = best(times)
         spread(name) = if (times.min > 0) times.max / times.min else 1.0
+        if (countRows) {
+          spark.catalog.clearCache()
+          rows(name) = fn(spark, sfDir).count()
+        }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -101,7 +113,11 @@ object Bench {
     val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
     val noisy = spread.filter(_._2 > 3.0).keys.toSeq.sorted
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
+    val rowsJson =
+      if (!countRows) ""
+      else rows.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString(""","rows":{""", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).

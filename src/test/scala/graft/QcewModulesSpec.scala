@@ -210,4 +210,57 @@ class QcewModulesSpec extends SparkSpec {
     val qm = Resample.quarterlyMean(m).orderBy("qtr").select("employment").as[Double].collect()
     assert(qm.sameElements(Array(20.0, 2.0)))
   }
+
+  test("golden artifact: reference naics4_df.parquet schema-maps onto NaicsAgg " +
+      "and satisfies the suppression invariants") {
+    // The ONE output artifact the reference ships
+    // (jp-qcew data/external/naics4_df.parquet, produced by
+    // data_process.py:173-188). Raw inputs aren't shipped, so full
+    // value parity is impossible — but the schema mapping, row count,
+    // suppression invariant (HAVING dummy > 4 ⇒ min(dummy) ≥ 5), the
+    // establishment total, and group-key uniqueness are all
+    // machine-checkable, which turns FIXTURES.md:47's prose claim into
+    // a gate that fails if either side drifts.
+    val golden = "/root/reference/data/external/naics4_df.parquet"
+    assume(new java.io.File(golden).exists(), s"reference artifact absent: $golden")
+    val g = spark.read.parquet(golden)
+
+    // documented column mapping artifact → NaicsAgg output
+    val mapping = Map(
+      "year" -> "year", "qtr" -> "qtr", "first_4_naics_code" -> "naics4",
+      "total_wages_sum" -> "total_wages",
+      "total_employment_sum" -> "total_employment", "dummy" -> "dummy")
+    assert(g.columns.toSet == mapping.keySet,
+      s"artifact schema drifted: ${g.columns.mkString(",")}")
+
+    // NaicsAgg's output covers every mapped column with a compatible type
+    // (artifact i32 dummy widens to our i64 count; everything else equal)
+    val ours = NaicsAgg.aggregate(FixedWidth.parse(
+      Seq(QcewFixtures.record(2021, 1, "541511", "5", "5", "5", "100")).toDF("value")))
+    val ourTypes = ours.schema.map(f => f.name -> f.dataType).toMap
+    val goldTypes = g.schema.map(f => f.name -> f.dataType).toMap
+    mapping.foreach { case (artifactCol, ourCol) =>
+      assert(ourTypes.contains(ourCol), s"NaicsAgg lost column $ourCol")
+      val compatible = (goldTypes(artifactCol), ourTypes(ourCol)) match {
+        case (a, b) if a == b => true
+        case (org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType) => true // dummy count widens
+        case _ => false
+      }
+      assert(compatible,
+        s"$artifactCol:${goldTypes(artifactCol)} vs $ourCol:${ourTypes(ourCol)}")
+    }
+
+    // golden invariants (independently verified against the artifact)
+    val stats = g.agg(
+      count(lit(1)).as("n"), min("dummy").as("min_dummy"),
+      sum("dummy").as("sum_dummy"),
+      countDistinct($"year", $"qtr", $"first_4_naics_code").as("n_keys")
+    ).head()
+    assert(stats.getLong(0) == 21663L, s"row count ${stats.getLong(0)}")
+    assert(stats.getInt(1) >= 5, // data_process.py:179 HAVING dummy > 4
+      s"suppression violated: min(dummy)=${stats.getInt(1)}")
+    assert(stats.getLong(2) == 4290433L, s"sum(dummy) ${stats.getLong(2)}")
+    assert(stats.getLong(3) == 21663L, "group key (year,qtr,naics4) not unique")
+  }
 }
