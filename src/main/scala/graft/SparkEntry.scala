@@ -2634,6 +2634,44 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // the LONG-series form of the same EWMA: the segmented-scan
+    // decomposition (chunk → affine summary A·s_in+B → boundary fold →
+    // in-chunk re-fold) that bounds per-task memory at
+    // O(chunk + len/chunk) instead of collecting whole series
+    // (Forecast.ewmaChunked scaladoc). chunkSize=16 forces every
+    // series through MANY boundary compositions, so the gate grades
+    // the fallback path itself; round-6 equality with the sequential
+    // recursive-CTE oracle is ForecastChunkedSpec-gated on this grid.
+    "q_ewma_chunked" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+      Forecast.ewmaChunked(daily, Seq("event_type"), "day", "day_total",
+          alpha = 0.3, chunkSize = 16)
+        .select(col("event_type"), col("day"), col("day_total"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Holt level+trend through the same long-series fallback: per-chunk
+    // 2×2 affine-map composition, 2-state boundary fold, in-chunk
+    // re-fold (Forecast.holtChunked scaladoc).
+    "q_holt_chunked" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+      Forecast.holtChunked(daily, Seq("event_type"), "day", "day_total",
+          alpha = 0.5, beta = 0.3, chunkSize = 16)
+        .select(col("event_type"), col("day"), col("day_total"),
+          round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+          round(col("level") + col("trend"), 6).as("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
     // robust feature preprocessing: winsorization — clamp the tails to
     // the per-group [p05, p95] before aggregating. Percentiles come
     // from the SAME scale path as q_percentiles (distinct-value counts
@@ -6664,6 +6702,46 @@ object SparkEntry {
           |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
           |SELECT event_type, day, day_total, round(s, 6) AS ewma
           |FROM ewma ORDER BY event_type, day""".stripMargin,
+
+      // the chunked long-series form must equal the SEQUENTIAL fold to
+      // round-6 (ForecastChunkedSpec gates the float-reassociation
+      // tolerance on this exact grid), so it shares the recursive-CTE
+      // oracle text with q_ewma
+      "q_ewma_chunked" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |ewma(event_type, day, day_total, rn, s) AS (
+          |  SELECT event_type, day, day_total, rn, day_total FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.3 * d.day_total + 0.7 * w.s
+          |  FROM ewma w JOIN daily d
+          |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+          |SELECT event_type, day, day_total, round(s, 6) AS ewma
+          |FROM ewma ORDER BY event_type, day""".stripMargin,
+
+      "q_holt_chunked" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |holt(event_type, day, day_total, rn, l, b) AS (
+          |  SELECT event_type, day, day_total, rn, day_total, CAST(0.0 AS DOUBLE)
+          |  FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.5 * d.day_total + 0.5 * (h.l + h.b),
+          |         0.3 * ((0.5 * d.day_total + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+          |  FROM holt h JOIN daily d
+          |    ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(l, 6) AS level, round(b, 6) AS trend,
+          |       round(l + b, 6) AS forecast_next
+          |FROM holt ORDER BY event_type, day""".stripMargin,
 
       "q_winsorize" ->
         """WITH bounds AS (

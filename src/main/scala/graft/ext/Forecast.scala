@@ -126,4 +126,270 @@ object Forecast {
       .select(keys.map(col) :+ col("np").as("n_pairs")
         :+ round(col("slope"), 6).as("ts_slope"): _*)
   }
+
+  // ====================================================================
+  // Chunked (segmented-scan) folds for LONG sequential-state series.
+  //
+  // The collected fold (q_ewma/q_holt: collect_list + aggregate HOF)
+  // holds ONE WHOLE SERIES per task — fine for daily grids, fatal for a
+  // years-long per-key series at second resolution (SCALING.md's stated
+  // limit). These variants decompose the linear recurrence into the
+  // classic two-level scan:
+  //
+  //   1. split each series into chunks of `chunkSize` consecutive
+  //      points (one row_number window: sorted, SPILLABLE — never
+  //      collected whole);
+  //   2. summarize each chunk as the AFFINE MAP the recurrence applies
+  //      to incoming state (EWMA: s_out = A·s_in + B with
+  //      A = (1−α)^n; Holt: 2×2 matrix + 2-vector), computed by one
+  //      in-chunk fold;
+  //   3. fold the per-series chunk summaries in order (len/C structs)
+  //      to get each chunk's incoming boundary state;
+  //   4. join boundaries back (co-partitioned on key+chunk) and re-run
+  //      the plain sequential fold INSIDE each chunk from its boundary
+  //      state, emitting per-point values.
+  //
+  // Per-task memory is O(chunkSize) for steps 2/4 and O(len/chunkSize)
+  // for step 3 — √len when chunkSize ≈ √len — instead of O(len). The
+  // price is bit-exactness: composing A·s_in + B reassociates the IEEE
+  // op sequence at chunk boundaries, so values can differ from the
+  // collected fold in the last ~couple of ulps (ForecastChunkedSpec
+  // gates agreement to 1e-9 relative and round-6 equality on the real
+  // testdata). Works for ANY recurrence linear in its state; the
+  // first-element init convention (s₁=y₁; Holt l₁=y₁, b₁=0) is kept by
+  // folding chunk 0 directly with the plain convention.
+  // ====================================================================
+
+  import org.apache.spark.sql.types._
+
+  private def emptyAcc(fields: (String, DataType)*): Column =
+    array().cast(ArrayType(StructType(
+      fields.map { case (n, t) => StructField(n, t) })))
+
+  /** [[ewmaChunked]]'s collected-form twin, for callers and the
+    * equivalence gate: the q_ewma fold (s₁=y₁; sᵢ=α·yᵢ+(1−α)·sᵢ₋₁) as
+    * a library function. One shuffle on `keys`; holds one series per
+    * task. Returns keys ++ (ord, y, ewma), ewma unrounded.
+    */
+  def ewma(points: DataFrame, keys: Seq[String], ordCol: String, yCol: String,
+           alpha: Double): DataFrame = {
+    val ordType = points.schema(ordCol).dataType
+    val kcols = keys.map(col)
+    val merge = (acc: Column, p: Column) => array_append(acc, struct(
+      p.getField("o").as("o"), p.getField("y").as("y"),
+      when(size(acc) === 0, p.getField("y"))
+        .otherwise(lit(alpha) * p.getField("y") +
+          lit(1.0 - alpha) * element_at(acc, -1).getField("s")).as("s")))
+    points
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("o"), col(yCol).cast("double").as("y")))).as("pts"))
+      .select(kcols :+ explode(aggregate(col("pts"),
+        emptyAcc("o" -> ordType, "y" -> DoubleType, "s" -> DoubleType),
+        merge)).as("r"): _*)
+      .select(kcols ++ Seq(col("r.o").as(ordCol), col("r.y").as(yCol),
+        col("r.s").as("ewma")): _*)
+  }
+
+  /** Chunked EWMA — the long-series fallback (see the section comment
+    * above for the decomposition and memory bound). Same contract as
+    * [[ewma]]; `chunkSize` bounds per-task array length. A deployment
+    * sizes chunkSize ≈ √(max series length); the q_ewma_chunked gate
+    * runs it at a chunkSize small enough that every series spans many
+    * chunks, so the boundary-composition path is what's being graded.
+    */
+  def ewmaChunked(points: DataFrame, keys: Seq[String], ordCol: String,
+                  yCol: String, alpha: Double, chunkSize: Int): DataFrame = {
+    require(chunkSize >= 2, "chunkSize must be at least 2")
+    val a = alpha; val om = 1.0 - alpha
+    val ordType = points.schema(ordCol).dataType
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(col(ordCol))
+    // row_number is int and non-negative, so truncating div == floor div
+    val chunked = points
+      .select(kcols ++ Seq(col(ordCol),
+        col(yCol).cast("double").as("_y")): _*)
+      .withColumn("_chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("long"))
+
+    // step 2: per-chunk sorted points + affine summary (A, B).
+    // Chunk 0 has no incoming state: A=0 and B = the plain fold with
+    // the s₁=y₁ convention, so the uniform rule s_out = A·s_in + B
+    // holds for every chunk.
+    val foldStep = (acc: Column, p: Column) =>
+      lit(a) * p.getField("y") + lit(om) * acc
+    val chunks = chunked
+      .groupBy((kcols :+ col("_chunk")): _*)
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col("_y").as("y")))).as("pts"))
+    val summaries = chunks.select(kcols ++ Seq(col("_chunk"),
+      when(col("_chunk") === 0, lit(0.0))
+        .otherwise(pow(lit(om), size(col("pts")))).as("_A"),
+      when(col("_chunk") === 0,
+        aggregate(slice(col("pts"), lit(2), size(col("pts")) - 1),
+          element_at(col("pts"), 1).getField("y"), foldStep))
+        .otherwise(aggregate(col("pts"), lit(0.0), foldStep)).as("_B")): _*)
+
+    // step 3: per-series ordered fold over the len/C chunk summaries →
+    // each chunk's incoming boundary state
+    val boundMerge = (acc: Column, p: Column) => {
+      val sPrev = when(size(acc) === 0, lit(0.0))
+        .otherwise(element_at(acc, -1).getField("sout"))
+      array_append(acc, struct(
+        p.getField("c").as("c"), sPrev.as("sin"),
+        (p.getField("a") * sPrev + p.getField("b")).as("sout")))
+    }
+    val bounds = summaries
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("_chunk").as("c"),
+        col("_A").as("a"), col("_B").as("b")))).as("cs"))
+      .select(kcols :+ explode(aggregate(col("cs"),
+        emptyAcc("c" -> LongType, "sin" -> DoubleType, "sout" -> DoubleType),
+        boundMerge)).as("bd"): _*)
+      .select(kcols ++ Seq(col("bd.c").as("_chunk"),
+        col("bd.sin").as("_sin")): _*)
+
+    // step 4: boundary states join back on (keys, chunk) — both sides
+    // just shuffled on key-derived columns — and the plain sequential
+    // fold re-runs inside each chunk from its boundary state
+    val emitMerge = (acc: Column, p: Column) => array_append(acc, struct(
+      p.getField("o").as("o"), p.getField("y").as("y"),
+      when(size(acc) === 0,
+        when(col("_chunk") === 0, p.getField("y"))
+          .otherwise(lit(a) * p.getField("y") + lit(om) * col("_sin")))
+        .otherwise(lit(a) * p.getField("y") +
+          lit(om) * element_at(acc, -1).getField("s")).as("s")))
+    chunks.join(bounds, keys :+ "_chunk")
+      .select(kcols :+ explode(aggregate(col("pts"),
+        emptyAcc("o" -> ordType, "y" -> DoubleType, "s" -> DoubleType),
+        emitMerge)).as("r"): _*)
+      .select(kcols ++ Seq(col("r.o").as(ordCol), col("r.y").as(yCol),
+        col("r.s").as("ewma")): _*)
+  }
+
+  /** Chunked Holt double exponential smoothing (level + trend) — the
+    * 2-state instance of the segmented-scan decomposition. Per step
+    * the state is affine: [l,b]' = M·[l,b] + y·v with
+    * M = [[1−α, 1−α], [−αβ, 1−αβ]], v = [α, αβ]; a chunk composes to
+    * one (2×2 matrix, 2-vector) pair folded element-by-element
+    * ((M,c) ← (S·M, S·c + y·v)), boundaries fold over those, and the
+    * plain q_holt recurrence re-runs inside each chunk from its
+    * boundary (l, b). Init convention l₁=y₁, b₁=0 lives in chunk 0
+    * exactly as [[ewmaChunked]] handles s₁=y₁.
+    *
+    * Returns keys ++ (ord, y, level, trend), unrounded.
+    */
+  def holtChunked(points: DataFrame, keys: Seq[String], ordCol: String,
+                  yCol: String, alpha: Double, beta: Double,
+                  chunkSize: Int): DataFrame = {
+    require(chunkSize >= 2, "chunkSize must be at least 2")
+    val ordType = points.schema(ordCol).dataType
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(col(ordCol))
+    val chunked = points
+      .select(kcols ++ Seq(col(ordCol),
+        col(yCol).cast("double").as("_y")): _*)
+      .withColumn("_chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("long"))
+    val chunks = chunked
+      .groupBy((kcols :+ col("_chunk")): _*)
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col("_y").as("y")))).as("pts"))
+
+    // step matrix entries (literals folded at plan time)
+    val (m11, m12) = (lit(1.0 - alpha), lit(1.0 - alpha))
+    val (m21, m22) = (lit(-alpha * beta), lit(1.0 - alpha * beta))
+    val (v1, v2) = (lit(alpha), lit(alpha * beta))
+
+    // chunk summary: compose per-element affine steps into (M, c);
+    // identity seed. For chunk 0, fold (l, b) directly with the
+    // l₁=y₁, b₁=0 convention — its summary is the CONSTANT map
+    // (M=0, c=final state).
+    val affSeed = struct(lit(1.0).as("a11"), lit(0.0).as("a12"),
+      lit(0.0).as("a21"), lit(1.0).as("a22"),
+      lit(0.0).as("c1"), lit(0.0).as("c2"))
+    val affMerge = (acc: Column, p: Column) => {
+      val y = p.getField("y")
+      struct(
+        (m11 * acc.getField("a11") + m12 * acc.getField("a21")).as("a11"),
+        (m11 * acc.getField("a12") + m12 * acc.getField("a22")).as("a12"),
+        (m21 * acc.getField("a11") + m22 * acc.getField("a21")).as("a21"),
+        (m21 * acc.getField("a12") + m22 * acc.getField("a22")).as("a22"),
+        (m11 * acc.getField("c1") + m12 * acc.getField("c2") + y * v1).as("c1"),
+        (m21 * acc.getField("c1") + m22 * acc.getField("c2") + y * v2).as("c2"))
+    }
+    // the q_holt per-step recurrence on a (l, b) struct accumulator,
+    // shared by the chunk-0 summary and the per-point emission
+    def holtStep(lPrev: Column, bPrev: Column, y: Column): (Column, Column) = {
+      val lNew = lit(alpha) * y + lit(1.0 - alpha) * (lPrev + bPrev)
+      val bNew = lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * bPrev
+      (lNew, bNew)
+    }
+    val lbSeed = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      lit(false).as("init"))
+    val lbMerge = (acc: Column, p: Column) => {
+      val (lN, bN) = holtStep(acc.getField("l"), acc.getField("b"),
+        p.getField("y"))
+      struct(
+        when(!acc.getField("init"), p.getField("y")).otherwise(lN).as("l"),
+        when(!acc.getField("init"), lit(0.0)).otherwise(bN).as("b"),
+        lit(true).as("init"))
+    }
+    val zeroMap = Seq("a11", "a12", "a21", "a22")
+      .map(n => lit(0.0).as(n))
+    val summaries = chunks.select(kcols ++ Seq(col("_chunk"),
+      when(col("_chunk") === 0, {
+        val lb = aggregate(col("pts"), lbSeed, lbMerge)
+        struct(zeroMap ++ Seq(lb.getField("l").as("c1"),
+          lb.getField("b").as("c2")): _*)
+      }).otherwise(aggregate(col("pts"), affSeed, affMerge)).as("_m")): _*)
+
+    // boundary fold: out = M·in + c per chunk, in order
+    val boundMerge = (acc: Column, p: Column) => {
+      val m = p.getField("m")
+      val lin = when(size(acc) === 0, lit(0.0))
+        .otherwise(element_at(acc, -1).getField("lout"))
+      val bin = when(size(acc) === 0, lit(0.0))
+        .otherwise(element_at(acc, -1).getField("bout"))
+      array_append(acc, struct(
+        p.getField("c").as("c"), lin.as("lin"), bin.as("bin"),
+        (m.getField("a11") * lin + m.getField("a12") * bin +
+          m.getField("c1")).as("lout"),
+        (m.getField("a21") * lin + m.getField("a22") * bin +
+          m.getField("c2")).as("bout")))
+    }
+    val bounds = summaries
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("_chunk").as("c"),
+        col("_m").as("m")))).as("cs"))
+      .select(kcols :+ explode(aggregate(col("cs"),
+        emptyAcc("c" -> LongType, "lin" -> DoubleType, "bin" -> DoubleType,
+          "lout" -> DoubleType, "bout" -> DoubleType),
+        boundMerge)).as("bd"): _*)
+      .select(kcols ++ Seq(col("bd.c").as("_chunk"),
+        col("bd.lin").as("_lin"), col("bd.bin").as("_bin")): _*)
+
+    // per-point emission from the boundary state
+    val emitMerge = (acc: Column, p: Column) => {
+      val first = size(acc) === 0
+      val lPrev = when(first, col("_lin"))
+        .otherwise(element_at(acc, -1).getField("l"))
+      val bPrev = when(first, col("_bin"))
+        .otherwise(element_at(acc, -1).getField("b"))
+      val (lN, bN) = holtStep(lPrev, bPrev, p.getField("y"))
+      array_append(acc, struct(
+        p.getField("o").as("o"), p.getField("y").as("y"),
+        when(first && col("_chunk") === 0, p.getField("y"))
+          .otherwise(lN).as("l"),
+        when(first && col("_chunk") === 0, lit(0.0))
+          .otherwise(bN).as("b")))
+    }
+    chunks.join(bounds, keys :+ "_chunk")
+      .select(kcols :+ explode(aggregate(col("pts"),
+        emptyAcc("o" -> ordType, "y" -> DoubleType,
+          "l" -> DoubleType, "b" -> DoubleType),
+        emitMerge)).as("r"): _*)
+      .select(kcols ++ Seq(col("r.o").as(ordCol), col("r.y").as(yCol),
+        col("r.l").as("level"), col("r.b").as("trend")): _*)
+  }
 }
