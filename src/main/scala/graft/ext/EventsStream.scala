@@ -107,6 +107,25 @@ object EventsStream {
       .parquet(p.getParent.toString)
   }
 
+  /** Per-completed-run micro-batch accounting, keyed by sink/query
+    * name: (micro-batches, Σ batchDuration ms). Populated by every
+    * bounded-run harness in this package so a bench consumer
+    * ([[graft.StreamProbe]]) can split a streaming query's wall time
+    * into BATCH PROCESSING (this sum) and HARNESS SETUP (session
+    * clone, state-store init, query start/stop — the remainder):
+    * bounded local streams are dominated by the fixed cost, and
+    * without the split a streaming bench row reads as if the operator
+    * itself were that slow.
+    */
+  val lastRunStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  private[ext] def recordRun(q: StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    lastRunStats.put(Option(q.name).getOrElse(q.id.toString),
+      (ps.length, ps.map(_.batchDuration).sum))
+  }
+
   /** Run a bounded streaming frame to completion into a memory sink
     * and return the sink table (registered in the frame's session).
     */
@@ -119,6 +138,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
+    recordRun(q)
     stream.sparkSession.table(queryName)
   }
 
@@ -371,6 +391,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
+    recordRun(q)
     q
   }
 
@@ -410,6 +431,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
+    recordRun(q)
     q
   }
 
@@ -462,6 +484,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
+    recordRun(q)
     q
   }
 

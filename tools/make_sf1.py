@@ -17,7 +17,11 @@ near-duplicates are intentional (a 10x crawl IS duplicate-heavy), and
 they stress exactly the bucket caps / cluster bounds the dedup
 operators claim protect them.
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+
+replicas defaults to 10 (sf1). replicas=30 builds the ~sf3 dataset for
+the 30x sweep; all shifted keys are int64, so offsets stay exact far
+past any replica count this will ever see.
 """
 import sys
 import pyarrow as pa
@@ -27,7 +31,7 @@ import os
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFFSET = 100_000_000  # far above any sf0.1 key
 
 # key columns to shift, per table (referential groups share a shift)
