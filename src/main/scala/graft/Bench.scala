@@ -117,7 +117,7 @@ object Bench {
       if (!countRows) ""
       else rows.map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString(""","rows":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).

@@ -917,6 +917,82 @@ object SparkEntry {
         .orderBy(col("exact_n").desc, col("item"))
     }),
 
+    // ext: deterministic HLL distinct users per event_type — the
+    // register table is md5-derived INTEGER state (Sketch scaladoc),
+    // so the oracle reproduces the sketch bit-for-bit: v_empty and
+    // s_scaled (the harmonic denominator as an exact long) gate the
+    // full sketch state, est follows the repo's round-4 convention for
+    // the one libm call on the linear-counting branch. n_exact rides
+    // along so the row itself shows the measured error. Scale: the
+    // register aggregate shuffles <= groups x 256 rows — the mergeable
+    // approx-distinct that exact COUNT(DISTINCT) can't give at 100 TB.
+    "q_hll_distinct" -> ((s, dir) => {
+      // item = active user-DAY (user_id:date): ~1.6k distinct per type
+      // at sf0.01, so the harmonic ('raw') estimator band is the one
+      // exercised — bare user_id (150 distinct) would degenerate to
+      // identical linear-counting rows across all groups
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("user_day", concat(col("user_id").cast("string"),
+          lit(":"), col("ts").cast("date").cast("string")))
+      val regs = Sketch.hllDetRegisters(ev, Seq("event_type"), col("user_day"))
+      val est = Sketch.hllDetEstimate(regs, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_day").as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("v_empty"),
+          col("s_scaled"), col("band"), col("est"))
+        .orderBy("event_type")
+    }),
+
+    // §2.10 streaming + ext sketch: the STREAMING build of the same
+    // deterministic HLL — update-mode register maintenance with
+    // bounded state (groups x 256 ints, vs the unbounded set an exact
+    // streaming COUNT(DISTINCT) would hold), gated against the
+    // identical register/estimate SQL as the batch form.
+    "q_stream_hll" -> ((s, dir) => {
+      val regs = EventsStream.hllRegistersStream(
+        EventsStream.readEventsStream(s, s"$dir/events.parquet")
+          .withColumn("user_day", concat(col("user_id").cast("string"),
+            lit(":"), col("ts").cast("date").cast("string"))),
+        "event_type", col("user_day"))
+      Sketch.hllDetEstimate(regs, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
+    // ext: KMV bottom-k audience-overlap estimates for every pair of
+    // event types, next to the exact Jaccard they approximate. The
+    // sketches are k=128 distinct md5 minima per group (KmvAgg: the
+    // shuffle carries <= k longs per group per map partition), the
+    // pair stage touches ONLY the 5-row sketch table — the mergeable
+    // overlap machinery whose exact form (the n_inter join here) has
+    // to re-shuffle every distinct (group, user) pair at full scale.
+    "q_kmv_overlap" -> ((s, dir) => {
+      // audiences = per-type sets of active user-DAYS (see
+      // q_hll_distinct): partially overlapping (exact J ~ 0.27 at
+      // sf0.01), so the estimator has something real to estimate
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("user_day", concat(col("user_id").cast("string"),
+          lit(":"), col("ts").cast("date").cast("string")))
+      val sk = Sketch.kmvSketch(ev, "event_type", col("user_day"), k = 128)
+      val est = Sketch.kmvOverlap(sk, "event_type", k = 128)
+      val du = ev.select(col("event_type").as("g"), col("user_day").as("u"))
+        .distinct()
+      val sizes = du.groupBy("g").agg(count(lit(1)).as("n"))
+      val inter = du.as("x")
+        .join(du.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+        .agg(count(lit(1)).as("n_inter"))
+      est.join(inter, Seq("ga", "gb"), "left")
+        .join(sizes.withColumnRenamed("g", "ga").withColumnRenamed("n", "n_a"), "ga")
+        .join(sizes.withColumnRenamed("g", "gb").withColumnRenamed("n", "n_b"), "gb")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard_exact", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+        .select("ga", "gb", "n_shared", "ku", "jaccard_kmv", "n_inter",
+          "jaccard_exact")
+        .orderBy("ga", "gb")
+    }),
+
     // J3: the reference README declares (but never ships) a join of the
     // flagship table against an external "hactable" on
     // unique_naics_code — the J1 broadcast-enrichment pattern on the
@@ -5147,6 +5223,106 @@ object SparkEntry {
           |       min(coalesce(c.c, 0)) >= min(p.exact_n) AS admissible
           |FROM probe p LEFT JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
           |GROUP BY p.item ORDER BY exact_n DESC, item""".stripMargin,
+
+      // deterministic HLL: every register is integer arithmetic off the
+      // same md5, so the sketch state (v_empty, s_scaled) hash-gates
+      // exactly; est repeats the engine's literal double ops (round 4
+      // absorbs the last-ulp ln on the lc branch)
+      "q_hll_distinct" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, hv >> 52 AS bucket,
+          |         max(bit_count((((hv & 4503599627370495) | 4503599627370496) & -((hv & 4503599627370495) | 4503599627370496)) - 1) + 1) AS reg
+          |  FROM h GROUP BY 1, 2),
+          |s AS (
+          |  SELECT event_type, count(*) AS n_buckets,
+          |         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s_present
+          |  FROM r GROUP BY 1),
+          |e AS (
+          |  SELECT event_type, CAST(256 - n_buckets AS BIGINT) AS v_empty,
+          |         s_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_scaled
+          |  FROM s),
+          |est AS (
+          |  SELECT event_type, v_empty, s_scaled,
+          |         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+          |           CAST(CAST(1 AS BIGINT) << 53 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS raw
+          |  FROM e),
+          |x AS (SELECT event_type, count(DISTINCT CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_exact FROM events GROUP BY 1)
+          |SELECT est.event_type, CAST(x.n_exact AS BIGINT) AS n_exact, v_empty, s_scaled,
+          |       CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0 THEN 'lc' ELSE 'raw' END AS band,
+          |       round(CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0
+          |             THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE raw END, 4) AS est
+          |FROM est JOIN x ON est.event_type = x.event_type
+          |ORDER BY 1""".stripMargin,
+
+      // streaming HLL: identical register/estimate math as
+      // q_hll_distinct (the stream maintains the same integer state)
+      "q_stream_hll" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, hv >> 52 AS bucket,
+          |         max(bit_count((((hv & 4503599627370495) | 4503599627370496) & -((hv & 4503599627370495) | 4503599627370496)) - 1) + 1) AS reg
+          |  FROM h GROUP BY 1, 2),
+          |s AS (
+          |  SELECT event_type, count(*) AS n_buckets,
+          |         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s_present
+          |  FROM r GROUP BY 1),
+          |e AS (
+          |  SELECT event_type, CAST(256 - n_buckets AS BIGINT) AS v_empty,
+          |         s_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_scaled
+          |  FROM s),
+          |est AS (
+          |  SELECT event_type, v_empty, s_scaled,
+          |         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+          |           CAST(CAST(1 AS BIGINT) << 53 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS raw
+          |  FROM e)
+          |SELECT event_type, v_empty, s_scaled,
+          |       CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0 THEN 'lc' ELSE 'raw' END AS band,
+          |       round(CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0
+          |             THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE raw END, 4) AS est
+          |FROM est ORDER BY 1""".stripMargin,
+
+      // KMV overlap: bottom-k DISTINCT md5 minima per group (the
+      // window form here equals KmvAgg's in-buffer dedup), union-k via
+      // list ops on the tiny sketches, exact Jaccard alongside
+      "q_kmv_overlap" ->
+        """WITH h AS (
+          |  SELECT DISTINCT event_type AS g,
+          |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events),
+          |sk AS (
+          |  SELECT g, list_sort(list(hv)) AS ks
+          |  FROM (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h)
+          |  WHERE rn <= 128 GROUP BY g),
+          |kv AS (
+          |  SELECT a.g AS ga, b.g AS gb,
+          |         list_slice(list_sort(list_distinct(list_concat(a.ks, b.ks))), 1, 128) AS ku_list,
+          |         a.ks AS ksa, b.ks AS ksb
+          |  FROM sk a JOIN sk b ON a.g < b.g),
+          |kve AS (
+          |  SELECT ga, gb,
+          |         CAST(len(list_filter(ku_list, x -> list_contains(ksa, x) AND list_contains(ksb, x))) AS BIGINT) AS n_shared,
+          |         CAST(len(ku_list) AS BIGINT) AS ku
+          |  FROM kv),
+          |du AS (SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS u FROM events),
+          |sizes AS (SELECT g, count(*) AS n FROM du GROUP BY 1),
+          |inter AS (
+          |  SELECT x.g AS ga, y.g AS gb, count(*) AS n_inter
+          |  FROM du x JOIN du y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
+          |SELECT kve.ga, kve.gb, n_shared, ku,
+          |       round(CAST(n_shared AS DOUBLE) / CAST(ku AS DOUBLE), 4) AS jaccard_kmv,
+          |       CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+          |       round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+          |             CAST(sa.n + sb.n - coalesce(n_inter, 0) AS DOUBLE), 4) AS jaccard_exact
+          |FROM kve LEFT JOIN inter ON kve.ga = inter.ga AND kve.gb = inter.gb
+          |JOIN sizes sa ON kve.ga = sa.g JOIN sizes sb ON kve.gb = sb.g
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_naics_external_join" ->
         """WITH agg AS (

@@ -26,7 +26,8 @@ object StreamProbe {
     "q_events_stream", "q_stream_enrich", "q_stream_dedup",
     "q_stream_dedup_wm", "q_event_funnel_stream", "q_event_funnel_outer",
     "q_stream_upsert", "q_stream_rollup", "q_session_window_stream",
-    "q_stream_stateful_totals", "q_stream_sliding", "q_stream_interval_join")
+    "q_stream_stateful_totals", "q_stream_sliding", "q_stream_interval_join",
+    "q_stream_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

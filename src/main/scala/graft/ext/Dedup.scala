@@ -535,7 +535,7 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      else df.localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // persist the pair set FIRST: the symmetrizing union below reads it
     // twice, and `pairs` is typically an expensive LSH plan
     val p = pairs.persist()

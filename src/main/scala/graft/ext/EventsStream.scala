@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -140,6 +140,30 @@ object EventsStream {
     q.stop()
     recordRun(q)
     stream.sparkSession.table(queryName)
+  }
+
+  /** Streaming build of the deterministic HLL register table — the
+    * twin of [[Sketch.hllDetRegisters]]: an update-mode max-aggregate
+    * per (group, bucket). The memory sink accumulates one row per
+    * UPDATED key per micro-batch; registers only ever grow, so the
+    * read-side max-dedup reconstructs exactly the batch register
+    * table (`q_stream_hll` hash-gates this against the same SQL oracle
+    * as the batch form). Why it matters at scale: streaming state is
+    * groups × 2^bucketBits int registers — bounded forever — where an
+    * exact streaming COUNT(DISTINCT) would hold the unbounded item
+    * universe in the state store.
+    */
+  def hllRegistersStream(events: DataFrame, group: String, item: Column,
+                         bucketBits: Int = 8,
+                         sinkName: String = "hll_regs_sink"): DataFrame = {
+    val p = 60 - bucketBits
+    val h = Sketch.hash60(item)
+    val w = h.bitwiseAND(lit((1L << p) - 1)).bitwiseOR(lit(1L << p))
+    val rho = (bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1)).cast("int")
+    val regs = events.groupBy(col(group), shiftright(h, p).as("bucket"))
+      .agg(max(rho).as("reg"))
+    runToMemory(regs, sinkName, OutputMode.Update())
+      .groupBy(group, "bucket").agg(max("reg").as("reg"))
   }
 
   /** The streaming twin of [[readEvents]]: bounded parquet stream over

@@ -41,9 +41,19 @@ object Graph {
     * plan depth stays O(1) per round — the same trade
     * [[Dedup.connectedComponents]] documents (a real cluster wanting
     * fault-tolerant truncation uses reliable `checkpoint` storage).
+    *
+    * Storage is MEMORY_AND_DISK_SER, not the deserialized default:
+    * checkpoint blocks are scanned once-per-round sequentially, so
+    * decode cost is trivial, while deserialized row objects are 3-5×
+    * the serialized bytes ON HEAP. The 30× scale sweep made this
+    * concrete: k-core's per-round edge snapshots as live Java objects
+    * blew a 16 GiB heap (OOM → context shutdown) where the serialized
+    * form fits comfortably — and lost-block recompute is not an option
+    * for a localCheckpoint, whose lineage is truncated by design.
     */
   private def snapshot(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Release the storage behind a [[snapshot]] (or any
     * `localCheckpoint`ed frame) deterministically. Spark's public API
@@ -351,7 +361,7 @@ object Graph {
         Seq("id1", "id2"), "left_anti")
       .orderBy(col("cn").desc, col("id1"), col("id2"))
       .limit(topK)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     kept.unpersist()
     out
   }
@@ -377,7 +387,7 @@ object Graph {
       pr = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - d) / n) + lit(d) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-      if (truncateLineage) pr = pr.localCheckpoint(true)
+      if (truncateLineage) pr = pr.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     pr.select(col("id"), round(col("pr"), 6).as("pr"))
   }
@@ -424,7 +434,7 @@ object Graph {
         .select(col("id"), col("out_deg"),
           (lit((1.0 - d) / n) + lit(d) *
             (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("pr"))
-      if (truncateLineage) pr = pr.localCheckpoint(true)
+      if (truncateLineage) pr = pr.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     pr.select(col("id"), round(col("pr"), 6).as("pr"))
   }

@@ -325,7 +325,7 @@ object Similarity {
     var centroids = corpus
       .orderBy(col(idCol)).limit(k)
       .select(row_number().over(seedW).cast("long").as(idCol), col(vecCol))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(corpus, centroids, nProbe = 1,
@@ -345,7 +345,7 @@ object Similarity {
       // clusters that captured no vectors keep their previous centroid
       val next = means
         .unionByName(centroids.join(means.select(idCol), Seq(idCol), "left_anti"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       Graph.release(centroids) // superseded k-row snapshot, freed per round
       centroids = next
       i += 1
