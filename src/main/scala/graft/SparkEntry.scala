@@ -3441,31 +3441,23 @@ object SparkEntry {
     // fixed-order sum (Dedup.linkageScore scaladoc). Output is the
     // score histogram — 4 weight combinations — not the pair list.
     "q_linkage" -> ((s, dir) => {
+      // Fellegi–Sunter over exact-equality fields: the histogram is
+      // agreement-pattern combinatorics over GROUP SIZES (Möbius over
+      // the field-subset lattice) — no pair enumeration, no bucket
+      // caps, exact at any scale. The enumerated form (round-7's
+      // refined pair join) measured 94× slower at 30× data because
+      // replicas share compared fields; this form is 2^k = 4 group
+      // aggregates, linear forever. Equivalence to the pair-join form
+      // is ExtSpec-gated.
       val c = t(s, dir, "customer").select(
         col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         expr("right(c_name, 1)").as("sfx"),
         floor(col("c_acctbal") / 1000).as("balk"))
-      // oversize-block refinement (the fuzzyPairs/LSH cap discipline):
-      // a (nation, segment) block past 256 rows refines on the balance
-      // bucket — a COMPARED field, so the dropped cross-bucket pairs
-      // are exactly the balk-disagreement pairs that score lowest.
-      // Below the cap the sub-key is constant and the pair set is the
-      // plain blocked form. Without this the pair fan-out is
-      // Σ block² — measured 105 s at 10× data, quadratic forever.
-      val sizes = c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("bn"))
-      val cc = c.join(sizes, Seq("c_nationkey", "c_mktsegment"))
-        .withColumn("subk",
-          when(col("bn") > 256, col("balk")).otherwise(lit(-999L)))
-      val a = cc.select(col("c_nationkey"), col("c_mktsegment"), col("subk"),
-        col("c_custkey").as("id_a"), col("sfx").as("a_sfx"), col("balk").as("a_balk"))
-      val b = cc.select(col("c_nationkey"), col("c_mktsegment"), col("subk"),
-        col("c_custkey").as("id_b"), col("sfx").as("b_sfx"), col("balk").as("b_balk"))
-      val pairs = a.join(b, Seq("c_nationkey", "c_mktsegment", "subk"))
-        .filter(col("id_a") < col("id_b"))
-      Dedup.linkageScore(pairs,
-          Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05)), threshold = 1.0)
-        .groupBy("score", "is_link").agg(count(lit(1)).as("n_pairs"))
+      Dedup.linkagePatternHistogram(c,
+          blockCols = Seq("c_nationkey", "c_mktsegment"),
+          fields = Seq("balk", "sfx"),
+          weights = Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05)),
+          threshold = 1.0)
         .orderBy("score")
     }),
 
@@ -7834,32 +7826,36 @@ object SparkEntry {
       "q_linkage" -> {
         def wa(m: Double, u: Double) = math.log(m / u)
         def wd(m: Double, u: Double) = math.log((1.0 - m) / (1.0 - u))
-        // field order = sorted name order (balk, sfx), matching the
-        // module's fixed left-assoc sum
-        s"""WITH c0 AS (
+        // the same Möbius-over-group-sizes form as the engine: A(T) =
+        // pairs agreeing on at least T, patterns by inclusion-exclusion
+        s"""WITH c AS (
            |  SELECT c_custkey, c_nationkey, c_mktsegment,
            |         right(c_name, 1) AS sfx,
            |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS balk
            |  FROM customer),
-           |bs AS (
-           |  SELECT c_nationkey, c_mktsegment, count(*) AS bn
-           |  FROM c0 GROUP BY 1, 2),
-           |c AS (
-           |  SELECT c0.*, CASE WHEN bs.bn > 256 THEN c0.balk
-           |                    ELSE -999 END AS subk
-           |  FROM c0 JOIN bs USING (c_nationkey, c_mktsegment)),
-           |p AS (
-           |  SELECT CASE WHEN a.balk = b.balk THEN ${wa(0.3, 0.05)}
-           |              ELSE ${wd(0.3, 0.05)} END
-           |       + CASE WHEN a.sfx = b.sfx THEN ${wa(0.9, 0.1)}
-           |              ELSE ${wd(0.9, 0.1)} END AS s
-           |  FROM c a JOIN c b
-           |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-           |   AND a.subk = b.subk
-           |   AND a.c_custkey < b.c_custkey)
-           |SELECT round(s, 6) AS score, round(s, 6) >= 1.0 AS is_link,
-           |       count(*) AS n_pairs
-           |FROM p GROUP BY 1, 2 ORDER BY 1""".stripMargin
+           |a00 AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS a
+           |        FROM (SELECT count(*) AS n FROM c GROUP BY c_nationkey, c_mktsegment)),
+           |a10 AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS a
+           |        FROM (SELECT count(*) AS n FROM c GROUP BY c_nationkey, c_mktsegment, balk)),
+           |a01 AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS a
+           |        FROM (SELECT count(*) AS n FROM c GROUP BY c_nationkey, c_mktsegment, sfx)),
+           |a11 AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS a
+           |        FROM (SELECT count(*) AS n FROM c GROUP BY c_nationkey, c_mktsegment, balk, sfx)),
+           |pat AS (
+           |  SELECT round(${wd(0.3, 0.05)} + ${wd(0.9, 0.1)}, 6) AS score,
+           |         (SELECT a FROM a00) - (SELECT a FROM a10)
+           |           - (SELECT a FROM a01) + (SELECT a FROM a11) AS n_pairs
+           |  UNION ALL
+           |  SELECT round(${wa(0.3, 0.05)} + ${wd(0.9, 0.1)}, 6),
+           |         (SELECT a FROM a10) - (SELECT a FROM a11)
+           |  UNION ALL
+           |  SELECT round(${wd(0.3, 0.05)} + ${wa(0.9, 0.1)}, 6),
+           |         (SELECT a FROM a01) - (SELECT a FROM a11)
+           |  UNION ALL
+           |  SELECT round(${wa(0.3, 0.05)} + ${wa(0.9, 0.1)}, 6),
+           |         (SELECT a FROM a11))
+           |SELECT score, score >= 1.0 AS is_link, CAST(n_pairs AS BIGINT) AS n_pairs
+           |FROM pat WHERE n_pairs > 0 ORDER BY 1""".stripMargin
       },
 
       "q_attribution_linear" ->

@@ -1147,4 +1147,30 @@ class ExtSpec extends SparkSpec {
     run()
     assert(got().toSeq === want.toSeq)
   }
+
+  test("linkage pattern histogram == enumerated pair-join histogram") {
+    import org.apache.spark.sql.functions._
+    val c = spark.read.parquet(s"${SparkSpec.sf0001}/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("right(c_name, 1)").as("sfx"),
+        floor(col("c_acctbal") / 1000).as("balk"))
+    val weights = Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05))
+    val fast = Dedup.linkagePatternHistogram(c,
+        Seq("c_nationkey", "c_mktsegment"), Seq("balk", "sfx"),
+        weights, threshold = 1.0)
+      .orderBy("score").collect().toSeq
+    // reference: enumerate every within-block pair and score it
+    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("id_a"), col("sfx").as("a_sfx"), col("balk").as("a_balk"))
+    val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("id_b"), col("sfx").as("b_sfx"), col("balk").as("b_balk"))
+    val slow = Dedup.linkageScore(
+        a.join(b, Seq("c_nationkey", "c_mktsegment"))
+          .filter(col("id_a") < col("id_b")),
+        weights, threshold = 1.0)
+      .groupBy("score", "is_link").agg(count(lit(1)).as("n_pairs"))
+      .select("score", "is_link", "n_pairs")
+      .orderBy("score").collect().toSeq
+    assert(fast === slow, s"pattern combinatorics diverged:\n$fast\n$slow")
+  }
 }

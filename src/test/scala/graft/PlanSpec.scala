@@ -460,4 +460,24 @@ class PlanSpec extends SparkSpec {
       "breakpoint attach should be a 1-row broadcast")
     assert(!p.contains("Window [ntile"), "bucketing must not use a global ntile")
   }
+
+  test("q_hll_distinct: register build is a partial (map-side) max aggregate") {
+    val p = plan("q_hll_distinct")
+    // the (group, bucket) register aggregate must combine BEFORE its
+    // exchange — that is the 'shuffle <= groups x 256 rows' claim
+    assert(p.contains("partial_max"), "register MAX not map-side combined")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_kmv_overlap: sketch pair join broadcasts; no cartesian") {
+    val p = plan("q_kmv_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the groups x k sketch pair join must broadcast one side")
+    assert(!p.contains("CartesianProduct"),
+      "non-equi pair join fell back to a cartesian")
+    // KmvAgg runs with partial aggregation (k-bounded buffers merge
+    // map-side) — the shuffle-carries-k-longs claim
+    assert(p.contains("ObjectHashAggregate"),
+      "typed KMV aggregation should plan as ObjectHashAggregate")
+  }
 }

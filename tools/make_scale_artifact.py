@@ -40,8 +40,12 @@ def main():
     if "rows" in a and "rows" in b:
         doc["rows_small"] = {q: a["rows"][q] for q in qs if q in a["rows"]}
         doc["rows_big"] = {q: b["rows"][q] for q in qs if q in b["rows"]}
+        # max(1, .) on BOTH sides: a query that legitimately returns 0
+        # rows at both scales (e.g. a capped top-k over a filter with no
+        # survivors) has growth 1, not 0 — otherwise its
+        # time_per_output_ratio explodes into a false alarm
         doc["output_growth"] = {
-            q: round(b["rows"][q] / max(1, a["rows"][q]), 2)
+            q: round(max(1, b["rows"][q]) / max(1, a["rows"][q]), 2)
             for q in qs if q in a.get("rows", {}) and q in b.get("rows", {})}
         # time ratio normalized by output growth: <= ~1 means per-row
         # cost did not rise with scale
