@@ -3779,6 +3779,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LM-smoothing: Kneser–Ney continuation counts — per word, how many
+    // DISTINCT left contexts it completes (N1+(·w)) and the KN
+    // continuation probability against the distinct-bigram-type total,
+    // as exact parts-per-billion. One pair-keyed exchange (reused for
+    // both the per-word rollup and the normalizer), Zipf-bounded.
+    "q_kn_continuation" -> ((s, dir) => {
+      Corpus.knContinuation(spread(t(s, dir, "documents")), minCtx = 5)
+        .orderBy("w")
+    }),
+
     // ML-ops: model calibration audit (reliability diagram) of the
     // hashed linear quality classifier against the lang=='en' label —
     // per predicted-score decile: exact counts, observed positive
@@ -4213,6 +4223,20 @@ object SparkEntry {
       Spatial.nearestNeighbors(eventPoints(s, dir), "event_id",
           col("x"), col("y"), cellSize = 8, radius = 8)
         .orderBy("id")
+    }),
+
+    // ext: grid-density clustering (cell-level DBSCAN) over the hashed
+    // event points — cells of side 200, core at >= 6 points, clusters =
+    // 8-neighbor components of core cells labeled by min packed cell
+    // key, border points adopt the min-labeled adjacent cluster, rest
+    // is noise (-1). Every decision is integer cell arithmetic; the
+    // component search runs on the CELL graph (bounded by grid area),
+    // so the pattern holds at any corpus size. The DuckDB oracle
+    // mirrors the min-label fixpoint with a recursive CTE.
+    "q_dbscan_grid" -> ((s, dir) => {
+      Spatial.gridDensityClusters(eventPoints(s, dir), "event_id",
+          col("x"), col("y"), cellSize = 200, minPts = 6)
+        .orderBy("cluster_id")
     }),
 
     // ops: peak concurrent sessions per day — sweep line over the
@@ -8220,6 +8244,25 @@ object SparkEntry {
           |JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // Kneser–Ney continuation counts: distinct left contexts per word
+      // and the continuation probability vs distinct bigram types, as
+      // exact integer parts-per-billion
+      "q_kn_continuation" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |big AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS bg
+          |  FROM toks),
+          |pairs AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 FROM big),
+          |types AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_tok FROM pairs GROUP BY 1, 2),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM types),
+          |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n_ctx,
+          |                CAST(sum(n_tok) AS BIGINT) AS n_tok
+          |         FROM types GROUP BY 1)
+          |SELECT w, n_ctx, n_tok, (n_ctx * 1000000000) // n_types AS cont_ppb
+          |FROM cont, tot WHERE n_ctx >= 5 ORDER BY w""".stripMargin,
+
       // classifier score CTEs identical to q_quality_classifier; bins
       // cut on the round-6 score (hash-stable), stats from exact counts
       // and micro-quantized prediction sums
@@ -8780,6 +8823,45 @@ object SparkEntry {
            |  FROM j)
            |SELECT id_a AS id, id_b AS nn_id, CAST(dist AS BIGINT) AS nn_dist
            |FROM n WHERE rn = 1 ORDER BY id""".stripMargin,
+
+      // cell-level DBSCAN: same md5 points, 200-cell quantization, core
+      // at >= 6, recursive-CTE min-label components over 8-neighbor core
+      // cells, cell-level border adoption, noise = -1
+      "q_dbscan_grid" ->
+        """WITH RECURSIVE c AS (
+          |  SELECT event_id,
+          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS x,
+          |         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT) % 10000 AS y
+          |  FROM events),
+          |g AS (SELECT event_id, x // 200 AS cx, y // 200 AS cy FROM c),
+          |cells AS (SELECT cx, cy, count(*) AS n FROM g GROUP BY 1, 2),
+          |core AS (SELECT cx * 1000000 + cy AS k, cx, cy FROM cells WHERE n >= 6),
+          |edge AS (SELECT a.k AS src, b.k AS dst FROM core a JOIN core b
+          |         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+          |r(k, lbl) AS (
+          |  SELECT src, src FROM edge
+          |  UNION
+          |  SELECT e.src, r.lbl FROM edge e JOIN r ON e.dst = r.k),
+          |lab AS (SELECT k, min(lbl) AS cluster_id FROM r GROUP BY 1),
+          |border AS (
+          |  SELECT nc.cx, nc.cy, min(lab.cluster_id) AS cluster_id
+          |  FROM (SELECT cx, cy FROM cells WHERE n < 6) nc
+          |  JOIN core ON abs(nc.cx - core.cx) <= 1 AND abs(nc.cy - core.cy) <= 1
+          |  JOIN lab ON lab.k = core.k
+          |  GROUP BY 1, 2),
+          |pt AS (
+          |  SELECT g.event_id, g.cx, g.cy,
+          |         CASE WHEN lab.cluster_id IS NOT NULL THEN lab.cluster_id
+          |              WHEN border.cluster_id IS NOT NULL THEN border.cluster_id
+          |              ELSE -1 END AS cluster_id,
+          |         CASE WHEN lab.cluster_id IS NOT NULL THEN 1 ELSE 0 END AS is_core
+          |  FROM g
+          |  LEFT JOIN lab ON lab.k = g.cx * 1000000 + g.cy
+          |  LEFT JOIN border ON border.cx = g.cx AND border.cy = g.cy)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+          |       CAST(sum(is_core) AS BIGINT) AS n_core_points,
+          |       CAST(count(DISTINCT cx * 1000000 + cy) AS BIGINT) AS n_cells
+          |FROM pt GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
       "q_max_concurrency" ->
         s"""WITH $sqlSessionCtes,

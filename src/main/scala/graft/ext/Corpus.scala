@@ -315,6 +315,47 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Kneser–Ney continuation statistics per word: the KN-smoothing
+    * signal that a word's unigram probability should reflect how many
+    * DISTINCT contexts it completes, not how often it occurs ("San
+    * Francisco" makes "Francisco" frequent but single-context). For
+    * each word `w` seen as the second element of a bigram:
+    * `n_ctx` = |{w₁ : (w₁,w) occurs}| (the continuation count
+    * N₁₊(·w)), `n_tok` = token occurrences as a bigram completion, and
+    * `cont_ppb` = the KN continuation probability
+    * N₁₊(·w) / |distinct bigram types|, scaled to integer parts per
+    * billion (exact long division — engine-independent). Words below
+    * `minCtx` distinct contexts are dropped (their continuation signal
+    * is noise, and the cut bounds output to the frequent-word head).
+    *
+    * Scale: one tokenize pass, a narrow zip_with bigram explode, and
+    * two hash aggregates — per-word distinct-context counting
+    * map-side-combines on (w₁,w) pairs first (distinct bigram types
+    * are sub-linear in corpus size by Zipf), and the single-row type
+    * total attaches as a broadcast nested-loop, never a shuffle.
+    */
+  def knContinuation(docs: DataFrame, minCtx: Long = 5,
+                     textCol: String = "text"): DataFrame = {
+    val pairs = docs.select(TextStats.tokens(col(textCol)).as("l"))
+      .select(explode(expr(
+        """zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
+          |         slice(l, 2, greatest(size(l) - 1, 0)),
+          |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // distinct bigram TYPES once; both the per-word continuation count
+    // and the normalizer derive from the same pair-keyed exchange
+    // (ReuseExchange dedupes the shuffle — the plan shuffles pairs once)
+    val types = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_tok"))
+    val total = types.agg(count(lit(1)).cast("long").as("n_types"))
+    types.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("n_ctx"), sum("n_tok").as("n_tok"))
+      .filter(col("n_ctx") >= minCtx)
+      .crossJoin(broadcast(total))
+      .select(col("w"), col("n_ctx"), col("n_tok"),
+        expr("(n_ctx * CAST(1000000000 AS BIGINT)) div n_types").as("cont_ppb"))
+  }
+
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val big = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("l"))

@@ -59,6 +59,94 @@ object Spatial {
         greatest(abs(col("ax") - col("bx")), abs(col("ay") - col("by"))).as("dist"))
   }
 
+  /** Grid-density clustering (cell-level DBSCAN): quantize points to
+    * grid cells of side `cellSize`, call a cell CORE when it holds at
+    * least `minPts` points, connect core cells that are 8-neighbors,
+    * and label each connected component with its minimum packed cell
+    * key. Points in core cells are core points of their cell's
+    * cluster; points in non-core cells adjacent (3×3) to a core cell
+    * join the minimum-labeled neighboring cluster as border points;
+    * everything else is noise (`cluster_id = -1`).
+    *
+    * ==Contract==
+    * This is the CELL-level variant of DBSCAN (the grid-partitioned
+    * family of Gunawan 2013 / GriDBSCAN): density is tested per cell,
+    * not per point ε-ball, so results depend on the grid phase. The
+    * trade is determinism and scale: every decision is exact integer
+    * arithmetic on cell counts, so the output is engine-reproducible —
+    * no ε-ball floating-point boundary, no seed. Cell keys pack as
+    * `cx * packBase + cy`; the caller must pick `packBase` larger than
+    * the cell-coordinate span so packing is collision-free.
+    *
+    * Scale shape: points reduce to CELLS in one map-side-combined
+    * aggregate before anything quadratic can happen — the component
+    * search runs on the cell graph (bounded by grid area, not data
+    * volume), via [[graft.ext.Dedup.connectedComponents]]'s
+    * one-action-per-round min-label loop. The ×9 neighbor probe
+    * explodes only cells, and every join back to points is an
+    * equi-join on the cell key. At 100 TB the per-point cost is two
+    * scans and two cell-keyed hash joins.
+    *
+    * Output: one row per cluster plus one `cluster_id = -1` noise row —
+    * `(cluster_id, n_points, n_core_points, n_cells)` with `n_cells`
+    * the distinct cells holding the row's points.
+    */
+  def gridDensityClusters(points: DataFrame, id: String, x: Column, y: Column,
+                          cellSize: Int, minPts: Long,
+                          packBase: Long = 1000000L): DataFrame = {
+    require(cellSize >= 1, "cellSize must be positive")
+    require(minPts >= 1, "minPts must be positive")
+    val pts = points.select(col(id).as("pid"),
+        floor(x.cast("double") / cellSize).cast("long").as("cx"),
+        floor(y.cast("double") / cellSize).cast("long").as("cy"))
+    // the cell histogram is bounded by GRID AREA, not data volume —
+    // snapshot it once (serialized, GC-reclaimed with the frame) so the
+    // component loop, the border join, and the final point join all
+    // read the same materialized cells instead of re-aggregating
+    // points; total point-scan cost of the operator is exactly two
+    // passes (this aggregate + the final cluster-assignment join)
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .withColumn("k", col("cx") * packBase + col("cy"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val core = cells.filter(col("n") >= minPts).select("k", "cx", "cy")
+    val offsets = typedLit(for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
+    // ×9 probe over CORE CELLS only; the (0,0) offset self-pair keeps
+    // isolated core cells in the node set as singleton clusters
+    def probed(src: DataFrame): DataFrame = src
+      .withColumn("o", explode(offsets))
+      .select(col(src.columns.head), (col("cx") + col("o._1")).as("ncx"),
+        (col("cy") + col("o._2")).as("ncy"))
+    val edges = probed(core.select(col("k").as("src"), col("cx"), col("cy")))
+      .join(core, col("ncx") === col("cx") && col("ncy") === col("cy"))
+      .select(col("src").as("id1"), col("k").as("id2"))
+    // min-label rounds = component diameter in cell space; a fully-core
+    // W×H grid needs ~max(W,H) rounds, so size the bound well past the
+    // default (a 10000-wide coordinate span at cellSize=200 is a 50-cell
+    // diameter — the default 50 would sit exactly at the edge)
+    val lab = Dedup.connectedComponents(edges, maxIter = 400)
+      .select(col("id").as("k"), col("label").as("cluster_id"))
+    // border resolution at CELL level: a non-core cell takes the min
+    // label among its 3×3 core neighbors (deterministic tie rule)
+    val borderLab = probed(cells.filter(col("n") < minPts)
+        .select(col("k").as("nk"), col("cx"), col("cy")))
+      .join(core.select(col("k"), col("cx"), col("cy")),
+        col("ncx") === col("cx") && col("ncy") === col("cy"))
+      .join(lab, "k")
+      .groupBy("nk").agg(min("cluster_id").as("cluster_id"))
+    val assigned = pts
+      .withColumn("k", col("cx") * packBase + col("cy"))
+      .join(lab.select(col("k"), col("cluster_id").as("core_cl")), Seq("k"), "left")
+      .join(borderLab.select(col("nk").as("k"), col("cluster_id").as("bord_cl")),
+        Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("core_cl"), col("bord_cl"), lit(-1L)).as("cluster_id"),
+        col("core_cl").isNotNull.cast("long").as("is_core"))
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_points"), sum("is_core").as("n_core_points"),
+        countDistinct("k").as("n_cells"))
+  }
+
   /** Each point's nearest neighbor within Chebyshev `radius` (points
     * with no neighbor in range emit nothing — the caller decides what
     * isolation means). Built on [[gridNeighborPairs]]: symmetrize the

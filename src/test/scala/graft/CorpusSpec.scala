@@ -186,4 +186,19 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.skipgramPairs(d, window = 2, topK = 1).collect().length === 1)
     intercept[IllegalArgumentException](Corpus.skipgramPairs(d, window = 0))
   }
+
+  test("knContinuation: distinct-context counts and exact ppb by hand") {
+    // bigrams: (a,b)x2, (c,b), (a,c) -> 3 distinct types
+    // b completes 2 contexts {a,c} over 3 tokens; c completes 1 over 1
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "c b", 4L -> "a c")
+    val out = Corpus.knContinuation(d, minCtx = 1).orderBy("w").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      "b" -> (2L, 3L, 2L * 1000000000L / 3L),
+      "c" -> (1L, 1L, 1000000000L / 3L)))
+    // the minCtx cut drops single-context words
+    val cut = Corpus.knContinuation(d, minCtx = 2).collect()
+    assert(cut.map(_.getString(0)).toSeq === Seq("b"))
+  }
 }

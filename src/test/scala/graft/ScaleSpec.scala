@@ -468,6 +468,27 @@ class ScaleSpec extends SparkSpec {
     assert(!nn.contains(3L))
   }
 
+  test("gridDensityClusters: core merge across cells, border adoption, noise, singleton cluster") {
+    import spark.implicits._
+    // cell=10, minPts=2, packBase=1e6:
+    //  cell(0,0): p1,p2 core; cell(1,0): p3,p4 core, adjacent -> one
+    //  cluster labeled min key 0; cell(1,1): p5 non-core but adjacent to
+    //  both core cells -> border of cluster 0; cell(3,3): p6,p7 core,
+    //  isolated -> singleton cluster keyed 3000003; cell(9,9): p8 noise
+    val pts = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 11L, 5L), (4L, 12L, 6L),
+      (5L, 15L, 15L), (6L, 35L, 35L), (7L, 36L, 36L), (8L, 99L, 99L))
+      .toDF("id", "x", "y")
+    val out = graft.ext.Spatial
+      .gridDensityClusters(pts, "id", col("x"), col("y"), cellSize = 10, minPts = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      0L -> (5L, 4L, 3L),          // 4 core pts + 1 border, 3 cells
+      3000003L -> (2L, 2L, 1L),    // isolated core cell = own cluster
+      -1L -> (1L, 0L, 1L)))        // no core neighbor -> noise
+  }
+
   test("decayedCounts: step halving by elapsed half-lives, exact at the grid") {
     import spark.implicits._
     val df = Seq(
