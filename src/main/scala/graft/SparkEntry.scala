@@ -82,9 +82,14 @@ object SparkEntry {
     * independent 32-bit halves of md5(event_id), mod 10⁴ — nonlinear
     * in the id (a multiplicative hash would lattice both coords), and
     * reproducible in DuckDB by the same md5-hex-slice arithmetic.
+    * The md5+conv derivation is the CPU-dense stage of every spatial
+    * query, so the 8-byte id column is [[spread]] BEFORE hashing — the
+    * sf1 parallelism probe showed q_spatial_nn flat (1.01× from 8→32
+    * cores) because this stage inherited the single input split.
     */
   private def eventPoints(s: SparkSession, dir: String): DataFrame =
-    EventsStream.readEvents(s, s"$dir/events.parquet")
+    spread(EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_id")))
       .select(col("event_id"),
         (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % lit(10000L)).as("x"),
