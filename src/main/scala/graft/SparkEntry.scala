@@ -1080,6 +1080,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ext: interval-overlap PAIR COUNT per supplier over the DISTINCT
+    // shipment windows [shipdate, shipdate + qty%30+1 days]; the
+    // combinatorial sweep (each start adds the currently-open count)
+    // counts every overlapping pair exactly once WITHOUT enumerating
+    // pairs, so cost is one keyed window sort over 2 rows/interval
+    // where the oracle's enumerated self-join is Sigma overlap^2.
+    // Inclusive-touch semantics; tie-order-invariant exact longs. The
+    // interval id packs (epoch-day, duration) — collision-free by
+    // construction, satisfying the operator's unique-id contract
+    // ((orderkey, linenumber) is NOT unique in this testdata).
+    "q_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("k"),
+          col("l_shipdate").cast("date").as("s0"),
+          (col("l_quantity").cast("int") % 30 + 1).as("dur"))
+        .distinct()
+        .select(col("k"),
+          (datediff(col("s0"), to_date(lit("1970-01-01"))).cast("long") * 31
+            + col("dur") - 1).as("rid"),
+          col("s0"), date_add(col("s0"), col("dur")).as("e0"))
+      Sessionize.overlapPairCounts(iv, "k", "s0", "e0", "rid")
+        .select(col("k").as("suppkey"), col("n_intervals"),
+          col("n_overlap_pairs"))
+        .orderBy("suppkey")
+    }),
+
     // ext: salted join — l_returnflag has only 3 values, the textbook
     // skewed key; the salt spreads each hot key across reducers while
     // the output stays identical to the plain join (what the oracle
@@ -2650,6 +2676,21 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("total_value"))
         .orderBy("split")
+    }),
+
+    // ML-ops: purged expanding-window time-series CV folds (sklearn
+    // TimeSeriesSplit + embargo) — fold boundaries are exact integer
+    // indices on the calendar-bounded day grid, broadcast as K rows;
+    // the data-sized cost is one narrow labeling pass, no shuffle.
+    "q_ts_cv_folds" -> ((s, dir) => {
+      ScaleOps.tsCvFolds(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          col("ts"), nFolds = 5, embargoDays = 3)
+        .select(col("fold"), col("n_train_rows"), col("n_test_rows"),
+          date_format(col("train_end"), "yyyy-MM-dd").as("train_end"),
+          date_format(col("test_start"), "yyyy-MM-dd").as("test_start"),
+          date_format(col("test_end"), "yyyy-MM-dd").as("test_end"))
+        .orderBy("fold")
     }),
 
     // ext similarity: int8-quantized approximate top-k — the
@@ -5434,6 +5475,27 @@ object SparkEntry {
            | AND ev.ts BETWEEN sess.session_start AND sess.session_end
            |ORDER BY event_id""".stripMargin,
 
+      // the oracle counts by the ENUMERATED pair self-join — an
+      // independent algorithm from the engine's sweep, so the hash gate
+      // cross-checks the combinatorial identity itself
+      "q_interval_overlap" ->
+        """WITH iv0 AS (
+          |  SELECT DISTINCT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+          |         CAST(l_quantity AS INTEGER) % 30 + 1 AS dur
+          |  FROM lineitem),
+          |iv AS (
+          |  SELECT k, CAST(s - DATE '1970-01-01' AS BIGINT) * 31 + dur - 1 AS rid,
+          |         s, s + dur AS e
+          |  FROM iv0),
+          |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_intervals FROM iv GROUP BY 1),
+          |p AS (SELECT a.k, CAST(count(*) AS BIGINT) AS n_overlap_pairs
+          |      FROM iv a JOIN iv b ON a.k = b.k AND a.rid < b.rid
+          |                         AND a.s <= b.e AND b.s <= a.e
+          |      GROUP BY 1)
+          |SELECT n.k AS suppkey, n.n_intervals,
+          |       COALESCE(p.n_overlap_pairs, 0) AS n_overlap_pairs
+          |FROM n LEFT JOIN p ON n.k = p.k ORDER BY suppkey""".stripMargin,
+
       "q_dedup_exact" ->
         """SELECT md5(substring(text, 1, 20)) AS fingerprint, min(doc_id) AS canonical_id,
           |       count(*) AS n_dups
@@ -6844,6 +6906,35 @@ object SparkEntry {
           |SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
           |       round(sum(value), 2) AS total_value
           |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+      // purged expanding-window time-series CV: identical integer index
+      // arithmetic on the distinct-day grid (test size = n_days // 6,
+      // last fold absorbs the tail, 3-day embargo before each test)
+      "q_ts_cv_folds" ->
+        """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+          |idx AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS i FROM days),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+          |fb AS (
+          |  SELECT fold, fold * (n_days // 6) AS test_lo,
+          |         CASE WHEN fold = 5 THEN n_days - 1
+          |              ELSE (fold + 1) * (n_days // 6) - 1 END AS test_hi,
+          |         fold * (n_days // 6) - 3 - 1 AS train_hi
+          |  FROM (SELECT unnest(range(1, 6)) AS fold) f, n),
+          |lab AS (
+          |  SELECT fb.fold, ev.d,
+          |         CASE WHEN ev.i <= fb.train_hi THEN 'train'
+          |              WHEN ev.i BETWEEN fb.test_lo AND fb.test_hi THEN 'test'
+          |         END AS part
+          |  FROM (SELECT idx.i, idx.d FROM events e
+          |        JOIN idx ON CAST(e.ts AS DATE) = idx.d) ev
+          |  CROSS JOIN fb)
+          |SELECT fold,
+          |       CAST(count(CASE WHEN part = 'train' THEN 1 END) AS BIGINT) AS n_train_rows,
+          |       CAST(count(CASE WHEN part = 'test' THEN 1 END) AS BIGINT) AS n_test_rows,
+          |       strftime(max(CASE WHEN part = 'train' THEN d END), '%Y-%m-%d') AS train_end,
+          |       strftime(min(CASE WHEN part = 'test' THEN d END), '%Y-%m-%d') AS test_start,
+          |       strftime(max(CASE WHEN part = 'test' THEN d END), '%Y-%m-%d') AS test_end
+          |FROM lab GROUP BY fold ORDER BY fold""".stripMargin,
 
       // int8 quantization mirrored term-for-term: scale division, round,
       // exact integer dot, then (qdot * c.scale) * q.scale in the SAME

@@ -207,6 +207,53 @@ object ScaleOps {
       .drop("_pri", "_rank")
   }
 
+  /** Purged expanding-window time-series cross-validation folds
+    * (sklearn TimeSeriesSplit + the embargo of López de Prado's purged
+    * CV): the distinct-day grid splits into `nFolds + 1` equal slices;
+    * fold k tests on slice k+1 (the last fold absorbs the remainder)
+    * and trains on everything ending `embargoDays` BEFORE the test
+    * window — the gap that keeps label lookahead and serial
+    * correlation from leaking across the boundary. Returns the fold
+    * summary (train/test row counts + boundary dates), the audit
+    * artifact a training pipeline pins before a backtest.
+    *
+    * Scale: the only window runs on the CALENDAR-bounded day grid
+    * ([[graft.ext.Inference]] grid contract); fold boundaries derive
+    * from one count and broadcast as `nFolds` rows, so the data-sized
+    * cost is a single narrow pass labeling rows against K broadcast
+    * ranges — no data-sized shuffle at all, and every boundary is
+    * exact integer index arithmetic (engine-reproducible).
+    */
+  def tsCvFolds(df: DataFrame, timeCol: Column, nFolds: Int = 5,
+                embargoDays: Int = 0): DataFrame = {
+    require(nFolds >= 2, "need at least 2 folds")
+    require(embargoDays >= 0, "embargoDays must be nonnegative")
+    val days = df.select(timeCol.cast("date").as("d")).distinct()
+    val idx = days.withColumn("i",
+      row_number().over(Window.orderBy("d")).cast("long") - 1)
+    val folds = idx.agg(count(lit(1)).as("n_days"))
+      .select(explode(sequence(lit(1L), lit(nFolds.toLong))).as("fold"),
+        expr(s"n_days div ${nFolds + 1}").as("tsz"), col("n_days"))
+      .select(col("fold"),
+        (col("fold") * col("tsz")).as("test_lo"),
+        when(col("fold") === nFolds, col("n_days") - 1)
+          .otherwise((col("fold") + 1) * col("tsz") - 1).as("test_hi"),
+        (col("fold") * col("tsz") - embargoDays - 1).as("train_hi"))
+    df.select(timeCol.cast("date").as("d"))
+      .join(broadcast(idx), "d")
+      .crossJoin(broadcast(folds))
+      .select(col("fold"), col("d"),
+        when(col("i") <= col("train_hi"), "train")
+          .when(col("i").between(col("test_lo"), col("test_hi")), "test")
+          .as("part"))
+      .groupBy("fold")
+      .agg(count(when(col("part") === "train", 1)).as("n_train_rows"),
+        count(when(col("part") === "test", 1)).as("n_test_rows"),
+        max(when(col("part") === "train", col("d"))).as("train_end"),
+        min(when(col("part") === "test", col("d"))).as("test_start"),
+        max(when(col("part") === "test", col("d"))).as("test_end"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split is a pure
     * function of the ENTITY key (an md5 nibble bucket), so every row
     * of an entity lands in the same split — the grouping that keeps a

@@ -134,6 +134,49 @@ object Sessionize {
         max("running").as("peak_concurrency"))
   }
 
+  /** Per-key count of OVERLAPPING interval pairs — the combinatorial
+    * sweep that never enumerates a pair: order each key's boundary
+    * events (start before end at the same instant = INCLUSIVE overlap,
+    * `[s,e]` touching counts), and every start contributes the number
+    * of intervals currently open before it
+    * (`starts_before − ends_before`). Summing those contributions IS
+    * the pair count — each overlapping pair is counted exactly once,
+    * at the later start. Same-instant starts are order-invariant: a
+    * tie group of k starts over n open intervals contributes
+    * kn + k(k−1)/2 under any internal order.
+    *
+    * This is the pattern-counting twin of the enumerated interval
+    * join: when the product is a STATISTIC (how many concurrent
+    * shipments, not which), enumerating pairs costs Σ_key overlap²
+    * while this costs one keyed window sort over 2 rows per interval —
+    * the [[graft.ext.Dedup.linkagePatternHistogram]] lesson applied to
+    * time. All arithmetic is exact longs; `idCol` only breaks sort
+    * ties deterministically (the counts are tie-order-invariant) but
+    * MUST be unique per interval row — collisions make the tie order,
+    * and therefore cross-engine reproducibility of nothing here but
+    * downstream per-pair consumers, ill-defined; dedupe or pack a
+    * collision-free id first (see `q_interval_overlap`).
+    *
+    * Output: one row per key — n_intervals, n_overlap_pairs.
+    */
+  def overlapPairCounts(intervals: DataFrame, keyCol: String,
+                        start: String, end: String, idCol: String): DataFrame = {
+    val b = intervals.select(col(keyCol), col(start).as("t"),
+        lit(0).as("is_end"), col(idCol).as("rid"))
+      .unionAll(intervals.select(col(keyCol), col(end).as("t"),
+        lit(1).as("is_end"), col(idCol).as("rid")))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("t"), col("is_end"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("open_before",
+        count(when(col("is_end") === 0, 1)).over(w) -
+          count(when(col("is_end") === 1, 1)).over(w))
+      .filter(col("is_end") === 0)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("open_before").as("n_overlap_pairs"))
+  }
+
   /** Gaps-and-islands over integer activity slots: collapse each key's
     * distinct active slots (e.g. hour buckets) into maximal runs of
     * CONSECUTIVE slots. The classic row_number trick — `slot − rn` is

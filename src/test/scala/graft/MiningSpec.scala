@@ -599,6 +599,26 @@ class MiningSpec extends SparkSpec {
       Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("overlapPairCounts: sweep equals hand-counted pairs; inclusive touch; zero-pair key") {
+    // key A: [1,5] [3,8] [5,6] [10,12] -> pairs (1,2) (1,3 touch at 5)
+    // (2,3); interval 4 isolated => 3 pairs. key B: one interval => 0.
+    val iv = Seq(("A", 1L, 1L, 5L), ("A", 2L, 3L, 8L), ("A", 3L, 5L, 6L),
+      ("A", 4L, 10L, 12L), ("B", 9L, 2L, 4L))
+      .toDF("k", "rid", "s", "e")
+    val out = Sessionize.overlapPairCounts(iv, "k", "s", "e", "rid")
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("A" -> (4L, 3L), "B" -> (1L, 0L)))
+    // cross-check the combinatorial identity against brute force
+    val rows = Seq((1L, 5L), (3L, 8L), (5L, 6L), (10L, 12L), (2L, 4L), (4L, 9L))
+    val brute = rows.combinations(2).count {
+      case Seq((s1, e1), (s2, e2)) => s1 <= e2 && s2 <= e1 }
+    val one = rows.zipWithIndex.map { case ((s, e), i) => ("X", i.toLong, s, e) }
+      .toDF("k", "rid", "s", "e")
+    assert(Sessionize.overlapPairCounts(one, "k", "s", "e", "rid")
+      .collect().head.getLong(2) === brute.toLong)
+  }
+
   test("spearman: perfect monotone gives 1, reversal -1, ties take midranks") {
     val mono = Seq(("g", 1L, 10L), ("g", 2L, 40L), ("g", 3L, 90L)).toDF("k", "x", "y")
     assert(Inference.spearman(mono, Seq("k"), col("x"), col("y"))

@@ -317,6 +317,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("tsCvFolds: expanding windows, embargo gap, last fold absorbs the tail") {
+    import spark.implicits._
+    // 12 days, one row each; nFolds=2, embargo=1: tsz = 12 div 3 = 4.
+    // fold 1: test idx [4,7] (Jan 5-8), train idx <= 2 (embargo purges
+    // Jan 4); fold 2: test idx [8,11] (Jan 9-12), train idx <= 6.
+    val d = (1 to 12).map(i => f"2024-01-$i%02d 10:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val out = ScaleOps.tsCvFolds(d, col("ts"), nFolds = 2, embargoDays = 1)
+      .orderBy("fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getDate(4).toString, r.getDate(5).toString))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 4L, "2024-01-03", "2024-01-05", "2024-01-08"),
+      (2L, 7L, 4L, "2024-01-07", "2024-01-09", "2024-01-12")))
+    intercept[IllegalArgumentException](
+      ScaleOps.tsCvFolds(d, col("ts"), nFolds = 1))
+  }
+
   test("graphPartitions: measured-edge sizing with clamped bounds") {
     // tiny graphs stay at the floor so per-round task counts are O(1)
     assert(ScaleOps.graphPartitions(0L) == 4)
