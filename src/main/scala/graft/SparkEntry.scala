@@ -3781,6 +3781,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // stats: Mann–Kendall monotone-trend test on the same daily cents
+    // grid as q_theil_sen — exact integer S over the bounded pair
+    // space, tau-a as truncated-division ppb, no float anywhere in the
+    // gated row.
+    "q_mann_kendall" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("x"))
+        .agg(sum(floor(col("value") * 100)).cast("long").as("y"))
+      Forecast.mannKendall(daily, Seq("event_type"), col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -8237,6 +8250,30 @@ object SparkEntry {
           |       round(slope, 6) AS ts_slope
           |FROM ranked WHERE rn = (np + 1) // 2
           |ORDER BY event_type""".stripMargin,
+
+      // Mann–Kendall on the identical daily-cents grid; DuckDB's
+      // integer // truncates toward zero exactly like Spark's div
+      "q_mann_kendall" ->
+        """WITH grid AS (
+          |  SELECT event_type,
+          |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+          |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.event_type,
+          |         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+          |  FROM grid a JOIN grid b
+          |    ON a.event_type = b.event_type AND a.x < b.x),
+          |s AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+          |             CAST(count(*) AS BIGINT) AS n_pairs
+          |      FROM p GROUP BY 1),
+          |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+          |      FROM grid GROUP BY 1)
+          |SELECT n.event_type, n.n_points, s.s_stat,
+          |       (s.s_stat * 1000000000) // s.n_pairs AS tau_ppb,
+          |       CASE WHEN s.s_stat > 0 THEN 'increasing'
+          |            WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+          |FROM n JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
 
       // expected proportions are the SAME driver-computed literals the
       // Spark plan carries — no engine log10 in either query

@@ -127,6 +127,45 @@ object Forecast {
         :+ round(col("slope"), 6).as("ts_slope"): _*)
   }
 
+  /** Mann–Kendall trend test per series: S = Σ_{i<j} sign(y_j − y_i)
+    * over the time-ordered grid — the nonparametric companion to
+    * [[theilSen]] (same pair space; M-K answers IS there a monotone
+    * trend, Theil–Sen answers how steep). S and the pair count are
+    * exact longs; Kendall's tau-a ships as integer parts-per-billion
+    * (truncated division — matching the oracle's `//` on the same
+    * operands), so the gate carries no float at all. Ties contribute
+    * sign 0, the standard tau-a treatment.
+    *
+    * Scale contract: callers pass the AGGREGATED series grid
+    * ([[cusumChangepoint]] / [[Inference.autocorr]] contract), so the
+    * O(m²) pair space is over bounded grid cells; the self-join and
+    * both aggregates share the series-key partitioning. For very long
+    * series, the same incomplete-pair sampling note as [[theilSen]]
+    * applies.
+    */
+  def mannKendall(series: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val base = series.select(keys.map(col) :+ x.cast("long").as("x")
+      :+ y.cast("long").as("y"): _*)
+    val a = base.select(keys.map(col) :+ col("x").as("x1") :+ col("y").as("y1"): _*)
+    val b = base.select(keys.map(k => col(k).as(s"${k}_b"))
+      :+ col("x").as("x2") :+ col("y").as("y2"): _*)
+    val cond = keys.map(k => col(k) === col(s"${k}_b")).reduce(_ && _) &&
+      col("x1") < col("x2")
+    val sgn = when(col("y2") > col("y1"), 1L)
+      .when(col("y2") < col("y1"), -1L).otherwise(0L)
+    val s = a.join(b, cond)
+      .select(keys.map(col) :+ sgn.as("sgn"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"))
+    val n = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_points"))
+    n.join(s, keys)
+      .select(keys.map(col) :+ col("n_points") :+ col("s_stat") :+
+        expr("(s_stat * CAST(1000000000 AS BIGINT)) div n_pairs").as("tau_ppb") :+
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing")
+          .otherwise("none").as("trend"): _*)
+  }
+
   // ====================================================================
   // Chunked (segmented-scan) folds for LONG sequential-state series.
   //

@@ -358,6 +358,24 @@ class MiningSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_pairs") === 15L && r1.getAs[Double]("ts_slope") === 3.0)
   }
 
+  test("mann-kendall: monotone series saturate S; ties zero out; tau truncates toward zero") {
+    import spark.implicits._
+    // strictly increasing (5 pts): S = 10 = n_pairs -> tau 1.0 exactly
+    val up = (1L to 5L).map(x => ("u", x, x * 7)).toDF("k", "x", "y")
+    val r = Forecast.mannKendall(up, Seq("k"), col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("s_stat") === 10L &&
+      r.getAs[Long]("tau_ppb") === 1000000000L &&
+      r.getAs[String]("trend") === "increasing")
+    // down-trend with one tie pair: y = (9,9,7,5): pairs (1,2) tie ->
+    // 0, rest negative => S = -5 of 6 pairs; -5e9 div 6 truncates
+    val down = Seq(("d", 1L, 9L), ("d", 2L, 9L), ("d", 3L, 7L), ("d", 4L, 5L))
+      .toDF("k", "x", "y")
+    val r2 = Forecast.mannKendall(down, Seq("k"), col("x"), col("y")).collect().head
+    assert(r2.getAs[Long]("n_points") === 4L && r2.getAs[Long]("s_stat") === -5L)
+    assert(r2.getAs[Long]("tau_ppb") === -5000000000L / 6L) // -833333333
+    assert(r2.getAs[String]("trend") === "decreasing")
+  }
+
   test("benford: grid complete, counts exact, conformant digits get ~0 terms") {
     // 30/18/12/10/8/7/6/5/4 first-digit counts over n=100 ≈ Benford
     val counts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
