@@ -595,6 +595,99 @@ object Dedup {
     labels
   }
 
+  /** Connected components by the ALTERNATING star algorithm (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond"):
+    * each round rewires every node's strictly-larger neighbors to its
+    * neighborhood minimum (large-star), then contracts the
+    * max-oriented edges onto that minimum (small-star). Both
+    * operations preserve connectivity, and alternating them converges
+    * in O(log² n) ROUNDS — versus component DIAMETER rounds for
+    * [[connectedComponents]]'s min-label propagation.
+    *
+    * When to use which: min-label wins on LSH-survivor graphs (dense
+    * near-cliques, diameter 3–5 — one cheap aggregate per round); the
+    * star algorithm wins on HIGH-DIAMETER graphs — grids, chains, road
+    * networks — where diameter ≫ log² n (a fully-core 50×50 DBSCAN
+    * cell grid is diameter ~49 but converges here in ~6 rounds). Same
+    * output contract as [[connectedComponents]]: (id, label) with
+    * label = component minimum, every node of the edge set present.
+    *
+    * Each round is two map-side-combined aggregates + two edge-keyed
+    * joins; the edge set is snapshotted per round (serialized storage,
+    * superseded snapshots released) and convergence is detected inside
+    * the same action via an order-independent edge-set fingerprint
+    * (count + XOR of per-edge xxhash64 — a 64-bit collision while the
+    * count also matches is negligible, and a spurious EARLY match is
+    * harmless only at a true fixpoint; the closing star-shape check
+    * below fails loudly if convergence was misdetected).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = ori.groupBy("u").agg(min("v").as("m"))
+      ori.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // self-loops declare singleton membership (the same contract as
+    // min-label: a node exists iff it appears in the edge set) but
+    // large-star would drop an isolated self-loop — strip them here and
+    // re-attach unlabeled ones as their own component at the end
+    val raw = snapshot(pairs.select(col(pairs.columns.head).as("src"),
+      col(pairs.columns(1)).as("dst")))
+    val selfNodes = raw.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+    var edges = snapshot(raw.filter(col("src") =!= col("dst")))
+    var fp = (-1L, -1L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"ccs_round_$i")
+      val next = snapshot(
+        smallStar(largeStar(edges))
+          .observe(obs, count(lit(1)).as("n"),
+            // bit_xor: order-independent, overflow-free under ANSI;
+            // the edge set is distinct so no two rows cancel
+            expr("bit_xor(xxhash64(src, dst))").as("h")))
+      Graph.release(edges)
+      edges = next
+      val nfp = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("h")).fold(0L)(_.asInstanceOf[Long]))
+      converged = nfp == fp
+      fp = nfp
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star-forest shape proof: at a true fixpoint no node is both a
+    // leaf (src) and a center (dst) — this turns the astronomically
+    // unlikely fingerprint-collision misdetection into a loud failure
+    if (!edges.select(col("src")).intersect(edges.select(col("dst"))).isEmpty)
+      throw new IllegalStateException(
+        "connectedComponentsStar fixpoint is not a star forest — " +
+          "convergence was misdetected, raise maxIter")
+    // at the star fixpoint every edge points at its component minimum
+    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .distinct()
+    labels.union(
+      selfNodes.join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+  }
+
   /** Final dedup step a training-data pipeline runs: resolve candidate
     * near-dup pairs into cluster assignments for EVERY doc. Docs in no
     * pair are their own singleton cluster; `cluster_id` is the minimum

@@ -120,11 +120,14 @@ object Spatial {
     val edges = probed(core.select(col("k").as("src"), col("cx"), col("cy")))
       .join(core, col("ncx") === col("cx") && col("ncy") === col("cy"))
       .select(col("src").as("id1"), col("k").as("id2"))
-    // min-label rounds = component diameter in cell space; a fully-core
-    // W×H grid needs ~max(W,H) rounds, so size the bound well past the
-    // default (a 10000-wide coordinate span at cellSize=200 is a 50-cell
-    // diameter — the default 50 would sit exactly at the edge)
-    val lab = Dedup.connectedComponents(edges, maxIter = 400)
+    // the cell graph is the HIGH-DIAMETER case (a fully-core W×H grid
+    // has diameter ~max(W,H), so min-label CC would pay that many
+    // driver rounds); the alternating star algorithm converges in
+    // O(log²) rounds instead — measured 6.8 s → 5.7 s on the sf0.1
+    // all-core grid, where the residual is the two point scans, and
+    // the round count (not per-round work) is what survives a wider
+    // grid (ScaleSpec gates equality of the two algorithms)
+    val lab = Dedup.connectedComponentsStar(edges)
       .select(col("id").as("k"), col("label").as("cluster_id"))
     // border resolution at CELL level: a non-core cell takes the min
     // label among its 3×3 core neighbors (deterministic tie rule)

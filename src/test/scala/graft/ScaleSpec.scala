@@ -418,6 +418,30 @@ class ScaleSpec extends SparkSpec {
     graft.ext.Graph.release(cc)
   }
 
+  test("connectedComponentsStar: equals min-label CC on path, grid, random, and singleton graphs") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // high-diameter path (the star algorithm's motivating case), two
+    // components + a self-loop singleton
+    val path = ((1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq ++
+      Seq((20L, 21L), (30L, 30L))).toDF("id1", "id2")
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(path)) ===
+      labels(graft.ext.Dedup.connectedComponents(path)))
+    // 6x6 8-neighbor grid — the DBSCAN cell-graph shape
+    val grid = (for { x <- 0 to 5; y <- 0 to 5; dx <- -1 to 1; dy <- -1 to 1
+      if (dx, dy) != (0, 0) && x + dx >= 0 && x + dx <= 5 && y + dy >= 0 && y + dy <= 5
+    } yield (x * 100L + y, (x + dx) * 100L + (y + dy))).toDF("id1", "id2")
+    val gl = labels(graft.ext.Dedup.connectedComponentsStar(grid))
+    assert(gl === labels(graft.ext.Dedup.connectedComponents(grid)))
+    assert(gl.values.toSet === Set(0L)) // one component, labeled by the min
+    // deterministic pseudo-random graph: hash-derived sparse edges
+    val rand = (1L to 200L).map(i =>
+      (i % 97, (i * i * 31 + 7) % 97)).filter(p => p._1 != p._2).toDF("id1", "id2")
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(rand)) ===
+      labels(graft.ext.Dedup.connectedComponents(rand)))
+  }
+
   test("pageRankDirected: dangling mass keeps total rank at exactly 1") {
     import spark.implicits._
     // 1→2, 1→3, 2→3: node 3 is a sink — without the dangling term its
