@@ -109,6 +109,19 @@ object Spatial {
       .withColumn("k", col("cx") * packBase + col("cy"))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // packing is collision-free only for cell coords in [0, packBase);
+    // a negative or overly wide span would SILENTLY merge distinct
+    // cells — fail loudly instead (one scalar action on the already
+    // materialized cell histogram, bounded by grid area)
+    val ext = cells.agg(min("cx"), max("cx"), min("cy"), max("cy")).head()
+    if (!ext.isNullAt(0)) {
+      val ok = ext.getLong(2) >= 0 && ext.getLong(3) < packBase &&
+        ext.getLong(0) >= 0 && ext.getLong(1) < Long.MaxValue / packBase
+      require(ok, s"cell coordinates (cx in [${ext.getLong(0)}, ${ext.getLong(1)}], " +
+        s"cy in [${ext.getLong(2)}, ${ext.getLong(3)}]) do not fit the " +
+        s"packBase=$packBase collision-free packing — shift coordinates " +
+        "to be nonnegative or raise packBase")
+    }
     val core = cells.filter(col("n") >= minPts).select("k", "cx", "cy")
     val offsets = typedLit(for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
     // ×9 probe over CORE CELLS only; the (0,0) offset self-pair keeps
