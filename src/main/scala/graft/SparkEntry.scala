@@ -675,7 +675,7 @@ object SparkEntry {
     // projection (DuckDB numbers Sunday 0 where Spark says 1 — the
     // oracle shifts)
     "q_date_math" -> ((s, dir) => {
-      t(s, dir, "orders")
+      spread(t(s, dir, "orders"))
         .select(col("o_orderkey"),
           date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
           datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
@@ -735,7 +735,7 @@ object SparkEntry {
     // struct instead of re-walking the JSON per field.
     "q_props_extract" -> ((s, dir) => {
       import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
       val propsSchema = StructType(Seq(StructField("k", IntegerType)))
       ev.select(col("event_type"),
           from_json(col("props"), propsSchema).getField("k").as("k_typed"),
@@ -878,7 +878,7 @@ object SparkEntry {
     // (ScaleOps.quotaSample scaladoc) — deterministic md5-order draw,
     // all-integer quota arithmetic, drift-free by construction.
     "q_quota_sample" -> ((s, dir) => {
-      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
       ScaleOps.quotaSample(
           ev.select("event_type", "event_id", "user_id"),
           Seq("event_type"),
@@ -911,7 +911,7 @@ object SparkEntry {
     // — estimates for the exact top-10 users, with the admissibility
     // guarantee (never underestimates) emitted as a checked column.
     "q_cms_topk" -> ((s, dir) => {
-      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
       val cms = Sketch.countMin(ev, col("user_id"), depth = 4, width = 256)
       val exact = ev.groupBy(col("user_id").as("item"))
         .agg(count(lit(1)).as("exact_n"))
@@ -936,7 +936,7 @@ object SparkEntry {
       // at sf0.01, so the harmonic ('raw') estimator band is the one
       // exercised — bare user_id (150 distinct) would degenerate to
       // identical linear-counting rows across all groups
-      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .withColumn("user_day", concat(col("user_id").cast("string"),
           lit(":"), col("ts").cast("date").cast("string")))
       val regs = Sketch.hllDetRegisters(ev, Seq("event_type"), col("user_day"))
@@ -1483,7 +1483,7 @@ object SparkEntry {
     // top-k), majority vote tie-broken to the smallest label. The scale
     // path swaps bruteForceTopK for the IVF/ANN searchers — same vote.
     "q_knn_eval" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 50)
       val train = emb.filter(col("vec_id") >= 50)
       val topk = Similarity.bruteForceTopK(
@@ -2852,7 +2852,7 @@ object SparkEntry {
     // (VariantSpec), NOT gated here — an engine-rendered rendering is
     // not a stable cross-version oracle value.
     "q_variant_extract" -> ((s, dir) => {
-      EventsStream.readEvents(s, s"$dir/events.parquet")
+      spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .select(col("event_type"),
           parse_json(col("props")).as("v"))
         .select(col("event_type"),
