@@ -4309,6 +4309,21 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ops: the same sweep as a TWO-LEVEL segmented scan (chunked by
+    // 7-day ranges with carried boundary levels) — the form whose
+    // per-chunk sort stays bounded when the boundary stream outgrows
+    // one ordered pass; gated against the SAME oracle as
+    // q_max_concurrency, so the decomposition identity itself is
+    // hash-checked.
+    "q_max_concurrency_chunked" -> ((s, dir) => {
+      Sessionize.peakConcurrencyChunked(
+          Sessionize.sessionizeBatch(
+            EventsStream.readEvents(s, s"$dir/events.parquet"),
+            gapSeconds = 300, keyCol = "user_id"),
+          chunkDays = 7)
+        .orderBy("day")
+    }),
+
     // lake: schema-evolution read — two parquet generations (gen 2
     // adds disc_c) merged by mergeSchema; early rows surface null for
     // the late column. The fixture derives deterministically from
@@ -8995,6 +9010,20 @@ object SparkEntry {
           |       CAST(sum(is_core) AS BIGINT) AS n_core_points,
           |       CAST(count(DISTINCT cx * 1000000 + cy) AS BIGINT) AS n_cells
           |FROM pt GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
+      "q_max_concurrency_chunked" ->
+        s"""WITH $sqlSessionCtes,
+           |dd AS (
+           |  SELECT session_start AS t, 1 AS d FROM sess
+           |  UNION ALL SELECT session_end, -1 FROM sess),
+           |r AS (
+           |  SELECT t, d,
+           |         sum(d) OVER (ORDER BY t ASC, d DESC ROWS UNBOUNDED PRECEDING) AS running
+           |  FROM dd)
+           |SELECT strftime(t, '%Y-%m-%d') AS day,
+           |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |       CAST(max(running) AS BIGINT) AS peak_concurrency
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_max_concurrency" ->
         s"""WITH $sqlSessionCtes,

@@ -116,10 +116,10 @@ object Sessionize {
     * Scale shape: the input is SESSIONS (already collapsed from events
     * — [[sessionizeBatch]]'s shuffle), so the one global ordered pass
     * runs over 2 rows per session, the [[graft.ext.Inference]]
-    * grid-bounded-window contract. For series too large even so,
-    * partition the sweep by coarse time range and carry the boundary
-    * level forward — concurrency at a range edge is the prefix sum of
-    * deltas before it.
+    * grid-bounded-window contract. For series too large even so, use
+    * [[peakConcurrencyChunked]] — the same sweep partitioned by coarse
+    * time range with the boundary level carried forward (exactness
+    * unit-gated against this form).
     */
   def peakConcurrency(sessions: DataFrame, start: String = "session_start",
                       end: String = "session_end"): DataFrame = {
@@ -129,6 +129,43 @@ object Sessionize {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
       .withColumn("running", sum("d").over(w))
+      .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
+      .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"),
+        max("running").as("peak_concurrency"))
+  }
+
+  /** [[peakConcurrency]] as a TWO-LEVEL segmented scan — the form that
+    * survives a boundary stream too large for one ordered pass: deltas
+    * partition into fixed `chunkDays` time ranges, each chunk runs its
+    * own bounded local cumulative sum, and the chunk's entry level is
+    * the prefix sum of whole-chunk delta totals (a second, tiny scan
+    * over the CHUNK grid, broadcast back). `running = chunk offset +
+    * local running` is exactly the global cumulative sum — the same
+    * decomposition as [[graft.ext.Forecast]]'s chunked folds, applied
+    * to the sweep line. Tie semantics are preserved by construction:
+    * same-instant boundaries land in the same chunk, so the (t asc,
+    * start-before-end) order never splits across chunks. Equality with
+    * the one-pass form is unit-gated on real sessionized data.
+    */
+  def peakConcurrencyChunked(sessions: DataFrame, start: String = "session_start",
+                             end: String = "session_end",
+                             chunkDays: Int = 30): DataFrame = {
+    require(chunkDays >= 1, "chunkDays must be positive")
+    val deltas = sessions.select(col(start).as("t"), lit(1).as("d"))
+      .unionAll(sessions.select(col(end).as("t"), lit(-1).as("d")))
+      .withColumn("chunk",
+        floor(unix_micros(col("t")) / (chunkDays * 86400000000L)).cast("long"))
+    val wLocal = Window.partitionBy("chunk").orderBy(col("t").asc, col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = deltas.groupBy("chunk").agg(sum("d").as("chunk_total"))
+      .withColumn("offset", coalesce(
+        sum("chunk_total").over(Window.orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("chunk", "offset")
+    deltas
+      .withColumn("local_run", sum("d").over(wLocal))
+      .join(broadcast(offsets), "chunk")
+      .withColumn("running", col("offset") + col("local_run"))
       .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
       .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"),
         max("running").as("peak_concurrency"))

@@ -617,6 +617,20 @@ class MiningSpec extends SparkSpec {
       Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("peakConcurrencyChunked: equals the one-pass sweep on real sessions and tiny chunks") {
+    // real sessionized data at sf0.001, chunked at 1 day — maximal
+    // chunk-boundary crossings — and at 7 days
+    val sessions = Sessionize.sessionizeBatch(
+      graft.ext.EventsStream.readEvents(spark, s"${SparkSpec.sf0001}/events.parquet"),
+      gapSeconds = 300, keyCol = "user_id")
+    val one = Sessionize.peakConcurrency(sessions)
+    for (cd <- Seq(1, 7)) {
+      val chunked = Sessionize.peakConcurrencyChunked(sessions, chunkDays = cd)
+      assert(one.exceptAll(chunked).isEmpty && chunked.exceptAll(one).isEmpty,
+        s"chunked sweep diverged at chunkDays=$cd")
+    }
+  }
+
   test("overlapPairCounts: sweep equals hand-counted pairs; inclusive touch; zero-pair key") {
     // key A: [1,5] [3,8] [5,6] [10,12] -> pairs (1,2) (1,3 touch at 5)
     // (2,3); interval 4 isolated => 3 pairs. key B: one interval => 0.
