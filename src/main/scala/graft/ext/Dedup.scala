@@ -822,22 +822,33 @@ object Dedup {
     *        = pairs agreeing on AT LEAST the fields in T, and
     *   pairs agreeing on EXACTLY S = Σ_{T ⊇ S} (−1)^{|T∖S|} · A(T)
     *
-    * (Möbius inversion over the subset lattice). Cost: 2^k group-by-
-    * count aggregates (k = #fields, small by construction) and a
-    * 2^k × 2^k broadcast join — the pair join, Σ block² work that
-    * forces bucket caps and recall-losing refinements in
-    * [[fuzzyPairs]], disappears entirely. This is THE scalable form of
-    * equality-field FS linkage: exact at any data size, linear in rows.
-    * (The 30× sweep motivated it: the enumerated form was 94× slower
-    * at 30× data; this form is one pass per subset.) Use
-    * [[linkageScore]] only when the matched PAIRS themselves are the
-    * product, or when a field comparison is non-equality (edit
-    * distance), where patterns don't factor.
+    * (Möbius inversion over the subset lattice). Cost: ONE
+    * grouping-sets aggregate computes every subset's group sizes — the
+    * Expand carries 2^k copies of each row through a single scan and a
+    * single map-side-combined exchange (k = #fields, small by
+    * construction) — plus a 2^k × 2^k broadcast join. The pair join,
+    * Σ block² work that forces bucket caps and recall-losing
+    * refinements in [[fuzzyPairs]], disappears entirely. This is THE
+    * scalable form of equality-field FS linkage: exact at any data
+    * size, linear in rows. (The 30× sweep motivated it: the enumerated
+    * form was 94× slower at 30× data.) Use [[linkageScore]] only when
+    * the matched PAIRS themselves are the product, or when a field
+    * comparison is non-equality (edit distance), where patterns don't
+    * factor.
+    *
+    * NULL contract — aligned with [[linkageScore]]: a null BLOCK key
+    * never joins (the row is dropped, as the enumerated form's
+    * blocking equi-join does), and a null FIELD value never agrees
+    * (`===` is false on null there; here each null becomes a
+    * per-row-unique sentinel whose singleton groups contribute no
+    * pairs). Field values group by their canonical string form.
     *
     * Returns (score, is_link, n_pairs) rows with n_pairs > 0, the same
     * shape `linkageScore(...).groupBy(score, is_link).count` yields —
-    * equivalence is unit-gated on real data. Weights/threshold follow
-    * [[linkageScore]]'s contract (score rounded 1e-6).
+    * equivalence is unit-gated on real data (including a null case).
+    * Weights/threshold follow [[linkageScore]]'s contract: the score
+    * folds per-field terms in FIELD-NAME order (the enumerated form's
+    * association order), rounded 1e-6.
     */
   def linkagePatternHistogram(df: DataFrame, blockCols: Seq[String],
                               fields: Seq[String],
@@ -848,18 +859,35 @@ object Dedup {
     require(fields.forall(weights.contains), "every field needs (m, u) weights")
     val spark = df.sparkSession
     val k = fields.size
-    // A(T) for every subset mask: one row (mask, a)
-    val aT = (0 until (1 << k)).map { mask =>
-      val t = fields.zipWithIndex.collect { case (f, i) if ((mask >> i) & 1) == 1 => f }
-      df.groupBy((blockCols ++ t).map(col): _*).agg(count(lit(1)).as("_n"))
-        .agg(coalesce(sum(expr("(_n * (_n - 1)) div 2")), lit(0L))
-          .cast("long").as("a"))
-        .select(lit(mask).as("amask"), col("a"))
-    }.reduce(_ unionAll _)
-    // one row per agreement pattern, score precomputed at plan time
+    val base = df
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("_uid", monotonically_increasing_id())
+      .select(blockCols.map(col) ++ fields.map(f =>
+        coalesce(col(f).cast("string"),
+          concat(lit("\u0000null#"), col("_uid").cast("string"))).as(f)): _*)
+    val allCols = (blockCols ++ fields).map(col)
+    val sets: Seq[Seq[Column]] = (0 until (1 << k)).map { mask =>
+      (blockCols ++ fields.zipWithIndex.collect {
+        case (f, i) if ((mask >> i) & 1) == 1 => f }).map(col)
+    }
+    // grouping_id bit for field i (groupBy order blockCols ++ fields):
+    // weight 2^(k-1-i), value 0 when the column IS in the grouping set
+    val amask = (0 until k).map { i =>
+      (lit(1L) - shiftright(col("_gid"), k - 1 - i).bitwiseAND(lit(1L))) *
+        lit(1L << i)
+    }.reduce(_ + _)
+    val aT = base.groupingSets(sets, allCols: _*)
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+      .select(amask.as("amask"), col("_n"))
+      .groupBy("amask")
+      .agg(coalesce(sum(expr("(_n * (_n - 1)) div 2")), lit(0L))
+        .cast("long").as("a"))
+    // one row per agreement pattern, score precomputed at plan time —
+    // summed in field-NAME order, the exact IEEE association order of
+    // linkageScore's sorted when-term fold
     val patterns = spark.createDataFrame(
       (0 until (1 << k)).map { pmask =>
-        val score = fields.zipWithIndex.map { case (f, i) =>
+        val score = fields.zipWithIndex.sortBy(_._1).map { case (f, i) =>
           val (m, u) = weights(f)
           require(m > u && u > 0.0 && m < 1.0, s"field $f needs 0 < u < m < 1")
           if (((pmask >> i) & 1) == 1) math.log(m / u)

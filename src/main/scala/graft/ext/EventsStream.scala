@@ -156,12 +156,9 @@ object EventsStream {
   def hllRegistersStream(events: DataFrame, group: String, item: Column,
                          bucketBits: Int = 8,
                          sinkName: String = "hll_regs_sink"): DataFrame = {
-    val p = 60 - bucketBits
-    val h = Sketch.hash60(item)
-    val w = h.bitwiseAND(lit((1L << p) - 1)).bitwiseOR(lit(1L << p))
-    val rho = (bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1)).cast("int")
-    val regs = events.groupBy(col(group), shiftright(h, p).as("bucket"))
-      .agg(max(rho).as("reg"))
+    // the register derivation IS the batch one — one definition, so the
+    // stream and batch forms cannot drift from their shared oracle
+    val regs = Sketch.hllDetRegisters(events, Seq(group), item, bucketBits)
     runToMemory(regs, sinkName, OutputMode.Update())
       .groupBy(group, "bucket").agg(max("reg").as("reg"))
   }

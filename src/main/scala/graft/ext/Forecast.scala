@@ -141,7 +141,11 @@ object Forecast {
     * O(m²) pair space is over bounded grid cells; the self-join and
     * both aggregates share the series-key partitioning. For very long
     * series, the same incomplete-pair sampling note as [[theilSen]]
-    * applies.
+    * applies — and it binds HARD here: `tau_ppb` computes
+    * `s_stat · 10⁹` in long arithmetic, which wraps past |S| ≈ 9.2·10⁹
+    * (a ~135k-point series), so grids must stay below that — far past
+    * any calendar grid, and the O(m²) pair join is prohibitive well
+    * before the overflow anyway.
     */
   def mannKendall(series: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
     val base = series.select(keys.map(col) :+ x.cast("long").as("x")
@@ -243,7 +247,12 @@ object Forecast {
     val a = alpha; val om = 1.0 - alpha
     val ordType = points.schema(ordCol).dataType
     val kcols = keys.map(col)
-    val w = Window.partitionBy(kcols: _*).orderBy(col(ordCol))
+    // tie-break on the value too: chunk MEMBERSHIP must follow the
+    // exact (o, y) total order sort_array gives the per-chunk fold, or
+    // duplicate ords could split a tie group across chunks in
+    // run-dependent order and diverge from the collected twin
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(ordCol), col("_y"))
     // row_number is int and non-negative, so truncating div == floor div
     val chunked = points
       .select(kcols ++ Seq(col(ordCol),
@@ -324,7 +333,9 @@ object Forecast {
     require(chunkSize >= 2, "chunkSize must be at least 2")
     val ordType = points.schema(ordCol).dataType
     val kcols = keys.map(col)
-    val w = Window.partitionBy(kcols: _*).orderBy(col(ordCol))
+    // (o, y) tie order for chunk membership — same reason as ewmaChunked
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(ordCol), col("_y"))
     val chunked = points
       .select(kcols ++ Seq(col(ordCol),
         col(yCol).cast("double").as("_y")): _*)

@@ -233,7 +233,16 @@ object ScaleOps {
       row_number().over(Window.orderBy("d")).cast("long") - 1)
     val folds = idx.agg(count(lit(1)).as("n_days"))
       .select(explode(sequence(lit(1L), lit(nFolds.toLong))).as("fold"),
-        expr(s"n_days div ${nFolds + 1}").as("tsz"), col("n_days"))
+        // a grid shorter than nFolds+1 days makes every early fold
+        // empty and the last fold test-everything/train-nothing — a
+        // backtest pinning that audit artifact would train on nothing
+        // silently; fail loudly instead (the check rides on tsz so
+        // pruning cannot drop it)
+        when(expr(s"n_days div ${nFolds + 1}") === 0L,
+          raise_error(concat(lit(s"tsCvFolds needs at least ${nFolds + 1} " +
+            "distinct days, got "), col("n_days"))).cast("long"))
+          .otherwise(expr(s"n_days div ${nFolds + 1}")).as("tsz"),
+        col("n_days"))
       .select(col("fold"),
         (col("fold") * col("tsz")).as("test_lo"),
         when(col("fold") === nFolds, col("n_days") - 1)

@@ -230,10 +230,24 @@ object Sketch {
       .agg(count(lit(1)).as("n_buckets"),
         sum(expr(s"shiftleft(cast(1 as bigint), $maxReg - reg)"))
           .as("s_present"))
-    val vEmpty = lit(m.toLong) - col("n_buckets")
+    // a register table built at HIGHER bucketBits than this estimate
+    // assumes would silently yield negative v_empty and garbage — the
+    // geometry mismatch fails loudly instead (the check rides on
+    // v_empty so column pruning cannot drop it)
+    val vEmpty = when(col("n_buckets") > m.toLong,
+        raise_error(concat(lit(s"hllDetEstimate(bucketBits=$bucketBits, m=$m) " +
+          "got a register table with more buckets than m — built with " +
+          "different bucketBits: "), col("n_buckets"))).cast("long"))
+      .otherwise(lit(m.toLong) - col("n_buckets"))
     val sScaled = col("s_present") + vEmpty * lit(1L << maxReg)
-    // alpha_m for m >= 128, as the literal arithmetic the oracle repeats
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    // HyperLogLog alpha_m by register count (Flajolet et al.'s small-m
+    // constants below 128), as literal arithmetic the oracle repeats
+    val alpha = m match {
+      case 16 => lit(0.673)
+      case 32 => lit(0.697)
+      case 64 => lit(0.709)
+      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
     val scale = lit(1L << maxReg).cast("double") // power of 2: exact
     val raw = alpha * lit(m.toDouble) * lit(m.toDouble) * scale /
       col("s_scaled").cast("double")

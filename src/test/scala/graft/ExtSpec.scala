@@ -1173,4 +1173,34 @@ class ExtSpec extends SparkSpec {
       .orderBy("score").collect().toSeq
     assert(fast === slow, s"pattern combinatorics diverged:\n$fast\n$slow")
   }
+
+  test("linkage pattern histogram: NULL semantics match the enumerated form") {
+    import org.apache.spark.sql.functions._
+    // null field values must never AGREE (=== is null-false in the pair
+    // join); a null block key must drop the row (equi-join semantics);
+    // and field order in the call must not change the folded score
+    val rows = Seq(
+      (1L, "b1", "x", 10L), (2L, "b1", "x", 10L),        // full agree
+      (3L, "b1", null, 10L), (4L, "b1", null, 10L),      // null sfx: balk-only
+      (5L, "b1", "y", 99L),
+      (6L, null, "x", 10L), (7L, null, "x", 10L))        // null block: dropped
+    val c = spark.createDataFrame(rows)
+      .toDF("id", "blk", "sfx", "balk")
+    val weights = Map("sfx" -> (0.9, 0.1), "balk" -> (0.3, 0.05))
+    // deliberately UNSORTED field list: the score fold must sort by name
+    val fast = Dedup.linkagePatternHistogram(c, Seq("blk"), Seq("sfx", "balk"),
+        weights, threshold = 1.0)
+      .orderBy("score").collect().toSeq
+    val a = c.select(col("blk"), col("id").as("id_a"),
+      col("sfx").as("a_sfx"), col("balk").as("a_balk"))
+    val b = c.select(col("blk"), col("id").as("id_b"),
+      col("sfx").as("b_sfx"), col("balk").as("b_balk"))
+    val slow = Dedup.linkageScore(
+        a.join(b, Seq("blk")).filter(col("id_a") < col("id_b")),
+        weights, threshold = 1.0)
+      .groupBy("score", "is_link").agg(count(lit(1)).as("n_pairs"))
+      .select("score", "is_link", "n_pairs")
+      .orderBy("score").collect().toSeq
+    assert(fast === slow, s"null semantics diverged:\n$fast\n$slow")
+  }
 }
