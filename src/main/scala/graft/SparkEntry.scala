@@ -61,6 +61,27 @@ object SparkEntry {
       |            WHEN fr > greatest(en, es) THEN 'fr'
       |            WHEN es > en THEN 'es' ELSE 'en' END""".stripMargin
 
+  /** Blocklist for q_blocklist_filter: token-normalized phrases over
+    * the corpus vocabulary (two- and three-token sequences). Shared
+    * verbatim by the Spark query and the DuckDB oracle's VALUES list.
+    */
+  private val blockPhrases = Seq(
+    "fast table", "spark data", "window merge", "slow scan",
+    "big vector", "key agg", "customer line", "stream batch fast")
+
+  /** Closed date-interval predicates for q_zonemap_prune: a mix of
+    * month-aligned ranges (skip whole monthly files), one misaligned
+    * range (straddling files must scan), and one fully-out-of-range
+    * probe. Shared by the Spark query (as epoch days) and the oracle
+    * (as DATE literals).
+    */
+  private val zonePreds = Seq(
+    ("1996q1", "1996-01-01", "1996-03-31"),
+    ("1998h2", "1998-07-01", "1998-12-31"),
+    ("2001", "2001-01-01", "2001-12-31"),
+    ("mid1999", "1999-06-15", "1999-08-15"),
+    ("pre1995", "1990-01-01", "1994-12-31"))
+
   /** Local-parallelism shim: the testdata parquet files are single
     * row-groups, so Spark reads each table as ONE input partition and
     * every narrow expression-heavy stage would run on 1 of 32 cores
@@ -3792,6 +3813,90 @@ object SparkEntry {
         .agg(sum(floor(col("value") * 100)).cast("long").as("y"))
       Forecast.mannKendall(daily, Seq("event_type"), col("x"), col("y"))
         .orderBy("event_type")
+    }),
+
+    // lead-lag detection: lagged cross-correlation between the daily
+    // click and purchase count series — "does click volume lead
+    // purchases by k days?". Exact long moment sums per lag over the
+    // bounded day grid, one IEEE-deterministic expression per lag
+    // (Inference.crossCorr scaladoc).
+    "q_xcorr_lag" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      Inference.crossCorr(daily, ord = col("day"), x = col("x"),
+          y = col("y"), maxLag = 7)
+        .orderBy("lag")
+    }),
+
+    // privacy: t-closeness audit over (returnflag, linestatus) groups
+    // against the ordinal quantity-decile distribution — the
+    // distribution-skew leak that k-anonymity and l-diversity both
+    // miss. Exact integer EMD numerator; quantities are integral
+    // doubles so the int cast is exact, and floor-division on the
+    // nonnegative bucket is Euclidean in both engines.
+    "q_t_closeness" -> ((s, dir) => {
+      Privacy.tClosenessGroups(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          floor(col("l_quantity").cast("int") / 10).cast("long"))
+        .select(col("q0").as("l_returnflag"), col("q1").as("l_linestatus"),
+          col("n"), col("t_num"), col("t"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // DAG scheduling: longest-path layering of the band-restricted
+    // co-purchase DAG (edges only from part band b to band b+1 — the
+    // band filter is what guarantees acyclicity, so depth < 8 by
+    // construction and the generic fixpoint loop exits early).
+    // Iterative max-propagation, O(|E|) per round (Graph
+    // .longestPathLayers scaladoc); the oracle unrolls the same 7
+    // relaxation steps.
+    "q_dag_layers" -> ((s, dir) => {
+      val e = coPurchasePairs(s, dir, minCount = 1)
+        .select((col("id1") % 200).as("src"), (col("id2") % 200).as("dst"))
+        .filter(floor(col("dst") / 25) === floor(col("src") / 25) + 1)
+        .distinct()
+      Graph.longestPathLayers(e, maxRounds = 8).orderBy("id")
+    }),
+
+    // policy filtering: phrase-blocklist hits over the corpus — banned
+    // token sequences matched on the canonical token stream (word-
+    // boundary exact, so "fast table" never matches inside "breakfast
+    // tables"), candidates generated by a broadcast anchor-token join
+    // so the corpus never pays |docs|x|phrases| contains calls
+    // (Corpus.blocklistFilter scaladoc).
+    "q_blocklist_filter" -> ((s, dir) => {
+      Corpus.blocklistFilter(spread(t(s, dir, "documents")), blockPhrases)
+        .orderBy("doc_id", "phrase")
+    }),
+
+    // graph: per-node local clustering coefficient — the node-level
+    // refinement of q_transitivity on the same co-purchase graph; the
+    // oriented wedge join enumerates each triangle once, an explode
+    // credits all three corners (Graph.localClustering scaladoc).
+    "q_local_clustering" -> ((s, dir) => {
+      Graph.localClustering(coPurchaseEdges(s, dir, minCount = 2))
+        .orderBy("id")
+    }),
+
+    // lake: zone-map pruning audit — per-month "files" over shipdate,
+    // min/max/rows zone maps, then five closed date-interval predicates
+    // evaluated against metadata only; exact skip/scan counts
+    // (ScaleOps.zoneMapPruning scaladoc). The month-aligned predicates
+    // skip whole files; the misaligned one must scan its straddlers.
+    "q_zonemap_prune" -> ((s, dir) => {
+      val preds = zonePreds.map { case (n, lo, hi) =>
+        (n, java.time.LocalDate.parse(lo).toEpochDay,
+          java.time.LocalDate.parse(hi).toEpochDay) }
+      ScaleOps.zoneMapPruning(t(s, dir, "lineitem"),
+          fileCol = (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long"),
+          valueCol = datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long"),
+          preds)
+        .orderBy("pred")
     }),
 
     // data forensics: Benford first-digit conformance of the price
@@ -8289,6 +8394,159 @@ object SparkEntry {
           |       CASE WHEN s.s_stat > 0 THEN 'increasing'
           |            WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
           |FROM n JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
+
+      // six exact-long moment sums per lag, one IEEE double tower per
+      // row — the crossCorr determinism contract; lead() mirrors
+      // Spark's, lag 0 is the column itself in both engines
+      "q_xcorr_lag" -> {
+        val leadCols = (1 to 7).map(k => s"lead(y, $k) OVER w AS y$k")
+          .mkString(", ")
+        val sumCols = (0 to 7).map { k =>
+          val yk = if (k == 0) "y" else s"y$k"
+          s"CAST(count($yk) AS BIGINT) AS c$k, " +
+          s"CAST(sum(CASE WHEN $yk IS NOT NULL THEN x END) AS BIGINT) AS sx$k, " +
+          s"CAST(sum(CASE WHEN $yk IS NOT NULL THEN x*x END) AS BIGINT) AS sxx$k, " +
+          s"CAST(sum($yk) AS BIGINT) AS sy$k, " +
+          s"CAST(sum($yk*$yk) AS BIGINT) AS syy$k, " +
+          s"CAST(sum(x*$yk) AS BIGINT) AS sxy$k"
+        }.mkString(", ")
+        val rows = (0 to 7).map(k =>
+          s"""SELECT CAST($k AS INTEGER) AS "lag", c$k AS n_pairs,
+             |  CASE WHEN c$k*sxx$k - sx$k*sx$k > 0 AND c$k*syy$k - sy$k*sy$k > 0
+             |  THEN round(CAST(c$k*sxy$k - sx$k*sy$k AS DOUBLE) /
+             |             sqrt(CAST(c$k*sxx$k - sx$k*sx$k AS DOUBLE) *
+             |                  CAST(c$k*syy$k - sy$k*sy$k AS DOUBLE)), 6)
+             |  END AS xcf FROM t""".stripMargin)
+          .mkString("\n", "\nUNION ALL\n", "\n")
+        s"""WITH days AS (
+           |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |l AS (SELECT day, x, y, $leadCols FROM days WINDOW w AS (ORDER BY day)),
+           |t AS (SELECT $sumCols FROM l)
+           |SELECT * FROM ($rows) ORDER BY "lag"""".stripMargin
+      },
+
+      // exact integer EMD numerator over the zero-filled group x value
+      // grid; one final division — the Privacy.tClosenessGroups math
+      "q_t_closeness" ->
+        """WITH cells AS (
+          |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+          |         CAST(l_quantity AS INTEGER) // 10 AS sv,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY 1, 2, 3),
+          |gv AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cells GROUP BY sv),
+          |gc AS (SELECT sv, CAST(sum(gcnt) OVER (ORDER BY sv
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+          |       FROM gv),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS big_n,
+          |               CAST(count(DISTINCT sv) AS BIGINT) AS m FROM cells),
+          |grp AS (SELECT rf, ls, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT g.rf, g.ls, g.n, v.sv,
+          |         CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.rf, g.ls
+          |           ORDER BY v.sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS gcum_grp
+          |  FROM grp g CROSS JOIN (SELECT sv FROM gv) v
+          |  LEFT JOIN cells c ON c.rf = g.rf AND c.ls = g.ls AND c.sv = v.sv)
+          |SELECT grid.rf AS l_returnflag, grid.ls AS l_linestatus, grid.n,
+          |       CAST(sum(abs(gcum_grp * tt.big_n - gc.gcum * grid.n)) AS BIGINT) AS t_num,
+          |       round(CAST(sum(abs(gcum_grp * tt.big_n - gc.gcum * grid.n)) AS DOUBLE) /
+          |             CAST(grid.n * tt.big_n * (tt.m - 1) AS DOUBLE), 6) AS t
+          |FROM grid JOIN gc USING (sv) CROSS JOIN tot tt
+          |GROUP BY grid.rf, grid.ls, grid.n, tt.big_n, tt.m
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      // the same 7 max-relaxation steps the engine's fixpoint loop
+      // converges in (band-DAG depth < 8), unrolled
+      "q_dag_layers" -> {
+        val steps = (1 to 7).map { k =>
+          s"""l$k AS (
+             |  SELECT c.id,
+             |         CASE WHEN r.m IS NULL OR c.lvl >= r.m THEN c.lvl ELSE r.m END AS lvl
+             |  FROM l${k - 1} c LEFT JOIN (
+             |    SELECT d.dst AS id, max(c2.lvl) + 1 AS m
+             |    FROM d JOIN l${k - 1} c2 ON c2.id = d.src GROUP BY d.dst) r
+             |  USING (id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${sqlCoPurchaseCtes(1)},
+           |d AS (SELECT DISTINCT src % 200 AS src, dst % 200 AS dst FROM p
+           |      WHERE (dst % 200) // 25 = (src % 200) // 25 + 1),
+           |n0 AS (SELECT src AS id FROM d UNION SELECT dst AS id FROM d),
+           |l0 AS (SELECT id, CAST(0 AS BIGINT) AS lvl FROM n0),
+           |$steps
+           |SELECT id, lvl AS level FROM l7 ORDER BY id""".stripMargin
+      },
+
+      // padded token-sequence containment on the canonical token
+      // stream — identical normalization both sides, so the anchor-
+      // token candidate step is invisible to the oracle
+      "q_blocklist_filter" -> {
+        val vals = blockPhrases.map(p => s"('$p')").mkString(", ")
+        s"""WITH p AS (SELECT phrase FROM (VALUES $vals) t(phrase)),
+           |d AS (SELECT doc_id,
+           |             ' ' || array_to_string($sqlTokens, ' ') || ' ' AS ntext
+           |      FROM documents)
+           |SELECT d.doc_id, p.phrase
+           |FROM d JOIN p ON contains(d.ntext, ' ' || p.phrase || ' ')
+           |ORDER BY doc_id, phrase""".stripMargin
+      },
+
+      // the q_transitivity oriented-wedge machinery, but the closing
+      // EXISTS keeps (u,v,w) and credits every corner
+      "q_local_clustering" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |orient AS (
+           |  SELECT e.src, e.dst, dd.deg AS ddst
+           |  FROM e JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src
+           |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+           |wedge AS (
+           |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+           |  FROM orient a JOIN orient b ON a.src = b.src
+           |  WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+           |tri AS (
+           |  SELECT u, v, w FROM wedge WHERE EXISTS (
+           |    SELECT 1 FROM orient o WHERE o.src = wedge.v AND o.dst = wedge.w)),
+           |corners AS (SELECT u AS id FROM tri
+           |            UNION ALL SELECT v FROM tri
+           |            UNION ALL SELECT w FROM tri),
+           |pern AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+           |         FROM corners GROUP BY id)
+           |SELECT d.src AS id, d.deg AS degree,
+           |       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+           |       CASE WHEN d.deg >= 2 THEN
+           |         round(2.0 * CAST(coalesce(p.n_tri, 0) AS DOUBLE) /
+           |               CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc
+           |FROM deg d LEFT JOIN pern p ON p.id = d.src
+           |ORDER BY id""".stripMargin,
+
+      // metadata-only pruning: zone maps from the same month bucketing,
+      // predicates as DATE literals -> epoch days, skip test mx<lo|mn>hi
+      "q_zonemap_prune" -> {
+        val predVals = zonePreds
+          .map { case (n, lo, hi) => s"('$n', DATE '$lo', DATE '$hi')" }
+          .mkString(", ")
+        s"""WITH zm AS (
+           |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS file_id,
+           |         CAST(min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS mn,
+           |         CAST(max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS mx,
+           |         CAST(count(*) AS BIGINT) AS nrows
+           |  FROM lineitem GROUP BY 1),
+           |p AS (SELECT pred,
+           |             CAST(date_diff('day', DATE '1970-01-01', lo) AS BIGINT) AS lo,
+           |             CAST(date_diff('day', DATE '1970-01-01', hi) AS BIGINT) AS hi
+           |      FROM (VALUES $predVals) t(pred, lo, hi)),
+           |ev AS (SELECT p.pred, p.lo, p.hi, zm.nrows,
+           |              (zm.mx < p.lo OR zm.mn > p.hi) AS skipped
+           |       FROM zm CROSS JOIN p)
+           |SELECT pred, lo, hi, CAST(count(*) AS BIGINT) AS n_files,
+           |       CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |       CAST(sum(CASE WHEN skipped THEN nrows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           |       CAST(sum(CASE WHEN NOT skipped THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
+           |FROM ev GROUP BY 1, 2, 3 ORDER BY pred""".stripMargin
+      },
 
       // expected proportions are the SAME driver-computed literals the
       // Spark plan carries — no engine log10 in either query

@@ -33,6 +33,55 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Phrase-blocklist filter — find every (doc, phrase) hit of a
+    * banned-phrase list against the corpus, the policy-filtering pass
+    * (unsafe content, PII trigger phrases, license boilerplate) that
+    * runs before training-data export. Matching is TOKEN-SEQUENCE
+    * containment on the canonical token stream ([[Dedup.tokens]]):
+    * both the document and the phrase are lowercased, whitespace-
+    * tokenized, and re-joined by single spaces, and a hit means the
+    * phrase's token sequence appears contiguously in the document's —
+    * so "fast table" does NOT match "breakfast tables" (raw substring
+    * matching would), and any whitespace/casing difference is
+    * normalized away.
+    *
+    * Scale design (the reason this isn't |docs| × |phrases| contains
+    * calls): the blocklist broadcasts, keyed by each phrase's FIRST
+    * token; the corpus side explodes each document's DISTINCT tokens
+    * (vocab-bounded per doc) and the broadcast join keeps only (doc,
+    * phrase) pairs whose anchor token the document actually contains —
+    * sound, because a token-sequence match implies its first token is
+    * present in the token set. Only those candidates pay the padded
+    * `contains` verification over the normalized text. With a 10⁵-
+    * phrase blocklist a document therefore verifies only the phrases
+    * anchored at tokens it contains, not all 10⁵ — and the whole
+    * operator is one broadcast join plus narrow codegen expressions,
+    * zero shuffles on the corpus side.
+    *
+    * Returns (idCol, phrase) — one row per matched (document, phrase),
+    * phrases in normalized form.
+    */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.toDF("raw")
+      .select(array_join(TextStats.tokens(col("raw")), " ").as("phrase"))
+      .filter(col("phrase") =!= "").distinct()
+      .withColumn("anchor", split(col("phrase"), " ").getItem(0))
+    val norm = docs.select(col(idCol),
+      concat(lit(" "), array_join(TextStats.tokens(col(textCol)), " "),
+        lit(" ")).as("ntext"))
+    norm
+      .select(col(idCol), col("ntext"),
+        explode(array_distinct(TextStats.tokens(col("ntext")))).as("anchor"))
+      .join(broadcast(ph), "anchor")
+      .filter(col("ntext").contains(concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col(idCol), col("phrase"))
+  }
+
   /** Fixed-size sliding-window chunks over the token array: starts at
     * token 1, 1+stride, ... (1-based), each chunk `chunkTokens` tokens
     * (the final chunks clamp at the document end). `stride` <

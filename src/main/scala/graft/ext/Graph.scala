@@ -114,6 +114,53 @@ object Graph {
           col("n_wedges").cast("double"), 6).as("transitivity"))
   }
 
+  /** Per-node local clustering coefficient — how close each node's
+    * neighborhood is to a clique: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the node-level refinement of [[globalTransitivity]] (community
+    * cohesion scoring, spam/bot neighborhood detection). Same
+    * degree-ORIENTED triangle machinery — each undirected triangle is
+    * enumerated exactly once via its orientation-ordered wedge, wedge
+    * work bounded by Σ out² = O(|E|^1.5) regardless of hubs — but the
+    * closing join keeps the wedge row (u,v,w) instead of counting, and
+    * an explode credits the triangle to ALL THREE corners before one
+    * map-side-combined per-node count. Per-node output is |V| rows;
+    * the explode is 3 rows per triangle — bounded by the triangle
+    * count the oriented join already paid for.
+    *
+    * Returns (id, degree, n_tri, lcc) for every node with ≥ 1 edge;
+    * degree-1 nodes get null lcc (undefined), exact long counts
+    * otherwise, lcc rounded at 6.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
+    val oriented = withDeg.filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+      .persist() // read 3×: both wedge legs + the closing semi-join
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("ddst").as("dw")), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val perNode = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("src").as("id"), col("deg").as("degree"))
+      .join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("id"), col("degree"), col("n_tri"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_tri").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("lcc"))
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * over the directed (symmetrized) edge list — positive when hubs
     * attach to hubs. One degree aggregate, two joins to annotate the
@@ -195,6 +242,54 @@ object Graph {
       h += 1
     }
     visited
+  }
+
+  /** Longest-path layering of a DAG — assign every node the length of
+    * the longest directed path ending at it (sources get 0), the
+    * classic topological "level" used for dependency scheduling, lineage
+    * depth reports, and DAG visualization. Iterative max-propagation
+    * (distributed Bellman-Ford on −1 weights):
+    *   L₀(v) = 0;  L_{r+1}(v) = max(L_r(v), max_{(u,v)∈E} L_r(u)+1)
+    * which reaches the fixpoint after `depth` rounds, where depth is the
+    * longest path length in the graph. Σ L is strictly monotone until
+    * the fixpoint, so an unchanged sum ends the loop early; `maxRounds`
+    * bounds it for callers who know their depth (a banded DAG whose
+    * edges only go from band b to band b+1 has depth < #bands).
+    *
+    * The input MUST be acyclic: a cycle makes the recurrence diverge,
+    * so the loop would only stop at `maxRounds` with levels that keep
+    * growing — this operator does not detect cycles (run it with
+    * `maxRounds` = |V| and a still-changing sum as a cheap cycle test).
+    *
+    * Scale design: per round one edge⋈level join (shuffle on src) and
+    * one max-aggregate (shuffle on dst) — O(|E|) per round, map-side
+    * combined, no adjacency materialization; one eager [[snapshot]] per
+    * round keeps plan depth O(1) and the superseded round is
+    * [[release]]d, so at most two level frames (|V| rows each) are ever
+    * cached. Returns (id, level).
+    */
+  def longestPathLayers(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var lvl = snapshot(nodes.withColumn("level", lit(0L)))
+    var levelSum = 0L // Σ L after round 0 (all zero)
+    var r = 0
+    var fixpoint = false
+    while (r < maxRounds && !fixpoint) {
+      val relaxed = e.join(lvl, e("src") === lvl("id"))
+        .select(col("dst").as("id"), (col("level") + 1L).as("level"))
+      val next = snapshot( // the round's materialization
+        lvl.unionAll(relaxed).groupBy("id").agg(max("level").as("level")))
+      val s = next.agg(coalesce(sum("level"), lit(0L))).head.getLong(0)
+      release(lvl) // superseded — every later read hits `next`
+      fixpoint = s == levelSum // Σ L monotone: unchanged == converged
+      levelSum = s
+      lvl = next
+      r += 1
+    }
+    lvl
   }
 
   /** Fixed-round k-core peeling: each round drops every node with

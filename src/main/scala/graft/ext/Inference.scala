@@ -329,6 +329,58 @@ object Inference {
       .select(col("r.lag"), col("r.n_pairs"), col("r.acf"))
   }
 
+  /** Lagged cross-correlation between TWO integral series on one grid:
+    * for each lag k in 0..maxLag, the Pearson correlation over the
+    * aligned pairs (x_t, y_{t+k}) — "does x lead y by k steps?", the
+    * lead-lag detection kernel (marketing spend → purchases, clicks →
+    * conversions). Unlike [[autocorr]] (full-series mean, ACF
+    * convention), each lag uses its own pair-set moments — the standard
+    * lagged-Pearson convention, so xcf at lag 0 IS corr(x, y).
+    *
+    * Determinism: all six moment sums per lag (c, Σx, Σx², Σy, Σy²,
+    * Σxy) are exact longs from one aggregate; per lag ONE expression
+    *   r_k = (c·Σxy − Σx·Σy) / √((c·Σx²−Σx²̂)·(c·Σy²−Σy²̂))
+    * evaluates in doubles (the two variance terms are exact longs that
+    * convert exactly below 2⁵³; ·, √, / are correctly rounded IEEE ops
+    * in both engines) — bit-identical cross-engine, rounded at 6.
+    * Zero-variance sides yield null. Overflow bound: c·Σx² < 2⁶³, i.e.
+    * series length × (length·x_max²) — coarsen the grid unit past that.
+    *
+    * Scale shape: the caller aggregates the fact table to the series
+    * grid FIRST (the [[autocorr]] contract), so the lead windows run
+    * over grid cells; one global window sort over the series (bounded:
+    * it IS a series), one aggregate row, maxLag+1 rows out.
+    */
+  def crossCorr(series: DataFrame, ord: Column, x: Column, y: Column,
+                maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val w = Window.orderBy("ord")
+    val base = series.select(ord.as("ord"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    val lagged = (0 to maxLag).foldLeft(base)((d, k) =>
+      if (k == 0) d.withColumn("y_0", col("y"))
+      else d.withColumn(s"y_$k", lead("y", k).over(w)))
+    val aggs = (0 to maxLag).flatMap(k => Seq(
+      count(col(s"y_$k")).as(s"c$k"),
+      sum(when(col(s"y_$k").isNotNull, col("x"))).as(s"sx$k"),
+      sum(when(col(s"y_$k").isNotNull, col("x") * col("x"))).as(s"sxx$k"),
+      sum(col(s"y_$k")).as(s"sy$k"),
+      sum(col(s"y_$k") * col(s"y_$k")).as(s"syy$k"),
+      sum(col("x") * col(s"y_$k")).as(s"sxy$k")))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    val perLag = (0 to maxLag).map { k =>
+      val num = col(s"c$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")
+      val vx = col(s"c$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")
+      val vy = col(s"c$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k")
+      struct(lit(k).cast("int").as("lag"), col(s"c$k").as("n_pairs"),
+        when(vx > 0 && vy > 0,
+          round(num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 6)).as("xcf"))
+    }
+    sums.select(explode(array(perLag: _*)).as("r"))
+      .select(col("r.lag"), col("r.n_pairs"), col("r.xcf"))
+  }
+
   /** Mutual information I(X;Y) in nats between two categorical columns,
     * from one contingency-count pass: I = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))).
     * Output is the per-x partial contribution plus the cell count, so

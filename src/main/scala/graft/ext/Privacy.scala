@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy operators for a shared data platform: deterministic keyed
@@ -60,5 +61,69 @@ object Privacy {
     df.groupBy(quasiIds: _*)
       .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("l"))
       .withColumn("violates_l", col("l") < l)
+  }
+
+  /** t-closeness audit — the distribution-skew complement to
+    * [[lDiversityGroups]]: a group can hold many DISTINCT sensitive
+    * values (passes l-diversity) and still leak, if its distribution
+    * over them is far from the table's — e.g. a group that is 95%
+    * "high" in an attribute that is 10% "high" globally tells an
+    * attacker a lot. Per quasi-identifier group this computes the Earth
+    * Mover's Distance between the group's and the global distribution
+    * over an ORDINAL sensitive attribute (the t-closeness paper's
+    * ordered-attribute form): with the m distinct values in order,
+    *   EMD = Σⱼ |cumPg(j) − cumPG(j)| / (m−1).
+    * Cleared of denominators, the numerator Σⱼ |cumgⱼ·N − cumGⱼ·n_g| is
+    * EXACT integer arithmetic over counts (cumg = group cumulative
+    * count, cumG = global, N = table rows, n_g = group rows); one final
+    * division by n_g·N·(m−1) produces t. Overflow bound: the products
+    * are ≤ n_g·N < 2⁶³ up to ~3·10⁹ rows; shard the audit beyond that.
+    *
+    * Scale design: one aggregate to (group × value) cells — shuffle is
+    * cells, never rows — then everything downstream (value grid, global
+    * marginals, zero-filled cumulative windows) runs on the cell table,
+    * whose size is bounded by |groups|·m. The per-group cumulative
+    * window partitions on the group key, so the sort spreads across
+    * reducers; the m-row value grid and the two scalars broadcast.
+    *
+    * Returns one row per group: the quasi-id columns, `n` (group
+    * size), `t_num` (the exact integer numerator), and `t` (rounded
+    * at 6).
+    */
+  def tClosenessGroups(df: DataFrame, quasiIds: Seq[Column],
+                       sensitiveOrd: Column): DataFrame = {
+    val qNames = quasiIds.indices.map(i => s"q$i")
+    val cells = df
+      .select(quasiIds.zip(qNames).map { case (c, n) => c.as(n) } :+
+        sensitiveOrd.cast("long").as("sv"): _*)
+      .groupBy(qNames.map(col) :+ col("sv"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // Global marginals over the ordered value domain (m rows, broadcast)
+    val globalCum = cells.groupBy("sv").agg(sum("cnt").as("gcnt"))
+      .withColumn("gcum", sum("gcnt").over(
+        Window.orderBy("sv").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("sv"), col("gcum"))
+    val totals = cells.agg(sum("cnt").as("big_n"),
+      countDistinct("sv").as("m"))
+    // Zero-filled (group × value) grid so cumulative counts carry across
+    // values a group never takes
+    val groups = cells.groupBy(qNames.map(col): _*).agg(sum("cnt").as("n"))
+    val grid = groups
+      .join(broadcast(globalCum.select(col("sv"))))
+      .join(cells, qNames :+ "sv", "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("gcum_grp", sum("cnt").over(
+        Window.partitionBy(qNames.map(col): _*).orderBy("sv")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    grid
+      .join(broadcast(globalCum), Seq("sv"))
+      .crossJoin(broadcast(totals))
+      .groupBy(qNames.map(col) :+ col("n") :+ col("big_n") :+ col("m"): _*)
+      .agg(sum(abs(col("gcum_grp") * col("big_n") - col("gcum") * col("n")))
+        .as("t_num"))
+      .select(qNames.map(col) :+ col("n") :+ col("t_num") :+
+        round(col("t_num").cast("double") /
+          (col("n") * col("big_n") * (col("m") - 1)).cast("double"), 6)
+          .as("t"): _*)
   }
 }

@@ -719,4 +719,46 @@ object ScaleOps {
         col("max_distinct_rhs"),
         expr("(n_violating * 10000) DIV n_groups").as("violation_bp"))
   }
+
+  /** Zone-map pruning audit — the lakehouse planner question "how many
+    * files would these predicates skip?" answered from metadata alone.
+    * Stage 1 builds the zone maps: per file, (min, max, rows) of the
+    * filter column — the statistics every parquet footer / Delta or
+    * Iceberg manifest already carries; ONE map-side-combined aggregate,
+    * shuffle = files, never rows. Stage 2 evaluates each closed-
+    * interval predicate [lo, hi] against the file-count-sized zone-map
+    * table (a file is skippable iff max < lo or min > hi — the
+    * sound-for-pruning test, file-level false positives impossible)
+    * with the predicate list broadcast, and rolls up to one row per
+    * predicate. Nothing downstream of stage 1 touches data rows, which
+    * is the point: at 100 TB this audit costs one metadata-sized
+    * aggregate, and in production it reads the manifest directly and
+    * costs no scan at all.
+    *
+    * The verdict quantifies layout quality: a clustering key that
+    * correlates with the filter column (ingest time, z-order) makes
+    * rows_skipped ≈ out-of-range rows; a random layout makes every
+    * file straddle every range and n_skipped collapses to 0 — the
+    * measurable difference between q_zorder's layouts.
+    *
+    * Returns one row per predicate: (pred, lo, hi, n_files, n_skipped,
+    * rows_skipped, rows_scanned) — exact longs.
+    */
+  def zoneMapPruning(df: DataFrame, fileCol: Column, valueCol: Column,
+                     preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "predicate list must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val zm = df.groupBy(fileCol.as("file_id"))
+      .agg(min(valueCol).as("mn"), max(valueCol).as("mx"),
+        count(lit(1)).as("nrows"))
+    val p = preds.toDF("pred", "lo", "hi")
+    zm.join(broadcast(p))
+      .withColumn("skipped", col("mx") < col("lo") || col("mn") > col("hi"))
+      .groupBy("pred", "lo", "hi")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(col("skipped"), col("nrows")).otherwise(0L)).as("rows_skipped"),
+        sum(when(!col("skipped"), col("nrows")).otherwise(0L)).as("rows_scanned"))
+  }
 }

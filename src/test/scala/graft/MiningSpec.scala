@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Privacy, Sessionize, Similarity}
+import graft.ext.{Affinity, Corpus, Dedup, Forecast, Graph, Inference, Privacy, ScaleOps, Sessionize, Similarity}
 
 /** Specs for the round-4 mining/inference operators: gaps-and-islands,
   * association rules / PMI, Welch t, linear fit, mutual information,
@@ -946,5 +946,90 @@ class MiningSpec extends SparkSpec {
     assert(out.getAs[Long]("n_test") === test.size.toLong)
     assert(out.getAs[Long]("covered") === covered.toLong)
     assert(out.getAs[Long]("coverage_bp") === covered.toLong * 10000L / test.size)
+  }
+
+  test("crossCorr: lag-1-shifted series is exact 1.0 at lag 1; lag 0 by hand; zero variance null") {
+    // y_{t+1} = x_t: lag-1 pairs (1,1),(3,3),(1,1),(3,3) -> r=1; lag-0
+    // pairs by hand: c=5 Σx=9 Σy=17 Σx²=21 Σy²=101 Σxy=21 →
+    // num = 5·21−9·17 = −48, vx = 24, vy = 216 → −48/√5184 = −2/3
+    val s = Seq((0L, 1L, 9L), (1L, 3L, 1L), (2L, 1L, 3L), (3L, 3L, 1L),
+      (4L, 1L, 3L)).toDF("ord", "x", "y")
+    val out = Inference.crossCorr(s, col("ord"), col("x"), col("y"), maxLag = 1)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("xcf"))).toMap
+    assert(out(0) === ((5L, -0.666667)))
+    assert(out(1) === ((4L, 1.0)))
+    // constant x: vx = 0 at every lag -> null xcf, n_pairs still real
+    val flat = Seq((0L, 7L, 1L), (1L, 7L, 2L), (2L, 7L, 3L)).toDF("ord", "x", "y")
+    val r0 = Inference.crossCorr(flat, col("ord"), col("x"), col("y"), 0)
+      .collect().head
+    assert(r0.getAs[Long]("n_pairs") === 3L)
+    assert(r0.isNullAt(r0.fieldIndex("xcf")))
+  }
+
+  test("privacy: t-closeness EMD is exact — disjoint groups 0.5, global-matching group 0") {
+    // groups over sv∈{0,1}: A=(2,0), B=(0,2), C=(1,1); global (3,3), N=6, m=2
+    // A: Σ|cumg·N−cumG·n| = |2·6−3·2|+|2·6−6·2| = 6 → t = 6/(2·6·1) = .5
+    // C: cum (1,2) tracks the global halves exactly → t = 0
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L), ("C", 0L), ("C", 1L))
+      .toDF("qi", "sv")
+    val out = Privacy.tClosenessGroups(df, Seq(col("qi")), col("sv"))
+      .orderBy("q0").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("n"),
+      r.getAs[Long]("t_num"), r.getAs[Double]("t"))).toSeq ===
+      Seq(("A", 2L, 6L, 0.5), ("B", 2L, 6L, 0.5), ("C", 2L, 0L, 0.0)))
+  }
+
+  test("longestPathLayers: longest (not shortest) path wins; maxRounds truncates; early exit") {
+    // 1→2→3 and the 1→3 shortcut: node 3's level is 2 (the LONG way);
+    // 4→3 leaves 4 a source at level 0
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.longestPathLayers(e, maxRounds = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("level"))).toSeq
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 0L)))
+    // one round only: 3 has seen just one relaxation, so it sits at 1
+    val trunc = Graph.longestPathLayers(e, maxRounds = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Long]("level")))
+    assert(trunc.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("localClustering: triangle corners score 1, hub with pendant fractional, leaf null") {
+    // triangle 1-2-3 plus pendant 4 on 3: deg = 2,2,3,1; one triangle
+    // credits corners 1,2,3 -> lcc 1, 1, 2/(3·2)=.333333, null for 4
+    val e = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id1", "id2"))
+    val out = Graph.localClustering(e).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_tri"),
+        if (r.isNullAt(3)) null else r.getAs[Double]("lcc"))).toSeq
+    assert(out === Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, null)))
+  }
+
+  test("zoneMapPruning: skip iff max<lo or min>hi; rows accounted exactly") {
+    val df = Seq(("A", 1L), ("A", 5L), ("A", 10L), ("B", 20L), ("B", 25L))
+      .toDF("f", "v")
+    val out = ScaleOps.zoneMapPruning(df, col("f"), col("v"),
+        Seq(("all", 0L, 100L), ("inA", 0L, 15L), ("none", 100L, 200L)))
+      .orderBy("pred").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_files"),
+        r.getAs[Long]("n_skipped"), r.getAs[Long]("rows_skipped"),
+        r.getAs[Long]("rows_scanned"))).toSeq
+    assert(out === Seq(("all", 2L, 0L, 0L, 5L), ("inA", 2L, 1L, 2L, 3L),
+      ("none", 2L, 2L, 5L, 0L)))
+  }
+
+  test("blocklistFilter: word-boundary exact, phrase+doc normalized, anchor join complete") {
+    val docs = Seq(
+      (1L, "The FAST   Table is fast"),     // hits after normalization
+      (2L, "breakfast tables everywhere"),  // substring trap: must NOT hit
+      (3L, "spark data spark"),
+      (4L, "data spark")                    // reversed order: no hit
+    ).toDF("doc_id", "text")
+    val out = Corpus.blocklistFilter(docs, Seq("Fast  TABLE", "spark data"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "fast table"), (3L, "spark data")))
   }
 }
