@@ -3899,6 +3899,122 @@ object SparkEntry {
         .orderBy("pred")
     }),
 
+    // annotation QA at ensemble scale: Fleiss' kappa over THREE raters
+    // per document (gold lang, full-text lang-id, first-16-token
+    // lang-id) — the multi-annotator agreement gate; every κ term an
+    // exact long, three divisions total (Inference.fleissKappa
+    // scaladoc).
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val d = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokens(col("text")).as("l"))
+      val assign = d.select(col("doc_id"), col("lang").as("cat"))
+        .unionAll(d.select(col("doc_id"),
+          TextStats.langIdFromTokens(col("l")).as("cat")))
+        .unionAll(d.select(col("doc_id"),
+          TextStats.langIdFromTokens(slice(col("l"), 1, 16)).as("cat")))
+      Inference.fleissKappa(assign, col("doc_id"), col("cat"), nRaters = 3)
+        .orderBy("n_items")
+    }),
+
+    // paired shift test: Wilcoxon signed-rank on per-customer order
+    // cents, 1994 vs 1995 — "did the SAME customers spend differently?"
+    // where q_mann_whitney compares independent arms. Half-unit ranks
+    // keep W+/W− exact longs; one sqrt tower for the tie-corrected z
+    // (Inference.wilcoxonSignedRank scaladoc).
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100)).cast("long").as(s"c$y"))
+      Inference.wilcoxonSignedRank(
+        yr(1994).join(yr(1995), "o_custkey"), col("c1994"), col("c1995"))
+        .orderBy("n")
+    }),
+
+    // robust co-movement: Kendall's τ-b between the daily click and
+    // purchase count series (the q_xcorr_lag grid) — rank-based, so
+    // one outlier day can't fabricate correlation; exact concordance
+    // and tie counts over the grid pair space, one sqrt
+    // (Inference.kendallTauB scaladoc).
+    "q_kendall_tau" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      Inference.kendallTauB(daily, col("day"), col("x"), col("y"))
+        .orderBy("n_pairs")
+    }),
+
+    // popularity-weighted link prediction: Adamic–Adar over the same
+    // co-purchase graph as q_common_neighbors — shared neighbors
+    // down-weighted by 1/ln(degree), so a rare shared part outranks a
+    // commodity one; same apex cap and deterministic top-k
+    // (Graph.adamicAdar scaladoc).
+    "q_adamic_adar" -> ((s, dir) => {
+      Graph.adamicAdar(coPurchaseEdges(s, dir, minCount = 2).persist(),
+        maxApexDegree = 60, minCommon = 2, topK = 40)
+    }),
+
+    // generation eval: ROUGE-1/2 recall over adjacent (odd=candidate,
+    // even=reference) doc pairs — clipped multiset n-gram overlap,
+    // exact counts, one division per recall (Corpus.rougeOverlap
+    // scaladoc).
+    "q_rouge_overlap" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("cand_id"),
+          (col("doc_id") - 1).as("ref_id"))
+        .join(docs.select(col("doc_id").as("ref_id")), "ref_id")
+      Corpus.rougeOverlap(docs, pairs)
+        .orderBy("cand_id")
+    }),
+
+    // retrieval eval rollup: MAP@3 / MRR@3 / hit-rate@3 of the
+    // bucketed ANN against same-label relevance (the q_ndcg run,
+    // rolled up) — per-query AP and RR cleared to exact 36ths/6ths
+    // (rank ≤ 3, n_rel ≤ 3 ⇒ 36·AP and 6·RR are integers), so the
+    // global sums are exact longs and exactly three divisions exist.
+    // Queries with an empty retrieval set are absent from topk and
+    // excluded from Q (documented convention, same as q_ndcg).
+    "q_map_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val topk = Similarity.bucketedTopK(spread(emb),
+        emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+      val rel = topk
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlab")),
+          "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlab")),
+          "neighbor_id")
+        .withColumn("rel", (col("qlab") === col("nlab")).cast("long"))
+      val wq = Window.partitionBy("query_id").orderBy("rank")
+      val perq = rel
+        .withColumn("cum", sum("rel").over(wq))
+        .groupBy("query_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(col("rel") * col("cum") *
+            when(col("rank") === 1, 6L).when(col("rank") === 2, 3L)
+              .otherwise(2L)).as("ap18"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .select(col("query_id"),
+          when(col("n_rel") > 0, expr("ap18 * 6 DIV n_rel")).otherwise(0L)
+            .as("ap36"),
+          coalesce(expr("6 DIV first_rel"), lit(0L)).as("rr6"),
+          col("first_rel"))
+      perq.agg(count(lit(1)).as("n_queries"),
+          sum("ap36").as("sum_ap36"), sum("rr6").as("sum_rr6"),
+          count(col("first_rel")).as("n_hit"))
+        .select(col("n_queries"), col("sum_ap36"), col("sum_rr6"), col("n_hit"),
+          round(col("sum_ap36").cast("double") /
+            (col("n_queries") * 36).cast("double"), 6).as("map3"),
+          round(col("sum_rr6").cast("double") /
+            (col("n_queries") * 6).cast("double"), 6).as("mrr3"),
+          round(col("n_hit").cast("double") / col("n_queries").cast("double"), 6)
+            .as("hit_rate"))
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -8547,6 +8663,214 @@ object SparkEntry {
            |       CAST(sum(CASE WHEN NOT skipped THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
            |FROM ev GROUP BY 1, 2, 3 ORDER BY pred""".stripMargin
       },
+
+      // three raters per doc (gold, full-text lang-id, 16-token
+      // lang-id); every kappa term an exact long — the
+      // Inference.fleissKappa clearing
+      "q_fleiss_kappa" ->
+        s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+           |r2 AS (
+           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks),
+           |t16 AS (SELECT doc_id, lang, l[1:16] AS l FROM toks),
+           |r3 AS (
+           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  FROM t16),
+           |assign AS (
+           |  SELECT doc_id AS i, lang AS cat FROM documents
+           |  UNION ALL SELECT doc_id, $sqlLangCase FROM r2
+           |  UNION ALL SELECT doc_id, $sqlLangCase FROM r3),
+           |cells AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS nij
+           |          FROM assign GROUP BY 1, 2),
+           |complete AS (
+           |  SELECT i, CAST(sum(nij * nij) AS BIGINT) AS sq_i
+           |  FROM cells GROUP BY i HAVING sum(nij) = 3),
+           |pi AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |              CAST(coalesce(sum(sq_i), 0) AS BIGINT) AS sum_sq
+           |       FROM complete),
+           |pc AS (
+           |  SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS b FROM (
+           |    SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM cells
+           |    WHERE i IN (SELECT i FROM complete) GROUP BY cat)),
+           |terms AS (
+           |  SELECT n_items, sum_sq - n_items * 3 AS a,
+           |         n_items * 6 AS d1, b,
+           |         n_items * 3 * n_items * 3 AS d2
+           |  FROM pi CROSS JOIN pc)
+           |SELECT n_items, CAST(3 AS INTEGER) AS n_raters,
+           |       round(CAST(a AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS p_bar,
+           |       round(CAST(b AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS p_e,
+           |       round(CAST(a * d2 - b * d1 AS DOUBLE) /
+           |             CAST(d1 * (d2 - b) AS DOUBLE), 6) AS kappa
+           |FROM terms ORDER BY n_items""".stripMargin,
+
+      // half-unit average ranks (2r + t - 1), exact W+/W- and the
+      // tie-corrected z tower — the Inference.wilcoxonSignedRank math
+      "q_wilcoxon_signed" ->
+        """WITH y94 AS (
+          |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c94
+          |  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1),
+          |y95 AS (
+          |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c95
+          |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+          |d AS (
+          |  SELECT c95 - c94 AS d, abs(c95 - c94) AS ad
+          |  FROM y94 JOIN y95 USING (o_custkey) WHERE c95 <> c94),
+          |ranked AS (
+          |  SELECT d, CAST(rank() OVER (ORDER BY ad) AS BIGINT) * 2 +
+          |         CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS rank2
+          |  FROM d),
+          |ties AS (
+          |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_cube
+          |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY ad)),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w_plus2,
+          |         CAST(sum(CASE WHEN d < 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w_minus2
+          |  FROM ranked)
+          |SELECT n, w_plus2, w_minus2,
+          |       CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie_cube > 0
+          |       THEN round(CAST(w_plus2 * 2 - n * (n + 1) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE)) /
+          |                  sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie_cube AS DOUBLE)), 6)
+          |       END AS z
+          |FROM s CROSS JOIN ties ORDER BY n""".stripMargin,
+
+      // exact concordance/tie counts over the day-grid pair space; one
+      // sqrt — the Inference.kendallTauB clearing
+      "q_kendall_tau" ->
+        """WITH g AS (
+          |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          |  FROM events GROUP BY 1),
+          |p AS (
+          |  SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+          |  FROM g a JOIN g b ON a.day < b.day),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+          |         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+          |         CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+          |         CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+          |         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+          |  FROM p)
+          |SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_xy,
+          |       CASE WHEN n_pairs - ties_x - ties_xy > 0 AND n_pairs - ties_y - ties_xy > 0
+          |       THEN round(CAST(concordant - discordant AS DOUBLE) /
+          |                  sqrt(CAST(n_pairs - ties_x - ties_xy AS DOUBLE) *
+          |                       CAST(n_pairs - ties_y - ties_xy AS DOUBLE)), 6)
+          |       END AS tau_b
+          |FROM s ORDER BY n_pairs""".stripMargin,
+
+      // q_common_neighbors' wedge CTEs with the apex 1/ln(deg) weight
+      // carried and summed; float sum rounded at 6 both sides
+      "q_adamic_adar" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |ke AS (SELECT e.src AS u, e.dst AS v,
+           |              CAST(1.0 AS DOUBLE) / ln(CAST(deg.deg AS DOUBLE)) AS w_apex
+           |       FROM e JOIN deg ON e.src = deg.src WHERE deg.deg <= 60),
+           |cn AS (
+           |  SELECT a.v AS id1, b.v AS id2, CAST(count(*) AS BIGINT) AS cn,
+           |         sum(a.w_apex) AS aa_raw
+           |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nonadj AS (
+           |  SELECT id1, id2, cn, aa_raw FROM cn WHERE NOT EXISTS (
+           |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))
+           |SELECT id1, id2, cn, round(aa_raw, 6) AS aa FROM nonadj
+           |ORDER BY aa DESC, id1, id2 LIMIT 40""".stripMargin,
+
+      // clipped multiset n-gram recall, unigrams and the l[i:i+1]
+      // bigram form; zero-overlap pairs kept by the pair-list join-back
+      "q_rouge_overlap" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+           |  FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1
+           |  WHERE a.doc_id % 2 = 1),
+           |uc AS (
+           |  SELECT doc_id AS d, g, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id, unnest(l) AS g FROM toks) GROUP BY 1, 2),
+           |bc AS (
+           |  SELECT doc_id AS d, g, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id,
+           |           unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS g
+           |    FROM toks) GROUP BY 1, 2),
+           |ut AS (SELECT d AS ref_id, CAST(sum(c) AS BIGINT) AS ref_uni FROM uc GROUP BY 1),
+           |bt AS (SELECT d AS ref_id, CAST(sum(c) AS BIGINT) AS ref_bi FROM bc GROUP BY 1),
+           |ov1 AS (
+           |  SELECT p.cand_id, p.ref_id, CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS ov1
+           |  FROM pairs p JOIN uc cu ON cu.d = p.cand_id
+           |               JOIN uc ru ON ru.d = p.ref_id AND ru.g = cu.g
+           |  GROUP BY 1, 2),
+           |ov2 AS (
+           |  SELECT p.cand_id, p.ref_id, CAST(sum(least(cb.c, rb.c)) AS BIGINT) AS ov2
+           |  FROM pairs p JOIN bc cb ON cb.d = p.cand_id
+           |               JOIN bc rb ON rb.d = p.ref_id AND rb.g = cb.g
+           |  GROUP BY 1, 2)
+           |SELECT p.cand_id, p.ref_id,
+           |       coalesce(ut.ref_uni, 0) AS ref_uni, coalesce(ov1.ov1, 0) AS ov1,
+           |       CASE WHEN coalesce(ut.ref_uni, 0) > 0
+           |            THEN round(CAST(coalesce(ov1.ov1, 0) AS DOUBLE) / CAST(ut.ref_uni AS DOUBLE), 6)
+           |       END AS rouge1,
+           |       coalesce(bt.ref_bi, 0) AS ref_bi, coalesce(ov2.ov2, 0) AS ov2,
+           |       CASE WHEN coalesce(bt.ref_bi, 0) > 0
+           |            THEN round(CAST(coalesce(ov2.ov2, 0) AS DOUBLE) / CAST(bt.ref_bi AS DOUBLE), 6)
+           |       END AS rouge2
+           |FROM pairs p LEFT JOIN ov1 USING (cand_id, ref_id)
+           |             LEFT JOIN ov2 USING (cand_id, ref_id)
+           |             LEFT JOIN ut USING (ref_id)
+           |             LEFT JOIN bt USING (ref_id)
+           |ORDER BY cand_id""".stripMargin,
+
+      // the q_ndcg bucket/top-3 CTEs rolled up: AP/RR cleared to exact
+      // 36ths/6ths per query, three divisions total
+      "q_map_mrr" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |tk AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM s QUALIFY rank <= 3),
+           |rel AS (
+           |  SELECT tk.query_id, tk.rank,
+           |         CAST(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS BIGINT) AS rel
+           |  FROM tk JOIN embeddings ql ON ql.vec_id = tk.query_id
+           |          JOIN embeddings nl ON nl.vec_id = tk.neighbor_id),
+           |relc AS (
+           |  SELECT query_id, rank, rel,
+           |         CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM rel),
+           |perq AS (
+           |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           |         CAST(sum(rel * cum *
+           |              CASE rank WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) AS ap18,
+           |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           |  FROM relc GROUP BY query_id),
+           |scored AS (
+           |  SELECT query_id,
+           |         CASE WHEN n_rel > 0 THEN (ap18 * 6) // n_rel ELSE 0 END AS ap36,
+           |         coalesce(6 // first_rel, 0) AS rr6, first_rel
+           |  FROM perq)
+           |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |       CAST(sum(ap36) AS BIGINT) AS sum_ap36,
+           |       CAST(sum(rr6) AS BIGINT) AS sum_rr6,
+           |       CAST(count(first_rel) AS BIGINT) AS n_hit,
+           |       round(CAST(sum(ap36) AS DOUBLE) / CAST(count(*) * 36 AS DOUBLE), 6) AS map3,
+           |       round(CAST(sum(rr6) AS DOUBLE) / CAST(count(*) * 6 AS DOUBLE), 6) AS mrr3,
+           |       round(CAST(count(first_rel) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+           |FROM scored ORDER BY n_queries""".stripMargin,
 
       // expected proportions are the SAME driver-computed literals the
       // Spark plan carries — no engine log10 in either query

@@ -82,6 +82,65 @@ object Corpus {
       .select(col(idCol), col("phrase"))
   }
 
+  /** ROUGE-1/ROUGE-2 recall for (candidate, reference) document pairs
+    * — the n-gram-overlap eval metric (summarization QA, paraphrase
+    * mining, distillation-output scoring): what fraction of the
+    * REFERENCE's unigrams / bigrams does the candidate recover, with
+    * CLIPPED multiset counts (a candidate repeating "the" 50 times
+    * credits at most the reference's own count — Σ_g min(c_cand(g),
+    * c_ref(g))). Tokenization is the canonical stream
+    * ([[TextStats.tokens]]); bigrams are the narrow zip_with form
+    * ([[bigramSurprisal]]).
+    *
+    * All overlap and total counts are exact longs; the two recalls are
+    * one division each, rounded at 6, null when the reference has no
+    * grams of that order. Pairs whose candidate shares nothing still
+    * emit a row (zero overlap) via the join-back to the pair list.
+    *
+    * Scale: per-doc gram COUNT tables (doc, gram, c) are built once —
+    * Zipf-bounded per doc, never a doc×doc product — and each pair
+    * costs two hash joins keyed (doc) then (doc, gram), work ∝
+    * |pairs| · grams-per-doc, linear in corpus for a bounded pair
+    * list. The pair list is the caller's contract (aligned eval sets;
+    * for mining use [[Dedup]] candidates first — never all-pairs).
+    *
+    * Returns (cand_id, ref_id, ref_uni, ov1, rouge1, ref_bi, ov2,
+    * rouge2).
+    */
+  def rougeOverlap(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("d"),
+      TextStats.tokens(col(textCol)).as("l"))
+    val uni = toks.select(col("d"), explode(col("l")).as("g"))
+      .groupBy("d", "g").agg(count(lit(1)).as("c"))
+    val big = toks.select(col("d"), explode(expr(
+        """zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
+          |         slice(l, 2, greatest(size(l) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
+      .groupBy("d", "g").agg(count(lit(1)).as("c"))
+    def scored(grams: DataFrame, tot: String, ov: String, rec: String) = {
+      val refTot = grams.groupBy(col("d").as("ref_id"))
+        .agg(sum("c").as(tot))
+      val clipped = pairs
+        .join(grams.select(col("d").as("cand_id"), col("g"),
+          col("c").as("cc")), "cand_id")
+        .join(grams.select(col("d").as("ref_id"), col("g"),
+          col("c").as("cr")), Seq("ref_id", "g"))
+        .groupBy("cand_id", "ref_id")
+        .agg(sum(least(col("cc"), col("cr"))).as(ov))
+      pairs.join(clipped, Seq("cand_id", "ref_id"), "left")
+        .join(refTot, Seq("ref_id"), "left")
+        .na.fill(0L, Seq(ov, tot))
+        .select(col("cand_id"), col("ref_id"), col(tot), col(ov),
+          when(col(tot) > 0, round(col(ov).cast("double") /
+            col(tot).cast("double"), 6)).as(rec))
+    }
+    scored(uni, "ref_uni", "ov1", "rouge1")
+      .join(scored(big, "ref_bi", "ov2", "rouge2"),
+        Seq("cand_id", "ref_id"))
+  }
+
   /** Fixed-size sliding-window chunks over the token array: starts at
     * token 1, 1+stride, ... (1-based), each chunk `chunkTokens` tokens
     * (the final chunks clamp at the document end). `stride` <

@@ -461,6 +461,58 @@ object Graph {
     out
   }
 
+  /** Adamic–Adar link prediction: [[commonNeighbors]] with each shared
+    * neighbor DOWN-WEIGHTED by its popularity — score(v,w) =
+    * Σ_{u ∈ N(v)∩N(w)} 1/ln(deg(u)) — the classic refinement where a
+    * neighbor shared with half the graph counts for almost nothing but
+    * a rare shared contact counts for a lot. Same wedge machinery (one
+    * degree aggregate, apex cap, one wedge self-join, one anti-join
+    * against existing edges, deterministic top-K), with the apex's
+    * 1/ln(deg) carried on the wedge leg and SUMMED per candidate pair.
+    * An apex has deg ≥ 2 by construction (it touches both endpoints),
+    * so ln(deg) > 0 always.
+    *
+    * Determinism note: the per-pair score is a sum of ≤ maxApexDegree
+    * doubles, so it carries FP addition-order sensitivity like
+    * [[pageRank]]'s inflow sums — rounded at 6 for the cross-engine
+    * gate (the integer `cn` column is exact). Scale is the
+    * [[commonNeighbors]] argument verbatim: wedge work ≤ |E_kept| ·
+    * maxApexDegree after the cap, and the cap IS the model (hub apexes
+    * carry no signal).
+    *
+    * Input must be symmetrized ([[symmetrize]]); returns (id1, id2, cn,
+    * aa) with id1 < id2, ordered by (aa DESC, id1, id2), top `topK`.
+    */
+  def adamicAdar(edges: DataFrame, maxApexDegree: Long, minCommon: Long,
+      topK: Int): DataFrame = {
+    require(maxApexDegree >= 2 && minCommon >= 1 && topK >= 1,
+      "maxApexDegree must be >= 2; minCommon and topK must be positive")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg-1 apexes can't close a wedge AND would divide by ln(1)=0
+    // under ANSI — drop them before the weight is computed
+    val kept = edges
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxApexDegree), "src")
+      .select(col("src").as("u"), col("dst").as("v"),
+        (lit(1.0) / log(col("deg").cast("double"))).as("w_apex"))
+      .persist() // both wedge legs read it
+    val out = kept
+      .join(kept.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("id1"), col("w").as("id2"))
+      .agg(count(lit(1)).as("cn"), sum("w_apex").as("aa_raw"))
+      .filter(col("cn") >= minCommon)
+      .join(edges.select(col("src").as("id1"), col("dst").as("id2")),
+        Seq("id1", "id2"), "left_anti")
+      .select(col("id1"), col("id2"), col("cn"),
+        round(col("aa_raw"), 6).as("aa"))
+      .orderBy(col("aa").desc, col("id1"), col("id2"))
+      .limit(topK)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    kept.unpersist()
+    out
+  }
+
   /** PageRank with damping `d` for a fixed `iters` rounds over a
     * directed edge list (src, dst). Nodes are those appearing in the
     * edge list; every node here has out-degree ≥ 1 (symmetrized

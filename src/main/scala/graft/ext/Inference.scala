@@ -826,6 +826,153 @@ object Inference {
     * DISTINCT score values, not rows. No floats anywhere in the gated
     * output.
     */
+  /** Fleiss' kappa — chance-corrected agreement for ≥ 3 RATERS (the
+    * multi-annotator generalization of [[cohenKappa]], the standard QA
+    * statistic for label-crowdsourcing and LLM-judge ensembles). Input
+    * is the long-form assignment table (one row per item × rater,
+    * category in `category`); items whose rater count ≠ `nRaters`
+    * (partial annotations) are excluded, which keeps the per-item
+    * agreement denominator n(n−1) constant as the formula requires.
+    *
+    * With n_ij = raters voting category j on item i, N items, n raters,
+    * c_j = Σᵢ n_ij:  P̄ = (Σ n_ij² − N·n)/(N·n·(n−1)),
+    * P_e = Σ c_j²/(N·n)², κ = (P̄−P_e)/(1−P_e). Cleared of
+    * denominators: κ = (A·D2 − B·D1)/(D1·(D2 − B)) with
+    * A = Σn_ij²−Nn, D1 = Nn(n−1), B = Σc_j², D2 = (Nn)² — every term
+    * an exact long, exactly three float divisions (P̄, P_e, κ) in the
+    * output. Overflow: A·D2 ~ n³(n−1)·N³ binds first — safe to
+    * N ≈ 10⁵ items at n = 3; past that compute κ from the rounded
+    * P̄/P_e doubles instead (it is a rate; it concentrates fast).
+    *
+    * Scale: one count to (item × category) cells — shuffle is cells,
+    * bounded by N·min(n, |cats|) — then one per-item and one
+    * per-category rollup; the two scalar frames broadcast. Returns one
+    * row: (n_items, n_raters, p_bar, p_e, kappa), rounded at 6.
+    */
+  def fleissKappa(assign: DataFrame, item: Column, category: Column,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "Fleiss' kappa needs at least 2 raters")
+    val cells = assign.select(item.as("i"), category.as("cat"))
+      .groupBy("i", "cat").agg(count(lit(1)).as("nij"))
+    val complete = cells.groupBy("i")
+      .agg(sum("nij").as("n_i"), sum(col("nij") * col("nij")).as("sq_i"))
+      .filter(col("n_i") === nRaters)
+    val perItem = complete.agg(count(lit(1)).as("n_items"),
+      coalesce(sum("sq_i"), lit(0L)).as("sum_sq"))
+    val perCat = cells.join(complete.select(col("i")), Seq("i"), "left_semi")
+      .groupBy("cat").agg(sum("nij").as("cj"))
+      .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)).as("b"))
+    perItem.crossJoin(perCat) // two 1-row scalar aggregates
+      .select(col("n_items"), lit(nRaters).cast("int").as("n_raters"),
+        (col("sum_sq") - col("n_items") * nRaters).as("a"),
+        (col("n_items") * (nRaters.toLong * (nRaters - 1))).as("d1"),
+        col("b"),
+        (col("n_items") * nRaters * (col("n_items") * nRaters)).as("d2"))
+      .select(col("n_items"), col("n_raters"),
+        round(col("a").cast("double") / col("d1").cast("double"), 6)
+          .as("p_bar"),
+        round(col("b").cast("double") / col("d2").cast("double"), 6)
+          .as("p_e"),
+        round((col("a") * col("d2") - col("b") * col("d1")).cast("double") /
+          (col("d1") * (col("d2") - col("b"))).cast("double"), 6).as("kappa"))
+  }
+
+  /** Wilcoxon signed-rank test — the PAIRED complement to
+    * [[mannWhitney]]: did each subject's measure shift between two
+    * conditions (same cohort, before vs after)? Zero differences drop
+    * (the standard convention); |d| is ranked ascending with AVERAGE
+    * ranks on ties, and W⁺/W⁻ sum the ranks of positive/negative
+    * differences. Everything is exact integer arithmetic in HALF-UNIT
+    * rank basis: a tie group's average rank is (first + last)/2, so
+    * 2·rank is always a long (`w_plus2`/`w_minus2` = 2·W⁺/2·W⁻), and
+    * the normal approximation with tie correction,
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48),
+    * clears to z = (2·w_plus2 − n(n+1)) · √3 /
+    * √(2n(n+1)(2n+1) − Σ(t³−t)) — exact long numerator and radicand,
+    * one sqrt tower rounded at 6 (null when every |d| ties into one
+    * group and the radicand is 0). Overflow binds at n³ < 2⁶³ (n ≈
+    * 2·10⁶ pairs; a paired cohort is panel-sized far below that).
+    *
+    * Scale: the caller supplies the paired frame (one row per subject,
+    * x and y) — typically itself a grouped aggregate, so this runs on
+    * cohort-sized data; one rank window over a single ordered pass
+    * (spillable), one tie rollup, one scalar row out.
+    */
+  def wilcoxonSignedRank(pairs: DataFrame, x: Column, y: Column): DataFrame = {
+    val d = pairs.select((y.cast("long") - x.cast("long")).as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("d"), abs(col("d")).as("ad"))
+    // Average rank in half units: 2·avgRank = first + last rank of the
+    // tie group = 2·(rank-1) ... computed as (minRank + maxRank) via
+    // rank() over ad asc and its dense complement: for a group starting
+    // at rank r with t members, avg = r + (t-1)/2 → 2·avg = 2r + t - 1.
+    val w = Window.orderBy("ad")
+    val ranked = d
+      .withColumn("r", rank().over(w))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("ad")))
+      .withColumn("rank2", col("r") * 2 + col("t") - 1)
+    val ties = d.groupBy("ad").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+        .as("tie_cube"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("rank2")).otherwise(0L)).as("w_plus2"),
+        sum(when(col("d") < 0, col("rank2")).otherwise(0L)).as("w_minus2"))
+      .crossJoin(ties) // 1-row scalar
+      .select(col("n"), col("w_plus2"), col("w_minus2"),
+        when(lit(2L) * col("n") * (col("n") + 1) * (col("n") * 2 + 1)
+            - col("tie_cube") > 0,
+          round((col("w_plus2") * 2 - col("n") * (col("n") + 1)).cast("double")
+            * sqrt(lit(3.0)) /
+            sqrt((lit(2L) * col("n") * (col("n") + 1) * (col("n") * 2 + 1)
+              - col("tie_cube")).cast("double")), 6)).as("z"))
+  }
+
+  /** Kendall's τ-b between TWO integral series on one grid — the
+    * tie-corrected rank correlation ([[Forecast.mannKendall]] is the
+    * one-series-vs-time special case; this is series-vs-series, the
+    * robust alternative to [[crossCorr]] at lag 0). Over all C(n,2)
+    * grid-cell pairs: C/D = concordant/discordant (sign agreement of
+    * Δx and Δy), tx/ty = pairs tied on x alone / y alone,
+    *   τ_b = (C − D) / √((n0 − n1)(n0 − n2))
+    * with n0 = n(n−1)/2, n1/n2 = Σ tᵢ(tᵢ−1)/2 over x/y tie groups.
+    * C, D, and all tie counts are exact longs from ONE pair-space
+    * aggregate; one sqrt tower rounded at 6 (null when either
+    * radicand factor is 0 — a constant series has no defined τ).
+    *
+    * Scale: the pair space is over the aggregated GRID (the
+    * [[crossCorr]]/[[autocorr]] contract — aggregate the fact table
+    * first), so the self-join is n_grid², never rows²; n0 − n1 < 2⁶³
+    * binds at n_grid ≈ 3·10⁹ — coarsen the grid long before that.
+    */
+  def kendallTauB(series: DataFrame, ord: Column, x: Column,
+      y: Column): DataFrame = {
+    val base = series.select(ord.as("o"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    // The pair join has no equi-key; the grid side is bounded by the
+    // aggregate-first contract, so BROADCAST it explicitly — a nested-
+    // loop over grid × grid, never a shuffled cartesian.
+    val pairs = base
+      .join(broadcast(base.select(col("o").as("o2"), col("x").as("x2"),
+        col("y").as("y2"))), col("o") < col("o2"))
+    val sx = signum(col("x2") - col("x"))
+    val sy = signum(col("y2") - col("y"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("ties_y"),
+        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).as("ties_xy"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"),
+        when((col("n_pairs") - col("ties_x") - col("ties_xy")) > 0 &&
+            (col("n_pairs") - col("ties_y") - col("ties_xy")) > 0,
+          round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n_pairs") - col("ties_x") - col("ties_xy"))
+              .cast("double") *
+              (col("n_pairs") - col("ties_y") - col("ties_xy"))
+                .cast("double")), 6)).as("tau_b"))
+  }
+
   def conformalInterval(df: DataFrame, group: Seq[String], key: Column,
       y: Column, p: Double = 0.9): DataFrame = {
     val g = group.map(col)

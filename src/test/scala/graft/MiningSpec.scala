@@ -1032,4 +1032,99 @@ class MiningSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out === Seq((1L, "fast table"), (3L, "spark data")))
   }
+
+  test("fleissKappa: perfect agreement 1; hand case -1/3; partial items dropped") {
+    // 2 items x 3 raters, all agree: P̄=1, Pe=.5 -> kappa 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (2L, "b")).toDF("i", "cat")
+    val p = Inference.fleissKappa(perfect, col("i"), col("cat"), 3).collect().head
+    assert(p.getAs[Long]("n_items") === 2L && p.getAs[Double]("kappa") === 1.0)
+    // (a,a,b) and (a,b,b): Σn²=10, A=4 -> P̄=1/3; B=18, Pe=.5 -> κ=-1/3.
+    // Item 3 has only 2 ratings -> excluded entirely (also from B).
+    val mixed = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (2L, "b"), (3L, "a"), (3L, "a")).toDF("i", "cat")
+    val m = Inference.fleissKappa(mixed, col("i"), col("cat"), 3).collect().head
+    assert(m.getAs[Long]("n_items") === 2L)
+    assert(m.getAs[Double]("p_bar") === 0.333333)
+    assert(m.getAs[Double]("p_e") === 0.5)
+    assert(m.getAs[Double]("kappa") === -0.333333)
+  }
+
+  test("wilcoxonSignedRank: zero diffs drop, tie midranks in half units, z by hand") {
+    // diffs +1, -2, +3, +3, 0(dropped): rank2 = 2,4,7,7 ->
+    // W+ = 8 (16/2), W- = 2; W+ + W- = n(n+1)/2 = 10.
+    // z = (32-20)·√3/√(2·4·5·9 - 6) = 12√3/√354 = 1.10469
+    val pairs = Seq((10L, 11L), (10L, 8L), (5L, 8L), (1L, 4L), (9L, 9L))
+      .toDF("x", "y")
+    val r = Inference.wilcoxonSignedRank(pairs, col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("w_plus2") === 16L)
+    assert(r.getAs[Long]("w_minus2") === 4L)
+    assert(r.getAs[Double]("z") === 1.10469)
+    // all diffs equal: one tie group spanning everything still has
+    // radicand 2n(n+1)(2n+1) - (n³-n) > 0 for n >= 2 -> z defined;
+    // single pair n=1 -> radicand 2·1·2·3 - 0 = 12 > 0, z = 2/√12
+    val one = Seq((1L, 2L)).toDF("x", "y")
+    val o = Inference.wilcoxonSignedRank(one, col("x"), col("y")).collect().head
+    assert(o.getAs[Long]("n") === 1L && o.getAs[Long]("w_plus2") === 2L)
+  }
+
+  test("kendallTauB: hand-counted concordance with an x-tie; constant series null") {
+    // x=1,2,2,3; y=1,3,2,4 over 4 cells: C=5, D=0, ties_x=1 ->
+    // tau_b = 5/√(5·6) = 0.912871
+    val s = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 2L, 2L), (4L, 3L, 4L))
+      .toDF("o", "x", "y")
+    val r = Inference.kendallTauB(s, col("o"), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("concordant") === 5L)
+    assert(r.getAs[Long]("discordant") === 0L)
+    assert(r.getAs[Long]("ties_x") === 1L)
+    assert(r.getAs[Double]("tau_b") === 0.912871)
+    // constant y: every pair ties on y -> denominator factor 0 -> null
+    val flat = Seq((1L, 1L, 7L), (2L, 2L, 7L), (3L, 3L, 7L)).toDF("o", "x", "y")
+    val f = Inference.kendallTauB(flat, col("o"), col("x"), col("y"))
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("tau_b")))
+  }
+
+  test("adamicAdar: 4-cycle scores 2/ln2 for both diagonals; hub apex capped out") {
+    // cycle 1-2-3-4-1: non-adjacent (1,3) via apexes 2,4; (2,4) via 1,3;
+    // every apex deg 2 -> aa = 2/ln(2) = 2.88539, cn = 2
+    val e = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("id1", "id2"))
+    val out = Graph.adamicAdar(e, maxApexDegree = 10, minCommon = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cn"),
+        r.getAs[Double]("aa"))).toSeq
+    assert(out === Seq((1L, 3L, 2L, 2.88539), (2L, 4L, 2L, 2.88539)))
+    // add hub 9 adjacent to all four: cycle degrees become 3, hub 6.
+    // Cap 3 excludes ONLY the hub apex, so each diagonal keeps its two
+    // cycle apexes, now weighted 1/ln(3): aa = 2/ln3 = 1.820478 —
+    // and the would-be (x,9) candidates are adjacent, anti-joined out.
+    val hubbed = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L), (9L, 6L))
+      .toDF("id1", "id2"))
+    val capped = Graph.adamicAdar(hubbed, maxApexDegree = 3, minCommon = 2,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("aa")))
+    assert(capped.toSeq === Seq((1L, 3L, 1.820478), (2L, 4L, 1.820478)))
+  }
+
+  test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
+    val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 0L), (3L, 2L)).toDF("cand_id", "ref_id")
+    val out = Corpus.rougeOverlap(docs, pairs).orderBy("cand_id").collect()
+    val r0 = out(0) // ref unigrams a:2 b:1 c:1; clipped 2+1=3 -> 3/4;
+    assert(r0.getAs[Long]("ref_uni") === 4L && r0.getAs[Long]("ov1") === 3L)
+    assert(r0.getAs[Double]("rouge1") === 0.75)
+    // ref bigrams "a b","b a","a c"; cand "a a","a a","a b" -> clip 1 -> 1/3
+    assert(r0.getAs[Long]("ref_bi") === 3L && r0.getAs[Long]("ov2") === 1L)
+    assert(r0.getAs[Double]("rouge2") === 0.333333)
+    val r1 = out(1) // no shared grams; 1-token ref has no bigrams -> null
+    assert(r1.getAs[Long]("ov1") === 0L && r1.getAs[Double]("rouge1") === 0.0)
+    assert(r1.getAs[Long]("ref_bi") === 0L)
+    assert(r1.isNullAt(r1.fieldIndex("rouge2")))
+  }
 }
