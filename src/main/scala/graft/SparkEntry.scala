@@ -4015,6 +4015,86 @@ object SparkEntry {
             .as("hit_rate"))
     }),
 
+    // normalized node similarity: neighborhood Jaccard over the
+    // co-purchase graph — cn/(d1+d2−cn), ORDERED by the exact integer
+    // ppb so no float touches the top-k cut (Graph.nodeJaccard
+    // scaladoc).
+    "q_node_jaccard" -> ((s, dir) => {
+      Graph.nodeJaccard(coPurchaseEdges(s, dir, minCount = 2).persist(),
+        maxApexDegree = 60, minCommon = 2, topK = 40)
+    }),
+
+    // influence scoring: 2-bounded harmonic centrality — n1 + n2/2
+    // carried as the exact integer 6·n1 + 3·n2; the distinct 2-hop
+    // pair set is the Σdeg² wedge bound with the midpoint capped
+    // (Graph.harmonicCloseness2 scaladoc).
+    "q_harmonic_centrality" -> ((s, dir) => {
+      Graph.harmonicCloseness2(coPurchaseEdges(s, dir, minCount = 2),
+          maxMidDegree = 60)
+        .orderBy("id")
+    }),
+
+    // community QA: Newman modularity of the brand partition over the
+    // co-purchase graph — is same-brand co-purchase denser than the
+    // degree-random baseline? Exact doubled-form clearing, one
+    // division per community (Graph.modularity scaladoc).
+    "q_modularity" -> ((s, dir) => {
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("community"))
+      Graph.modularity(coPurchaseEdges(s, dir, minCount = 2), labels)
+        .orderBy("community")
+    }),
+
+    // eval-set carving: exactly 5 orders per order-priority stratum,
+    // chosen by md5 of the order key — deterministic reservoir-free
+    // per-class sampling (ScaleOps.stratifiedK scaladoc).
+    "q_stratified_k" -> ((s, dir) => {
+      ScaleOps.stratifiedK(t(s, dir, "orders"), Seq("o_orderpriority"),
+          col("o_orderkey"), k = 5)
+        .select(col("o_orderpriority"), col("sample_key").as("o_orderkey"),
+          col("rn"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // triple exponential smoothing: additive Holt–Winters with a
+    // 7-day season on the per-type daily grid — the q_holt fold with
+    // the seasonal RING carried in the accumulator (zero-initialized,
+    // so the recurrence is uniform from t=2 and both engines replay
+    // the identical IEEE op sequence); forecast_next = l + b + the
+    // next period's seasonal (ring head after the update).
+    "q_holt_winters" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("day_total"))))
+          .as("ser"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS ARRAY<STRUCT<day: STRING, day_total: DOUBLE, l: DOUBLE, b: DOUBLE, s: DOUBLE, ring: ARRAY<DOUBLE>>>),
+            |  (acc, p) -> array_append(acc, CASE WHEN size(acc) = 0
+            |    THEN named_struct('day', p.day, 'day_total', p.day_total,
+            |      'l', p.day_total, 'b', CAST(0.0 AS DOUBLE),
+            |      's', CAST(0.0 AS DOUBLE),
+            |      'ring', array_repeat(CAST(0.0 AS DOUBLE), 7))
+            |    ELSE named_struct('day', p.day, 'day_total', p.day_total,
+            |      'l', 0.5D * (p.day_total - element_at(element_at(acc, -1).ring, 1)) + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+            |      'b', 0.3D * ((0.5D * (p.day_total - element_at(element_at(acc, -1).ring, 1)) + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b)) - element_at(acc, -1).l) + 0.7D * element_at(acc, -1).b,
+            |      's', 0.2D * (p.day_total - (0.5D * (p.day_total - element_at(element_at(acc, -1).ring, 1)) + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))) + 0.8D * element_at(element_at(acc, -1).ring, 1),
+            |      'ring', array_append(slice(element_at(acc, -1).ring, 2, 6),
+            |        0.2D * (p.day_total - (0.5D * (p.day_total - element_at(element_at(acc, -1).ring, 1)) + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))) + 0.8D * element_at(element_at(acc, -1).ring, 1)))
+            |    END))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.day_total").as("day_total"),
+          round(col("r.l"), 6).as("level"), round(col("r.b"), 6).as("trend"),
+          round(col("r.s"), 6).as("seasonal"),
+          round(col("r.l") + col("r.b") + element_at(col("r.ring"), 1), 6)
+            .as("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -8663,6 +8743,109 @@ object SparkEntry {
            |       CAST(sum(CASE WHEN NOT skipped THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
            |FROM ev GROUP BY 1, 2, 3 ORDER BY pred""".stripMargin
       },
+
+      // q_common_neighbors' wedges rescored cn/(d1+d2-cn); the order
+      // key is the exact integer ppb — no float in the cut
+      "q_node_jaccard" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |keep AS (SELECT src FROM deg WHERE deg <= 60),
+           |ke AS (SELECT e.src AS u, e.dst AS v FROM e
+           |       JOIN keep k ON e.src = k.src),
+           |cn AS (
+           |  SELECT a.v AS id1, b.v AS id2, CAST(count(*) AS BIGINT) AS cn
+           |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nonadj AS (
+           |  SELECT cn.id1, cn.id2, cn.cn FROM cn WHERE NOT EXISTS (
+           |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))
+           |SELECT n.id1, n.id2, n.cn, d1.deg AS d1, d2.deg AS d2,
+           |       n.cn * CAST(1000000000 AS BIGINT) // (d1.deg + d2.deg - n.cn) AS jaccard_ppb,
+           |       round(CAST(n.cn AS DOUBLE) / CAST(d1.deg + d2.deg - n.cn AS DOUBLE), 6) AS jaccard
+           |FROM nonadj n JOIN deg d1 ON n.id1 = d1.src
+           |              JOIN deg d2 ON n.id2 = d2.src
+           |ORDER BY jaccard_ppb DESC, id1, id2 LIMIT 40""".stripMargin,
+
+      // distinct capped-mid 2-hop pairs minus direct edges; the score
+      // is the exact integer 6*n1 + 3*n2
+      "q_harmonic_centrality" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS n1 FROM e GROUP BY 1),
+           |leg AS (SELECT e.src AS u, e.dst AS x FROM e
+           |        JOIN deg d ON e.dst = d.src WHERE d.n1 <= 60),
+           |hop2 AS (
+           |  SELECT DISTINCT a.u, b.u AS u2
+           |  FROM leg a JOIN leg b ON a.x = b.x AND a.u <> b.u),
+           |far AS (
+           |  SELECT h.u AS id, CAST(count(*) AS BIGINT) AS n2 FROM hop2 h
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM e WHERE e.src = h.u AND e.dst = h.u2)
+           |  GROUP BY 1)
+           |SELECT deg.src AS id, deg.n1, coalesce(far.n2, 0) AS n2,
+           |       deg.n1 * 6 + coalesce(far.n2, 0) * 3 AS harmonic6,
+           |       round(CAST(deg.n1 * 6 + coalesce(far.n2, 0) * 3 AS DOUBLE) / 6.0, 6) AS harmonic
+           |FROM deg LEFT JOIN far ON deg.src = far.id
+           |ORDER BY id""".stripMargin,
+
+      // doubled-form clearing over the labeled subgraph: q_num =
+      // e2_in * M2 - d_tot^2, one division per community
+      "q_modularity" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |lab AS (SELECT p_partkey AS id, p_brand AS community FROM part),
+           |le AS (
+           |  SELECT e.src, e.dst, ls.community AS c_src, ld.community AS c_dst
+           |  FROM e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id),
+           |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM le),
+           |w AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS e2_in
+           |      FROM le WHERE c_src = c_dst GROUP BY 1),
+           |dt AS (
+           |  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+           |         CAST(sum(deg) AS BIGINT) AS d_tot FROM (
+           |    SELECT src, c_src AS community, CAST(count(*) AS BIGINT) AS deg
+           |    FROM le GROUP BY 1, 2) GROUP BY 1)
+           |SELECT dt.community, dt.n_nodes, coalesce(w.e2_in, 0) AS e2_in,
+           |       dt.d_tot,
+           |       coalesce(w.e2_in, 0) * m2.m2 - dt.d_tot * dt.d_tot AS q_num,
+           |       round(CAST(coalesce(w.e2_in, 0) * m2.m2 - dt.d_tot * dt.d_tot AS DOUBLE) /
+           |             CAST(m2.m2 * m2.m2 AS DOUBLE), 6) AS contrib
+           |FROM dt LEFT JOIN w USING (community) CROSS JOIN m2
+           |ORDER BY community""".stripMargin,
+
+      // md5-ranked per-stratum top-5 — the deterministic reservoir
+      "q_stratified_k" ->
+        """SELECT o_orderpriority, o_orderkey, rn FROM (
+          |  SELECT o_orderpriority, o_orderkey,
+          |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INTEGER) AS rn
+          |  FROM orders) WHERE rn <= 5
+          |ORDER BY o_orderpriority, rn""".stripMargin,
+
+      // the q_holt recursion with the 7-slot seasonal ring carried as a
+      // DOUBLE[] column; identical IEEE op order on both engines
+      "q_holt_winters" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |hw(event_type, day, day_total, rn, l, b, s, ring) AS (
+          |  SELECT event_type, day, day_total, rn, day_total,
+          |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+          |         CAST([0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])
+          |  FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b),
+          |         0.3 * ((0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+          |         0.2 * (d.day_total - (0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b))) + 0.8 * h.ring[1],
+          |         h.ring[2:7] || [0.2 * (d.day_total - (0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b))) + 0.8 * h.ring[1]]
+          |  FROM hw h JOIN daily d
+          |    ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(l, 6) AS level, round(b, 6) AS trend,
+          |       round(s, 6) AS seasonal,
+          |       round(l + b + ring[1], 6) AS forecast_next
+          |FROM hw ORDER BY event_type, day""".stripMargin,
 
       // three raters per doc (gold, full-text lang-id, 16-token
       // lang-id); every kappa term an exact long — the

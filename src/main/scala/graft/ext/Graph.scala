@@ -461,6 +461,143 @@ object Graph {
     out
   }
 
+  /** Neighborhood Jaccard similarity: [[commonNeighbors]] candidates
+    * rescored as cn / (deg(v) + deg(w) − cn) — |N∩N| / |N∪N|, the
+    * normalized node-similarity used for item-item recommendation and
+    * entity-merge candidates, where raw cn favors high-degree nodes.
+    * The ORDER is exact-integer: `jaccard_ppb` = cn·10⁹ DIV union —
+    * no float enters the top-k cut; the rounded double is cosmetic.
+    *
+    * Semantics under the cap: cn counts wedges through apexes with
+    * deg ≤ `maxApexDegree` (the [[commonNeighbors]] IDF cap) while the
+    * union term uses TRUE degrees — so the score is a LOWER bound on
+    * the uncapped Jaccard, exact when no apex exceeds the cap
+    * (equality is unit-gated on such a graph). Scale is the
+    * commonNeighbors argument verbatim.
+    *
+    * Input must be symmetrized ([[symmetrize]]); returns (id1, id2,
+    * cn, d1, d2, jaccard_ppb, jaccard) with id1 < id2, non-adjacent
+    * pairs only, top `topK` by (jaccard_ppb DESC, id1, id2).
+    */
+  def nodeJaccard(edges: DataFrame, maxApexDegree: Long, minCommon: Long,
+      topK: Int): DataFrame = {
+    require(maxApexDegree >= 1 && minCommon >= 1 && topK >= 1,
+      "maxApexDegree, minCommon and topK must be positive")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val kept = edges
+      .join(deg.filter(col("deg") <= maxApexDegree).select("src"),
+        Seq("src"), "left_semi")
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist() // both wedge legs read it
+    val out = kept
+      .join(kept.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("id1"), col("w").as("id2"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(edges.select(col("src").as("id1"), col("dst").as("id2")),
+        Seq("id1", "id2"), "left_anti")
+      .join(deg.select(col("src").as("id1"), col("deg").as("d1")), "id1")
+      .join(deg.select(col("src").as("id2"), col("deg").as("d2")), "id2")
+      .select(col("id1"), col("id2"), col("cn"), col("d1"), col("d2"),
+        expr("cn * CAST(1000000000 AS BIGINT) DIV (d1 + d2 - cn)")
+          .as("jaccard_ppb"),
+        round(col("cn").cast("double") /
+          (col("d1") + col("d2") - col("cn")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("jaccard_ppb").desc, col("id1"), col("id2"))
+      .limit(topK)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    kept.unpersist()
+    out
+  }
+
+  /** 2-bounded harmonic centrality: for every node, Σ_{w≠v} 1/d(v,w)
+    * truncated at distance 2 — the "how many nodes are NEAR me"
+    * influence score that, unlike closeness, is defined on disconnected
+    * graphs (unreachable nodes contribute 0, not ∞). With hop counts
+    * n1 = |N(v)| and n2 = |{w : d(v,w) = 2}|, the score is n1 + n2/2 —
+    * carried as the EXACT integer `harmonic6` = 6·n1 + 3·n2 (the
+    * rounded double is cosmetic).
+    *
+    * Scale: n2 requires the DISTINCT 2-hop pair set — the inherent
+    * Σ deg(mid)² wedge bound ([[globalTransitivity]]'s shape, plus one
+    * dedup shuffle on the pair set). `maxMidDegree` caps the midpoint
+    * like [[commonNeighbors]]' apex cap: the result is exact iff every
+    * midpoint degree ≤ the cap (unit-gated); above it, paths through
+    * mega-hubs are ignored — the standard approximation, since a hub
+    * puts ~everything at distance 2 and the score saturates. Returns
+    * (id, n1, n2, harmonic6, harmonic) for every node with an edge.
+    */
+  def harmonicCloseness2(edges: DataFrame, maxMidDegree: Long): DataFrame = {
+    require(maxMidDegree >= 1, "maxMidDegree must be positive")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("n1"))
+    // one leg per (endpoint, midpoint) with the MIDPOINT capped; by
+    // symmetry the second leg is the same frame renamed, so the cap
+    // applies to the shared mid node on both legs
+    val leg = edges.select(col("src").as("u"), col("dst").as("x"))
+      .join(deg.filter(col("n1") <= maxMidDegree).select(col("src").as("x")),
+        Seq("x"), "left_semi")
+    val twoHop = leg
+      .join(leg.select(col("u").as("u2"), col("x")), Seq("x"))
+      .filter(col("u") =!= col("u2"))
+      .select(col("u"), col("u2")).distinct()
+      .join(edges.select(col("src").as("u"), col("dst").as("u2")),
+        Seq("u", "u2"), "left_anti")
+      .groupBy(col("u").as("id")).agg(count(lit(1)).as("n2"))
+    deg.select(col("src").as("id"), col("n1"))
+      .join(twoHop, Seq("id"), "left")
+      .na.fill(0L, Seq("n2"))
+      .select(col("id"), col("n1"), col("n2"),
+        (col("n1") * 6 + col("n2") * 3).as("harmonic6"),
+        round((col("n1") * 6 + col("n2") * 3).cast("double") / 6.0, 6)
+          .as("harmonic"))
+  }
+
+  /** Newman modularity of a given node partition: per community c,
+    * contribution Q_c = e_c/m − (d_c/2m)², where e_c = within-community
+    * edges, d_c = total degree in c, m = undirected edge count; Q = ΣQ_c
+    * measures how much denser communities are than a random graph with
+    * the same degrees (> ~0.3 = real structure). All terms are carried
+    * in DOUBLED form over the symmetrized edge list (M2 = 2m directed
+    * rows, e2_c = within-c directed rows), so the cleared contribution
+    *   q_num_c = e2_c·M2 − d_c²,  Q_c = q_num_c / M2²
+    * is exact long arithmetic with one final division. Overflow binds
+    * at M2² < 2⁶³ (m ≈ 1.5·10⁹ edges; shard by community past that).
+    *
+    * Scale: one degree aggregate, two broadcast-sized label joins onto
+    * the edge list (labels are |V| rows — co-partitioned joins at
+    * 100 TB), one count to |communities| cells; everything downstream
+    * is community-grid-sized. Nodes missing from `labels` are dropped
+    * from d_c and their edges from e_c — label completeness is the
+    * caller's contract. Returns one row per community: (community,
+    * n_nodes, e2_in, d_tot, q_num, contrib).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    // everything — degrees, m, e_c — is over the LABELED subgraph, so
+    // incomplete labels shrink the graph consistently instead of
+    // skewing d_c against m
+    val labeled = edges
+      .join(lab.select(col("id").as("src"), col("community").as("c_src")), "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("c_dst")), "dst")
+    val within = labeled.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community")).agg(count(lit(1)).as("e2_in"))
+    val dTot = labeled.groupBy(col("src"), col("c_src").as("community"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_tot"))
+    val m2 = labeled.agg(count(lit(1)).as("m2"))
+    dTot.join(within, Seq("community"), "left")
+      .na.fill(0L, Seq("e2_in"))
+      .crossJoin(broadcast(m2)) // 1-row scalar
+      .select(col("community"), col("n_nodes"), col("e2_in"), col("d_tot"),
+        (col("e2_in") * col("m2") - col("d_tot") * col("d_tot")).as("q_num"),
+        round((col("e2_in") * col("m2") - col("d_tot") * col("d_tot"))
+          .cast("double") / (col("m2") * col("m2")).cast("double"), 6)
+          .as("contrib"))
+  }
+
   /** Adamic–Adar link prediction: [[commonNeighbors]] with each shared
     * neighbor DOWN-WEIGHTED by its popularity — score(v,w) =
     * Σ_{u ∈ N(v)∩N(w)} 1/ln(deg(u)) — the classic refinement where a

@@ -761,4 +761,38 @@ object ScaleOps {
         sum(when(col("skipped"), col("nrows")).otherwise(0L)).as("rows_skipped"),
         sum(when(!col("skipped"), col("nrows")).otherwise(0L)).as("rows_scanned"))
   }
+
+  /** Deterministic fixed-size-per-stratum sample: exactly min(k, |g|)
+    * rows per group, chosen by md5 of the unique `key` — the
+    * reproducible replacement for reservoir sampling (same rows on
+    * every engine, every run, any partitioning) used for eval-set
+    * carving, per-class training caps, and debugging slices. Because
+    * md5 is uniform on the key, the selection is an unbiased uniform
+    * k-without-replacement per stratum, yet fully order-free: no RNG
+    * state, no seed plumbing.
+    *
+    * Scale: ONE ranked window per group — the sort spreads across
+    * reducers by the group key and spills; no per-group collect, no
+    * global sort, no two-pass threshold estimation. For mega-strata
+    * where even the per-group sort bites, pre-filter with a hash-range
+    * predicate (md5 < ~(k/|g|-quantile)) to thin before ranking — the
+    * same trick [[splitByKey]] uses; documented, not built, since
+    * strata at the k ≪ |g| scale prune to k quickly anyway.
+    *
+    * `key` must be unique per row (it is the tie-break as well as the
+    * hash input, making the rank total). Returns the group columns +
+    * (key as `sample_key`, `rn` in 1..k).
+    */
+  def stratifiedK(df: DataFrame, group: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ranked = df
+      .select(group.map(col) :+ key.as("sample_key")
+        :+ md5(key.cast("string")).as("hk"): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(group.map(col): _*)
+          .orderBy(col("hk"), col("sample_key"))))
+    ranked.filter(col("rn") <= k)
+      .select(group.map(col) :+ col("sample_key") :+ col("rn"): _*)
+  }
 }

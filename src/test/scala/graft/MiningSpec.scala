@@ -1111,6 +1111,78 @@ class MiningSpec extends SparkSpec {
     assert(capped.toSeq === Seq((1L, 3L, 1.820478), (2L, 4L, 1.820478)))
   }
 
+  test("nodeJaccard: exact ppb order key; pentagon 1/3, square 1; adjacency excluded") {
+    // pentagon: each diagonal pair shares exactly 1 neighbor, degs 2:
+    // J = 1/(2+2-1) = 1/3 -> ppb 333333333
+    val penta = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 1L)).toDF("id1", "id2"))
+    val out = Graph.nodeJaccard(penta, maxApexDegree = 10, minCommon = 1,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("jaccard_ppb"), r.getAs[Double]("jaccard"))).toSeq
+    assert(out.length === 5) // the 5 diagonals
+    assert(out.forall { case (_, _, ppb, j) => ppb == 333333333L && j == 0.333333 })
+    // square diagonals share BOTH neighbors: J = 2/(2+2-2) = 1
+    val sq = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("id1", "id2"))
+    val sqOut = Graph.nodeJaccard(sq, 10, 1, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    assert(sqOut === Seq((1L, 3L, 1.0), (2L, 4L, 1.0)))
+  }
+
+  test("harmonicCloseness2: path scores by hand; mid cap removes hub paths") {
+    // path 1-2-3-4: ends see 1 neighbor + 1 two-hop = 6+3 = 9;
+    // middles see 2 + 1 = 15
+    val path = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("id1", "id2"))
+    val out = Graph.harmonicCloseness2(path, maxMidDegree = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("harmonic6"))).toSeq
+    assert(out === Seq((1L, 9L), (2L, 15L), (3L, 15L), (4L, 9L)))
+    // star 0-{1,2,3}: center deg 3; cap 2 kills every 2-hop (all go
+    // through the center) -> leaves n1 only
+    val star = Graph.symmetrize(Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("id1", "id2"))
+    val capped = Graph.harmonicCloseness2(star, maxMidDegree = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n2"))).toSeq
+    assert(capped === Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("modularity: two triangles + bridge = 35/196 each; one community = 0") {
+    val tri2 = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id1", "id2"))
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("id", "community")
+    val out = Graph.modularity(tri2, labels).orderBy("community").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("e2_in"), r.getAs[Long]("d_tot"),
+        r.getAs[Long]("q_num"), r.getAs[Double]("contrib"))).toSeq
+    // m=7, M2=14; per triangle e2=6, d_tot=7 -> 6*14-49 = 35; 35/196
+    assert(out === Seq(("A", 3L, 6L, 7L, 35L, 0.178571),
+      ("B", 3L, 6L, 7L, 35L, 0.178571)))
+    // everything in one community: Q = e2*M2 - d^2 = 14*14-14^2 = 0
+    val one = Graph.modularity(tri2,
+      labels.select(col("id"), lit("all").as("community"))).collect().head
+    assert(one.getAs[Long]("q_num") === 0L && one.getAs[Double]("contrib") === 0.0)
+  }
+
+  test("stratifiedK: exact k per stratum, short strata whole, deterministic") {
+    val df = (1L to 10L).map(i => ("big", i)) :+ (("small", 11L))
+    val d = df.toDF("g", "k")
+    val out = ScaleOps.stratifiedK(d, Seq("g"), col("k"), k = 3)
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("sample_key"), r.getAs[Int]("rn")))
+    assert(out.count(_._1 == "big") === 3)
+    assert(out.filter(_._1 == "small").map(x => (x._2, x._3)).toSeq ===
+      Seq((11L, 1)))
+    // determinism: a second run picks the identical keys
+    val again = ScaleOps.stratifiedK(d, Seq("g"), col("k"), k = 3)
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("sample_key"), r.getAs[Int]("rn")))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
     val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
       .toDF("doc_id", "text")
