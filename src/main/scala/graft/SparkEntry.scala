@@ -138,6 +138,23 @@ object SparkEntry {
   private def coPurchaseEdges(s: SparkSession, dir: String, minCount: Long): DataFrame =
     Graph.symmetrize(coPurchasePairs(s, dir, minCount))
 
+  /** [[coPurchasePairs]] keeping an affinity-derived integer edge COST:
+    * w = 11 − min(m, 10) ∈ [1, 10] — frequently co-purchased parts are
+    * "close". Long weights so [[Graph.sssp]] distances stay exact.
+    */
+  private def coPurchaseWeightedPairs(s: SparkSession, dir: String,
+      minCount: Long): DataFrame = {
+    val li = spread(t(s, dir, "lineitem"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("id1"), col("b.pk").as("id2"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minCount)
+      .select(col("id1"), col("id2"),
+        (lit(11L) - least(col("m"), lit(10L))).as("w"))
+  }
+
   /** DuckDB mirror of [[coPurchaseEdges]]: CTEs `p` (ordered pairs) and
     * `e` (symmetrized), shared by the graph-algorithm oracles.
     */
@@ -3186,6 +3203,36 @@ object SparkEntry {
       Graph.pageRankDirected(e, iters = 3, truncateLineage = true).orderBy("id")
     }),
 
+    // HITS hubs & authorities on the DIRECTED co-purchase pair graph
+    // (id1 < id2 orientation — same input as q_pagerank_directed):
+    // which parts point AT the popular parts (hubs) vs which parts ARE
+    // pointed at (authorities). Integer-exact unnormalized iteration —
+    // each score is a directed alternating-walk COUNT (an exact long),
+    // normalized once at the end — so the oracle hashes bit-for-bit
+    // with no per-round float drift (Graph.hits scaladoc has the
+    // D^(2·iters) overflow bound that pins iters=2 here).
+    "q_hits" -> ((s, dir) => {
+      val e = coPurchasePairs(s, dir, minCount = 2)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      Graph.hits(e, iters = 2).orderBy("id")
+    }),
+
+    // bounded-hop WEIGHTED shortest path (multi-source Bellman-Ford)
+    // over the co-purchase graph with affinity-derived integer costs
+    // (frequent co-purchase = cheap hop: w = 11 − min(m, 10)) — the
+    // weighted generalization of q_bfs_hops: "how cheaply can demand
+    // reach each part from the seed skus within 4 substitution hops".
+    // Long weights keep every distance exact (Graph.sssp scaladoc);
+    // per-round shuffle ≤ |E| with snapshot/release plan discipline.
+    "q_sssp" -> ((s, dir) => {
+      val p = coPurchaseWeightedPairs(s, dir, minCount = 2)
+      val e = p.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+        .unionAll(p.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+        .persist() // every relaxation round re-reads the pair self-join
+      val seeds = e.filter(col("src") % 97 === 0).select(col("src").as("id"))
+      Graph.sssp(e, seeds, maxHops = 4).orderBy("id")
+    }),
+
     // incremental JOIN-view maintenance: the nation-revenue rollup
     // (orders ⋈ customer ⋈ nation) maintained from base + delta
     // PARTIALS — the delta joins only ITS orders against the
@@ -4092,6 +4139,93 @@ object SparkEntry {
           round(col("r.s"), 6).as("seasonal"),
           round(col("r.l") + col("r.b") + element_at(col("r.ring"), 1), 6)
             .as("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
+    // CUSUM control chart — the sequential drift detector
+    // S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)), S⁻ mirrored — run
+    // INTEGER-EXACT: day totals become cents, the recurrence is scaled
+    // by 100·n so the target μ = Σc/n never divides (n·c_t − Σc is the
+    // exact scaled deviation), and both CUSUM statistics fold as exact
+    // longs; the only divisions are the final display rescale. Slack
+    // k = 5.00 units, alarm threshold h = 25.00 units, both compared
+    // in scaled-integer space so the alarm boolean can never disagree
+    // over a float ulp. Same one-fold-per-series scale contract as
+    // q_ewma (bounded daily grid; q_ewma_chunked documents the
+    // long-series fallback shape).
+    "q_cusum" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("day_total"),
+            col("c")))).as("ser"),
+          count(lit(1)).as("n"), sum("c").as("stot"))
+        .select(col("event_type"), col("n"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS ARRAY<STRUCT<day: STRING, day_total: DOUBLE, tp: BIGINT, tn: BIGINT>>),
+            |  (acc, p) -> array_append(acc, named_struct(
+            |    'day', p.day, 'day_total', p.day_total,
+            |    'tp', greatest(0L, CASE WHEN size(acc) = 0 THEN 0L ELSE element_at(acc, -1).tp END + (n * p.c - stot) - n * 500L),
+            |    'tn', greatest(0L, CASE WHEN size(acc) = 0 THEN 0L ELSE element_at(acc, -1).tn END - (n * p.c - stot) - n * 500L))))""".stripMargin))
+          .as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.day_total").as("day_total"),
+          round(col("r.tp") / (lit(100.0) * col("n")), 6).as("s_pos"),
+          round(col("r.tn") / (lit(100.0) * col("n")), 6).as("s_neg"),
+          (col("r.tp") > col("n") * lit(2500L) ||
+            col("r.tn") > col("n") * lit(2500L)).as("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Wilder RSI (14-period relative strength index) — the classic
+    // momentum oscillator whose smoothing ag_t = (13·ag + gain)/14 is
+    // the q_ewma recursion with α = 1/14. Day-over-day deltas are
+    // EXACT (long cents via one lag window per series, before any
+    // float), the two smoothed averages fold per series in recursion
+    // order (bit-equal with the recursive-CTE oracle), and RSI is one
+    // row-wise transform of the exploded state. Seeding: ag₂ = gain₂
+    // (recurrence uniform from t = 3 — the q_holt_winters convention)
+    // rather than the traditional 14-bar SMA warmup; flat series pin
+    // RSI to 50 by contract (ag = al = 0 leaves momentum undefined).
+    "q_rsi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("g",
+          greatest(col("c") - lag("c", 1).over(w), lit(0L)) / lit(100.0))
+        .withColumn("l",
+          greatest(lag("c", 1).over(w) - col("c"), lit(0L)) / lit(100.0))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("day_total"),
+          col("g"), col("l")))).as("ser"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(ser,
+            |  CAST(array() AS ARRAY<STRUCT<day: STRING, day_total: DOUBLE, ag: DOUBLE, al: DOUBLE>>),
+            |  (acc, p) -> array_append(acc, CASE WHEN size(acc) = 0
+            |    THEN named_struct('day', p.day, 'day_total', p.day_total,
+            |      'ag', CAST(NULL AS DOUBLE), 'al', CAST(NULL AS DOUBLE))
+            |    ELSE named_struct('day', p.day, 'day_total', p.day_total,
+            |      'ag', CASE WHEN element_at(acc, -1).ag IS NULL THEN p.g
+            |                 ELSE (element_at(acc, -1).ag * 13.0D + p.g) / 14.0D END,
+            |      'al', CASE WHEN element_at(acc, -1).al IS NULL THEN p.l
+            |                 ELSE (element_at(acc, -1).al * 13.0D + p.l) / 14.0D END)
+            |    END))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.day_total").as("day_total"),
+          round(when(col("r.ag").isNull, lit(null))
+            .when(col("r.al") === 0.0 && col("r.ag") === 0.0, lit(50.0))
+            .when(col("r.al") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("r.ag") / col("r.al"))), 6).as("rsi"))
         .orderBy("event_type", "day")
     }),
 
@@ -7884,6 +8018,62 @@ object SparkEntry {
           |    ON i3.id = nd.id)
           |SELECT id, round(pr, 6) AS pr FROM pr3 ORDER BY id""".stripMargin,
 
+      // integer-exact unnormalized HITS: two authority/hub rounds of
+      // exact walk-count sums over the directed pair graph, one
+      // max-normalization at the very end — mirrors Graph.hits term
+      // for term (h0 ≡ 1 folds the first authority round into an
+      // in-degree-style sum)
+      "q_hits" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |de AS (SELECT src, dst FROM p),
+           |nd AS (SELECT src AS id FROM de UNION SELECT dst AS id FROM de),
+           |a1 AS (SELECT nd.id, COALESCE(x.a, 0) AS a FROM nd
+           |       LEFT JOIN (SELECT dst AS id, count(*) AS a
+           |                  FROM de GROUP BY 1) x ON x.id = nd.id),
+           |h1 AS (SELECT nd.id, COALESCE(x.h, 0) AS h FROM nd
+           |       LEFT JOIN (SELECT de.src AS id, sum(a1.a) AS h
+           |                  FROM de JOIN a1 ON a1.id = de.dst GROUP BY 1) x
+           |         ON x.id = nd.id),
+           |a2 AS (SELECT nd.id, COALESCE(x.a, 0) AS a FROM nd
+           |       LEFT JOIN (SELECT de.dst AS id, sum(h1.h) AS a
+           |                  FROM de JOIN h1 ON h1.id = de.src GROUP BY 1) x
+           |         ON x.id = nd.id),
+           |h2 AS (SELECT nd.id, COALESCE(x.h, 0) AS h FROM nd
+           |       LEFT JOIN (SELECT de.src AS id, sum(a2.a) AS h
+           |                  FROM de JOIN a2 ON a2.id = de.dst GROUP BY 1) x
+           |         ON x.id = nd.id),
+           |mx AS (SELECT max(h2.h) AS mh, max(a2.a) AS ma
+           |       FROM h2 JOIN a2 ON a2.id = h2.id)
+           |SELECT h2.id,
+           |       round(CAST(h2.h AS DOUBLE) / CAST(nullif(mx.mh, 0) AS DOUBLE), 6) AS hub,
+           |       round(CAST(a2.a AS DOUBLE) / CAST(nullif(mx.ma, 0) AS DOUBLE), 6) AS auth
+           |FROM h2 JOIN a2 ON a2.id = h2.id CROSS JOIN mx
+           |ORDER BY h2.id""".stripMargin,
+
+      // bounded-hop weighted shortest path: recursive walk carrying
+      // exact integer path cost, capped at 4 hops, min per node —
+      // exactly the set Bellman-Ford minimizes over after 4 relaxation
+      // rounds. Weight w = 11 − min(m, 10) mirrors
+      // coPurchaseWeightedPairs; edges symmetrized with the shared w.
+      "q_sssp" ->
+        """WITH RECURSIVE pw AS (
+          |  SELECT a.l_partkey AS id1, b.l_partkey AS id2,
+          |         11 - least(count(*), 10) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |ew AS (SELECT id1 AS src, id2 AS dst, w FROM pw
+          |       UNION ALL SELECT id2, id1, w FROM pw),
+          |seeds AS (SELECT DISTINCT src AS id FROM ew WHERE src % 97 = 0),
+          |walk(id, dist, hop) AS (
+          |  SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hop FROM seeds
+          |  UNION
+          |  SELECT ew.dst, w2.dist + ew.w, w2.hop + 1
+          |  FROM walk w2 JOIN ew ON ew.src = w2.id
+          |  WHERE w2.hop < 4)
+          |SELECT id, min(dist) AS dist
+          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
       // full recompute — the gate proves base+delta partial-state merge
       // over the JOIN view equals rescanning the whole fact
       "q_incr_join_view" ->
@@ -8846,6 +9036,68 @@ object SparkEntry {
           |       round(s, 6) AS seasonal,
           |       round(l + b + ring[1], 6) AS forecast_next
           |FROM hw ORDER BY event_type, day""".stripMargin,
+
+      // integer-exact CUSUM: the recurrence scaled by 100·n so the
+      // series mean never divides — tp/tn fold as exact integers and
+      // the alarm compares in scaled space (mirrors the Spark fold
+      // term for term; k = 500 cents, h = 2500 cents)
+      "q_cusum" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |              CAST(sum(c) AS BIGINT) AS stot FROM daily GROUP BY 1),
+          |cu(event_type, day, day_total, rn, tp, tn) AS (
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         greatest(CAST(0 AS BIGINT), (s.n * d.c - s.stot) - s.n * 500),
+          |         greatest(CAST(0 AS BIGINT), -(s.n * d.c - s.stot) - s.n * 500)
+          |  FROM daily d JOIN st s ON s.event_type = d.event_type WHERE d.rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         greatest(CAST(0 AS BIGINT), w.tp + (s.n * d.c - s.stot) - s.n * 500),
+          |         greatest(CAST(0 AS BIGINT), w.tn - (s.n * d.c - s.stot) - s.n * 500)
+          |  FROM cu w JOIN daily d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+          |  JOIN st s ON s.event_type = d.event_type)
+          |SELECT c2.event_type, c2.day, c2.day_total,
+          |       round(c2.tp / (100.0 * s.n), 6) AS s_pos,
+          |       round(c2.tn / (100.0 * s.n), 6) AS s_neg,
+          |       (c2.tp > s.n * 2500 OR c2.tn > s.n * 2500) AS alarm
+          |FROM cu c2 JOIN st s ON s.event_type = c2.event_type
+          |ORDER BY c2.event_type, c2.day""".stripMargin,
+
+      // Wilder RSI: exact integer cent deltas via one lag window, then
+      // the α = 1/14 smoothing recursion in fold order — shares the
+      // q_ewma recursive-CTE spine; flat series pin RSI to 50
+      "q_rsi" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |d2 AS (
+          |  SELECT event_type, day, day_total, rn,
+          |         greatest(c - lag(c) OVER (PARTITION BY event_type ORDER BY rn), CAST(0 AS BIGINT)) / 100.0 AS g,
+          |         greatest(lag(c) OVER (PARTITION BY event_type ORDER BY rn) - c, CAST(0 AS BIGINT)) / 100.0 AS l
+          |  FROM daily),
+          |rs(event_type, day, day_total, rn, ag, al) AS (
+          |  SELECT event_type, day, day_total, rn,
+          |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |  FROM d2 WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         CASE WHEN w.ag IS NULL THEN d.g ELSE (w.ag * 13.0 + d.g) / 14.0 END,
+          |         CASE WHEN w.al IS NULL THEN d.l ELSE (w.al * 13.0 + d.l) / 14.0 END
+          |  FROM rs w JOIN d2 d ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(CASE WHEN ag IS NULL THEN NULL
+          |                  WHEN al = 0 AND ag = 0 THEN 50.0
+          |                  WHEN al = 0 THEN 100.0
+          |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+          |FROM rs ORDER BY event_type, day""".stripMargin,
 
       // three raters per doc (gold, full-text lang-id, 16-token
       // lang-id); every kappa term an exact long — the

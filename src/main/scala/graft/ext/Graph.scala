@@ -722,4 +722,94 @@ object Graph {
     }
     pr.select(col("id"), round(col("pr"), 6).as("pr"))
   }
+
+  /** HITS (hubs & authorities, Kleinberg) over a DIRECTED edge list,
+    * in the INTEGER-EXACT unnormalized form: with h₀ ≡ 1,
+    *   aₖ(v) = Σ_{(u,v)∈E} hₖ₋₁(u),   hₖ(u) = Σ_{(u,v)∈E} aₖ(v),
+    * every intermediate is an exact long (aₖ/hₖ count directed
+    * alternating walks of length 2k−1 / 2k ending/starting at the
+    * node), and the single normalization happens ONCE at the end
+    * (score / max score), so no per-iteration float normalization
+    * order can diverge between engines. The eigenvector limit is the
+    * same either way — normalization placement only rescales.
+    *
+    * Overflow bound: scores grow like D^(2·iters) for max total degree
+    * D, so the default iters=2 is safe for any graph with D < ~55 000
+    * (D⁴ < 2⁶³); deeper iteration on hub-heavy graphs should divide
+    * scores by their max each round (and accept float rounding) — this
+    * exact form deliberately doesn't.
+    *
+    * Scale shape: per half-iteration ONE |E|-bounded join + sum
+    * aggregate (shuffle keyed by dst then src); node spine = src ∪ dst
+    * computed once; fixed iteration count stacks a bounded plan, no
+    * per-round actions, no checkpoint needed. Nodes with no in-edges
+    * get authority 0, no out-edges get hub 0 (the spine left-join).
+    *
+    * Returns (id, hub, auth) with both scores max-normalized to [0,1]
+    * and rounded at 6.
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var h = nodes.withColumn("h", lit(1L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aAgg = e.join(h.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+      a = nodes.join(aAgg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      val hAgg = e.join(a.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      h = nodes.join(hAgg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+    }
+    // one-row maxima, broadcast back — the scalar-attach pattern every
+    // share-of-total query uses (BroadcastNestedLoop on a 1-row side)
+    val maxes = h.join(a, "id")
+      .agg(max("h").as("mh"), max("a").as("ma"))
+    h.join(a, "id").crossJoin(maxes)
+      .select(col("id"),
+        round(col("h").cast("double") / nullif(col("mh"), lit(0L)).cast("double"), 6).as("hub"),
+        round(col("a").cast("double") / nullif(col("ma"), lit(0L)).cast("double"), 6).as("auth"))
+  }
+
+  /** Bounded-hop weighted single-source shortest paths (multi-source):
+    * distₖ(v) = min total weight over paths of ≤ `maxHops` edges from
+    * any seed — distributed Bellman-Ford, the weighted generalization
+    * of [[bfsHops]]. Weights are LONGS (callers quantize float costs),
+    * so every distance is exact and the result hashes identically on
+    * any engine. Weights MUST be non-negative (not validated — that
+    * would cost an eager scan): with a hop bound the recurrence still
+    * terminates on negative weights, but "shortest within k hops"
+    * stops being monotone in k, which is never what a caller means.
+    *
+    * Per round: ONE frontier⋈edges relaxation (shuffle ≤ |E|) + ONE
+    * min-aggregate over (old dists ∪ relaxed candidates) — map-side
+    * combinable, keyed by node. The dist frame is referenced TWICE per
+    * round (union branch + join branch), so each round is snapshotted
+    * ([[snapshot]]) to keep plan depth O(1) and the superseded round
+    * released — the BFS/k-core discipline. Fixed `maxHops` rounds, one
+    * eager action per round (the checkpoint itself).
+    *
+    * Returns (id, dist) for every node reachable within `maxHops`
+    * hops; unreachable nodes are absent (the BFS contract).
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    var dist = snapshot(seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = snapshot(dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
+      release(dist)
+      dist = next
+    }
+    dist
+  }
 }

@@ -1183,6 +1183,34 @@ class MiningSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("hits: alternating-walk counts by hand; sinks/sources zeroed") {
+    // directed: 1→2, 3→2, 2→4. h0≡1;
+    // a1 = in-sums (2:2, 4:1); h1 = out-sums of a1 (1:2, 3:2, 2:1);
+    // a2 = (2: h1(1)+h1(3) = 4, 4: h1(2) = 1); h2 = (1:4, 3:4, 2:1, 4:0)
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("hub"),
+        r.getAs[Double]("auth"))).toSeq
+    assert(out === Seq((1L, 1.0, 0.0), (2L, 0.25, 1.0), (3L, 1.0, 0.0),
+      (4L, 0.0, 0.25)))
+  }
+
+  test("sssp: weighted relaxation beats direct edge; hop bound binds; unreachable absent") {
+    // triangle 1-2 (w1), 2-3 (w5), 1-3 (w10) + detached 4-5
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 5L), (1L, 3L, 10L), (4L, 5L, 2L))
+      .toDF("id1", "id2", "w")
+    val e = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst"),
+        col("w")))
+    val seeds = Seq(1L).toDF("id")
+    val out2 = Graph.sssp(e, seeds, maxHops = 2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("dist"))).toSeq
+    assert(out2 === Seq((1L, 0L), (2L, 1L), (3L, 6L))) // 2-hop 1+5 beats 10
+    val out1 = Graph.sssp(e, seeds, maxHops = 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("dist"))).toSeq
+    assert(out1 === Seq((1L, 0L), (2L, 1L), (3L, 10L))) // bound binds
+  }
+
   test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
     val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
       .toDF("doc_id", "text")
