@@ -4229,6 +4229,115 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // model-eval: per-segment ROC AUC via the tie-aware rank-sum
+    // identity — u2 = 2·Mann-Whitney-U stays an exact long
+    // (Inference.rocAuc scaladoc); scores quantized to cents so the
+    // cumulative window runs over the bounded distinct-score grid, not
+    // rows. Label is a deterministic pseudo-class (user_id % 3 = 0) —
+    // the eval plumbing is the deliverable, near-0.5 AUC expected.
+    "q_roc_auc" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 3 === 0).as("y"))
+      Inference.rocAuc(ev, Seq("event_type"), col("cents"), col("y"))
+        .orderBy("event_type")
+    }),
+
+    // model-eval: precision/recall curve over descending score buckets
+    // (50-unit bins of the cents score) — "predict positive when
+    // score ≥ b" swept across the grid, tp/fp as exact cumulative
+    // longs, one division per point (Inference.prCurve scaladoc).
+    "q_pr_curve" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("b"),
+          (col("user_id") % 3 === 0).as("y"))
+      Inference.prCurve(ev, Seq("event_type"), col("b"), col("y"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // multiple testing: Benjamini–Hochberg FDR over 25 per-brand sign
+    // tests (is the brand's share of even-cent prices ≠ 1/2). The z
+    // statistic clears from exact integer counts; the two-sided
+    // p-value uses the LOGISTIC approximation of the normal CDF
+    // (p = 2/(1+exp(1.702·|z|)) — a stated contract, identical closed
+    // form in both engines), and the BH sweep (rank, reversed running
+    // min of m·p/i, reject from the ROUNDED adjusted p) is
+    // Inference.bhAdjust. The window is hypothesis-sized (25 rows) by
+    // construction — never data-sized.
+    "q_fdr_bh" -> ((s, dir) => {
+      val hyp = t(s, dir, "part")
+        .select(col("p_brand"),
+          (round(col("p_retailprice") * 100).cast("long") % 2 === 0)
+            .as("even"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("x"))
+        .select(col("p_brand"),
+          (lit(2.0) / (lit(1.0) + exp(lit(1.702) *
+            abs((lit(2.0) * col("x") - col("n")) /
+              sqrt(col("n").cast("double")))))).as("pval"))
+      Inference.bhAdjust(hyp, Seq("p_brand"), col("pval"))
+        .orderBy("rank")
+    }),
+
+    // sequential testing: SPRT on the up-day rate of each daily series
+    // (H1: P(up) = 0.6 vs H0: 0.4). The log-likelihood ratio after t
+    // steps is ln(1.5)·(2·ups − t), so the ENTIRE decision runs on the
+    // exact integer k = 2·ups − t: cross when |k| ≥ 8 (= ⌈ln 19 ∕
+    // ln 1.5⌉, the α=β=0.05 Wald boundary) — no float ever gates a
+    // branch, and the one reported llr scales k by a shared literal.
+    // Windows run over the bounded daily grid (aggregate-first).
+    "q_sprt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val steps = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("prev", lag("c", 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", when(col("c") > col("prev"), 1L).otherwise(0L))
+        .withColumn("t", row_number().over(wo).cast("long"))
+        .withColumn("k", lit(2L) * sum("up").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("t"))
+      steps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_steps"),
+          min(when(abs(col("k")) >= 8L, struct(col("t"), col("k"))))
+            .as("cross"),
+          max_by(col("k"), col("t")).as("k_final"))
+        .select(col("event_type"), col("n_steps"),
+          col("cross.t").as("cross_t"), col("cross.k").as("k_cross"),
+          when(col("cross.k").isNull, "continue")
+            .when(col("cross.k") >= 8L, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          round(col("k_final") * lit(0.4054651081081644), 6).as("llr_final"))
+        .orderBy("event_type")
+    }),
+
+    // inter-rater agreement with MISSING ratings: Krippendorff's alpha
+    // (nominal) over a (user-bucket × event-type) rating matrix —
+    // each "rater" (event type) labels the units it observed with a
+    // value-quartile category, units seen by ≥ 2 raters qualify, and
+    // the coincidence mass clears to exact scaled longs
+    // (Inference.krippendorffAlpha scaladoc: ×12 = lcm(1..4) keeps
+    // every 1/(m_u−1) integral for up to 5 raters).
+    "q_krippendorff" -> ((s, dir) => {
+      val ratings = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy((col("user_id") % 500).as("unit"),
+          col("event_type").as("rater"))
+        .agg(min(round(col("value") * 100).cast("long")).as("mc"))
+        .select(col("unit"), col("rater"),
+          least(expr("mc DIV 10000"), lit(3L)).as("cat"))
+      Inference.krippendorffAlpha(ratings, col("unit"), col("rater"),
+          col("cat"))
+        .orderBy("n_units")
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -9098,6 +9207,158 @@ object SparkEntry {
           |                  WHEN al = 0 THEN 100.0
           |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
           |FROM rs ORDER BY event_type, day""".stripMargin,
+
+      // tie-aware rank-sum AUC: u2 = Σ np·(2·cum_neg_below + nn) over
+      // the distinct-score grid — every term an exact long, one
+      // division at the end (mirrors Inference.rocAuc)
+      "q_roc_auc" ->
+        """WITH sc AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS s,
+          |         (user_id % 3 = 0) AS y
+          |  FROM events),
+          |bys AS (
+          |  SELECT event_type, s,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          |  FROM sc GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type, s, np, nn,
+          |         COALESCE(sum(nn) OVER (PARTITION BY event_type ORDER BY s
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+          |  FROM bys)
+          |SELECT event_type,
+          |       CAST(sum(np) AS BIGINT) AS n_pos,
+          |       CAST(sum(nn) AS BIGINT) AS n_neg,
+          |       CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+          |       round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE) /
+          |             (2.0 * sum(np) * sum(nn)), 6) AS auc
+          |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // descending-bucket sweep: tp/fp cumulative from the top of the
+      // score grid, precision/recall one division per point (mirrors
+      // Inference.prCurve)
+      "q_pr_curve" ->
+        """WITH sc AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) // 5000 AS b,
+          |         (user_id % 3 = 0) AS y
+          |  FROM events),
+          |byb AS (
+          |  SELECT event_type, b,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          |  FROM sc GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type, b AS bucket,
+          |         sum(np) OVER (PARTITION BY event_type ORDER BY b DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |         sum(nn) OVER (PARTITION BY event_type ORDER BY b DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+          |         sum(np) OVER (PARTITION BY event_type) AS p_tot
+          |  FROM byb)
+          |SELECT event_type, bucket,
+          |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+          |       round(CAST(tp AS DOUBLE) / p_tot, 6) AS recall
+          |FROM cum ORDER BY event_type, bucket""".stripMargin,
+
+      // BH sweep mirrored: per-brand sign-test z from exact counts,
+      // logistic-CDF p (the stated approximation contract), rank by
+      // (p, brand), reversed running min of m·p/rank clamped at 1,
+      // reject from the ROUNDED adjusted p
+      "q_fdr_bh" ->
+        """WITH hyp AS (
+          |  SELECT p_brand, count(*) AS n,
+          |         sum(CASE WHEN CAST(round(p_retailprice * 100) AS BIGINT) % 2 = 0
+          |                  THEN 1 ELSE 0 END) AS x
+          |  FROM part GROUP BY 1),
+          |pv AS (
+          |  SELECT p_brand,
+          |         2.0 / (1.0 + exp(1.702 * abs((2.0 * x - n) / sqrt(CAST(n AS DOUBLE))))) AS p
+          |  FROM hyp),
+          |ranked AS (
+          |  SELECT p_brand, p,
+          |         CAST(count(*) OVER () AS BIGINT) AS m,
+          |         CAST(row_number() OVER (ORDER BY p, p_brand) AS INTEGER) AS rank
+          |  FROM pv),
+          |adj AS (
+          |  SELECT p_brand, p, rank,
+          |         least(1.0, min(m * p / rank) OVER (ORDER BY rank
+          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+          |  FROM ranked)
+          |SELECT p_brand, round(p, 6) AS p, rank,
+          |       round(p_adj, 6) AS p_adj,
+          |       (round(p_adj, 6) <= 0.05) AS reject
+          |FROM adj ORDER BY rank""".stripMargin,
+
+      // SPRT on the integer spine k = 2·ups − t: cross at |k| ≥ 8 (the
+      // α=β=0.05 Wald boundary for 0.6-vs-0.4), decision from the
+      // first-crossing struct, llr scales k by the shared ln(1.5)
+      // literal
+      "q_sprt" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |steps AS (
+          |  SELECT event_type, day, c,
+          |         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          |  FROM daily),
+          |ks AS (
+          |  SELECT event_type, day,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+          |         2 * sum(CASE WHEN c > prev THEN 1 ELSE 0 END)
+          |               OVER (PARTITION BY event_type ORDER BY day
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k
+          |  FROM steps WHERE prev IS NOT NULL),
+          |crs AS (
+          |  SELECT event_type, min(t) AS cross_t
+          |  FROM ks WHERE abs(k) >= 8 GROUP BY 1),
+          |fin AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
+          |         max_by(k, t) AS k_final
+          |  FROM ks GROUP BY 1)
+          |SELECT f.event_type, f.n_steps,
+          |       CAST(c.cross_t AS BIGINT) AS cross_t,
+          |       CAST(kx.k AS BIGINT) AS k_cross,
+          |       CASE WHEN c.cross_t IS NULL THEN 'continue'
+          |            WHEN kx.k >= 8 THEN 'accept_h1'
+          |            ELSE 'accept_h0' END AS decision,
+          |       round(f.k_final * 0.4054651081081644, 6) AS llr_final
+          |FROM fin f
+          |LEFT JOIN crs c ON c.event_type = f.event_type
+          |LEFT JOIN ks kx ON kx.event_type = f.event_type AND kx.t = c.cross_t
+          |ORDER BY f.event_type""".stripMargin,
+
+      // coincidence-mass clearing: per-unit off-diagonal mass
+      // 12·(m²−Σn_uc²)/(m−1) summed as exact integers; marginals over
+      // qualifying units; one division (mirrors
+      // Inference.krippendorffAlpha)
+      "q_krippendorff" ->
+        """WITH ratings AS (
+          |  SELECT user_id % 500 AS unit, event_type AS rater,
+          |         least(min(CAST(round(value * 100) AS BIGINT)) // 10000, 3) AS cat
+          |  FROM events GROUP BY 1, 2),
+          |peruc AS (
+          |  SELECT unit, cat, CAST(count(*) AS BIGINT) AS nuc
+          |  FROM ratings GROUP BY 1, 2),
+          |peru AS (
+          |  SELECT unit, sum(nuc) AS mu, sum(nuc * nuc) AS sq
+          |  FROM peruc GROUP BY 1 HAVING sum(nuc) >= 2),
+          |dobs AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+          |         CAST(COALESCE(sum(mu), 0) AS BIGINT) AS n,
+          |         CAST(COALESCE(sum(12 * (mu * mu - sq) / (mu - 1)), 0) AS BIGINT) AS do_scaled
+          |  FROM peru),
+          |marg AS (
+          |  SELECT CAST(COALESCE(sum(nc * nc), 0) AS BIGINT) AS sum_nc2
+          |  FROM (SELECT cat, sum(nuc) AS nc FROM peruc
+          |        WHERE unit IN (SELECT unit FROM peru) GROUP BY 1))
+          |SELECT n_units, n, do_scaled,
+          |       CAST(n * n - sum_nc2 AS BIGINT) AS de_num,
+          |       round(1.0 - CAST((n - 1) * do_scaled AS DOUBLE) /
+          |             CAST(12 * (n * n - sum_nc2) AS DOUBLE), 6) AS alpha
+          |FROM dobs CROSS JOIN marg ORDER BY n_units""".stripMargin,
 
       // three raters per doc (gold, full-text lang-id, 16-token
       // lang-id); every kappa term an exact long — the

@@ -998,4 +998,140 @@ object Inference {
         col("n_test"), col("covered"),
         expr("(covered * 10000) DIV n_test").as("coverage_bp")): _*)
   }
+
+  /** Per-group ROC AUC from an INTEGER score and a boolean label, via
+    * the tie-aware rank-sum identity AUC = U/(P·N): aggregate to
+    * (group, score) → (n_pos, n_neg) first, then one cumulative window
+    * over the score grid computes, for every score s, the negatives
+    * strictly below it, and
+    *   2U = Σ_s n_pos(s) · (2·cum_neg_below(s) + n_neg(s))
+    * — ties get half credit, every term an exact long, so `u2` (= 2U)
+    * hashes identically on any engine and the single division happens
+    * once at the end. Integer scores are the caller's quantization
+    * contract (cents), which also bounds the window: the sort runs
+    * over the DISTINCT-score grid per group (≤ score range), not over
+    * rows — the aggregate-first window discipline. AUC is null when a
+    * group lacks both classes.
+    *
+    * Returns (group…, n_pos, n_neg, u2, auc) with auc rounded at 6.
+    */
+  def rocAuc(df: DataFrame, group: Seq[String], score: Column,
+      label: Column): DataFrame = {
+    val g = group.map(col)
+    val byScore = df.select(g :+ score.cast("long").as("s")
+        :+ label.cast("boolean").as("y"): _*)
+      .groupBy(g :+ col("s"): _*)
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy(group.map(col): _*).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cnb", coalesce(sum("nn").over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"))
+      .select(g ++ Seq(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc")): _*)
+  }
+
+  /** Precision/recall curve over INTEGER score buckets, descending:
+    * for every distinct bucket b, "predict positive when score ≥ b"
+    * gives tp/fp as cumulative sums from the top of the score grid —
+    * the same aggregate-first window shape as [[rocAuc]], counts exact
+    * longs, one division per emitted point. Returns one row per
+    * (group…, bucket) with tp, fp, precision, recall (rounded at 6).
+    */
+  def prCurve(df: DataFrame, group: Seq[String], bucket: Column,
+      label: Column): DataFrame = {
+    val g = group.map(col)
+    val byB = df.select(g :+ bucket.cast("long").as("b")
+        :+ label.cast("boolean").as("y"): _*)
+      .groupBy(g :+ col("b"): _*)
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val wTop = Window.partitionBy(group.map(col): _*)
+      .orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(group.map(col): _*)
+    byB
+      .withColumn("tp", sum("np").over(wTop))
+      .withColumn("fp", sum("nn").over(wTop))
+      .withColumn("p_tot", sum("np").over(wAll))
+      .select(g ++ Seq(col("b").as("bucket"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("p_tot"), 6).as("recall")): _*)
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a frame of hypotheses:
+    * rank p ascending (ties broken by the caller-unique `key` so the
+    * rank is total), adjusted p = min over j ≥ i of m·p_(j)/j clamped
+    * at 1 (a reversed running min), reject = adjusted ≤ `alpha`
+    * computed FROM THE ROUNDED adjusted p in both engines — the
+    * q_quality_classifier trick that keeps the boolean off any float
+    * ulp boundary. The set {m·p_j/j} depends only on the sorted
+    * multiset of p-values, so tie order never changes the output.
+    *
+    * m is small (one row per hypothesis — per group/arm/brand, not per
+    * observation), so the single global window is grid-bounded by
+    * construction. Returns (key…, p, rank, p_adj, reject).
+    */
+  def bhAdjust(df: DataFrame, key: Seq[String], p: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val k = key.map(col)
+    val base = df.select(k :+ p.cast("double").as("p"): _*)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p") +: k: _*)))
+    val wRev = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("p_adj",
+        least(lit(1.0), min(col("m") * col("p") / col("rank")).over(wRev)))
+      .select(k ++ Seq(round(col("p"), 6).as("p"), col("rank"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (round(col("p_adj"), 6) <= alpha).as("reject")): _*)
+  }
+
+  /** Krippendorff's alpha (nominal) — chance-corrected inter-rater
+    * agreement that, unlike [[fleissKappa]], tolerates MISSING ratings:
+    * units rated by any m_u ≥ 2 of the raters enter with weight
+    * 1/(m_u−1). Exact integer form: each unit's off-diagonal
+    * coincidence mass is (m_u² − Σ_c n_uc²)/(m_u−1), scaled by
+    * `scale` = lcm(1..maxRaters−1) so the division stays integral
+    * (scale=12 covers up to 5 raters — pass a larger lcm for more);
+    * with marginals n_c over the qualifying units and n = Σ m_u,
+    *   α = 1 − (n−1)·D_o^scaled / (scale · (n² − Σ n_c²)),
+    * one exact-long ratio, rounded at 6 (null for degenerate inputs —
+    * no qualifying unit, or a single category where D_e = 0).
+    *
+    * Input contract: ONE rating per (unit, rater) — aggregate upstream
+    * (this dedups defensively). Scale: two grouped counts over the
+    * ratings (unit-sized shuffle), then scalar rollups; no pairs ever
+    * materialize — the quadratic "every pair of ratings within a unit"
+    * definition is cleared to Σ n_uc² per unit.
+    */
+  def krippendorffAlpha(ratings: DataFrame, unit: Column, rater: Column,
+      category: Column, scale: Long = 12L): DataFrame = {
+    val r = ratings.select(unit.as("u"), rater.as("rt"), category.as("cat"))
+      .distinct()
+    val perUC = r.groupBy("u", "cat").agg(count(lit(1)).as("nuc"))
+    val perU = perUC.groupBy("u")
+      .agg(sum("nuc").as("mu"), sum(col("nuc") * col("nuc")).as("sq"))
+      .filter(col("mu") >= 2L)
+    val dObs = perU.agg(count(lit(1)).as("n_units"),
+      coalesce(sum("mu"), lit(0L)).as("n"),
+      coalesce(sum(lit(scale) * (col("mu") * col("mu") - col("sq")) /
+        (col("mu") - 1L)), lit(0L)).cast("long").as("do_scaled"))
+    val marg = perUC.join(perU.select("u"), Seq("u"), "left_semi")
+      .groupBy("cat").agg(sum("nuc").as("nc"))
+      .agg(coalesce(sum(col("nc") * col("nc")), lit(0L)).as("sum_nc2"))
+    dObs.crossJoin(marg) // two 1-row scalar aggregates
+      .select(col("n_units"), col("n"), col("do_scaled"),
+        (col("n") * col("n") - col("sum_nc2")).as("de_num"),
+        round(lit(1.0) - ((col("n") - 1L) * col("do_scaled")).cast("double") /
+          (lit(scale) * (col("n") * col("n") - col("sum_nc2"))).cast("double"),
+          6).as("alpha"))
+  }
 }

@@ -1211,6 +1211,58 @@ class MiningSpec extends SparkSpec {
     assert(out1 === Seq((1L, 0L), (2L, 1L), (3L, 10L))) // bound binds
   }
 
+  test("rocAuc: tie-aware rank-sum by hand (half credit on the tied pair)") {
+    // pos scores {3, 2}, neg {1, 2}: pairs (3,1)+(3,2)+(2,1) win, (2,2)
+    // ties -> U = 3.5, AUC = 0.875, u2 = 7
+    val df = Seq(("g", 3L, true), ("g", 2L, true), ("g", 1L, false),
+      ("g", 2L, false)).toDF("grp", "s", "y")
+    val out = Inference.rocAuc(df, Seq("grp"), col("s"), col("y")).collect().head
+    assert(out.getAs[Long]("n_pos") === 2L && out.getAs[Long]("n_neg") === 2L)
+    assert(out.getAs[Long]("u2") === 7L)
+    assert(out.getAs[Double]("auc") === 0.875)
+  }
+
+  test("prCurve: cumulative-from-top sweep by hand") {
+    val df = Seq(("g", 2L, true), ("g", 1L, true), ("g", 1L, false),
+      ("g", 0L, false)).toDF("grp", "b", "y")
+    val out = Inference.prCurve(df, Seq("grp"), col("b"), col("y"))
+      .orderBy(col("bucket").desc).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"))).toSeq
+    assert(out === Seq((2L, 1L, 0L, 1.0, 0.5), (1L, 2L, 1L, 0.666667, 1.0),
+      (0L, 2L, 2L, 0.5, 1.0)))
+  }
+
+  test("bhAdjust: reversed running min, clamp at 1, reject from rounded p_adj") {
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.9))
+      .toDF("h", "pv")
+    val out = Inference.bhAdjust(df, Seq("h"), col("pv")).orderBy("rank")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rank"),
+        r.getAs[Double]("p_adj"), r.getAs[Boolean]("reject"))).toSeq
+    // sorted p: .01 .03 .04 .9 -> m·p/i: .04 .06 .053333 .9 -> revmin:
+    // .04 .053333 .053333 .9
+    assert(out === Seq(("a", 1, 0.04, true), ("c", 2, 0.053333, false),
+      ("b", 3, 0.053333, false), ("d", 4, 0.9, false)))
+  }
+
+  test("krippendorffAlpha: mixed agreement 0; perfect agreement 1; singleton dropped") {
+    // u1: A,A agree; u2: A,B disagree; u3 singleton (excluded)
+    val r = Seq((1L, "r1", "A"), (1L, "r2", "A"), (2L, "r1", "A"),
+      (2L, "r2", "B"), (3L, "r1", "A")).toDF("u", "rt", "cat")
+    val out = Inference.krippendorffAlpha(r, col("u"), col("rt"), col("cat"))
+      .collect().head
+    assert(out.getAs[Long]("n_units") === 2L && out.getAs[Long]("n") === 4L)
+    // D_o_scaled = 24; (n−1)·24 = 72 = 12·(16−10) -> alpha 0
+    assert(out.getAs[Double]("alpha") === 0.0)
+    val perfect = Seq((1L, "r1", "A"), (1L, "r2", "A"), (2L, "r1", "B"),
+      (2L, "r2", "B")).toDF("u", "rt", "cat")
+    val p = Inference.krippendorffAlpha(perfect, col("u"), col("rt"),
+      col("cat")).collect().head
+    assert(p.getAs[Double]("alpha") === 1.0)
+  }
+
   test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
     val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
       .toDF("doc_id", "text")
