@@ -4338,6 +4338,68 @@ object SparkEntry {
         .orderBy("n_units")
     }),
 
+    // generative text classifier: multinomial naive Bayes trained on
+    // the corpus labels (language), applied back to every document —
+    // token log-probs and priors NANO-QUANTIZED so each doc score is
+    // an exact-long rollup and the argmax can never flip on a float
+    // ulp (TextStats.naiveBayes scaladoc); resubstitution accuracy is
+    // the gate (q_group_split holds the honest-split pattern).
+    "q_naive_bayes" -> ((s, dir) => {
+      TextStats.naiveBayes(spread(t(s, dir, "documents")),
+          col("doc_id"), col("text"), col("lang"))
+        .orderBy("id")
+    }),
+
+    // differential privacy: Laplace-mechanism counts per
+    // (event_type, day) with DETERMINISTIC key-seeded noise — the
+    // inverse-CDF plumbing, sensitivity-1 scale b = 1/ε and
+    // post-processing clamp are the deliverable; a production release
+    // swaps the md5-uniform for cryptographic randomness
+    // (Privacy.dpCounts scaladoc states the contract).
+    "q_dp_counts" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      Privacy.dpCounts(ev, Seq("event_type", "day"), epsilon = 1.0)
+        .orderBy("event_type", "day")
+    }),
+
+    // record-linkage blocking quality: pairs completeness / pair
+    // quality / reduction ratio of the LSH blocking scheme against the
+    // exact-duplicate ground truth (shared normalized fingerprint).
+    // No pair space ever enumerates beyond the capped LSH candidates:
+    // truth pairs COUNT as Σ m(m−1)/2 per fingerprint group, and the
+    // intersection tests each candidate's two fingerprints for
+    // equality — so the metrics that judge the blocking cost only the
+    // blocking.
+    "q_blocking_eval" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val fp = docs.select(col("doc_id"),
+        Dedup.normalizedFingerprint(col("text")).as("fp"))
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val truth = fp.groupBy("fp").agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_truth"))
+      val hits = cand
+        .join(fp.select(col("doc_id").as("id1"), col("fp").as("f1")), "id1")
+        .join(fp.select(col("doc_id").as("id2"), col("fp").as("f2")), "id2")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(when(col("f1") === col("f2"), 1L).otherwise(0L)),
+            lit(0L)).as("n_hit"))
+      nDocs.crossJoin(truth).crossJoin(hits) // three 1-row scalars
+        .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("n_hit") / nullif(col("n_truth"), lit(0L)).cast("double"),
+            6).as("completeness"),
+          round(col("n_hit") / nullif(col("n_cand"), lit(0L)).cast("double"),
+            6).as("quality"),
+          round(lit(1.0) - col("n_cand") /
+            (col("n_docs") * (col("n_docs") - 1L) / lit(2.0)), 6)
+            .as("reduction_ratio"))
+        .orderBy("n_docs")
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -9359,6 +9421,105 @@ object SparkEntry {
           |       round(1.0 - CAST((n - 1) * do_scaled AS DOUBLE) /
           |             CAST(12 * (n * n - sum_nc2) AS DOUBLE), 6) AS alpha
           |FROM dobs CROSS JOIN marg ORDER BY n_units""".stripMargin,
+
+      // multinomial NB mirrored stage for stage: nano-quantized token
+      // log-probs and priors, closed-form smoothing floor for absent
+      // (term, class), argmax by (score DESC, class) — exact-long
+      // scores so the winner can never flip
+      "q_naive_bayes" ->
+        s"""WITH base AS (
+           |  SELECT doc_id AS did, lang AS cls, $sqlTokens AS toks
+           |  FROM documents),
+           |tfc AS (
+           |  SELECT did, cls, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT did, cls, unnest(toks) AS term FROM base)
+           |  GROUP BY 1, 2, 3),
+           |dlen AS (SELECT did, cls, sum(tf) AS len FROM tfc GROUP BY 1, 2),
+           |cnt AS (SELECT cls AS mcls, term, sum(tf) AS cnt
+           |        FROM tfc GROUP BY 1, 2),
+           |totc AS (SELECT mcls, sum(cnt) AS tot FROM cnt GROUP BY 1),
+           |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+           |nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+           |classes AS (
+           |  SELECT c.mcls, t.tot, vb.v,
+           |         CAST(round(ln(CAST(c.n_docs AS DOUBLE) / na.n_all) * 1e9) AS BIGINT) AS prior_nano,
+           |         CAST(round(ln(1.0 / CAST(t.tot + vb.v AS DOUBLE)) * 1e9) AS BIGINT) AS floor_nano
+           |  FROM (SELECT cls AS mcls, count(*) AS n_docs FROM base GROUP BY 1) c
+           |  JOIN totc t ON t.mcls = c.mcls CROSS JOIN vocab vb CROSS JOIN nall na),
+           |model AS (
+           |  SELECT cnt.mcls, cnt.term,
+           |         CAST(round(ln(CAST(cnt.cnt + 1 AS DOUBLE) /
+           |           CAST(t.tot + vb.v AS DOUBLE)) * 1e9) AS BIGINT) AS lp
+           |  FROM cnt JOIN totc t ON t.mcls = cnt.mcls CROSS JOIN vocab vb),
+           |present AS (
+           |  SELECT tfc.did, m.mcls, sum(tfc.tf * m.lp) AS sp, sum(tfc.tf) AS tfp
+           |  FROM tfc JOIN model m ON m.term = tfc.term GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT d.did, d.cls, k.mcls,
+           |         k.prior_nano + COALESCE(p.sp, 0) +
+           |           (d.len - COALESCE(p.tfp, 0)) * k.floor_nano AS score
+           |  FROM dlen d CROSS JOIN classes k
+           |  LEFT JOIN present p ON p.did = d.did AND p.mcls = k.mcls),
+           |win AS (
+           |  SELECT did, cls, mcls, score,
+           |         row_number() OVER (PARTITION BY did
+           |           ORDER BY score DESC, mcls) AS rn
+           |  FROM scored)
+           |SELECT did AS id, mcls AS pred,
+           |       CAST(score AS BIGINT) AS score_nano,
+           |       (mcls = cls) AS correct
+           |FROM win WHERE rn = 1 ORDER BY id""".stripMargin,
+
+      // Laplace inverse CDF on the md5-seeded uniform, mirrored; 2⁵²
+      // as the exact literal; clamp applied after the shared rounding
+      "q_dp_counts" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |nz AS (
+          |  SELECT event_type, day, n,
+          |         (CAST(('0x' || substring(md5(event_type || chr(1) || day), 1, 13)) AS BIGINT) + 0.5)
+          |           / 4503599627370496.0 AS u
+          |  FROM g)
+          |SELECT event_type, day, n,
+          |       round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+          |       round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS dp_n,
+          |       greatest(round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6), 0.0) AS dp_n_clamped
+          |FROM nz ORDER BY event_type, day""".stripMargin,
+
+      // blocking-vs-truth clearing: truth pairs count combinatorially
+      // per fingerprint group, the intersection tests each capped LSH
+      // candidate's fingerprints — the pair space never exceeds the
+      // blocking's own output
+      "q_blocking_eval" ->
+        s"""WITH $sqlMinhashCtes,
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bh FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+           |sized AS (
+           |  SELECT band, bh FROM bands GROUP BY band, bh
+           |  HAVING count(*) BETWEEN 2 AND 316),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  JOIN sized s ON s.band = a.band AND s.bh = a.bh),
+           |fps AS (
+           |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+           |tr AS (SELECT CAST(COALESCE(sum(m * (m - 1) // 2), 0) AS BIGINT) AS n_truth
+           |       FROM (SELECT fp, count(*) AS m FROM fps GROUP BY 1)),
+           |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+           |              CAST(COALESCE(sum(CASE WHEN f1.fp = f2.fp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+           |       FROM pairs p
+           |       JOIN fps f1 ON f1.doc_id = p.id1
+           |       JOIN fps f2 ON f2.doc_id = p.id2)
+           |SELECT n_docs, n_truth, n_cand, n_hit,
+           |       round(n_hit / CAST(nullif(n_truth, 0) AS DOUBLE), 6) AS completeness,
+           |       round(n_hit / CAST(nullif(n_cand, 0) AS DOUBLE), 6) AS quality,
+           |       round(1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0), 6) AS reduction_ratio
+           |FROM nd CROSS JOIN tr CROSS JOIN ht ORDER BY n_docs""".stripMargin,
 
       // three raters per doc (gold, full-text lang-id, 16-token
       // lang-id); every kappa term an exact long — the

@@ -126,4 +126,40 @@ object Privacy {
           (col("n") * col("big_n") * (col("m") - 1)).cast("double"), 6)
           .as("t"): _*)
   }
+
+  /** Differentially-private group counts via the Laplace mechanism —
+    * the ε-DP release shape for histogram queries (count sensitivity
+    * 1, noise scale b = 1/ε). The noise here is DETERMINISTIC by
+    * construction: u ∈ (0,1) derives from the md5 of the group key
+    * ((hash₅₂ + 0.5)/2⁵², never exactly 0 or 1/2 or 1), pushed through
+    * the Laplace inverse CDF −b·sgn(u−½)·ln(1−2|u−½|). A real privacy
+    * deployment MUST swap in cryptographic randomness — a key-seeded
+    * noise stream is a pseudo-random stand-in that makes the release
+    * reproducible and hash-verifiable, which is the property this
+    * pipeline gates on (and what a unit test can assert); the
+    * mechanism's plumbing (sensitivity, scale, post-processing clamp)
+    * is the deliverable.
+    *
+    * Scale: one map-side-combined count aggregate (shuffle = distinct
+    * groups), then a narrow per-group expression — the privacy layer
+    * stays off the critical path.
+    *
+    * Returns (keys…, n, noise, dp_n, dp_n_clamped) with the noisy
+    * values rounded at 6 and the clamp applied AFTER rounding (both
+    * engines branch on the same rounded value).
+    */
+  def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val g = keys.map(col)
+    val u = (conv(substring(md5(concat_ws("\u0001", g: _*)), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / math.pow(2.0, 52)
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(g: _*).agg(count(lit(1)).as("n"))
+      .withColumn("noise", round(noise, 6))
+      .select(g ++ Seq(col("n"), col("noise"),
+        round(col("n") + col("noise"), 6).as("dp_n"),
+        greatest(round(col("n") + col("noise"), 6), lit(0.0))
+          .as("dp_n_clamped")): _*)
+  }
 }

@@ -333,4 +333,72 @@ object TextStats {
         .as("postings"))
       .select("term", "df", "cf", "postings")
   }
+
+  /** Multinomial naive Bayes, trained and applied on the same corpus —
+    * the classic generative text classifier (language ID, topic
+    * routing, quality tiers). Laplace-smoothed token log-probabilities
+    *   ln P(t|c) = ln((cnt(t,c)+1)/(tot_c+V))
+    * and log-priors ln(n_c/N) are NANO-QUANTIZED (×10⁹, rounded to a
+    * long — the q_chi2_test rule), so every document score is an EXACT
+    * integer rollup Σ tf·lp and the argmax can never flip on a float
+    * ulp; ties break to the lexicographically smallest class (stated
+    * contract). Tokens absent for a class score the class's smoothing
+    * floor ln(1/(tot_c+V)) — applied CLOSED-FORM via
+    * (len_d − tf_present)·floor_c rather than materializing the dense
+    * doc×class×vocab cube.
+    *
+    * Scale design: the expensive join is (doc,term,tf) ⋈ model(term) —
+    * posting-list shaped, linear in corpus tokens × |classes|, shuffle
+    * keyed by term; the doc×class spine is |docs|·|classes| rows via a
+    * broadcastable class table; no all-pairs, no collect. |classes| is
+    * assumed dimension-sized (it broadcasts).
+    *
+    * Returns (id, pred, score_nano, correct) — correct compares the
+    * prediction against the training label (resubstitution accuracy;
+    * split upstream for honest eval).
+    */
+  def naiveBayes(docs: DataFrame, id: Column, text: Column,
+      label: Column): DataFrame = {
+    val base = docs.select(id.as("did"), label.as("cls"),
+      tokens(text).as("toks"))
+    val tf = base
+      .select(col("did"), col("cls"), explode(col("toks")).as("term"))
+      .groupBy("did", "cls", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("did", "cls").agg(sum("tf").as("len"))
+    // model: per-(class, term) nano log-prob; per-class floor + prior
+    val cnt = tf.groupBy(col("cls").as("mcls"), col("term"))
+      .agg(sum("tf").as("cnt"))
+    val totc = cnt.groupBy("mcls").agg(sum("cnt").as("tot"))
+    val vocab = cnt.select("term").distinct().agg(count(lit(1)).as("v"))
+    val nTot = base.agg(count(lit(1)).as("n_all"))
+    val classes = base.groupBy(col("cls").as("mcls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totc, "mcls").crossJoin(vocab).crossJoin(nTot)
+      .select(col("mcls"), col("tot"), col("v"),
+        round(log(col("n_docs").cast("double") / col("n_all")) * 1e9)
+          .cast("long").as("prior_nano"),
+        round(log(lit(1.0) / (col("tot") + col("v")).cast("double")) * 1e9)
+          .cast("long").as("floor_nano"))
+    val model = cnt.join(totc, "mcls").crossJoin(vocab)
+      .select(col("mcls"), col("term"),
+        round(log((col("cnt") + 1L).cast("double") /
+          (col("tot") + col("v")).cast("double")) * 1e9)
+          .cast("long").as("lp"))
+    // present-term mass per (doc, candidate class)
+    val present = tf.select(col("did"), col("term"), col("tf"))
+      .join(model, "term")
+      .groupBy("did", "mcls")
+      .agg(sum(col("tf") * col("lp")).as("sp"), sum("tf").as("tfp"))
+    val spine = docLen.crossJoin(broadcast(classes))
+    val scored = spine.join(present, Seq("did", "mcls"), "left")
+      .select(col("did"), col("cls"), col("mcls"),
+        (col("prior_nano") + coalesce(col("sp"), lit(0L)) +
+          (col("len") - coalesce(col("tfp"), lit(0L))) * col("floor_nano"))
+          .as("score"))
+    scored.groupBy("did", "cls")
+      .agg(min(struct((-col("score")).as("ns"), col("mcls").as("c"))).as("w"))
+      .select(col("did").as("id"), col("w.c").as("pred"),
+        (-col("w.ns")).as("score_nano"),
+        (col("w.c") === col("cls")).as("correct"))
+  }
 }

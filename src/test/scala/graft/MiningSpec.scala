@@ -1263,6 +1263,43 @@ class MiningSpec extends SparkSpec {
     assert(p.getAs[Double]("alpha") === 1.0)
   }
 
+  test("naiveBayes: Laplace-smoothed scores by hand; absent terms hit the class floor") {
+    import graft.ext.TextStats
+    // X: docs 1,3 (tokens a:3 b:2, tot 5); Y: doc 2 (b:1 c:1, tot 2); V=3
+    val docs = Seq((1L, "a a b", "X"), (2L, "b c", "Y"), (3L, "a b", "X"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextStats.naiveBayes(docs, col("doc_id"), col("text"),
+        col("lang"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("score_nano"),
+        r.getAs[Boolean]("correct"))).toSeq
+    assert(out.map(_._2) === Seq("X", "Y", "X"))
+    assert(out.forall(_._4))
+    // doc 1 under X: prior ln(2/3) + 2·ln(4/8) + ln(3/8), each term
+    // nano-quantized BEFORE the rollup
+    def nano(x: Double): Long = math.round(math.log(x) * 1e9)
+    assert(out.head._3 === nano(2.0 / 3) + 2 * nano(4.0 / 8) + nano(3.0 / 8))
+  }
+
+  test("dpCounts: deterministic key-seeded noise; exact n; clamp after rounding") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1)).toDF("g", "x")
+    val out = Privacy.dpCounts(df, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("noise"), r.getAs[Double]("dp_n"),
+        r.getAs[Double]("dp_n_clamped"))).toSeq
+    assert(out.map(x => (x._1, x._2)) === Seq(("a", 3L), ("b", 1L)))
+    // dp_n is the rounded sum; the clamp floors at 0 and never lifts
+    out.foreach { case (_, n, noise, dpn, cl) =>
+      assert(dpn === BigDecimal(n + noise).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(cl === math.max(dpn, 0.0))
+    }
+    val again = Privacy.dpCounts(df, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect().map(r => r.getAs[Double]("noise")).toSeq
+    assert(again === out.map(_._3)) // same keys -> same noise, always
+  }
+
   test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
     val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
       .toDF("doc_id", "text")
