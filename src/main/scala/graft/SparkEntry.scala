@@ -4400,6 +4400,124 @@ object SparkEntry {
         .orderBy("n_docs")
     }),
 
+    // time-series similarity: BANDED DYNAMIC TIME WARPING between every
+    // pair of per-type daily series — the alignment distance that
+    // tolerates phase shift (which day-wise L1 cannot), the kernel
+    // behind series clustering and motif search. The whole DP runs as
+    // ONE nested fold per pair (outer fold over rows of the DP matrix,
+    // inner fold builds each row left-to-right), entirely in exact
+    // LONG cents with a 10^15 sentinel for cells outside the
+    // Sakoe–Chiba band (|i−j| ≤ 10) — so the distance hashes
+    // identically on any engine, no float ever enters the recurrence.
+    // Scale: series are grid-bounded by the daily-aggregate contract
+    // (the q_ewma rule); pairs are |types|²-bounded; the fold is
+    // O(n·m) cells per pair — a production banded kernel would store
+    // only the 2r+1 band per row, this exact form trades that constant
+    // for clarity. Unreachable alignments (length gap > band) surface
+    // as NULL.
+    "q_dtw" -> ((s, dir) => {
+      val ser = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, c))), p -> p.c)")
+          .as("ser"))
+      val pairs = ser.as("a")
+        .join(ser.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.ser").as("sa"), col("b.ser").as("sb"))
+      pairs
+        .select(col("type_a"), col("type_b"),
+          size(col("sa")).as("n_a"), size(col("sb")).as("n_b"),
+          expr(
+            """element_at(aggregate(
+              |  sequence(1, size(sa)),
+              |  concat(array(0L), transform(sequence(1, size(sb)), x -> 1000000000000000L)),
+              |  (old, i) -> aggregate(
+              |    sequence(1, size(sb)),
+              |    array(1000000000000000L),
+              |    (racc, j) -> array_append(racc,
+              |      CASE WHEN abs(i - j) > 10 THEN 1000000000000000L
+              |           ELSE abs(element_at(sa, i) - element_at(sb, j)) +
+              |                least(element_at(racc, -1), element_at(old, j + 1), element_at(old, j))
+              |      END))), -1)""".stripMargin).as("raw"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          when(col("raw") < lit(1000000000000000L), col("raw"))
+            .as("dtw_cents"),
+          round(when(col("raw") < lit(1000000000000000L), col("raw"))
+            / 100.0, 2).as("dtw"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // scheduling: weighted CRITICAL PATH over the banded co-purchase
+    // DAG (the q_dag_layers input with deterministic integer stage
+    // costs w = 1 + (src·7 + dst) % 5) — cost(v) = the most expensive
+    // dependency chain ending at v, the number every pipeline latency
+    // budget starts from. Max-plus propagation in exact longs with the
+    // Σ-monotone early exit (Graph.criticalPath scaladoc).
+    "q_critical_path" -> ((s, dir) => {
+      val e = coPurchasePairs(s, dir, minCount = 1)
+        .select((col("id1") % 200).as("src"), (col("id2") % 200).as("dst"))
+        .filter(floor(col("dst") / 25) === floor(col("src") / 25) + 1)
+        .distinct()
+        .withColumn("w", lit(1L) + (col("src") * 7L + col("dst")) % 5L)
+      Graph.criticalPath(e, maxRounds = 8).orderBy("id")
+    }),
+
+    // TS mining: SAX-lite symbolic discretization — each type's daily
+    // series collapses to full-week PAA segments (partial tail weeks
+    // drop, so segment sums compare exactly as longs with no
+    // mean-of-unequal-lengths rational), each segment takes a quartile
+    // letter a–d via ntile over the (sum, index)-ordered segment grid
+    // (rank-based alphabet — a stated deviation from Gaussian
+    // breakpoints: no float mean/σ enters the symbolization), and the
+    // per-type SAX WORD concatenates in week order. The downstream
+    // consumers (motif grouping, anomaly grep) string-match the words.
+    "q_sax" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val seg = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("widx", ((row_number().over(wo) - 1) / 7)
+          .cast("long"))
+        .groupBy("event_type", "widx")
+        .agg(sum("c").as("wsum"), count(lit(1)).as("wn"))
+        .filter(col("wn") === 7)
+        .withColumn("sym", ntile(4).over(
+          Window.partitionBy("event_type").orderBy("wsum", "widx")))
+      seg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_weeks"),
+          expr("""concat_ws('', transform(
+            |  sort_array(collect_list(struct(widx, char(96 + sym)))),
+            |  p -> p.col2))""".stripMargin).as("sax_word"))
+        .orderBy("event_type")
+    }),
+
+    // finance/metering: daily VWAP — the volume-weighted twin of
+    // q_twap: Σ(price·qty)/Σqty per (type, day) with price in exact
+    // cents and a deterministic integer qty, so both sums are exact
+    // longs and the single division lands at the end.
+    "q_vwap" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          round(col("value") * 100).cast("long").as("p"),
+          (col("event_id") % 7 + 1).as("q"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("p") * col("q")).as("pq"), sum("q").as("qty"))
+        .select(col("event_type"), col("day"), col("qty"),
+          round(col("pq") / (lit(100.0) * col("qty")), 6).as("vwap"))
+        .orderBy("event_type", "day")
+    }),
+
     // data forensics: Benford first-digit conformance of the price
     // column — exact digit counts over one map-side-combined pass,
     // expected proportions as plan literals, χ² terms nano-quantized
@@ -9520,6 +9638,101 @@ object SparkEntry {
            |       round(n_hit / CAST(nullif(n_cand, 0) AS DOUBLE), 6) AS quality,
            |       round(1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0), 6) AS reduction_ratio
            |FROM nd CROSS JOIN tr CROSS JOIN ht ORDER BY n_docs""".stripMargin,
+
+      // the identical nested DP fold (DuckDB list_reduce has no init
+      // argument, so both seeds ride as prepended elements; index
+      // markers are 1-element lists to keep the reduce monomorphic) —
+      // exact long cents, 10^15 band sentinel, same recurrence cell
+      // for cell as the Spark aggregate
+      "q_dtw" ->
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |ser AS (SELECT event_type, list(c ORDER BY day) AS ser
+          |        FROM daily GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         a.ser AS sa, b.ser AS sb
+          |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+          |d AS (
+          |  SELECT type_a, type_b,
+          |         CAST(len(sa) AS INTEGER) AS n_a, CAST(len(sb) AS INTEGER) AS n_b,
+          |         list_reduce(
+          |           list_prepend(
+          |             list_prepend(CAST(0 AS BIGINT),
+          |               list_transform(range(1, len(sb) + 1), x -> CAST(1000000000000000 AS BIGINT))),
+          |             list_transform(range(1, len(sa) + 1), i -> [CAST(i AS BIGINT)])),
+          |           (old, ie) -> list_reduce(
+          |             list_prepend([CAST(1000000000000000 AS BIGINT)],
+          |               list_transform(range(1, len(sb) + 1), j -> [CAST(j AS BIGINT)])),
+          |             (racc, je) -> list_append(racc,
+          |               CASE WHEN abs(ie[1] - je[1]) > 10 THEN CAST(1000000000000000 AS BIGINT)
+          |                    ELSE abs(sa[ie[1]] - sb[je[1]]) +
+          |                         least(racc[-1], old[je[1] + 1], old[je[1]])
+          |               END))
+          |         )[-1] AS raw
+          |  FROM pairs)
+          |SELECT type_a, type_b, n_a, n_b,
+          |       CASE WHEN raw < 1000000000000000 THEN raw END AS dtw_cents,
+          |       round(CASE WHEN raw < 1000000000000000 THEN raw END / 100.0, 2) AS dtw
+          |FROM d ORDER BY type_a, type_b""".stripMargin,
+
+      // the q_dag_layers unrolled max-propagation with max(cost + w)
+      // instead of max(lvl) + 1 — same 7-step fixpoint on the 8-band
+      // DAG, deterministic integer stage costs
+      "q_critical_path" -> {
+        val steps = (1 to 7).map { k =>
+          s"""c$k AS (
+             |  SELECT c.id,
+             |         CASE WHEN r.m IS NULL OR c.cost >= r.m THEN c.cost ELSE r.m END AS cost
+             |  FROM c${k - 1} c LEFT JOIN (
+             |    SELECT d.dst AS id, max(c2.cost + d.w) AS m
+             |    FROM d JOIN c${k - 1} c2 ON c2.id = d.src GROUP BY d.dst) r
+             |  USING (id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${sqlCoPurchaseCtes(1)},
+           |d AS (SELECT src, dst, 1 + (src * 7 + dst) % 5 AS w FROM (
+           |        SELECT DISTINCT src % 200 AS src, dst % 200 AS dst FROM p
+           |        WHERE (dst % 200) // 25 = (src % 200) // 25 + 1)),
+           |n0 AS (SELECT src AS id FROM d UNION SELECT dst AS id FROM d),
+           |c0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM n0),
+           |$steps
+           |SELECT id, CAST(cost AS BIGINT) AS cost FROM c7 ORDER BY id""".stripMargin
+      },
+
+      // full-week PAA segments (partial tails drop, so sums compare as
+      // exact longs), rank-based quartile alphabet via ntile over the
+      // (sum, index) order, word assembled in week order
+      "q_sax" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS BIGINT) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |seg AS (
+          |  SELECT event_type, (rn - 1) // 7 AS widx,
+          |         sum(c) AS wsum, count(*) AS wn
+          |  FROM daily GROUP BY 1, 2 HAVING count(*) = 7),
+          |sym AS (
+          |  SELECT event_type, widx,
+          |         ntile(4) OVER (PARTITION BY event_type ORDER BY wsum, widx) AS q
+          |  FROM seg)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+          |       string_agg(chr(CAST(96 + q AS INTEGER)), '' ORDER BY widx) AS sax_word
+          |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // exact integer Σ(price·qty) / Σqty, one division per row
+      "q_vwap" ->
+        """WITH r AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(round(value * 100) AS BIGINT) AS p,
+          |         event_id % 7 + 1 AS q
+          |  FROM events)
+          |SELECT event_type, day,
+          |       CAST(sum(q) AS BIGINT) AS qty,
+          |       round(sum(p * q) / (100.0 * sum(q)), 6) AS vwap
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // three raters per doc (gold, full-text lang-id, 16-token
       // lang-id); every kappa term an exact long — the

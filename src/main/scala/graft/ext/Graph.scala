@@ -292,6 +292,47 @@ object Graph {
     lvl
   }
 
+  /** Weighted longest-path cost to every node of a DAG — the CRITICAL
+    * PATH kernel (project scheduling, pipeline-latency attribution,
+    * lineage cost): cost(v) = max over directed paths ending at v of
+    * Σ edge weights, sources 0. The max-plus twin of
+    * [[longestPathLayers]] (same fixed-round max-propagation, same
+    * Σ-monotone early exit — the sum of per-node maxima strictly grows
+    * until fixpoint, so an unchanged sum ends the loop), with LONG
+    * weights so every cost is exact. Same acyclicity contract as
+    * [[longestPathLayers]]: cycles make the recurrence diverge and are
+    * not detected here. Weights must be non-negative.
+    *
+    * Scale: per round one edge⋈cost join (shuffle on src) + one
+    * max-aggregate (shuffle on dst), O(|E|) each, map-side combinable;
+    * snapshot/release keeps plan depth O(1) per round.
+    *
+    * Returns (id, cost) for every node.
+    */
+  def criticalPath(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    var cost = snapshot(nodes.withColumn("cost", lit(0L)))
+    var costSum = 0L
+    var r = 0
+    var fixpoint = false
+    while (r < maxRounds && !fixpoint) {
+      val relaxed = e.join(cost, e("src") === cost("id"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      val next = snapshot(
+        cost.unionAll(relaxed).groupBy("id").agg(max("cost").as("cost")))
+      val s = next.agg(coalesce(sum("cost"), lit(0L))).head.getLong(0)
+      release(cost)
+      fixpoint = s == costSum
+      costSum = s
+      cost = next
+      r += 1
+    }
+    cost
+  }
+
   /** Fixed-round k-core peeling: each round drops every node with
     * degree < `k` and restricts the edge list to surviving endpoints;
     * the cascade (removals lower neighbors' degrees) is what the next

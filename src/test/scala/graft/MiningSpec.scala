@@ -1300,6 +1300,15 @@ class MiningSpec extends SparkSpec {
     assert(again === out.map(_._3)) // same keys -> same noise, always
   }
 
+  test("criticalPath: max-plus costs by hand; heavier direct edge beats cheap detour") {
+    // 1→2 (w5), 1→3 (w1), 3→2 (w1), 2→4 (w2): cost 2 = max(5, 1+1) = 5
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    val out = Graph.criticalPath(e, maxRounds = 8).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cost"))).toSeq
+    assert(out === Seq((1L, 0L), (2L, 5L), (3L, 1L), (4L, 7L)))
+  }
+
   test("rougeOverlap: clipped multiset counts; zero-overlap row kept; empty ref null") {
     val docs = Seq((0L, "a b a c"), (1L, "a a a b"), (2L, "q"), (3L, "z z"))
       .toDF("doc_id", "text")
