@@ -781,10 +781,13 @@ object Graph {
     * exact form deliberately doesn't.
     *
     * Scale shape: per half-iteration ONE |E|-bounded join + sum
-    * aggregate (shuffle keyed by dst then src); node spine = src ∪ dst
-    * computed once; fixed iteration count stacks a bounded plan, no
-    * per-round actions, no checkpoint needed. Nodes with no in-edges
-    * get authority 0, no out-edges get hub 0 (the spine left-join).
+    * aggregate (shuffle keyed by dst then src), snapshotted
+    * ([[snapshot]]/[[release]]) so plan depth stays O(1) per step and
+    * the node spine materializes once instead of re-running its
+    * distinct at every of the 2·iters+1 references. Nodes with no
+    * in-edges get authority 0, no out-edges get hub 0 (the spine
+    * left-join). Callers should persist the edge frame — every
+    * half-step re-reads it.
     *
     * Returns (id, hub, auth) with both scores max-normalized to [0,1]
     * and rounded at 6.
@@ -792,25 +795,37 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // the spine is re-joined 2·iters times + once at the output —
+    // materialize it once instead of re-running the distinct each time
+    val nodes = snapshot(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     var h = nodes.withColumn("h", lit(1L))
     var a = nodes.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
       val aAgg = e.join(h.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
-      a = nodes.join(aAgg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      val aNext = snapshot(nodes.join(aAgg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")))
+      release(a) // superseded (no-op on the round-0 derived frame)
+      a = aNext
       val hAgg = e.join(a.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
-      h = nodes.join(hAgg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      val hNext = snapshot(nodes.join(hAgg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")))
+      release(h)
+      h = hNext
     }
+    // Materialize the joined scores ONCE: both consumers below (the
+    // 1-row maxima and the normalized output) would otherwise replay
+    // the final join — then release every internal snapshot it
+    // supersedes.
+    val ha = h.join(a, "id").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    release(h); release(a); release(nodes)
     // one-row maxima, broadcast back — the scalar-attach pattern every
     // share-of-total query uses (BroadcastNestedLoop on a 1-row side)
-    val maxes = h.join(a, "id")
-      .agg(max("h").as("mh"), max("a").as("ma"))
-    h.join(a, "id").crossJoin(maxes)
+    val maxes = ha.agg(max("h").as("mh"), max("a").as("ma"))
+    ha.crossJoin(maxes)
       .select(col("id"),
         round(col("h").cast("double") / nullif(col("mh"), lit(0L)).cast("double"), 6).as("hub"),
         round(col("a").cast("double") / nullif(col("ma"), lit(0L)).cast("double"), 6).as("auth"))
