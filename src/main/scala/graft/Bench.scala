@@ -17,8 +17,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val loadStart =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Quiet-host guard (round-8 verdict: the archived bench ran at
+    // loadavg 4.7→10.8 and misstated the engine by ~50%). Wait for the
+    // 1-min load to drop below SPARK_GRAFT_MAX_LOAD (default 1.5)
+    // before timing anything, up to SPARK_GRAFT_LOAD_WAIT_SEC (default
+    // 600 s). If the host never quiets, we still RUN and archive —
+    // a bench stamped "load_guard":"exceeded" beats no artifact —
+    // but the JSON records the wait, the threshold, and the load at
+    // timing start so a reader can discard the run mechanically.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.5").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "600").toInt
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val waitT0 = System.nanoTime()
+    while (osBean.getSystemLoadAverage > maxLoad &&
+           (System.nanoTime() - waitT0) / 1e9 < loadWaitSec) {
+      System.err.println(
+        f"[bench] host loaded (loadavg ${osBean.getSystemLoadAverage}%.2f > $maxLoad%.2f), waiting...")
+      Thread.sleep(10000)
+    }
+    val loadWaited = (System.nanoTime() - waitT0) / 1e9
+    val loadStart = osBean.getSystemLoadAverage
+    val loadGuard = if (loadStart <= maxLoad) "quiet" else "exceeded"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,13 +83,16 @@ object Bench {
     // instead of mistaking burst noise for a plan regression
     val spread = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // SPARK_GRAFT_BENCH_ROWS=1: record each query's OUTPUT row count
-    // (one extra untimed count() run). The scale sweep needs this to
-    // adjudicate superlinear time ratios — a radius join or a
-    // replica-duplicated corpus grows its OUTPUT quadratically, and
-    // time/output is the honest per-row cost; without the counts that
-    // claim is unfalsifiable (the round-7 verdict's exact complaint).
-    val countRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("1")
+    // Record each query's OUTPUT row count (one extra untimed count()
+    // run). The scale sweep needs this to adjudicate superlinear time
+    // ratios — a radius join or a replica-duplicated corpus grows its
+    // OUTPUT quadratically, and time/output is the honest per-row
+    // cost; without the counts that claim is unfalsifiable (the
+    // round-7 verdict's exact complaint). ON by default since round 9
+    // (round-8 verdict item 4: every archived bench carries the rows
+    // map, not just the scale sweep); SPARK_GRAFT_BENCH_ROWS=0 opts
+    // out for quick local iteration.
+    val countRows = !sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("0")
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -117,7 +139,7 @@ object Bench {
       if (!countRows) ""
       else rows.map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString(""","rows":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
@@ -137,7 +159,7 @@ object Bench {
       val omitPart =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
     }
     val bySlow = warm.toSeq.sortBy(-_._2)
     var keep = bySlow.size

@@ -28,6 +28,46 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One-time-per-(JVM, dir) setup for q_dsv2_scan's fixed-width
+    * fixture: verifies the on-disk extract still matches the live
+    * lineitem table by (row count, Σ l_orderkey) and (re)exports it if
+    * stale, then memoizes so warm bench runs time ONLY the DSv2 read.
+    * computeIfAbsent gives per-key once-semantics under Bench's
+    * single-threaded loop and Verify's sequential run alike; the value
+    * is the fixture path. Thread-safe: concurrent first calls for the
+    * same dir would serialize on the map entry.
+    */
+  private val dsv2FixtureReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureDsv2Fixture(s: SparkSession, dir: String): String = {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$dirKey"
+    dsv2FixtureReady.computeIfAbsent(fwDir, _ => {
+      val liveSig = t(s, dir, "lineitem")
+        .agg(count(lit(1)), sum(col("l_orderkey"))).head()
+      val fresh =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")) && {
+          val fix = s.read.text(fwDir)
+            .select(expr("try_cast(trim(substring(value, 1, 12)) AS BIGINT)").as("okey"))
+            .agg(count(lit(1)), sum(col("okey"))).head()
+          fix.getLong(0) == liveSig.getLong(0) && !fix.isNullAt(1) &&
+            fix.getLong(1) == liveSig.getLong(1)
+        }
+      if (!fresh)
+        t(s, dir, "lineitem")
+          .select(concat(
+            rpad(col("l_orderkey").cast("string"), 12, " "),
+            rpad(col("l_partkey").cast("string"), 12, " "),
+            rpad(floor(col("l_quantity")).cast("string"), 8, " "),
+            rpad(col("l_returnflag"), 4, " "),
+            rpad(date_format(col("l_shipdate"), "yyyy-MM-dd"), 12, " ")).as("value"))
+          .coalesce(2)
+          .write.mode("overwrite").text(fwDir)
+      fwDir
+    })
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_flagship_agg")(spark, "/root/testdata/sf0.001")
@@ -124,16 +164,8 @@ object SparkEntry {
     * the multiplicity HAVING runs map-side-combined on the pair key.
     * Shared spine of the graph-algorithm queries (BFS, k-core).
     */
-  private def coPurchasePairs(s: SparkSession, dir: String, minCount: Long): DataFrame = {
-    val li = spread(t(s, dir, "lineitem"))
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
-        col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("id1"), col("b.pk").as("id2"))
-      .agg(count(lit(1)).as("m"))
-      .filter(col("m") >= minCount)
-      .select("id1", "id2")
-  }
+  private def coPurchasePairs(s: SparkSession, dir: String, minCount: Long): DataFrame =
+    coPurchasePairsWithCount(s, dir, minCount).select("id1", "id2")
 
   private def coPurchaseEdges(s: SparkSession, dir: String, minCount: Long): DataFrame =
     Graph.symmetrize(coPurchasePairs(s, dir, minCount))
@@ -141,8 +173,20 @@ object SparkEntry {
   /** [[coPurchasePairs]] keeping an affinity-derived integer edge COST:
     * w = 11 − min(m, 10) ∈ [1, 10] — frequently co-purchased parts are
     * "close". Long weights so [[Graph.sssp]] distances stay exact.
+    * Derived from the unweighted pair graph by KEEPING its multiplicity
+    * column (via [[coPurchasePairsWithCount]]) so there is exactly one
+    * definition of the pair graph to drift (round-8 advice).
     */
   private def coPurchaseWeightedPairs(s: SparkSession, dir: String,
+      minCount: Long): DataFrame =
+    coPurchasePairsWithCount(s, dir, minCount)
+      .select(col("id1"), col("id2"),
+        (lit(11L) - least(col("m"), lit(10L))).as("w"))
+
+  /** The single self-join/groupBy/HAVING pair-graph definition both
+    * variants share: (id1, id2, m) with m = co-purchase multiplicity.
+    */
+  private def coPurchasePairsWithCount(s: SparkSession, dir: String,
       minCount: Long): DataFrame = {
     val li = spread(t(s, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -151,8 +195,6 @@ object SparkEntry {
       .groupBy(col("a.pk").as("id1"), col("b.pk").as("id2"))
       .agg(count(lit(1)).as("m"))
       .filter(col("m") >= minCount)
-      .select(col("id1"), col("id2"),
-        (lit(11L) - least(col("m"), lit(10L))).as("w"))
   }
 
   /** DuckDB mirror of [[coPurchaseEdges]]: CTEs `p` (ordered pairs) and
@@ -3800,30 +3842,14 @@ object SparkEntry {
       // lineitem table by (row count, Σ l_orderkey): the driver has
       // regenerated testdata in place between rounds, and a
       // regeneration can keep the row count while changing values, so
-      // count alone would silently serve stale bytes
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val fwDir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$dirKey"
-      val liveSig = t(s, dir, "lineitem")
-        .agg(count(lit(1)), sum(col("l_orderkey"))).head()
-      val fresh =
-        java.nio.file.Files.exists(java.nio.file.Paths.get(fwDir, "_SUCCESS")) && {
-          val fix = s.read.text(fwDir)
-            .select(expr("try_cast(trim(substring(value, 1, 12)) AS BIGINT)").as("okey"))
-            .agg(count(lit(1)), sum(col("okey"))).head()
-          fix.getLong(0) == liveSig.getLong(0) && !fix.isNullAt(1) &&
-            fix.getLong(1) == liveSig.getLong(1)
-        }
-      if (!fresh)
-        t(s, dir, "lineitem")
-          .select(concat(
-            rpad(col("l_orderkey").cast("string"), 12, " "),
-            rpad(col("l_partkey").cast("string"), 12, " "),
-            rpad(floor(col("l_quantity")).cast("string"), 8, " "),
-            rpad(col("l_returnflag"), 4, " "),
-            rpad(date_format(col("l_shipdate"), "yyyy-MM-dd"), 12, " ")).as("value"))
-          .coalesce(2)
-          .write.mode("overwrite").text(fwDir)
+      // count alone would silently serve stale bytes. The check itself
+      // (a full live-lineitem aggregate + a full fixture re-read) runs
+      // ONCE per (JVM, dir) via ensureDsv2Fixture — the round-8 bench
+      // timed it on every warm run, inflating the row ~10× and masking
+      // the DSv2 read it claims to measure; the staleness contract only
+      // needs first-touch-per-session (testdata regeneration happens
+      // between driver rounds, i.e. between JVMs, never mid-session).
+      val fwDir = ensureDsv2Fixture(s, dir)
       s.read.format("graft-fixedwidth")
         .option("layout", "okey:1:12,pkey:13:12,qty:25:8,rflag:33:4,sdate:37:12")
         .option("recordLength", 48)
@@ -4256,7 +4282,13 @@ object SparkEntry {
     "q_pr_curve" -> ((s, dir) => {
       val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
         .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("b"),
+          // FLOOR division (pmod-Euclidean, exact in longs): Spark DIV
+          // truncates toward zero while the DuckDB oracle's // floors,
+          // and nothing pins value ≥ 0 — this form agrees with the
+          // oracle for any sign (round-8 advice)
+          expr("""(CAST(round(value * 100) AS BIGINT)
+                 | - pmod(CAST(round(value * 100) AS BIGINT), 5000))
+                 | DIV 5000""".stripMargin.replace("\n", "")).as("b"),
           (col("user_id") % 3 === 0).as("y"))
       Inference.prCurve(ev, Seq("event_type"), col("b"), col("y"))
         .orderBy("event_type", "bucket")
@@ -4337,7 +4369,10 @@ object SparkEntry {
           col("event_type").as("rater"))
         .agg(min(round(col("value") * 100).cast("long")).as("mc"))
         .select(col("unit"), col("rater"),
-          least(expr("mc DIV 10000"), lit(3L)).as("cat"))
+          // pmod-Euclidean floor div, matching the oracle's flooring
+          // // for any sign of mc (round-8 advice; value > 0 today but
+          // the query shouldn't depend on that)
+          least(expr("(mc - pmod(mc, 10000)) DIV 10000"), lit(3L)).as("cat"))
       Inference.krippendorffAlpha(ratings, col("unit"), col("rater"),
           col("cat"))
         .orderBy("n_units")
@@ -9417,7 +9452,7 @@ object SparkEntry {
           |       CAST(sum(nn) AS BIGINT) AS n_neg,
           |       CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
           |       round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE) /
-          |             (2.0 * sum(np) * sum(nn)), 6) AS auc
+          |             nullif(2.0 * sum(np) * sum(nn), 0), 6) AS auc
           |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // descending-bucket sweep: tp/fp cumulative from the top of the
@@ -9444,7 +9479,7 @@ object SparkEntry {
           |SELECT event_type, bucket,
           |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
           |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-          |       round(CAST(tp AS DOUBLE) / p_tot, 6) AS recall
+          |       round(CAST(tp AS DOUBLE) / nullif(p_tot, 0), 6) AS recall
           |FROM cum ORDER BY event_type, bucket""".stripMargin,
 
       // BH sweep mirrored: per-brand sign-test z from exact counts,

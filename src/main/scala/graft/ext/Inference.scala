@@ -1031,8 +1031,12 @@ object Inference {
       .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
         sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"))
       .select(g ++ Seq(col("n_pos"), col("n_neg"), col("u2"),
-        round(col("u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc")): _*)
+        // explicit one-class guard: Spark's non-ANSI Divide would give
+        // null here anyway, but DuckDB gives NaN — branch BEFORE the
+        // division so both engines emit the same null (round-8 advice)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc")): _*)
   }
 
   /** Precision/recall curve over INTEGER score buckets, descending:
@@ -1059,9 +1063,15 @@ object Inference {
       .withColumn("fp", sum("nn").over(wTop))
       .withColumn("p_tot", sum("np").over(wAll))
       .select(g ++ Seq(col("b").as("bucket"), col("tp"), col("fp"),
+        // tp+fp ≥ 1 by construction (the bucket row exists because at
+        // least one observation landed in it), so precision never
+        // divides by zero; recall's divisor is the group's positive
+        // total, which CAN be 0 — branch before dividing so Spark and
+        // DuckDB agree on null instead of null-vs-NaN (round-8 advice)
         round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
           .as("precision"),
-        round(col("tp").cast("double") / col("p_tot"), 6).as("recall")): _*)
+        when(col("p_tot") > 0,
+          round(col("tp").cast("double") / col("p_tot"), 6)).as("recall")): _*)
   }
 
   /** Benjamini–Hochberg FDR adjustment over a frame of hypotheses:

@@ -155,11 +155,15 @@ object Privacy {
       .cast("long").cast("double") + 0.5) / math.pow(2.0, 52)
     val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
       log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    // dp_n adds the RAW noise and rounds ONCE at the end — the display
+    // `noise` column is rounded separately. Round-8 advice: the earlier
+    // round(n + round(noise, 6), 6) double-rounding diverged from the
+    // oracle's round(n + raw_noise, 6) closed form at a 7th-decimal
+    // boundary; now both engines evaluate the identical expression.
     df.groupBy(g: _*).agg(count(lit(1)).as("n"))
-      .withColumn("noise", round(noise, 6))
-      .select(g ++ Seq(col("n"), col("noise"),
-        round(col("n") + col("noise"), 6).as("dp_n"),
-        greatest(round(col("n") + col("noise"), 6), lit(0.0))
+      .select(g ++ Seq(col("n"), round(noise, 6).as("noise"),
+        round(col("n") + noise, 6).as("dp_n"),
+        greatest(round(col("n") + noise, 6), lit(0.0))
           .as("dp_n_clamped")): _*)
   }
 }
