@@ -71,16 +71,70 @@ object Graph {
     org.apache.spark.sql.graft.ColumnBridge.checkpointedRdd(df)
       .foreach(_.unpersist(blocking = false))
 
-  /** Global transitivity (clustering coefficient) by DEGREE-ORIENTED
-    * triangle counting — the algorithm that survives skew: each
-    * undirected edge is kept once, directed from its (degree, id)-
-    * smaller endpoint to the larger, so every node's OUT-degree is
-    * O(√|E|) regardless of its real degree, and the wedge self-join
-    * (out-neighbor pairs per node) is bounded by Σ out² instead of
-    * Σ deg² — a hub with a million neighbors contributes almost no
-    * wedges because nearly all its edges point INTO it. Each triangle
-    * is generated exactly once (its orientation-ordered wedge), closed
-    * by one semi-join against the oriented edge list.
+  /** Degree totals + the degree-ORIENTED edge list the triangle kernels
+    * share: each undirected edge kept once, directed from its
+    * (degree, id)-smaller endpoint to the larger, so every node's
+    * OUT-degree is O(√|E|) regardless of its real degree — a hub's
+    * edges nearly all point INTO it (the orientation bound
+    * OrientationSpec gates on a hub-star fixture). Input is the
+    * symmetrized edge list; returns (deg, oriented).
+    */
+  private[graft] def orientByDegree(edges: DataFrame): (DataFrame, DataFrame) = {
+    // Persist BOTH frames: the caller's edge list is typically an
+    // expensive derivation (q_transitivity's edges are a lineitem
+    // self-join + pair aggregate), and without a persist every
+    // reference — deg here, the orientation join here, deg again in
+    // the caller's denominator — re-runs that derivation from scratch
+    // (the 30× sweep measured the self-join recomputing 3×, dwarfing
+    // the triangle kernel itself). Serialized storage for the same
+    // reason as [[snapshot]]; Bench/Verify clearCache() between
+    // queries bounds the lifetime.
+    val e = edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .persist( // read twice by edgeTriangles (adjacency + edge join)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (deg, oriented)
+  }
+
+  /** Per-oriented-edge triangle closure — the EDGE-ITERATOR kernel both
+    * triangle statistics run on: collect each node's oriented
+    * out-neighborhood (array length O(√|E|) by [[orientByDegree]]),
+    * annotate every oriented edge (u, v) with both endpoint arrays, and
+    * intersect. Each triangle {a,b,c} oriented a→b, a→c, b→c appears
+    * exactly once, at edge (a, b) with c in the intersection. The
+    * Σ out² wedge work happens INSIDE `array_intersect` (codegen'd,
+    * per-row) instead of materializing Σ out² wedge rows through a
+    * shuffle and a closing semi-join — the round-8 scale sweep's one
+    * superlinear residue, now gone: shuffled volume is O(|E|) edge
+    * rows carrying O(√|E|) arrays plus one O(|E|)-row aggregate.
+    *
+    * Returns one row per oriented edge: (u, v, ws) with ws = the
+    * closing third corners (possibly empty).
+    */
+  private def edgeTriangles(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy("src").agg(collect_list("dst").as("nb"))
+    oriented
+      .join(adj.select(col("src").as("u"), col("nb").as("nbu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nb").as("nbv")),
+        col("dst") === col("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nbu"), col("nbv")).as("ws"))
+  }
+
+  /** Global transitivity (clustering coefficient) by degree-oriented
+    * EDGE-ITERATOR triangle counting ([[orientByDegree]] +
+    * [[edgeTriangles]]) — the formulation that survives skew: a hub
+    * with a million neighbors contributes almost no out-wedges because
+    * nearly all its edges point INTO it, and the intersection work
+    * never leaves the row.
     *
     * Returns one row: n_triangles, n_wedges (open+closed,
     * Σ deg·(deg−1)/2 on the undirected graph), and transitivity =
@@ -88,24 +142,10 @@ object Graph {
     * longs).
     */
   def globalTransitivity(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("src"), col("deg").as("dsrc")), "src")
-      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
-    val oriented = withDeg.filter(col("dsrc") < col("ddst") ||
-        (col("dsrc") === col("ddst") && col("src") < col("dst")))
-      .select(col("src"), col("dst"), col("ddst"))
-      .persist() // read 3×: both wedge legs + the closing semi-join
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"),
-        col("ddst").as("dv"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
-        col("ddst").as("dw")), Seq("u"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    val tri = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val (deg, oriented) = orientByDegree(edges)
+    val tri = edgeTriangles(oriented)
+      .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long")
+        .as("n_triangles"))
     val openW = deg.agg((sum(col("deg") * (col("deg") - 1)) / 2)
       .cast("long").as("n_wedges"))
     tri.crossJoin(openW) // two 1-row scalar aggregates
@@ -118,39 +158,35 @@ object Graph {
     * neighborhood is to a clique: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * the node-level refinement of [[globalTransitivity]] (community
     * cohesion scoring, spam/bot neighborhood detection). Same
-    * degree-ORIENTED triangle machinery — each undirected triangle is
-    * enumerated exactly once via its orientation-ordered wedge, wedge
-    * work bounded by Σ out² = O(|E|^1.5) regardless of hubs — but the
-    * closing join keeps the wedge row (u,v,w) instead of counting, and
-    * an explode credits the triangle to ALL THREE corners before one
-    * map-side-combined per-node count. Per-node output is |V| rows;
-    * the explode is 3 rows per triangle — bounded by the triangle
-    * count the oriented join already paid for.
+    * [[edgeTriangles]] kernel — each undirected triangle detected
+    * exactly once, intersection work in-row, Σ out² = O(|E|^1.5)
+    * regardless of hubs — but the per-edge closure list is kept and
+    * credited to all three corners. Per-node output is |V| rows; the
+    * only explode is ONE row per triangle (the closing corner), the
+    * two endpoint credits aggregate without exploding.
     *
     * Returns (id, degree, n_tri, lcc) for every node with ≥ 1 edge;
     * degree-1 nodes get null lcc (undefined), exact long counts
     * otherwise, lcc rounded at 6.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("src"), col("deg").as("dsrc")), "src")
-      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
-    val oriented = withDeg.filter(col("dsrc") < col("ddst") ||
-        (col("dsrc") === col("ddst") && col("src") < col("dst")))
-      .select(col("src"), col("dst"), col("ddst"))
-      .persist() // read 3×: both wedge legs + the closing semi-join
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"),
-        col("ddst").as("dv"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
-        col("ddst").as("dw")), Seq("u"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    val perNode = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val (deg, oriented) = orientByDegree(edges)
+    // credit each detected triangle (edge (u,v), closing corner w ∈ ws)
+    // to ALL THREE corners: u and v get size(ws) WITHOUT exploding
+    // (two map-side-combined aggregates over the |E| edge rows); only
+    // the w credits explode, and that explode is exactly one row per
+    // triangle — a third of the previous 3-rows-per-triangle explode.
+    val tris = edgeTriangles(oriented)
+      .filter(size(col("ws")) > 0)
+      .persist() // read 3×: u-credits, v-credits, w-credits
+    val uCred = tris.groupBy(col("u").as("id"))
+      .agg(sum(size(col("ws"))).as("c"))
+    val vCred = tris.groupBy(col("v").as("id"))
+      .agg(sum(size(col("ws"))).as("c"))
+    val wCred = tris.select(explode(col("ws")).as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("c"))
+    val perNode = uCred.unionAll(vCred).unionAll(wCred)
+      .groupBy("id").agg(sum("c").as("n_tri"))
     deg.select(col("src").as("id"), col("deg").as("degree"))
       .join(perNode, Seq("id"), "left")
       .na.fill(0L, Seq("n_tri"))

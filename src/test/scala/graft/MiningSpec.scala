@@ -865,6 +865,37 @@ class MiningSpec extends SparkSpec {
     assert(r2.getLong(0) === 2L && r2.getLong(1) === 8L && r2.getDouble(2) === 0.75)
   }
 
+  test("orientByDegree: hub-star wedge work capped — every out-degree ≤ 1") {
+    // star: hub 0 with 200 leaves. A naive (unoriented) wedge
+    // enumeration would emit C(200,2) = 19900 wedge rows at the hub;
+    // degree orientation directs every edge leaf→hub (leaf degree
+    // 1 < 200), so the hub's OUT-degree is 0, every leaf's is 1, and
+    // the edge-iterator's per-row intersection arrays are ≤ 1 element.
+    // This is the skew bound the triangle kernels rely on at 100 TB.
+    val star = Graph.symmetrize(
+      (1L to 200L).map(i => (0L, i)).toDF("id1", "id2"))
+    val (_, oriented) = Graph.orientByDegree(star)
+    assert(oriented.count() === 200L) // each undirected edge exactly once
+    val outDeg = oriented.groupBy("src").agg(count(lit(1)).as("od"))
+    assert(outDeg.agg(max("od")).head().getLong(0) === 1L)
+    assert(oriented.filter(col("src") === 0L).count() === 0L) // hub emits none
+    // downstream kernels on the star: zero triangles, hub-only wedges
+    val r = Graph.globalTransitivity(star).collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 19900L
+      && r.getDouble(2) === 0.0)
+    // and orientation still finds triangles THROUGH a hub: add one
+    // leaf-leaf edge -> exactly one triangle (0,1,2), corners credited
+    val starTri = Graph.symmetrize(
+      ((1L to 200L).map(i => (0L, i)) :+ (1L, 2L)).toDF("id1", "id2"))
+    val r2 = Graph.globalTransitivity(starTri).collect().head
+    assert(r2.getLong(0) === 1L)
+    val lcc = Graph.localClustering(starTri)
+      .filter(col("id").isin(0L, 1L, 2L, 3L))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_tri"))).toSeq
+    assert(lcc === Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+
   test("commonNeighbors: adjacency excluded, apex cap drops hubs, (cn,id) order") {
     // path 1-2-3: the only 2-hop non-adjacent pair is (1,3) through 2
     val path = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
