@@ -4260,6 +4260,100 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // q_holt_winters through the long-series fallback: per-chunk
+    // basis-propagated affine summaries over the (l, b, ring[7]) state,
+    // boundary fold, in-chunk sequential re-fold at O(√len) task memory
+    // (Forecast.holtWintersChunked scaladoc) — closes the fold family's
+    // last collect-whole-series hole.
+    "q_holt_winters_chunked" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"))
+      Forecast.holtWintersChunked(daily, Seq("event_type"), "day",
+          "day_total", alpha = 0.5, beta = 0.3, gamma = 0.2, period = 7,
+          chunkSize = 16)
+        .select(col("event_type"), col("day"), col("day_total"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("forecast_next"), 6).as("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
+    // q_cusum through the long-series fallback — and the one chunked
+    // fold that is BIT-exact, not tolerance-equal: max(0, s+d) maps
+    // compose closed in the max-plus semiring over exact longs
+    // (Forecast.cusumChunked scaladoc), so this shares q_cusum's
+    // oracle with zero float risk. Per-series n/Σc come from one
+    // partition window instead of a collected aggregate.
+    "q_cusum_chunked" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("event_type")
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("stot", sum("c").over(wAll))
+        .withColumn("dp",
+          (col("n") * col("c") - col("stot")) - col("n") * lit(500L))
+        .withColumn("dn",
+          -(col("n") * col("c") - col("stot")) - col("n") * lit(500L))
+      Forecast.cusumChunked(daily.select("event_type", "day", "dp", "dn"),
+          Seq("event_type"), "day", "dp", "dn", chunkSize = 16)
+        .join(daily.select("event_type", "day", "day_total", "n"),
+          Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("day_total"),
+          round(col("tp") / (lit(100.0) * col("n")), 6).as("s_pos"),
+          round(col("tn") / (lit(100.0) * col("n")), 6).as("s_neg"),
+          (col("tp") > col("n") * lit(2500L) ||
+            col("tn") > col("n") * lit(2500L)).as("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Wilder RSI through the long-series fallback: the α = 1/14
+    // smoothing is the EWMA recursion, so each series drops its
+    // delta-less first row and runs TWO ewmaChunked folds (gains,
+    // losses) seeded ag₂ = g₂ — the α-form op order (α·g + (1−α)·ag),
+    // stated in this query's own oracle, vs q_rsi's (13·ag + g)/14;
+    // the two differ only in IEEE rounding of each step.
+    "q_rsi_chunked" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_total"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("g",
+          greatest(col("c") - lag("c", 1).over(w), lit(0L)) / lit(100.0))
+        .withColumn("l",
+          greatest(lag("c", 1).over(w) - col("c"), lit(0L)) / lit(100.0))
+        .withColumn("rn", row_number().over(w))
+      val rest = daily.filter(col("rn") > 1)
+      val ag = Forecast.ewmaChunked(rest.select("event_type", "day", "g"),
+          Seq("event_type"), "day", "g", alpha = 1.0 / 14, chunkSize = 16)
+        .select(col("event_type"), col("day"), col("ewma").as("ag"))
+      val al = Forecast.ewmaChunked(rest.select("event_type", "day", "l"),
+          Seq("event_type"), "day", "l", alpha = 1.0 / 14, chunkSize = 16)
+        .select(col("event_type"), col("day"), col("ewma").as("al"))
+      daily.select("event_type", "day", "day_total", "rn")
+        .join(ag, Seq("event_type", "day"), "left")
+        .join(al, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), col("day_total"),
+          round(when(col("rn") === 1, lit(null))
+            .when(col("al") === 0.0 && col("ag") === 0.0, lit(50.0))
+            .when(col("al") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("ag") / col("al"))), 6).as("rsi"))
+        .orderBy("event_type", "day")
+    }),
+
     // model-eval: per-segment ROC AUC via the tie-aware rank-sum
     // identity — u2 = 2·Mann-Whitney-U stays an exact long
     // (Inference.rocAuc scaladoc); scores quantized to cents so the
@@ -9421,6 +9515,97 @@ object SparkEntry {
           |  SELECT d.event_type, d.day, d.day_total, d.rn,
           |         CASE WHEN w.ag IS NULL THEN d.g ELSE (w.ag * 13.0 + d.g) / 14.0 END,
           |         CASE WHEN w.al IS NULL THEN d.l ELSE (w.al * 13.0 + d.l) / 14.0 END
+          |  FROM rs w JOIN d2 d ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(CASE WHEN ag IS NULL THEN NULL
+          |                  WHEN al = 0 AND ag = 0 THEN 50.0
+          |                  WHEN al = 0 THEN 100.0
+          |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+          |FROM rs ORDER BY event_type, day""".stripMargin,
+
+      // the chunked Holt–Winters shares the SEQUENTIAL recursive-CTE
+      // oracle: ForecastChunkedSpec gates the boundary-composed fold to
+      // 1e-9 relative agreement, and round-6 display equality is the
+      // same license q_ewma_chunked/q_holt_chunked run under
+      "q_holt_winters_chunked" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |hw(event_type, day, day_total, rn, l, b, s, ring) AS (
+          |  SELECT event_type, day, day_total, rn, day_total,
+          |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+          |         CAST([0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])
+          |  FROM daily WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b),
+          |         0.3 * ((0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+          |         0.2 * (d.day_total - (0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b))) + 0.8 * h.ring[1],
+          |         h.ring[2:7] || [0.2 * (d.day_total - (0.5 * (d.day_total - h.ring[1]) + 0.5 * (h.l + h.b))) + 0.8 * h.ring[1]]
+          |  FROM hw h JOIN daily d
+          |    ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+          |SELECT event_type, day, day_total,
+          |       round(l, 6) AS level, round(b, 6) AS trend,
+          |       round(s, 6) AS seasonal,
+          |       round(l + b + ring[1], 6) AS forecast_next
+          |FROM hw ORDER BY event_type, day""".stripMargin,
+
+      // the chunked CUSUM is BIT-exact against the sequential fold
+      // (max-plus composition over exact longs), so it shares q_cusum's
+      // oracle verbatim — no tolerance license needed
+      "q_cusum_chunked" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |              CAST(sum(c) AS BIGINT) AS stot FROM daily GROUP BY 1),
+          |cu(event_type, day, day_total, rn, tp, tn) AS (
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         greatest(CAST(0 AS BIGINT), (s.n * d.c - s.stot) - s.n * 500),
+          |         greatest(CAST(0 AS BIGINT), -(s.n * d.c - s.stot) - s.n * 500)
+          |  FROM daily d JOIN st s ON s.event_type = d.event_type WHERE d.rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         greatest(CAST(0 AS BIGINT), w.tp + (s.n * d.c - s.stot) - s.n * 500),
+          |         greatest(CAST(0 AS BIGINT), w.tn - (s.n * d.c - s.stot) - s.n * 500)
+          |  FROM cu w JOIN daily d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+          |  JOIN st s ON s.event_type = d.event_type)
+          |SELECT c2.event_type, c2.day, c2.day_total,
+          |       round(c2.tp / (100.0 * s.n), 6) AS s_pos,
+          |       round(c2.tn / (100.0 * s.n), 6) AS s_neg,
+          |       (c2.tp > s.n * 2500 OR c2.tn > s.n * 2500) AS alarm
+          |FROM cu c2 JOIN st s ON s.event_type = c2.event_type
+          |ORDER BY c2.event_type, c2.day""".stripMargin,
+
+      // chunked RSI states ITS OWN op-order contract: the EWMA α-form
+      // (1/14)·g + (1 − 1/14)·ag that ewmaChunked folds, vs q_rsi's
+      // (13·ag + g)/14 — the sequential twin of exactly what the Spark
+      // side computes, seeded ag₂ = g₂ after the delta-less first row
+      "q_rsi_chunked" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         round(sum(value), 2) AS day_total,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS INTEGER) AS rn
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |d2 AS (
+          |  SELECT event_type, day, day_total, rn,
+          |         greatest(c - lag(c) OVER (PARTITION BY event_type ORDER BY rn), CAST(0 AS BIGINT)) / 100.0 AS g,
+          |         greatest(lag(c) OVER (PARTITION BY event_type ORDER BY rn) - c, CAST(0 AS BIGINT)) / 100.0 AS l
+          |  FROM daily),
+          |rs(event_type, day, day_total, rn, ag, al) AS (
+          |  SELECT event_type, day, day_total, rn,
+          |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          |  FROM d2 WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.event_type, d.day, d.day_total, d.rn,
+          |         CASE WHEN w.ag IS NULL THEN d.g ELSE (1.0/14.0) * d.g + (1.0 - 1.0/14.0) * w.ag END,
+          |         CASE WHEN w.al IS NULL THEN d.l ELSE (1.0/14.0) * d.l + (1.0 - 1.0/14.0) * w.al END
           |  FROM rs w JOIN d2 d ON d.event_type = w.event_type AND d.rn = w.rn + 1)
           |SELECT event_type, day, day_total,
           |       round(CASE WHEN ag IS NULL THEN NULL

@@ -30,12 +30,15 @@ object EventsStream {
     if (nanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // newSession() rebuilds SQL conf from builder-time SparkConf,
     // silently DROPPING runtime conf.set calls on the caller — so a
-    // caller that toggled ANSI or the session timezone at runtime
-    // (e.g. the ANSI smoke spec's cloned session) would not see the
-    // toggle apply to anything built here. Propagate those two
-    // explicitly; builder-time confs are inherited already.
-    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone")
+    // caller that toggled ANSI, the session timezone, its parallelism,
+    // or the stream state-partition knob at runtime would not see the
+    // toggle apply to anything built here. Propagate those explicitly;
+    // builder-time confs are inherited already.
+    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions")
       .foreach(key => s.conf.set(key, spark.conf.get(key)))
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .foreach(v => s.conf.set("spark.graft.stream.statePartitions", v))
     s
   }
 
@@ -170,18 +173,26 @@ object EventsStream {
     * timestamp. Every streaming operator in this module starts here.
     *
     * The clone also caps `spark.sql.shuffle.partitions` (= state-store
-    * instances per stateful operator) at 8: per-micro-batch fixed cost
-    * scales with state partitions, which dominates bounded local
-    * streams. A production deployment sizes it to key cardinality ×
-    * state size instead — state REPARTITIONING requires a new
-    * checkpoint, so pick it before going live. Scoped to the clone;
-    * batch queries keep the session's parallelism.
+    * instances per stateful operator) at 8 BY DEFAULT: per-micro-batch
+    * fixed cost scales with state partitions, which dominates bounded
+    * local streams. That cap is LOCAL-ONLY tuning, so it yields to an
+    * explicit deployment knob: set `spark.graft.stream.statePartitions`
+    * on the calling session and the clone uses that value verbatim, no
+    * cap — a production deployment sizes it to key cardinality × state
+    * size (state REPARTITIONING requires a new checkpoint, so pick it
+    * before going live; StatefulTtlSpec gates the knob). Scoped to the
+    * clone; batch queries keep the session's parallelism.
     */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
     val stored = probeTsType(spark, path)
     val s = cloneSession(spark, nanos = stored == org.apache.spark.sql.types.LongType)
+    val requested = s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+    requested.foreach(n =>
+      require(n > 0, s"spark.graft.stream.statePartitions must be > 0, got $n"))
     val current = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    s.conf.set("spark.sql.shuffle.partitions", math.min(8, current))
+    s.conf.set("spark.sql.shuffle.partitions",
+      requested.getOrElse(math.min(8, current)).toString)
     normalizeTs(singleFileStream(s, path), stored)
   }
 

@@ -442,4 +442,229 @@ object Forecast {
       .select(kcols ++ Seq(col("r.o").as(ordCol), col("r.y").as(yCol),
         col("r.l").as("level"), col("r.b").as("trend")): _*)
   }
+
+  /** One additive Holt–Winters step on the flat state array
+    * [l, b, r1..r_period] (ring head at index 3, tail = the
+    * just-updated seasonal): the exact op order of the q_holt_winters
+    * fold and its oracle —
+    *   l' = α(y − r1) + (1−α)(l + b);  b' = β(l' − l) + (1−β)b;
+    *   s' = γ(y − l') + (1−γ)r1;      ring' = [r2.., s'].
+    */
+  private def hwStep(st: Column, y: Column, alpha: Double, beta: Double,
+      gamma: Double, period: Int): Column = {
+    val l = element_at(st, 1); val b = element_at(st, 2)
+    val r1 = element_at(st, 3)
+    val lN = lit(alpha) * (y - r1) + lit(1.0 - alpha) * (l + b)
+    val bN = lit(beta) * (lN - l) + lit(1.0 - beta) * b
+    val sN = lit(gamma) * (y - lN) + lit(1.0 - gamma) * r1
+    concat(array(lN, bN), slice(st, 4, period - 1), array(sN))
+  }
+
+  /** Chunked additive Holt–Winters (level + trend + seasonal ring) —
+    * the (period+2)-state instance of the segmented-scan decomposition,
+    * closing the fold-family's last collect-whole-series hole
+    * (round-8 verdict item 3). Unlike [[holtChunked]]'s hand-written
+    * 2×2 matrix, the chunk summary here is computed by BASIS
+    * PROPAGATION: the per-step map is affine (state' = M·state + y·v),
+    * so one in-chunk fold carries d+1 = period+3 state vectors — the
+    * image of the zero state under the real inputs (the constant term)
+    * plus the homogeneous (y = 0) images of the d basis vectors (the
+    * columns of the chunk's composed matrix). Boundary states then
+    * fold over len/C summaries via out = c + Σ inᵢ·Mᵢ, and the plain
+    * sequential recurrence re-runs INSIDE each chunk from its boundary
+    * — identical shuffle/memory shape to [[ewmaChunked]]: O(chunkSize·
+    * period) per task for steps 2/4, O(period²·len/chunkSize) for the
+    * boundary fold. Init convention (l₁=y₁, b₁=0, ring=0s) lives in
+    * chunk 0 whose summary is the constant map. Same reassociation
+    * caveat as the section comment; ForecastChunkedSpec gates 1e-9
+    * relative agreement with the sequential fold.
+    *
+    * Returns keys ++ (ord, y, level, trend, seasonal, forecast_next)
+    * unrounded, forecast_next = l + b + ring head (the q_holt_winters
+    * display contract).
+    */
+  def holtWintersChunked(points: DataFrame, keys: Seq[String], ordCol: String,
+      yCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int, chunkSize: Int): DataFrame = {
+    require(chunkSize >= 2, "chunkSize must be at least 2")
+    require(period >= 2, "period must be at least 2")
+    val d = period + 2
+    val ordType = points.schema(ordCol).dataType
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(ordCol), col("_y")) // (o, y) tie order, as ewmaChunked
+    val chunked = points
+      .select(kcols ++ Seq(col(ordCol),
+        col(yCol).cast("double").as("_y")): _*)
+      .withColumn("_chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("long"))
+    val chunks = chunked
+      .groupBy((kcols :+ col("_chunk")): _*)
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col("_y").as("y")))).as("pts"))
+
+    def step(st: Column, y: Column): Column =
+      hwStep(st, y, alpha, beta, gamma, period)
+    def initState(y: Column): Column =
+      concat(array(y, lit(0.0)), array_repeat(lit(0.0), period))
+
+    // chunk summary: element 1 = constant term (zero state folded with
+    // the real inputs), elements 2..d+1 = homogeneous basis images
+    val basisSeed: Column = concat(
+      array(array_repeat(lit(0.0), d)),
+      transform(sequence(lit(1), lit(d)), i =>
+        transform(sequence(lit(1), lit(d)), j =>
+          when(j === i, lit(1.0)).otherwise(lit(0.0)))))
+    val sumMerge = (acc: Column, p: Column) =>
+      transform(acc, (st, i) =>
+        when(i === 0, step(st, p.getField("y")))
+          .otherwise(step(st, lit(0.0))))
+    val zeroBasis = transform(sequence(lit(1), lit(d)),
+      _ => array_repeat(lit(0.0), d))
+    val summaries = chunks.select(kcols ++ Seq(col("_chunk"),
+      when(col("_chunk") === 0, concat(
+        array(aggregate(slice(col("pts"), lit(2), size(col("pts")) - 1),
+          initState(element_at(col("pts"), 1).getField("y")),
+          (st: Column, p: Column) => step(st, p.getField("y")))),
+        zeroBasis))
+        .otherwise(aggregate(col("pts"), basisSeed, sumMerge)).as("_m")): _*)
+
+    // boundary fold: out = c + Σ in_i · column_i, element by element
+    def applyAff(sm: Column, in: Column): Column =
+      transform(sequence(lit(1), lit(d)), j =>
+        element_at(element_at(sm, 1), j) +
+          aggregate(sequence(lit(1), lit(d)), lit(0.0),
+            (acc: Column, i: Column) =>
+              acc + element_at(in, i) * element_at(element_at(sm, i + 1), j)))
+    val boundMerge = (acc: Column, p: Column) => {
+      val prev = when(size(acc) === 0, array_repeat(lit(0.0), d))
+        .otherwise(element_at(acc, -1).getField("sout"))
+      array_append(acc, struct(p.getField("c").as("c"), prev.as("sin"),
+        applyAff(p.getField("m"), prev).as("sout")))
+    }
+    val bounds = summaries
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("_chunk").as("c"),
+        col("_m").as("m")))).as("cs"))
+      .select(kcols :+ explode(aggregate(col("cs"),
+        emptyAcc("c" -> LongType, "sin" -> ArrayType(DoubleType),
+          "sout" -> ArrayType(DoubleType)),
+        boundMerge)).as("bd"): _*)
+      .select(kcols ++ Seq(col("bd.c").as("_chunk"),
+        col("bd.sin").as("_sin")): _*)
+
+    // per-point emission: sequential recurrence from the boundary state
+    val emitMerge = (acc: Column, p: Column) => {
+      val first = size(acc) === 0
+      val st = when(first,
+          when(col("_chunk") === 0, initState(p.getField("y")))
+            .otherwise(step(col("_sin"), p.getField("y"))))
+        .otherwise(step(element_at(acc, -1).getField("st"),
+          p.getField("y")))
+      array_append(acc, struct(p.getField("o").as("o"),
+        p.getField("y").as("y"), st.as("st")))
+    }
+    chunks.join(bounds, keys :+ "_chunk")
+      .select(kcols :+ explode(aggregate(col("pts"),
+        emptyAcc("o" -> ordType, "y" -> DoubleType,
+          "st" -> ArrayType(DoubleType)),
+        emitMerge)).as("r"): _*)
+      .select(kcols ++ Seq(col("r.o").as(ordCol), col("r.y").as(yCol),
+        element_at(col("r.st"), 1).as("level"),
+        element_at(col("r.st"), 2).as("trend"),
+        element_at(col("r.st"), d).as("seasonal"),
+        (element_at(col("r.st"), 1) + element_at(col("r.st"), 2) +
+          element_at(col("r.st"), 3)).as("forecast_next")): _*)
+  }
+
+  /** Chunked two-sided CUSUM over EXACT LONG per-step deviations — the
+    * long-series fallback for the q_cusum fold, and the one member of
+    * the chunked family that is BIT-exact (no IEEE reassociation):
+    * the per-step map s ↦ max(0, s + d) lives in the max-plus
+    * semiring, where maps of the form s ↦ max(A, s + B) compose
+    * CLOSED — (A₁,B₁) then (A₂,B₂) = (max(A₂, A₁+B₂), B₁+B₂) — so a
+    * chunk summarizes to one exact (A, B) long pair per statistic,
+    * boundaries fold via s_out = max(A, s_in + B), and the plain
+    * recurrence re-runs inside each chunk. Chunk 0 needs no special
+    * case: the start state is 0 and the composed map applied to 0 IS
+    * the fold. Same O(√len) memory shape as [[ewmaChunked]].
+    *
+    * Input: one row per step with long columns `dPosCol` / `dNegCol`
+    * (the already-scaled S⁺/S⁻ increments). Returns keys ++ (ord, tp,
+    * tn) — exact longs, equal bit-for-bit to the sequential fold.
+    */
+  def cusumChunked(points: DataFrame, keys: Seq[String], ordCol: String,
+      dPosCol: String, dNegCol: String, chunkSize: Int): DataFrame = {
+    require(chunkSize >= 2, "chunkSize must be at least 2")
+    val ordType = points.schema(ordCol).dataType
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(ordCol), col("_dp"), col("_dn"))
+    val chunked = points
+      .select(kcols ++ Seq(col(ordCol),
+        col(dPosCol).cast("long").as("_dp"),
+        col(dNegCol).cast("long").as("_dn")): _*)
+      .withColumn("_chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("long"))
+    val chunks = chunked
+      .groupBy((kcols :+ col("_chunk")): _*)
+      .agg(sort_array(collect_list(struct(col(ordCol).as("o"),
+        col("_dp").as("dp"), col("_dn").as("dn")))).as("pts"))
+
+    // chunk summary: fold (A, B) per statistic, seeded by the first
+    // element's step map (A = 0, B = d)
+    val sumMerge = (acc: Column, p: Column) => struct(
+      greatest(lit(0L), acc.getField("ap") + p.getField("dp")).as("ap"),
+      (acc.getField("bp") + p.getField("dp")).as("bp"),
+      greatest(lit(0L), acc.getField("an") + p.getField("dn")).as("an"),
+      (acc.getField("bn") + p.getField("dn")).as("bn"))
+    val summaries = chunks.select(kcols ++ Seq(col("_chunk"),
+      aggregate(slice(col("pts"), lit(2), size(col("pts")) - 1),
+        struct(lit(0L).as("ap"),
+          element_at(col("pts"), 1).getField("dp").as("bp"),
+          lit(0L).as("an"),
+          element_at(col("pts"), 1).getField("dn").as("bn")),
+        sumMerge).as("_m")): _*)
+
+    // boundary fold: s_out = max(A, s_in + B), start state 0
+    val boundMerge = (acc: Column, p: Column) => {
+      val m = p.getField("m")
+      val pin = when(size(acc) === 0, lit(0L))
+        .otherwise(element_at(acc, -1).getField("pout"))
+      val nin = when(size(acc) === 0, lit(0L))
+        .otherwise(element_at(acc, -1).getField("nout"))
+      array_append(acc, struct(
+        p.getField("c").as("c"), pin.as("pin"), nin.as("nin"),
+        greatest(m.getField("ap"), pin + m.getField("bp")).as("pout"),
+        greatest(m.getField("an"), nin + m.getField("bn")).as("nout")))
+    }
+    val bounds = summaries
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("_chunk").as("c"),
+        col("_m").as("m")))).as("cs"))
+      .select(kcols :+ explode(aggregate(col("cs"),
+        emptyAcc("c" -> LongType, "pin" -> LongType, "nin" -> LongType,
+          "pout" -> LongType, "nout" -> LongType),
+        boundMerge)).as("bd"): _*)
+      .select(kcols ++ Seq(col("bd.c").as("_chunk"),
+        col("bd.pin").as("_pin"), col("bd.nin").as("_nin")): _*)
+
+    // per-point emission from the boundary state
+    val emitMerge = (acc: Column, p: Column) => {
+      val first = size(acc) === 0
+      val tpPrev = when(first, col("_pin"))
+        .otherwise(element_at(acc, -1).getField("tp"))
+      val tnPrev = when(first, col("_nin"))
+        .otherwise(element_at(acc, -1).getField("tn"))
+      array_append(acc, struct(p.getField("o").as("o"),
+        greatest(lit(0L), tpPrev + p.getField("dp")).as("tp"),
+        greatest(lit(0L), tnPrev + p.getField("dn")).as("tn")))
+    }
+    chunks.join(bounds, keys :+ "_chunk")
+      .select(kcols :+ explode(aggregate(col("pts"),
+        emptyAcc("o" -> ordType, "tp" -> LongType, "tn" -> LongType),
+        emitMerge)).as("r"): _*)
+      .select(kcols ++ Seq(col("r.o").as(ordCol),
+        col("r.tp").as("tp"), col("r.tn").as("tn")): _*)
+  }
 }

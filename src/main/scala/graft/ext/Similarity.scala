@@ -316,10 +316,30 @@ object Similarity {
     * QUANTIZER (assignment near a cluster boundary is arbitrary anyway)
     * but not for a cross-engine oracle gate; the unit gate asserts
     * inertia (1 − cosine to assigned centroid) is non-increasing.
+    *
+    * Early exit (round-8 verdict item 7): training stops before `iters`
+    * when the new centroids equal the previous round's EXACTLY (k-row
+    * float-for-float check — the iteration is a deterministic function
+    * of the centroid frame, so every remaining round would be a no-op
+    * and the returned frame is IDENTICAL to the fixed-iteration result;
+    * oracle-safe by construction). `tol > 0` additionally stops when
+    * the round's inertia improves by ≤ tol — cheaper convergence for
+    * callers that accept an approximate quantizer; 0 (the default, and
+    * what every oracle-gated query uses) never takes that path.
     */
   def kmeansTrain(corpus: DataFrame, k: Int, iters: Int = 5,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  tol: Double = 0.0): DataFrame =
+    kmeansTrainRounds(corpus, k, iters, idCol, vecCol, tol)._1
+
+  /** [[kmeansTrain]] exposing the executed round count for the
+    * early-exit unit gate.
+    */
+  private[graft] def kmeansTrainRounds(corpus: DataFrame, k: Int,
+      iters: Int, idCol: String, vecCol: String,
+      tol: Double): (DataFrame, Int) = {
     require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    require(tol >= 0.0, "tol must be non-negative")
     // centroid frames carry (idCol, vecCol) — the shape ivfAssign expects
     val seedW = Window.orderBy(col(idCol))
     var centroids = corpus
@@ -327,11 +347,14 @@ object Similarity {
       .select(row_number().over(seedW).cast("long").as(idCol), col(vecCol))
       .localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var i = 0
-    while (i < iters) {
+    var prevInertia = Double.MaxValue
+    var done = false
+    while (i < iters && !done) {
       val assigned = ivfAssign(corpus, centroids, nProbe = 1,
         idCol = idCol, vecCol = vecCol)
-        .select(col(idCol), col("centroid_id"))
+        .select(col(idCol), col("centroid_id"), col("centroid_cos"))
         .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim")
@@ -346,11 +369,28 @@ object Similarity {
       val next = means
         .unionByName(centroids.join(means.select(idCol), Seq(idCol), "left_anti"))
         .localCheckpoint(eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // exact fixed point over k rows: any centroid whose vector moved?
+      val moved = next.as("n")
+        .join(centroids.as("p"), col(s"n.$idCol") === col(s"p.$idCol"))
+        .filter(col(s"n.$vecCol") =!= col(s"p.$vecCol"))
+        .limit(1).count() > 0
+      if (tol > 0.0) {
+        // the round's inertia comes from the assignment ALREADY
+        // materialized above (1 − cosine to the round's centroid) —
+        // no extra corpus pass
+        val cur = assigned
+          .agg(avg(lit(1.0) - coalesce(col("centroid_cos"), lit(0.0))))
+          .head().getDouble(0)
+        if (prevInertia - cur <= tol) done = true
+        prevInertia = cur
+      }
+      assigned.unpersist(blocking = false)
       Graph.release(centroids) // superseded k-row snapshot, freed per round
       centroids = next
       i += 1
+      if (!moved) done = true
     }
-    centroids
+    (centroids, i)
   }
 
   /** Mean cosine distance (1 − cosine) of every vector to its assigned

@@ -743,6 +743,32 @@ class ExtSpec extends SparkSpec {
     assert(topk.nonEmpty && topk.forall(_.getInt(topk.head.fieldIndex("rank")) <= 2))
   }
 
+  test("kmeansTrain early exit: converged fixture stops before the iteration budget") {
+    // two exact point-clusters whose seeds (first k=2 ids) ARE the
+    // cluster members: round 1's means equal the seeds float-for-float,
+    // the fixed-point check fires, and the 50-round budget is never
+    // spent. The returned frame must be IDENTICAL to any fixed
+    // iteration count (early exit is output-invariant by construction).
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(1.0f, 0.0f)), (6L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val (c50, rounds) = Similarity.kmeansTrainRounds(pts, k = 2, iters = 50,
+      idCol = "vec_id", vecCol = "embedding", tol = 0.0)
+    assert(rounds === 1, s"fixed point should fire after round 1, ran $rounds")
+    val c3 = Similarity.kmeansTrain(pts, k = 2, iters = 3)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1).toList
+    assert(key(c50) === key(c3))
+    // inertia path (opt-in tol): a huge tolerance stops at round 2 (the
+    // first round with a previous inertia to compare against) even on
+    // data that has NOT reached a fixed point — 3 budgeted rounds saved
+    val (_, r2) = Similarity.kmeansTrainRounds(embs, k = 4, iters = 5,
+      idCol = "vec_id", vecCol = "embedding", tol = 1.0)
+    assert(r2 === 2, s"tol=1.0 should stop at round 2, ran $r2")
+  }
+
   test("similarity: IVF topk candidates come only from probed lists, scores exact") {
     val cents = embs.filter($"vec_id" < 4)
     val queries = embs.filter($"vec_id" < 8)

@@ -100,4 +100,75 @@ class ForecastChunkedSpec extends SparkSpec {
         round(col("level"), 6).as("l"), round(col("trend"), 6).as("b"))
     assert(collectedH.exceptAll(chunkedH).isEmpty && chunkedH.exceptAll(collectedH).isEmpty)
   }
+
+  /** Reference sequential additive Holt–Winters (l₁=y₁, b₁=0, ring 0s;
+    * q_holt_winters op order) in plain Scala: returns per-point
+    * (l, b, s, forecast_next).
+    */
+  private def seqHw(ys: Seq[Double], a: Double, b: Double, g: Double,
+      period: Int): Seq[(Double, Double, Double, Double)] = {
+    val init = (ys.head, 0.0, 0.0, Vector.fill(period)(0.0))
+    val states = ys.tail.scanLeft(init) { case ((l, t, _, ring), y) =>
+      val lN = a * (y - ring.head) + (1.0 - a) * (l + t)
+      val tN = b * (lN - l) + (1.0 - b) * t
+      val sN = g * (y - lN) + (1.0 - g) * ring.head
+      (lN, tN, sN, ring.tail :+ sN)
+    }
+    states.map { case (l, t, s, ring) => (l, t, s, l + t + ring.head) }
+  }
+
+  test("holtWintersChunked: basis-propagated boundaries equal the sequential fold") {
+    val (a, b, g) = (0.5, 0.3, 0.2)
+    val pts = (series("a", 3) ++ series("b", 55)).toDF("k", "t", "y")
+    val got = Forecast.holtWintersChunked(pts, Seq("k"), "t", "y",
+        a, b, g, period = 7, chunkSize = 9) // 53 points: 6 chunks, last partial
+      .orderBy("k", "t").collect()
+    assert(got.length == 106)
+    val expected = Map("a" -> seqHw(series("a", 3).map(_._3), a, b, g, 7),
+      "b" -> seqHw(series("b", 55).map(_._3), a, b, g, 7))
+    got.foreach { r =>
+      val (el, et, es, ef) = expected(r.getString(0))(r.getInt(1) - 1)
+      for (((gv, ev), n) <- Seq((r.getDouble(3), el), (r.getDouble(4), et),
+          (r.getDouble(5), es), (r.getDouble(6), ef)).zip(
+            Seq("level", "trend", "seasonal", "forecast")))
+        assert(math.abs(gv - ev) <= 1e-9 * math.max(1.0, math.abs(ev)),
+          s"$n of $r expected $ev")
+    }
+    // single-chunk degenerate case runs the plain fold: BIT-exact
+    val one = Forecast.holtWintersChunked(pts, Seq("k"), "t", "y",
+        a, b, g, period = 7, chunkSize = 1000)
+      .orderBy("k", "t").collect()
+    one.foreach { r =>
+      val (el, et, es, ef) = expected(r.getString(0))(r.getInt(1) - 1)
+      assert(r.getDouble(3) == el && r.getDouble(4) == et &&
+        r.getDouble(5) == es && r.getDouble(6) == ef)
+    }
+  }
+
+  test("cusumChunked: max-plus composition is BIT-exact vs the sequential fold") {
+    // longs with sign changes and zero-clamps hitting inside AND at
+    // chunk boundaries; two keys for isolation
+    def devs(k: String, seed: Int): Seq[(String, Int, Long, Long)] =
+      (1 to 53).map { i =>
+        val d = ((i * 29 + seed) % 17 - 8).toLong * 100
+        (k, i, d - 150, -d - 150)
+      }
+    val rows = devs("a", 1) ++ devs("b", 9)
+    val pts = rows.toDF("k", "t", "dp", "dn")
+    def seqCusum(ds: Seq[Long]): Seq[Long] =
+      ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val expTp = Map("a" -> seqCusum(devs("a", 1).map(_._3)),
+      "b" -> seqCusum(devs("b", 9).map(_._3)))
+    val expTn = Map("a" -> seqCusum(devs("a", 1).map(_._4)),
+      "b" -> seqCusum(devs("b", 9).map(_._4)))
+    for (cs <- Seq(2, 7, 1000)) {
+      val got = Forecast.cusumChunked(pts, Seq("k"), "t", "dp", "dn", cs)
+        .orderBy("k", "t").collect()
+      assert(got.length == 106)
+      got.foreach { r =>
+        assert(r.getLong(2) == expTp(r.getString(0))(r.getInt(1) - 1), s"tp $r cs=$cs")
+        assert(r.getLong(3) == expTn(r.getString(0))(r.getInt(1) - 1), s"tn $r cs=$cs")
+      }
+    }
+  }
 }

@@ -80,4 +80,24 @@ class StatefulTtlSpec extends SparkSpec {
     assert(rows(1).getBoolean(3), "second batch lost unexpired state")
     assert(rows(1).getLong(1) == 2L && rows(1).getLong(2) == 150L)
   }
+
+  test("stream state partitions: the local 8-cap yields to the sizing knob") {
+    // the 8-state-partition cap is LOCAL-ONLY tuning (SCALING.md); a
+    // deployment that sets spark.graft.stream.statePartitions must get
+    // exactly that many state-store instances, uncapped — and the
+    // calling session's own parallelism must stay untouched either way
+    val base = spark.newSession()
+    base.conf.set("spark.sql.shuffle.partitions", "32")
+    val path = s"${SparkSpec.sf0001}/events.parquet"
+    val capped = graft.ext.EventsStream.readEventsStream(base, path)
+    assert(capped.sparkSession.conf.get("spark.sql.shuffle.partitions") == "8")
+    base.conf.set("spark.graft.stream.statePartitions", "24")
+    val sized = graft.ext.EventsStream.readEventsStream(base, path)
+    assert(sized.sparkSession.conf.get("spark.sql.shuffle.partitions") == "24")
+    assert(base.conf.get("spark.sql.shuffle.partitions") == "32")
+    base.conf.set("spark.graft.stream.statePartitions", "0")
+    intercept[IllegalArgumentException] {
+      graft.ext.EventsStream.readEventsStream(base, path)
+    }
+  }
 }
