@@ -1,0 +1,2563 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.qcew.{NaicsAgg, Resample, Series}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Privacy, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, Spatial, StatefulOps, TextStats, TimeFill}
+
+/** statistics, hypothesis tests, model eval, privacy, sampling, sketches.
+  *
+  * One registry shard of [[SparkEntry]] (split in round 9 —
+  * the single 11k-line object was the repo's one
+  * maintainability hazard). Entries are verbatim; the shared
+  * helpers live in [[QueryShared]]. SparkEntry concatenates
+  * all shards and unit gates assert name uniqueness and
+  * query/oracle set equality.
+  */
+private[graft] object QueriesStats {
+  import QueryShared._
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // A4: deterministic statistical mode (tie-break: smallest value)
+    "q_mode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag").count()
+        .orderBy(desc("count"), asc("l_returnflag"))
+        .limit(1)
+        .select(col("l_returnflag").as("mode_val"))
+    }),
+
+
+    // R1/A8/P15: quarterly->monthly posexplode resample + yearly mean
+    "q_resample_yearly" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).as("year"),
+        quarter(col("l_shipdate")).as("qtr"),
+        col("l_quantity").as("m1"),
+        (col("l_discount") * 100).as("m2"),
+        (col("l_tax") * 100).as("m3"))
+      Resample.yearlyMean(Resample.monthly(base, "m1", "m2", "m3"))
+        .select(col("year"), round(col("employment"), 4).as("employment"), col("date"))
+        .orderBy("year")
+    }),
+
+
+    // A9: quarterly mean resample (intended semantics of the reference's
+    // buggy groupby key, SURVEY A9 — previously unit-only)
+    "q_resample_quarterly" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).as("year"),
+        quarter(col("l_shipdate")).as("qtr"),
+        col("l_quantity").as("m1"),
+        (col("l_discount") * 100).as("m2"),
+        (col("l_tax") * 100).as("m3"))
+      Resample.quarterlyMean(Resample.monthly(base, "m1", "m2", "m3"))
+        .select(col("year"), col("qtr"),
+          round(col("employment"), 4).as("employment"), col("date"))
+        .orderBy("year", "qtr")
+    }),
+
+
+    // ext: exact-size stratified sampling, quotas ∝ integer weights
+    // (ScaleOps.quotaSample scaladoc) — deterministic md5-order draw,
+    // all-integer quota arithmetic, drift-free by construction.
+    "q_quota_sample" -> ((s, dir) => {
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+      ScaleOps.quotaSample(
+          ev.select("event_type", "event_id", "user_id"),
+          Seq("event_type"),
+          col("user_id") % 1000 + 1,
+          md5(col("event_id").cast("string")),
+          100L)
+        .select(col("event_type"), col("event_id"),
+          col("sample_rank").cast("int").as("rank"))
+        .orderBy("event_type", "rank")
+    }),
+
+
+    // ext: count-min sketch as a d×w aggregated table (Sketch scaladoc)
+    // — estimates for the exact top-10 users, with the admissibility
+    // guarantee (never underestimates) emitted as a checked column.
+    "q_cms_topk" -> ((s, dir) => {
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+      val cms = Sketch.countMin(ev, col("user_id"), depth = 4, width = 256)
+      val exact = ev.groupBy(col("user_id").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+      Sketch.cmsEstimate(cms, exact, col("item"))
+        .withColumn("admissible", col("est") >= col("exact_n"))
+        .select("item", "est", "exact_n", "admissible")
+        .orderBy(col("exact_n").desc, col("item"))
+    }),
+
+
+    // ext: deterministic HLL distinct users per event_type — the
+    // register table is md5-derived INTEGER state (Sketch scaladoc),
+    // so the oracle reproduces the sketch bit-for-bit: v_empty and
+    // s_scaled (the harmonic denominator as an exact long) gate the
+    // full sketch state, est follows the repo's round-4 convention for
+    // the one libm call on the linear-counting branch. n_exact rides
+    // along so the row itself shows the measured error. Scale: the
+    // register aggregate shuffles <= groups x 256 rows — the mergeable
+    // approx-distinct that exact COUNT(DISTINCT) can't give at 100 TB.
+    "q_hll_distinct" -> ((s, dir) => {
+      // item = active user-DAY (user_id:date): ~1.6k distinct per type
+      // at sf0.01, so the harmonic ('raw') estimator band is the one
+      // exercised — bare user_id (150 distinct) would degenerate to
+      // identical linear-counting rows across all groups
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .withColumn("user_day", concat(col("user_id").cast("string"),
+          lit(":"), col("ts").cast("date").cast("string")))
+      val regs = Sketch.hllDetRegisters(ev, Seq("event_type"), col("user_day"))
+      val est = Sketch.hllDetEstimate(regs, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_day").as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("v_empty"),
+          col("s_scaled"), col("band"), col("est"))
+        .orderBy("event_type")
+    }),
+
+
+    // ext: KMV bottom-k audience-overlap estimates for every pair of
+    // event types, next to the exact Jaccard they approximate. The
+    // sketches are k=128 distinct md5 minima per group (KmvAgg: the
+    // shuffle carries <= k longs per group per map partition), the
+    // pair stage touches ONLY the 5-row sketch table — the mergeable
+    // overlap machinery whose exact form (the n_inter join here) has
+    // to re-shuffle every distinct (group, user) pair at full scale.
+    "q_kmv_overlap" -> ((s, dir) => {
+      // audiences = per-type sets of active user-DAYS (see
+      // q_hll_distinct): partially overlapping (exact J ~ 0.27 at
+      // sf0.01), so the estimator has something real to estimate
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("user_day", concat(col("user_id").cast("string"),
+          lit(":"), col("ts").cast("date").cast("string")))
+      val sk = Sketch.kmvSketch(ev, "event_type", col("user_day"), k = 128)
+      val est = Sketch.kmvOverlap(sk, "event_type", k = 128)
+      val du = ev.select(col("event_type").as("g"), col("user_day").as("u"))
+        .distinct()
+      val sizes = du.groupBy("g").agg(count(lit(1)).as("n"))
+      val inter = du.as("x")
+        .join(du.as("y"), col("x.u") === col("y.u") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+        .agg(count(lit(1)).as("n_inter"))
+      est.join(inter, Seq("ga", "gb"), "left")
+        .join(sizes.withColumnRenamed("g", "ga").withColumnRenamed("n", "n_a"), "ga")
+        .join(sizes.withColumnRenamed("g", "gb").withColumnRenamed("n", "n_b"), "gb")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard_exact", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+        .select("ga", "gb", "n_shared", "ku", "jaccard_kmv", "n_inter",
+          "jaccard_exact")
+        .orderBy("ga", "gb")
+    }),
+
+
+    // ext: robust outlier screen — median/MAD per group, count of
+    // |z| > 3 points; median-based so extremes can't mask themselves.
+    // DISCRETE medians (actual data values, pure integer rank logic):
+    // interpolated quantiles drift in the last ulp across engine
+    // versions, and the rounded report + borderline outlier count can
+    // flip on that; the cont twin stays unit-gated.
+    "q_outliers" -> ((s, dir) => {
+      ScaleOps.robustOutliersDisc(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
+
+    // SQL surface: fixed-width histogram — bin = floor(x / width)
+    // clamped to [0, nbins-1]; one map-side-combined aggregate. The
+    // bin boundary division is a single IEEE op on doubles, identical
+    // cross-engine.
+    "q_histogram" -> ((s, dir) => {
+      val width = 5000.0
+      val bin = least(greatest(floor(col("l_extendedprice") / width), lit(0L)),
+        lit(21L)).as("bin")
+      t(s, dir, "lineitem")
+        .groupBy(bin)
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("bin")
+    }),
+
+
+    // OLAP contribution analysis: share-of-total via a window over the
+    // AGGREGATED frame — the ratio-to-report pattern. Aggregate first
+    // (group count ≪ rows), round the per-group sums so both engines
+    // window over identical inputs, then the share is one IEEE
+    // division. The window partitions by region over ~5 nations/region
+    // — a 25-row frame, trivially one reducer.
+    "q_share_of_total" -> ((s, dir) => {
+      val perNation = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("nation_total"))
+      perNation
+        .withColumn("region_total",
+          sum("nation_total").over(Window.partitionBy("n_regionkey")))
+        .select(col("n_regionkey").as("region_key"), col("n_name").as("nation"),
+          col("nation_total"),
+          round(col("nation_total") / col("region_total"), 6).as("share_of_region"))
+        .orderBy("region_key", "nation")
+    }),
+
+
+    // ML-ops data-drift gate: population stability index between two
+    // time slices of the value distribution, per event type. One pass
+    // builds both halves' bin counts (conditional counts — bins absent
+    // from one half get exact zeros); proportions are exact-count
+    // divisions with the standard 1e-6 floor for empty bins; the PSI
+    // sum spans ≤10 bin terms, rounded 1e-6. PSI > 0.2 is the usual
+    // retrain/alert threshold.
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("bin", least(floor(col("value") / 50.0), lit(9.0)).cast("long"))
+        .withColumn("half", when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur"))
+      val counts = ev.groupBy("event_type", "bin")
+        .agg(count(when(col("half") === "ref", 1)).as("c_ref"),
+          count(when(col("half") === "cur", 1)).as("c_cur"))
+      val tot = counts.groupBy("event_type")
+        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      counts.join(broadcast(tot), "event_type")
+        .withColumn("p_ref", greatest(col("c_ref").cast("double") / col("n_ref"), lit(1e-6)))
+        .withColumn("p_cur", greatest(col("c_cur").cast("double") / col("n_cur"), lit(1e-6)))
+        .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .groupBy("event_type")
+        .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+          round(sum("term"), 6).as("psi"))
+        .orderBy("event_type")
+    }),
+
+
+    // ML-ops drift, WHOLE-TABLE form: PSI for three feature columns in
+    // ONE scan — each row fans out to (feature, bin) pairs via a
+    // 3-element explode (the Expand pattern q_psi_drift's SCALING row
+    // promises), then the same conditional-count PSI math runs per
+    // feature. Adding a column costs one more struct, never a rescan.
+    "q_psi_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("half",
+          when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "ref")
+            .otherwise("cur"))
+      val binned = li.select(col("half"), explode(array(
+          struct(lit("quantity").as("feature"),
+            least(floor(col("l_quantity") / 5.0), lit(9.0)).cast("long").as("bin")),
+          struct(lit("price").as("feature"),
+            least(floor(col("l_extendedprice") / 10000.0), lit(10.0)).cast("long").as("bin")),
+          struct(lit("discount").as("feature"),
+            least(floor(col("l_discount") / 0.01), lit(10.0)).cast("long").as("bin"))))
+          .as("fb"))
+        .select(col("half"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      val counts = binned.groupBy("feature", "bin")
+        .agg(count(when(col("half") === "ref", 1)).as("c_ref"),
+          count(when(col("half") === "cur", 1)).as("c_cur"))
+      val tot = counts.groupBy("feature")
+        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      counts.join(broadcast(tot), "feature")
+        .withColumn("p_ref", greatest(col("c_ref").cast("double") / col("n_ref"), lit(1e-6)))
+        .withColumn("p_cur", greatest(col("c_cur").cast("double") / col("n_cur"), lit(1e-6)))
+        .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .groupBy("feature")
+        .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+          round(sum("term"), 6).as("psi"))
+        .orderBy("feature")
+    }),
+
+
+    // ext: deterministic stratified hash sampling — md5-prefix
+    // membership, not rand(): reproducible across reruns and engines,
+    // the way production corpus subsets are cut. 'en' docs kept at
+    // 2/16, everything else at 4/16. The predicate is ordered so the
+    // cheap hash-bucket test short-circuits the language ID: buckets
+    // 0-1 are kept regardless of language, buckets >3 dropped
+    // regardless, so langId (tokenize-once, but still the expensive
+    // term) evaluates only for the 2/16 of rows where it decides.
+    "q_hash_sample" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val lang = TextStats.langId(col("text"))
+      docs
+        .filter(bucket.isin("0", "1") ||
+          (bucket.isin("2", "3") && lang =!= "en"))
+        .select(col("doc_id"), lang.as("lang_id"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext: exact order statistics + linear relationship aggregates.
+    // The quantiles run through the SCALE path (Quantiles.exactQuantiles:
+    // hash-agg to distinct values + cumulative-count window — no
+    // per-group value map in executor memory, unlike Spark's exact
+    // `percentile` aggregate, which this reproduces bit-for-bit and is
+    // unit-tested against). percentile_cont semantics match DuckDB's
+    // quantile_cont; corr is the textbook Pearson definition in both
+    // engines.
+    "q_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = Quantiles.exactQuantiles(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50", "p95"))
+      val cr = li.groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+      qs.join(cr, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"),
+          col("qty_price_corr"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // discrete percentiles: actual data values (no interpolation), so
+    // the cross-engine compare is drift-free by construction even on
+    // raw doubles — the disc twin of q_percentiles' cont path, running
+    // the SAME scale machinery (distinct-value counts + cumulative
+    // window; no per-group value map, unlike Spark's percentile_disc
+    // aggregate, which this reproduces bit-for-bit — unit-gated)
+    "q_percentile_disc" -> ((s, dir) => {
+      Quantiles.exactQuantilesDisc(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50_disc", "p95_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // multiple exact count-distincts per group (Catalyst Expand: one
+    // pass over the input fans out per distinct aggregate, partial
+    // aggregation bounds the shuffle by distinct keys)
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // drift-free summary statistics: mean/stddev derived from EXACT
+    // integer power sums (quantity is integer-valued; sum and sum-of-
+    // squares are exact bigints), so the only float ops are one
+    // division and one sqrt over identical inputs — bit-equal on any
+    // engine, no rounding needed. This is also the mergeable form:
+    // (n, s, ss) sums combine map-side and across partitions, unlike a
+    // sequential Welford stddev. At larger scale guard n·ss against
+    // bigint overflow by computing per finer-grained groups first.
+    "q_group_stats" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      spread(t(s, dir, "lineitem").select(col("l_returnflag"), q.as("q")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"),
+          sum(col("q") * col("q")).as("ss"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .select(col("l_returnflag"), col("n"), col("s"), col("min_q"), col("max_q"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean_q"),
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - lit(1))).cast("double")).as("stddev_q"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // UDAF surface (§2.11): bounded top-k typed Aggregator — the
+    // aggregation-pushdown rewrite of the window top-k. The buffer
+    // never exceeds k rows, reduce runs map-side before the exchange,
+    // and merge combines k-bounded buffers — so the shuffle carries at
+    // most k rows per group per map partition instead of every row
+    // (TopKAgg scaladoc). Hash-checked against the row_number() window
+    // form the oracle runs.
+    "q_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.score").as("o_totalprice"),
+          col("col.id").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+
+    // ext streaming: materialized-view maintenance — each micro-batch
+    // lands its PARTIAL aggregates in a batch_id partition (replay
+    // overwrites, never double-merges); the served rollup merges the
+    // partials. Same oracle as q_incr_agg: the full recompute — the
+    // gate proves the streaming-maintained view equals rescanning
+    // everything (EventsStream.maintainRollup scaladoc).
+    // exact distinct users per type via the mergeable BITMAP aggregator
+    // — O(domain/8)-byte state per group regardless of row count,
+    // map-side OR-combine; the exact-bitmap point on the distinct
+    // spectrum between approx_count_distinct and the Expand plan
+    // (functions.BitmapDistinct scaladoc). Oracle = COUNT(DISTINCT).
+    // exact distinct via CHUNKED bitmaps (the roaring-bitmap layout):
+    // ids split on their high bits into 64Ki-wide buckets and the
+    // 16-bit remainder is bitmapped within each (event_type, bucket)
+    // group, then bucket cardinalities sum — exact over ANY sparse id
+    // domain with a fixed 8 KiB buffer per group, where a single flat
+    // bitmap needs the full domain width and fails loudly on sparse
+    // ids (it did, at the key-shifted 10× dataset).
+    // Chunk key = arithmetic shiftright(id,16): a FLOORING quotient, so
+    // with pmod's floored remainder the pair is a true Euclidean
+    // decomposition for negative ids too (a truncating `/` would fold
+    // -1 and 65535 into the same cell and undercount by one).
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val bd = udaf(new graft.functions.BitmapDistinct(1 << 16))
+      spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy(col("event_type"),
+          shiftright(col("user_id").cast("long"), 16).as("id_chunk"))
+        .agg(bd(pmod(col("user_id"), lit(65536L))).as("n"))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_users"))
+        .orderBy("event_type")
+    }),
+
+
+    // ext: deterministic weighted sampling (sequential Poisson /
+    // priority sampling) — inclusion odds ~ n_chars, reproducible
+    // across engines/reruns/partitionings because the draw is
+    // md5-derived, never rand(). Two-phase top-k: partitions prune to
+    // their local k before anything shuffles.
+    "q_weighted_sample" -> ((s, dir) => {
+      ScaleOps.weightedSample(spread(t(s, dir, "documents")), k = 60,
+          keyCol = "doc_id", weight = col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext: per-STRATUM weighted sampling — the same sequential-Poisson
+    // draw with the rank window partitioned by language: k winners per
+    // stratum, inclusion odds ~ n_chars within each. WindowGroupLimit
+    // prunes every task to k per stratum before the single shuffle.
+    "q_weighted_sample_strat" -> ((s, dir) => {
+      ScaleOps.weightedSample(spread(t(s, dir, "documents")), k = 8,
+          keyCol = "doc_id", weight = col("n_chars"), strata = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext: leakage-safe train/val/test split — the split is a pure
+    // function of user_id (md5 nibble), so no user straddles splits;
+    // grouped counts audit both the ratio and the entity disjointness
+    // (n_users sums to the distinct-user total).
+    "q_group_split" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("split", ScaleOps.splitByKey(col("user_id")))
+        .groupBy("split")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("split")
+    }),
+
+
+    // robust feature preprocessing: winsorization — clamp the tails to
+    // the per-group [p05, p95] before aggregating. Percentiles come
+    // from the SAME scale path as q_percentiles (distinct-value counts
+    // + cumulative window, no per-group value buffer); the clamp is a
+    // broadcast join-back plus least/greatest. Counts are exact ints;
+    // the winsorized mean is over ~identical magnitudes, rounded 1e-4.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = Quantiles.exactQuantiles(li, "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.05, 0.95), Seq("lo", "hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(when(col("l_extendedprice") < col("lo"), 1)).as("n_clamped_low"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_clamped_high"),
+          count(lit(1)).as("n_rows"),
+          round(min("lo"), 4).as("p05"),
+          round(min("hi"), 4).as("p95"),
+          round(avg("w"), 4).as("winsorized_mean"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // feature preprocessing: per-group z-score standardization with
+    // DRIFT-FREE parameters — mean and stddev derive from exact
+    // integer power sums (n, Σx, Σx² — the q_group_stats machinery),
+    // so the only float ops are two divisions and a sqrt over
+    // identical inputs; z = (x − μ)/σ is then two more IEEE ops.
+    // Population σ, not Spark's streaming stddev aggregate (engine-
+    // specific accumulation order). Broadcast join-back of the tiny
+    // per-group parameter table; outputs are exact counts + exact-
+    // extrema rounds.
+    "q_standardize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast("long")).as("s1"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("s2").cast("double") * col("n") - col("s1").cast("double") * col("s1")) /
+            (col("n").cast("double") * col("n"))))
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .withColumn("z", (col("l_quantity") - col("mu")) / col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(abs(col("z")) > 1.5, 1)).as("n_beyond_15sd"),
+          round(min("z"), 6).as("z_min"),
+          round(max("z"), 6).as("z_max"),
+          round(min("mu"), 6).as("mu"),
+          round(min("sigma"), 6).as("sigma"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // exact WEIGHTED discrete quantiles: quantity-weighted price
+    // median/p90 per return flag — each row counts its weight, the
+    // inventory-weighted "typical price" form. Same distinct-value
+    // cumulative machinery as q_percentile_disc with Σw in place of
+    // row counts (Quantiles.exactWeightedQuantilesDisc scaladoc).
+    "q_weighted_median" -> ((s, dir) => {
+      Quantiles.exactWeightedQuantilesDisc(spread(t(s, dir, "lineitem")),
+          "l_extendedprice", "l_quantity", Seq("l_returnflag"),
+          Seq(0.5, 0.9), Seq("wp50", "wp90"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // A/B experiment readout: Welch's t between the user_id%2 arms on
+    // the cent-quantized event value, per event_type. The quantization
+    // (floor(value·100) — an exact IEEE op both engines perform
+    // identically) is what makes the power sums exact longs, so the
+    // only floats are the final closed-form expressions (Inference
+    // scaladoc). Shuffle carries 6 longs per group.
+    "q_ab_ttest" -> ((s, dir) => {
+      Inference.welchT(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("event_type")
+    }),
+
+
+    // per-group closed-form least squares: price-per-quantity slope /
+    // intercept / r² per return flag from five exact power sums — the
+    // feature-vs-target screen a training pipeline runs over every
+    // numeric pair, at one scan + group-bounded shuffle.
+    "q_group_regression" -> ((s, dir) => {
+      Inference.linearFit(spread(t(s, dir, "lineitem")), group = Seq("l_returnflag"),
+          x = col("l_quantity"), y = floor(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // mutual information I(lang; source) from one contingency pass —
+    // the dataset-audit question "does language depend on source?"
+    // answered with exact counts; per-lang partial contributions so the
+    // dependent categories are visible, not just the scalar.
+    "q_mutual_info" -> ((s, dir) => {
+      Inference.mutualInfo(spread(t(s, dir, "documents")), "lang", "source")
+        .orderBy("lang")
+    }),
+
+
+    // split-conformal prediction intervals per market segment:
+    // hash-split train/val/test, floor-mean predictor, discrete
+    // 0.9-quantile of |y − ŷ| on calibration, empirical coverage on
+    // test in basis points — the distribution-free interval calibration
+    // every model-serving pipeline should gate on. Integer-exact end to
+    // end (Inference.conformalInterval scaladoc).
+    "q_conformal" -> ((s, dir) => {
+      val o = spread(t(s, dir, "orders"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      Inference.conformalInterval(o, Seq("c_mktsegment"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100), p = 0.9)
+        .orderBy("c_mktsegment")
+    }),
+
+
+    // two-sample KS drift test between the user_id%2 arms on the
+    // cent-quantized value: counts collapse to the quantized grid, so
+    // the global CDF window runs over grid cells, not rows (Inference
+    // scaladoc) — the binning-free complement to q_psi_drift, with a
+    // significance threshold.
+    "q_ks_test" -> ((s, dir) => {
+      Inference.ksTest(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("n0")
+    }),
+
+
+    // WOE / information-value screen of the decade-binned event value
+    // against the user-parity label: one contingency pass, exact
+    // counts, fixed float tower (Inference.woeIv scaladoc).
+    "q_woe_iv" -> ((s, dir) => {
+      Inference.woeIv(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          bin = floor(col("value") / 10), label = col("user_id") % 2 === 1)
+        .orderBy("bin")
+    }),
+
+
+    // chi-square independence: does event_type depend on the user's
+    // A/B arm? One contingency pass; per-cell contributions quantized
+    // to nano-units so the global Σ runs over exact longs
+    // (Inference.chi2 scaladoc) — the categorical complement to
+    // q_ab_ttest/q_ks_test.
+    "q_chi2_test" -> ((s, dir) => {
+      Inference.chi2(
+          spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+            .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm")),
+          "event_type", "arm")
+        .orderBy("n")
+    }),
+
+
+    // Gini concentration of the corpus source mix — the one-number
+    // "how skewed is my training-data mixture" readout. Sorted-rank
+    // form Σ(2i−n−1)·x_i / (n·Σx): the numerator is exact integer
+    // (rank window over the tiny per-source count table), one final
+    // division. Complements q_mixture_balance's per-source shares.
+    "q_gini_mixture" -> ((s, dir) => {
+      val counts = spread(t(s, dir, "documents"))
+        .groupBy("source").agg(count(lit(1)).as("x"))
+      val i = row_number().over(Window.orderBy(col("x").asc, col("source").asc))
+        .cast("long")
+      val ranked = counts.select(col("x"),
+        ((lit(2) * i).cast("long") * col("x")).as("ix2"))
+      ranked.agg(count(lit(1)).as("n_sources"), sum("x").as("total_docs"),
+          sum("ix2").as("s_ix2"))
+        .select(col("n_sources"), col("total_docs"),
+          round((col("s_ix2") - (col("n_sources") + 1) * col("total_docs"))
+            .cast("double") /
+            (col("n_sources") * col("total_docs")).cast("double"), 6)
+            .as("gini"))
+    }),
+
+
+    // privacy: t-closeness audit over (returnflag, linestatus) groups
+    // against the ordinal quantity-decile distribution — the
+    // distribution-skew leak that k-anonymity and l-diversity both
+    // miss. Exact integer EMD numerator; quantities are integral
+    // doubles so the int cast is exact, and floor-division on the
+    // nonnegative bucket is Euclidean in both engines.
+    "q_t_closeness" -> ((s, dir) => {
+      Privacy.tClosenessGroups(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          floor(col("l_quantity").cast("int") / 10).cast("long"))
+        .select(col("q0").as("l_returnflag"), col("q1").as("l_linestatus"),
+          col("n"), col("t_num"), col("t"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+
+    // annotation QA at ensemble scale: Fleiss' kappa over THREE raters
+    // per document (gold lang, full-text lang-id, first-16-token
+    // lang-id) — the multi-annotator agreement gate; every κ term an
+    // exact long, three divisions total (Inference.fleissKappa
+    // scaladoc).
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val d = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokens(col("text")).as("l"))
+      val assign = d.select(col("doc_id"), col("lang").as("cat"))
+        .unionAll(d.select(col("doc_id"),
+          TextStats.langIdFromTokens(col("l")).as("cat")))
+        .unionAll(d.select(col("doc_id"),
+          TextStats.langIdFromTokens(slice(col("l"), 1, 16)).as("cat")))
+      Inference.fleissKappa(assign, col("doc_id"), col("cat"), nRaters = 3)
+        .orderBy("n_items")
+    }),
+
+
+    // paired shift test: Wilcoxon signed-rank on per-customer order
+    // cents, 1994 vs 1995 — "did the SAME customers spend differently?"
+    // where q_mann_whitney compares independent arms. Half-unit ranks
+    // keep W+/W− exact longs; one sqrt tower for the tie-corrected z
+    // (Inference.wilcoxonSignedRank scaladoc).
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100)).cast("long").as(s"c$y"))
+      Inference.wilcoxonSignedRank(
+        yr(1994).join(yr(1995), "o_custkey"), col("c1994"), col("c1995"))
+        .orderBy("n")
+    }),
+
+
+    // robust co-movement: Kendall's τ-b between the daily click and
+    // purchase count series (the q_xcorr_lag grid) — rank-based, so
+    // one outlier day can't fabricate correlation; exact concordance
+    // and tie counts over the grid pair space, one sqrt
+    // (Inference.kendallTauB scaladoc).
+    "q_kendall_tau" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      Inference.kendallTauB(daily, col("day"), col("x"), col("y"))
+        .orderBy("n_pairs")
+    }),
+
+
+    // retrieval eval rollup: MAP@3 / MRR@3 / hit-rate@3 of the
+    // bucketed ANN against same-label relevance (the q_ndcg run,
+    // rolled up) — per-query AP and RR cleared to exact 36ths/6ths
+    // (rank ≤ 3, n_rel ≤ 3 ⇒ 36·AP and 6·RR are integers), so the
+    // global sums are exact longs and exactly three divisions exist.
+    // Queries with an empty retrieval set are absent from topk and
+    // excluded from Q (documented convention, same as q_ndcg).
+    "q_map_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val topk = Similarity.bucketedTopK(spread(emb),
+        emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+      val rel = topk
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlab")),
+          "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlab")),
+          "neighbor_id")
+        .withColumn("rel", (col("qlab") === col("nlab")).cast("long"))
+      val wq = Window.partitionBy("query_id").orderBy("rank")
+      val perq = rel
+        .withColumn("cum", sum("rel").over(wq))
+        .groupBy("query_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(col("rel") * col("cum") *
+            when(col("rank") === 1, 6L).when(col("rank") === 2, 3L)
+              .otherwise(2L)).as("ap18"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .select(col("query_id"),
+          when(col("n_rel") > 0, expr("ap18 * 6 DIV n_rel")).otherwise(0L)
+            .as("ap36"),
+          coalesce(expr("6 DIV first_rel"), lit(0L)).as("rr6"),
+          col("first_rel"))
+      perq.agg(count(lit(1)).as("n_queries"),
+          sum("ap36").as("sum_ap36"), sum("rr6").as("sum_rr6"),
+          count(col("first_rel")).as("n_hit"))
+        .select(col("n_queries"), col("sum_ap36"), col("sum_rr6"), col("n_hit"),
+          round(col("sum_ap36").cast("double") /
+            (col("n_queries") * 36).cast("double"), 6).as("map3"),
+          round(col("sum_rr6").cast("double") /
+            (col("n_queries") * 6).cast("double"), 6).as("mrr3"),
+          round(col("n_hit").cast("double") / col("n_queries").cast("double"), 6)
+            .as("hit_rate"))
+    }),
+
+
+    // eval-set carving: exactly 5 orders per order-priority stratum,
+    // chosen by md5 of the order key — deterministic reservoir-free
+    // per-class sampling (ScaleOps.stratifiedK scaladoc).
+    "q_stratified_k" -> ((s, dir) => {
+      ScaleOps.stratifiedK(t(s, dir, "orders"), Seq("o_orderpriority"),
+          col("o_orderkey"), k = 5)
+        .select(col("o_orderpriority"), col("sample_key").as("o_orderkey"),
+          col("rn"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+
+    // model-eval: per-segment ROC AUC via the tie-aware rank-sum
+    // identity — u2 = 2·Mann-Whitney-U stays an exact long
+    // (Inference.rocAuc scaladoc); scores quantized to cents so the
+    // cumulative window runs over the bounded distinct-score grid, not
+    // rows. Label is a deterministic pseudo-class (user_id % 3 = 0) —
+    // the eval plumbing is the deliverable, near-0.5 AUC expected.
+    "q_roc_auc" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 3 === 0).as("y"))
+      Inference.rocAuc(ev, Seq("event_type"), col("cents"), col("y"))
+        .orderBy("event_type")
+    }),
+
+
+    // model-eval: precision/recall curve over descending score buckets
+    // (50-unit bins of the cents score) — "predict positive when
+    // score ≥ b" swept across the grid, tp/fp as exact cumulative
+    // longs, one division per point (Inference.prCurve scaladoc).
+    "q_pr_curve" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          // FLOOR division (pmod-Euclidean, exact in longs): Spark DIV
+          // truncates toward zero while the DuckDB oracle's // floors,
+          // and nothing pins value ≥ 0 — this form agrees with the
+          // oracle for any sign (round-8 advice)
+          expr("""(CAST(round(value * 100) AS BIGINT)
+                 | - pmod(CAST(round(value * 100) AS BIGINT), 5000))
+                 | DIV 5000""".stripMargin.replace("\n", "")).as("b"),
+          (col("user_id") % 3 === 0).as("y"))
+      Inference.prCurve(ev, Seq("event_type"), col("b"), col("y"))
+        .orderBy("event_type", "bucket")
+    }),
+
+
+    // multiple testing: Benjamini–Hochberg FDR over 25 per-brand sign
+    // tests (is the brand's share of even-cent prices ≠ 1/2). The z
+    // statistic clears from exact integer counts; the two-sided
+    // p-value uses the LOGISTIC approximation of the normal CDF
+    // (p = 2/(1+exp(1.702·|z|)) — a stated contract, identical closed
+    // form in both engines), and the BH sweep (rank, reversed running
+    // min of m·p/i, reject from the ROUNDED adjusted p) is
+    // Inference.bhAdjust. The window is hypothesis-sized (25 rows) by
+    // construction — never data-sized.
+    "q_fdr_bh" -> ((s, dir) => {
+      val hyp = t(s, dir, "part")
+        .select(col("p_brand"),
+          (round(col("p_retailprice") * 100).cast("long") % 2 === 0)
+            .as("even"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("x"))
+        .select(col("p_brand"),
+          (lit(2.0) / (lit(1.0) + exp(lit(1.702) *
+            abs((lit(2.0) * col("x") - col("n")) /
+              sqrt(col("n").cast("double")))))).as("pval"))
+      Inference.bhAdjust(hyp, Seq("p_brand"), col("pval"))
+        .orderBy("rank")
+    }),
+
+
+    // sequential testing: SPRT on the up-day rate of each daily series
+    // (H1: P(up) = 0.6 vs H0: 0.4). The log-likelihood ratio after t
+    // steps is ln(1.5)·(2·ups − t), so the ENTIRE decision runs on the
+    // exact integer k = 2·ups − t: cross when |k| ≥ 8 (= ⌈ln 19 ∕
+    // ln 1.5⌉, the α=β=0.05 Wald boundary) — no float ever gates a
+    // branch, and the one reported llr scales k by a shared literal.
+    // Windows run over the bounded daily grid (aggregate-first).
+    "q_sprt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val steps = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("day_total"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("day_total") * 100).cast("long").as("c"))
+        .withColumn("prev", lag("c", 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", when(col("c") > col("prev"), 1L).otherwise(0L))
+        .withColumn("t", row_number().over(wo).cast("long"))
+        .withColumn("k", lit(2L) * sum("up").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("t"))
+      steps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_steps"),
+          min(when(abs(col("k")) >= 8L, struct(col("t"), col("k"))))
+            .as("cross"),
+          max_by(col("k"), col("t")).as("k_final"))
+        .select(col("event_type"), col("n_steps"),
+          col("cross.t").as("cross_t"), col("cross.k").as("k_cross"),
+          when(col("cross.k").isNull, "continue")
+            .when(col("cross.k") >= 8L, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          round(col("k_final") * lit(0.4054651081081644), 6).as("llr_final"))
+        .orderBy("event_type")
+    }),
+
+
+    // inter-rater agreement with MISSING ratings: Krippendorff's alpha
+    // (nominal) over a (user-bucket × event-type) rating matrix —
+    // each "rater" (event type) labels the units it observed with a
+    // value-quartile category, units seen by ≥ 2 raters qualify, and
+    // the coincidence mass clears to exact scaled longs
+    // (Inference.krippendorffAlpha scaladoc: ×12 = lcm(1..4) keeps
+    // every 1/(m_u−1) integral for up to 5 raters).
+    "q_krippendorff" -> ((s, dir) => {
+      val ratings = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy((col("user_id") % 500).as("unit"),
+          col("event_type").as("rater"))
+        .agg(min(round(col("value") * 100).cast("long")).as("mc"))
+        .select(col("unit"), col("rater"),
+          // pmod-Euclidean floor div, matching the oracle's flooring
+          // // for any sign of mc (round-8 advice; value > 0 today but
+          // the query shouldn't depend on that)
+          least(expr("(mc - pmod(mc, 10000)) DIV 10000"), lit(3L)).as("cat"))
+      Inference.krippendorffAlpha(ratings, col("unit"), col("rater"),
+          col("cat"))
+        .orderBy("n_units")
+    }),
+
+
+    // differential privacy: Laplace-mechanism counts per
+    // (event_type, day) with DETERMINISTIC key-seeded noise — the
+    // inverse-CDF plumbing, sensitivity-1 scale b = 1/ε and
+    // post-processing clamp are the deliverable; a production release
+    // swaps the md5-uniform for cryptographic randomness
+    // (Privacy.dpCounts scaladoc states the contract).
+    "q_dp_counts" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      Privacy.dpCounts(ev, Seq("event_type", "day"), epsilon = 1.0)
+        .orderBy("event_type", "day")
+    }),
+
+
+    // data forensics: Benford first-digit conformance of the price
+    // column — exact digit counts over one map-side-combined pass,
+    // expected proportions as plan literals, χ² terms nano-quantized
+    // so the statistic is an exact-long rollup (the q_chi2_test rule).
+    "q_benford" -> ((s, dir) => {
+      Inference.benford(t(s, dir, "lineitem"), floor(col("l_extendedprice")))
+    }),
+
+
+    // ML-ops: model calibration audit (reliability diagram) of the
+    // hashed linear quality classifier against the lang=='en' label —
+    // per predicted-score decile: exact counts, observed positive
+    // rate, and mean prediction from micro-quantized exact sums. Bins
+    // cut on the ROUND-6 score (the proven hash-stable boundary), so
+    // binning is engine-independent.
+    "q_calibration" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val scored = TextStats.classifierScore(
+          docs, TextStats.hashedModel(s, 1024), dim = 1024)
+        .select(col("doc_id"), round(col("score"), 6).as("r"))
+      val lab = t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("pos"))
+      scored.join(lab, "doc_id")
+        .select(least(floor(col("r") * 10), lit(9L)).cast("int").as("bin"),
+          col("pos"), floor(col("r") * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").cast("long").as("n_pos"),
+          sum("sq").as("ssq"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("ssq").cast("double") / col("n").cast("double") / lit(1e6), 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("obs_rate"))
+        .orderBy("bin")
+    }),
+
+
+    // privacy: deterministic keyed pseudonymization — same user maps to
+    // the same opaque token everywhere (referential integrity survives;
+    // the raw id does not). Heavy-user profile over tokens proves
+    // group-bys still work on the pseudonymized stream.
+    "q_pseudonymize" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(Privacy.pseudonymize(col("user_id"), "pepper").as("user_token"),
+          col("event_type"), col("value"))
+        .groupBy("user_token")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"),
+          sum(floor(col("value") * 100)).cast("long").as("value_cents"))
+        .orderBy(desc("n_events"), asc("user_token"))
+        .limit(25)
+    }),
+
+
+    // privacy audit: k-anonymity (k=5) of the (event_type, day-hour)
+    // quasi-identifier — per type: how many quasi-id groups exist, how
+    // many are small enough to re-identify, and how many rows sit in
+    // them. Exact counts end to end.
+    "q_k_anonymity" -> ((s, dir) => {
+      Privacy.kAnonymityGroups(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH").as("qh")),
+          k = 5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("violates_k"), 1)).as("n_violating"),
+          sum(when(col("violates_k"), col("n")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          min("n").as("min_group"))
+        .orderBy("event_type")
+    }),
+
+
+    // uncertainty quantification: jackknife SE of the per-flag monthly
+    // mean revenue — leave-one-out reduced to exact integer algebra
+    // (Q = Σ(S − n·xᵢ)² over decimal(38,0)), one IEEE tower at the end.
+    "q_jackknife" -> ((s, dir) => {
+      val grid = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("rev"))
+      Inference.jackknifeSE(grid, Seq("l_returnflag"), col("rev"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // privacy: l-diversity audit (l=3) — groups that pass k-anonymity
+    // can still leak the sensitive attribute if everyone in them shares
+    // it. Sensitive stand-in: a demographic code derived from user_id.
+    "q_l_diversity" -> ((s, dir) => {
+      Privacy.lDiversityGroups(
+          EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("qd")),
+          sensitive = col("user_id") % 10, l = 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("violates_l"), 1)).as("n_violating"),
+          sum(when(col("violates_l"), col("n")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          min("l").as("min_l"))
+        .orderBy("event_type")
+    }),
+
+
+    // 2-D skyline: parts undominated on (total quantity sold, best unit
+    // price in cents) — anti-correlated axes, so the frontier is a real
+    // curve. Grid-first: the ordered frontier pass runs over the part
+    // grid, never lineitem rows.
+    "q_pareto_frontier" -> ((s, dir) => {
+      val grid = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum("l_quantity").cast("long").as("tot_qty"),
+          max(floor(col("l_extendedprice") / col("l_quantity") * 100))
+            .cast("long").as("unit_cents"))
+      ScaleOps.paretoFrontier(grid, "l_partkey", "tot_qty", "unit_cents")
+        .orderBy(desc("tot_qty"))
+    }),
+
+
+    // uncertainty at scale: deterministic Poisson bootstrap — hash-
+    // drawn Poisson(1) multiplicities per (row, replicate) mean the
+    // resample is a pure function of the data (retry/AQE/engine-
+    // stable); CI = explicit ranks 2 and 49 of the 50 replicate means.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      Inference.poissonBootstrapCI(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          rowKey = concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+          x = floor(col("l_extendedprice") * 100), reps = 50)
+        .orderBy("l_returnflag")
+    }),
+
+
+    // feature preprocessing: quantile normalization — map each value
+    // to its empirical quantile rank/(n+1) within the group, then
+    // summarize per subgroup. Rank sums stay exact longs; one division.
+    // Ranks come from the DISTINCT-VALUE cumulative-count grid (min
+    // rank of value v = cum(<v) + 1 — identical to rank() for ties),
+    // not a full-row window: with a 3-value group key the row window
+    // is two-reducer-funnel territory (the q_spearman lesson), while
+    // the grid form's only group-partitioned sort is over distinct
+    // cents values and every row-sized exchange hashes on
+    // high-cardinality keys.
+    "q_quantile_normalize" -> ((s, dir) => {
+      val li = spread(t(s, dir, "lineitem")).select(col("l_returnflag"),
+        col("l_linestatus"), floor(col("l_extendedprice") * 100).as("cents"))
+      // the only pass over raw rows: (flag, status, cents) multiplicities
+      val grid = li.groupBy("l_returnflag", "l_linestatus", "cents")
+        .agg(count(lit(1)).as("c"))
+      val axis = grid.groupBy("l_returnflag", "cents").agg(sum("c").as("ac"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = axis
+        .withColumn("end", sum("ac").over(wCum))
+        .withColumn("ng", sum("ac").over(Window.partitionBy("l_returnflag")))
+        .select(col("l_returnflag"), col("cents"),
+          (col("end") - col("ac") + lit(1L)).as("rk"), col("ng"))
+      grid.join(ranks, Seq("l_returnflag", "cents"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("c").as("n_rows"),
+          sum(col("c") * col("rk")).as("sum_rank"), max("ng").as("ng"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          round(col("sum_rank").cast("double") /
+            (col("n_rows") * (col("ng") + 1)).cast("double"), 6)
+            .as("mean_qnorm"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+
+    // annotation QA: Cohen's kappa of the heuristic language-id vs the
+    // gold lang label — chance-corrected agreement in cleared-
+    // denominator integer form; exactly one float division.
+    "q_cohen_kappa" -> ((s, dir) => {
+      Inference.cohenKappa(
+        spread(t(s, dir, "documents"))
+          .select(col("lang"), TextStats.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+
+    // retrieval eval: nDCG@3 + reciprocal rank of the bucketed ANN
+    // against same-label relevance. Rank-2/3 discounts and the ideal
+    // DCG are CASE literals (no float accumulation to diverge); the
+    // only sums are over {0, .5, .63..., 1} rounded at 1e-6.
+    "q_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val topk = Similarity.bucketedTopK(spread(emb),
+        emb.filter(col("vec_id") < 8), k = 3, planes = annPlanes)
+      val rel = topk
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlab")),
+          "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlab")),
+          "neighbor_id")
+        .withColumn("rel", (col("qlab") === col("nlab")).cast("int"))
+      val disc = when(col("rank") === 1, lit(1.0))
+        .when(col("rank") === 2, lit(0.6309297535714574))
+        .otherwise(lit(0.5))
+      rel.groupBy("query_id")
+        .agg(sum("rel").cast("long").as("n_rel"),
+          sum(col("rel") * disc).as("dcg"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .select(col("query_id"), col("n_rel"), round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / when(col("n_rel") === 1, lit(1.0))
+            .when(col("n_rel") === 2, lit(1.6309297535714574))
+            .when(col("n_rel") === 3, lit(2.1309297535714574))
+            .otherwise(lit(1.0)), 6).as("ndcg"),
+          coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("rr"))
+        .orderBy("query_id")
+    }),
+
+
+    // stats: Spearman rank correlation per returnflag between quantity
+    // and price cents — the outlier-proof monotone-association screen.
+    // Doubled-midrank machinery keeps every power sum an exact integer
+    // (see Inference.spearman); rows collapse to the (group, x, y) grid
+    // first and the ranks come from distinct-value cumulative counts,
+    // so NO full-row sort ever runs inside the 3-value group partition
+    // (the low-cardinality window funnel: 15.3 s → 4.4 s at sf1).
+    "q_spearman" -> ((s, dir) => {
+      Inference.spearman(spread(t(s, dir, "lineitem")), Seq("l_returnflag"),
+        col("l_quantity"), floor(col("l_extendedprice") * 100))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // stats: pairwise Pearson matrix over the four quantized lineitem
+    // measures in ONE map-side-combined pass (shuffle = one row of
+    // power sums; never k² scans, never a row-pair join) — the
+    // feature-redundancy screen before training-data export.
+    "q_corr_matrix" -> ((s, dir) => {
+      Inference.corrMatrix(spread(t(s, dir, "lineitem")), Seq(
+        "qty" -> col("l_quantity"),
+        "price_c" -> floor(col("l_extendedprice") * 100),
+        "disc_c" -> floor(col("l_discount") * 100),
+        "tax_c" -> floor(col("l_tax") * 100)))
+        .orderBy("col_a", "col_b")
+    }),
+
+
+    // features: leave-one-out target encoding of `source` by n_chars —
+    // the leakage-safe mean encoding (each row's feature excludes its
+    // own target). One category aggregate + broadcast join-back; the
+    // encode pass itself is narrow.
+    "q_target_encode" -> ((s, dir) => {
+      Inference.targetEncodeLOO(spread(t(s, dir, "documents")), "source",
+        col("doc_id"), col("n_chars"))
+        .orderBy("id")
+    }),
+
+
+    // per-group median imputation — the ML-prep null-fill: nulls are
+    // planted deterministically (so the oracle reproduces them), the
+    // fill value is the group's exact disc median (Quantiles machinery
+    // — shuffle is distinct values, never a per-group sort), and the
+    // gate pins the post-imputation integer sum.
+    "q_impute" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        when(pmod(col("l_orderkey") * 8 + col("l_linenumber"), lit(13)) === 0, lit(null))
+          .otherwise(col("l_quantity")).as("qty"))
+        .persist() // median pass + imputation pass
+      val med = Quantiles.exactQuantilesDisc(li.filter(col("qty").isNotNull),
+        "qty", Seq("g"), Seq(0.5), Seq("med"))
+      li.join(broadcast(med), Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty").isNull.cast("long")).as("n_imputed"),
+          max(col("med")).as("median_used"),
+          sum(floor(coalesce(col("qty"), col("med")))).cast("long").as("sum_qty_filled"))
+        .orderBy("g")
+    }),
+
+
+    // ABC (Pareto) revenue analysis per supplier nation: rank parts by
+    // exact cents, classify A/B/C at the 80/95% cumulative boundaries —
+    // decided by INTEGER cross-multiplication (cum·5 ≤ total·4), so the
+    // class never flips on float rounding. The cumulative window
+    // partitions per nation over the part-level aggregate (|parts|
+    // rows), not raw lineitem.
+    "q_abc_analysis" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey").as("p"))
+        .agg(sum(floor(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+      val wCum = Window.partitionBy("n_name").orderBy(desc("cents"), asc("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("n_name")
+      rev.withColumn("cum", sum("cents").over(wCum))
+        .withColumn("total", sum("cents").over(wTot))
+        .withColumn("abc",
+          when(col("cum") * 5 <= col("total") * 4, lit("A"))
+            .when(col("cum") * 20 <= col("total") * 19, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("n_name", "abc")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+        .orderBy("n_name", "abc")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+      "q_mode" ->
+        """SELECT l_returnflag AS mode_val FROM lineitem
+          |GROUP BY 1 ORDER BY count(*) DESC, l_returnflag LIMIT 1""".stripMargin,
+
+
+      "q_resample_yearly" ->
+        """WITH monthly AS (
+          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year, l_quantity AS employment FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_discount * 100 FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
+          |SELECT year, round(avg(employment), 4) AS employment, make_date(year, 1, 1) AS date
+          |FROM monthly GROUP BY year ORDER BY year""".stripMargin,
+
+
+      "q_resample_quarterly" ->
+        """WITH monthly AS (
+          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+          |         CAST(quarter(l_shipdate) AS INTEGER) AS qtr, l_quantity AS employment FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER),
+          |         CAST(quarter(l_shipdate) AS INTEGER), l_discount * 100 FROM lineitem
+          |  UNION ALL SELECT CAST(year(l_shipdate) AS INTEGER),
+          |         CAST(quarter(l_shipdate) AS INTEGER), l_tax * 100 FROM lineitem)
+          |SELECT year, qtr, round(avg(employment), 4) AS employment,
+          |       make_date(year, (qtr - 1) * 3 + 1, 1) AS date
+          |FROM monthly GROUP BY year, qtr ORDER BY year, qtr""".stripMargin,
+
+
+      "q_bitmap_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_quota_sample" ->
+        """WITH w AS (
+          |  SELECT event_type, CAST(sum(user_id % 1000 + 1) AS BIGINT) AS w
+          |  FROM events GROUP BY 1),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+          |q0 AS (
+          |  SELECT event_type, (100 * w) // tot AS base, (100 * w) % tot AS rem FROM w, tot),
+          |q1 AS (
+          |  SELECT event_type, base,
+          |         row_number() OVER (ORDER BY rem DESC, event_type) AS rnk FROM q0),
+          |quotas AS (
+          |  SELECT event_type,
+          |         base + CASE WHEN rnk <= 100 - (SELECT sum(base) FROM q0) THEN 1 ELSE 0 END AS quota
+          |  FROM q1),
+          |ranked AS (
+          |  SELECT event_type, event_id,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+          |  FROM events)
+          |SELECT r.event_type, r.event_id, CAST(r.rn AS INTEGER) AS rank
+          |FROM ranked r JOIN quotas q ON r.event_type = q.event_type
+          |WHERE r.rn <= q.quota ORDER BY 1, 3""".stripMargin,
+
+
+      "q_cms_topk" ->
+        """WITH items AS (SELECT user_id AS item FROM events),
+          |pairs AS (
+          |  SELECT r, item,
+          |         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM items, (SELECT unnest([0,1,2,3]) AS r)),
+          |cms AS (SELECT r, bucket, count(*) AS c FROM pairs GROUP BY 1, 2),
+          |exact AS (SELECT item, count(*) AS exact_n FROM items GROUP BY 1
+          |          ORDER BY exact_n DESC, item LIMIT 10),
+          |probe AS (
+          |  SELECT e.item, e.exact_n, r.r,
+          |         CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.item AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM exact e, (SELECT unnest([0,1,2,3]) AS r) r)
+          |SELECT p.item, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est,
+          |       CAST(min(p.exact_n) AS BIGINT) AS exact_n,
+          |       min(coalesce(c.c, 0)) >= min(p.exact_n) AS admissible
+          |FROM probe p LEFT JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+          |GROUP BY p.item ORDER BY exact_n DESC, item""".stripMargin,
+
+
+      // deterministic HLL: every register is integer arithmetic off the
+      // same md5, so the sketch state (v_empty, s_scaled) hash-gates
+      // exactly; est repeats the engine's literal double ops (round 4
+      // absorbs the last-ulp ln on the lc branch)
+      "q_hll_distinct" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events),
+          |r AS (
+          |  SELECT event_type, hv >> 52 AS bucket,
+          |         max(bit_count((((hv & 4503599627370495) | 4503599627370496) & -((hv & 4503599627370495) | 4503599627370496)) - 1) + 1) AS reg
+          |  FROM h GROUP BY 1, 2),
+          |s AS (
+          |  SELECT event_type, count(*) AS n_buckets,
+          |         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s_present
+          |  FROM r GROUP BY 1),
+          |e AS (
+          |  SELECT event_type, CAST(256 - n_buckets AS BIGINT) AS v_empty,
+          |         s_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_scaled
+          |  FROM s),
+          |est AS (
+          |  SELECT event_type, v_empty, s_scaled,
+          |         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+          |           CAST(CAST(1 AS BIGINT) << 53 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS raw
+          |  FROM e),
+          |x AS (SELECT event_type, count(DISTINCT CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_exact FROM events GROUP BY 1)
+          |SELECT est.event_type, CAST(x.n_exact AS BIGINT) AS n_exact, v_empty, s_scaled,
+          |       CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0 THEN 'lc' ELSE 'raw' END AS band,
+          |       round(CASE WHEN v_empty > 0 AND raw <= 2.5 * 256.0
+          |             THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE raw END, 4) AS est
+          |FROM est JOIN x ON est.event_type = x.event_type
+          |ORDER BY 1""".stripMargin,
+
+
+      // KMV overlap: bottom-k DISTINCT md5 minima per group (the
+      // window form here equals KmvAgg's in-buffer dedup), union-k via
+      // list ops on the tiny sketches, exact Jaccard alongside
+      "q_kmv_overlap" ->
+        """WITH h AS (
+          |  SELECT DISTINCT event_type AS g,
+          |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events),
+          |sk AS (
+          |  SELECT g, list_sort(list(hv)) AS ks
+          |  FROM (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h)
+          |  WHERE rn <= 128 GROUP BY g),
+          |kv AS (
+          |  SELECT a.g AS ga, b.g AS gb,
+          |         list_slice(list_sort(list_distinct(list_concat(a.ks, b.ks))), 1, 128) AS ku_list,
+          |         a.ks AS ksa, b.ks AS ksb
+          |  FROM sk a JOIN sk b ON a.g < b.g),
+          |kve AS (
+          |  SELECT ga, gb,
+          |         CAST(len(list_filter(ku_list, x -> list_contains(ksa, x) AND list_contains(ksb, x))) AS BIGINT) AS n_shared,
+          |         CAST(len(ku_list) AS BIGINT) AS ku
+          |  FROM kv),
+          |du AS (SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS u FROM events),
+          |sizes AS (SELECT g, count(*) AS n FROM du GROUP BY 1),
+          |inter AS (
+          |  SELECT x.g AS ga, y.g AS gb, count(*) AS n_inter
+          |  FROM du x JOIN du y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2)
+          |SELECT kve.ga, kve.gb, n_shared, ku,
+          |       round(CAST(n_shared AS DOUBLE) / CAST(ku AS DOUBLE), 4) AS jaccard_kmv,
+          |       CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+          |       round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+          |             CAST(sa.n + sb.n - coalesce(n_inter, 0) AS DOUBLE), 4) AS jaccard_exact
+          |FROM kve LEFT JOIN inter ON kve.ga = inter.ga AND kve.gb = inter.gb
+          |JOIN sizes sa ON kve.ga = sa.g JOIN sizes sb ON kve.gb = sb.g
+          |ORDER BY 1, 2""".stripMargin,
+
+
+      // discrete medians spelled as pure INTEGER rank logic (smallest
+      // value whose <=-count reaches half the group: 2*ce >= n) — no
+      // built-in quantile function, so no engine-version sensitivity
+      "q_outliers" ->
+        """WITH r1 AS (
+          |  SELECT l_returnflag, l_extendedprice AS v,
+          |         count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+          |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem),
+          |med AS (SELECT l_returnflag, min(v) AS m FROM r1 WHERE 2 * ce >= n GROUP BY 1),
+          |dev AS (
+          |  SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS adev, med.m
+          |  FROM lineitem l JOIN med USING (l_returnflag)),
+          |r2 AS (
+          |  SELECT l_returnflag, adev,
+          |         count(*) OVER (PARTITION BY l_returnflag ORDER BY adev
+          |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM dev),
+          |mad AS (SELECT l_returnflag, min(adev) AS md FROM r2 WHERE 2 * ce >= n GROUP BY 1)
+          |SELECT dev.l_returnflag, count(*) AS n,
+          |       CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |       round(min(m), 4) AS median, round(min(md), 4) AS mad
+          |FROM dev JOIN mad USING (l_returnflag)
+          |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+
+      "q_histogram" ->
+        """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 21) AS BIGINT) AS bin,
+          |       count(*) AS n_rows,
+          |       round(min(l_extendedprice), 2) AS min_price,
+          |       round(max(l_extendedprice), 2) AS max_price
+          |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+
+
+      "q_share_of_total" ->
+        """WITH pn AS (
+          |  SELECT n_regionkey, n_name, round(sum(o_totalprice), 2) AS nation_total
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT n_regionkey AS region_key, n_name AS nation, nation_total,
+          |       round(nation_total / sum(nation_total) OVER (PARTITION BY n_regionkey), 6) AS share_of_region
+          |FROM pn ORDER BY region_key, nation""".stripMargin,
+
+
+      "q_psi_drift" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+          |         CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS half
+          |  FROM events),
+          |counts AS (
+          |  SELECT event_type, bin,
+          |         count(*) FILTER (WHERE half = 'ref') AS c_ref,
+          |         count(*) FILTER (WHERE half = 'cur') AS c_cur
+          |  FROM ev GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |         CAST(sum(c_cur) AS BIGINT) AS n_cur
+          |  FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT c.event_type, n_ref, n_cur,
+          |         greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6) AS p_ref,
+          |         greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) AS p_cur
+          |  FROM counts c JOIN tot t ON c.event_type = t.event_type)
+          |SELECT event_type, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
+          |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+          |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_psi_multi" ->
+        """WITH binned AS (
+          |  SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'ref' ELSE 'cur' END AS half,
+          |         u.feature, u.bin
+          |  FROM lineitem, unnest([
+          |    {'feature': 'quantity', 'bin': CAST(least(floor(l_quantity / 5.0), 9.0) AS BIGINT)},
+          |    {'feature': 'price', 'bin': CAST(least(floor(l_extendedprice / 10000.0), 10.0) AS BIGINT)},
+          |    {'feature': 'discount', 'bin': CAST(least(floor(l_discount / 0.01), 10.0) AS BIGINT)}]) t(u)),
+          |counts AS (
+          |  SELECT feature, bin,
+          |         count(*) FILTER (WHERE half = 'ref') AS c_ref,
+          |         count(*) FILTER (WHERE half = 'cur') AS c_cur
+          |  FROM binned GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT feature, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+          |         CAST(sum(c_cur) AS BIGINT) AS n_cur
+          |  FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT c.feature, n_ref, n_cur,
+          |         greatest(CAST(c_ref AS DOUBLE) / n_ref, 1e-6) AS p_ref,
+          |         greatest(CAST(c_cur AS DOUBLE) / n_cur, 1e-6) AS p_cur
+          |  FROM counts c JOIN tot t ON c.feature = t.feature)
+          |SELECT feature, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
+          |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+          |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_hash_sample" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |lv AS (
+           |  SELECT doc_id,
+           |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks),
+           |lang AS (
+           |  SELECT doc_id, bucket,
+           |         $sqlLangCase AS lang_id
+           |  FROM lv)
+           |SELECT doc_id, lang_id FROM lang
+           |WHERE bucket IN ('0', '1')
+           |   OR (bucket IN ('2', '3') AND lang_id <> 'en')
+           |ORDER BY doc_id""".stripMargin,
+
+
+      "q_percentiles" ->
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+          |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_percentile_disc" ->
+        """SELECT l_returnflag,
+          |       quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+          |       quantile_disc(l_extendedprice, 0.95) AS p95_disc
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_count_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_group_stats" ->
+        """WITH g AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+          |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss,
+          |         min(CAST(l_quantity AS BIGINT)) AS min_q,
+          |         max(CAST(l_quantity AS BIGINT)) AS max_q
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag, n, s, min_q, max_q,
+          |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+          |       sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_q
+          |FROM g ORDER BY l_returnflag""".stripMargin,
+
+
+      // the window form the TopKAgg aggregator replaces at scale —
+      // identical semantics (score desc, id asc tie-break)
+      "q_topk_agg" ->
+        """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_totalprice, o_orderkey
+          |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+          |             row_number() OVER (PARTITION BY o_orderpriority
+          |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |      FROM orders)
+          |WHERE rn <= 3
+          |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+
+      // sequential Poisson priority: u = first 52 md5 bits (exactly
+      // representable as a double), priority = ONE division u/weight
+      "q_weighted_sample" ->
+        """WITH pri AS (
+          |  SELECT doc_id, n_chars, lang,
+          |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+          |           / CAST(n_chars AS DOUBLE) AS p
+          |  FROM documents)
+          |SELECT doc_id, n_chars, lang FROM pri
+          |QUALIFY row_number() OVER (ORDER BY p, doc_id) <= 60
+          |ORDER BY doc_id""".stripMargin,
+
+
+      "q_weighted_sample_strat" ->
+        """WITH pri AS (
+          |  SELECT doc_id, lang, n_chars,
+          |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+          |           / CAST(n_chars AS DOUBLE) AS p
+          |  FROM documents)
+          |SELECT doc_id, lang, n_chars FROM pri
+          |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) <= 8
+          |ORDER BY doc_id""".stripMargin,
+
+
+      "q_group_split" ->
+        """WITH s AS (
+          |  SELECT user_id, value,
+          |         CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT user_id, value,
+          |          instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 AS b
+          |        FROM events))
+          |SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+          |       round(sum(value), 2) AS total_value
+          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+
+      "q_winsorize" ->
+        """WITH bounds AS (
+          |  SELECT l_returnflag,
+          |         quantile_cont(l_extendedprice, 0.05) AS lo,
+          |         quantile_cont(l_extendedprice, 0.95) AS hi
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l.l_returnflag,
+          |       count(*) FILTER (WHERE l_extendedprice < lo) AS n_clamped_low,
+          |       count(*) FILTER (WHERE l_extendedprice > hi) AS n_clamped_high,
+          |       count(*) AS n_rows,
+          |       round(min(lo), 4) AS p05,
+          |       round(min(hi), 4) AS p95,
+          |       round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS winsorized_mean
+          |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // mean/sigma from exact integer power sums, every float op in
+      // the same order as the Spark column expressions
+      "q_standardize" ->
+        """WITH stats AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         sum(CAST(l_quantity AS BIGINT)) AS s1,
+          |         sum(CAST(l_quantity * l_quantity AS BIGINT)) AS s2
+          |  FROM lineitem GROUP BY 1),
+          |params AS (
+          |  SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / n AS mu,
+          |         sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1) /
+          |              (CAST(n AS DOUBLE) * n)) AS sigma
+          |  FROM stats)
+          |SELECT l.l_returnflag, count(*) AS n_rows,
+          |       count(*) FILTER (WHERE abs((l_quantity - mu) / sigma) > 1.5) AS n_beyond_15sd,
+          |       round(min((l_quantity - mu) / sigma), 6) AS z_min,
+          |       round(max((l_quantity - mu) / sigma), 6) AS z_max,
+          |       round(min(mu), 6) AS mu, round(min(sigma), 6) AS sigma
+          |FROM lineitem l JOIN params p ON l.l_returnflag = p.l_returnflag
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // manual cumulative-weight mirror of exactWeightedQuantilesDisc:
+      // the qualifying value's interval satisfies cum−c < p·Σw ≤ cum
+      "q_weighted_median" ->
+        """WITH vc AS (
+          |  SELECT l_returnflag, l_extendedprice AS v,
+          |         sum(CAST(l_quantity AS BIGINT)) AS c
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          |    AND l_quantity > 0
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT l_returnflag, v, c,
+          |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+          |         sum(c) OVER (PARTITION BY l_returnflag) AS tot
+          |  FROM vc)
+          |SELECT l_returnflag,
+          |       min(CASE WHEN cum - c < 0.5 * tot AND 0.5 * tot <= cum THEN v END) AS wp50,
+          |       min(CASE WHEN cum - c < 0.9 * tot AND 0.9 * tot <= cum THEN v END) AS wp90
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_ab_ttest" ->
+        """WITH e AS (
+          |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS ss0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS ss1
+          |  FROM e GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, n0, n1,
+          |         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+          |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+          |         (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          |           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))
+          |           / CAST(n0 AS DOUBLE) AS se0,
+          |         (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+          |           / CAST(n1 AS DOUBLE) AS se1
+          |  FROM g)
+          |SELECT event_type, n0, n1,
+          |       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+          |       round(mean1 - mean0, 6) AS mean_diff,
+          |       round((mean1 - mean0) / sqrt(se0 + se1), 6) AS t_stat,
+          |       round((se0 + se1) * (se0 + se1)
+          |             / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+          |                + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6) AS welch_df
+          |FROM h ORDER BY event_type""".stripMargin,
+
+
+      "q_group_regression" ->
+        """WITH s AS (
+          |  SELECT l_returnflag,
+          |         CAST(l_quantity AS BIGINT) AS x,
+          |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+          |  FROM lineitem),
+          |g AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx,
+          |         CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM s GROUP BY 1),
+          |h AS (
+          |  SELECT l_returnflag, n,
+          |         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cov_n,
+          |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS varx_n,
+          |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS vary_n,
+          |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          |  FROM g)
+          |SELECT l_returnflag, n,
+          |       round(cov_n / varx_n, 6) AS slope,
+          |       round(syd / CAST(n AS DOUBLE) - (cov_n / varx_n) * sxd / CAST(n AS DOUBLE), 6) AS intercept,
+          |       round(cov_n * cov_n / (varx_n * vary_n), 6) AS r2
+          |FROM h ORDER BY l_returnflag""".stripMargin,
+
+
+      "q_mutual_info" ->
+        """WITH j AS (
+          |  SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2),
+          |mx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+          |my AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+          |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+          |c AS (
+          |  SELECT j.lang, j.nxy,
+          |         CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+          |           * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+          |                / CAST(nx * ny AS DOUBLE)) AS contrib
+          |  FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot)
+          |SELECT lang, count(*) AS n_cells, CAST(sum(nxy) AS BIGINT) AS nx,
+          |       round(sum(contrib), 6) AS mi_part
+          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+      "q_conformal" ->
+        """WITH r AS (
+          |  SELECT c_mktsegment,
+          |         instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS b,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey),
+          |s AS (SELECT c_mktsegment,
+          |             CASE WHEN b < 13 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split,
+          |             y
+          |      FROM r),
+          |m AS (SELECT c_mktsegment, count(*) AS n_train,
+          |             CAST(sum(y) AS BIGINT) // count(*) AS y_hat
+          |      FROM s WHERE split = 'train' GROUP BY 1),
+          |q AS (SELECT s.c_mktsegment, CAST(quantile_disc(abs(y - y_hat), 0.9) AS BIGINT) AS qhat
+          |      FROM s JOIN m ON s.c_mktsegment = m.c_mktsegment
+          |      WHERE split = 'val' GROUP BY 1),
+          |tst AS (SELECT s.c_mktsegment, count(*) AS n_test,
+          |               count(*) FILTER (WHERE abs(y - y_hat) <= qhat) AS covered
+          |        FROM s JOIN m ON s.c_mktsegment = m.c_mktsegment
+          |        JOIN q ON s.c_mktsegment = q.c_mktsegment
+          |        WHERE split = 'test' GROUP BY 1)
+          |SELECT m.c_mktsegment, n_train, y_hat, qhat, n_test, covered,
+          |       (covered * 10000) // n_test AS coverage_bp
+          |FROM m JOIN q ON m.c_mktsegment = q.c_mktsegment
+          |JOIN tst ON m.c_mktsegment = tst.c_mktsegment
+          |ORDER BY m.c_mktsegment""".stripMargin,
+
+
+      "q_ks_test" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS v
+          |  FROM events),
+          |cells AS (
+          |  SELECT v,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          |  FROM e GROUP BY 1),
+          |cdf AS (
+          |  SELECT CAST(sum(c0) OVER wv AS DOUBLE) / CAST(sum(c0) OVER () AS DOUBLE)
+          |           - CAST(sum(c1) OVER wv AS DOUBLE) / CAST(sum(c1) OVER () AS DOUBLE) AS gap,
+          |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+          |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+          |  FROM cells
+          |  WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |k AS (
+          |  SELECT n0, n1, round(max(abs(gap)), 6) AS ks_stat
+          |  FROM cdf GROUP BY 1, 2)
+          |SELECT n0, n1, ks_stat,
+          |       round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE)), 6) AS crit_05,
+          |       ks_stat > round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE)), 6) AS reject_05
+          |FROM k ORDER BY n0""".stripMargin,
+
+
+      "q_woe_iv" ->
+        """WITH c AS (
+          |  SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+          |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g,
+          |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+          |  FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt FROM c)
+          |SELECT bin, g, b,
+          |       round(ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS woe,
+          |       round((((g + 0.5) / gt) - ((b + 0.5) / bt))
+          |             * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) AS iv_part
+          |FROM c, t ORDER BY bin""".stripMargin,
+
+
+      // per-cell contributions quantized to nano-units before the SUM
+      // (exact longs — accumulation-order-free), mirroring
+      // Inference.chi2's fixed-point discipline
+      "q_chi2_test" ->
+        """WITH joint AS (
+          |  SELECT event_type AS x, user_id % 2 AS y, count(*)::BIGINT AS nxy
+          |  FROM events GROUP BY 1, 2),
+          |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+          |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+          |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+          |               CAST(count(DISTINCT x) AS BIGINT) AS dx,
+          |               CAST(count(DISTINCT y) AS BIGINT) AS dy FROM joint),
+          |cells AS (
+          |  SELECT n, dx, dy,
+          |         CAST(round((CAST(COALESCE(nxy, 0) AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+          |              * (CAST(COALESCE(nxy, 0) AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+          |              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS c9
+          |  FROM mx CROSS JOIN my LEFT JOIN joint USING (x, y), tot),
+          |s AS (SELECT n, dx, dy, CAST(sum(c9) AS BIGINT) AS chi9
+          |      FROM cells GROUP BY 1, 2, 3)
+          |SELECT n, (dx - 1) * (dy - 1) AS dof,
+          |       round(CAST(chi9 AS DOUBLE) / 1e9, 6) AS chi2_stat,
+          |       round(sqrt(CAST(chi9 AS DOUBLE) / 1e9 /
+          |             (CAST(n AS DOUBLE) * CAST(least(dx - 1, dy - 1) AS DOUBLE))), 6) AS cramers_v
+          |FROM s ORDER BY n""".stripMargin,
+
+
+      // integer rank-weighted numerator; one final division
+      "q_gini_mixture" ->
+        """WITH c AS (SELECT source, count(*)::BIGINT AS x FROM documents GROUP BY 1),
+          |r AS (SELECT x,
+          |             CAST(2 * row_number() OVER (ORDER BY x, source) AS BIGINT) * x AS ix2
+          |      FROM c),
+          |s AS (SELECT count(*)::BIGINT AS n_sources, CAST(sum(x) AS BIGINT) AS total_docs,
+          |             CAST(sum(ix2) AS BIGINT) AS s_ix2 FROM r)
+          |SELECT n_sources, total_docs,
+          |       round(CAST(s_ix2 - (n_sources + 1) * total_docs AS DOUBLE) /
+          |             CAST(n_sources * total_docs AS DOUBLE), 6) AS gini
+          |FROM s""".stripMargin,
+
+
+      // exact integer EMD numerator over the zero-filled group x value
+      // grid; one final division — the Privacy.tClosenessGroups math
+      "q_t_closeness" ->
+        """WITH cells AS (
+          |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+          |         CAST(l_quantity AS INTEGER) // 10 AS sv,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY 1, 2, 3),
+          |gv AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cells GROUP BY sv),
+          |gc AS (SELECT sv, CAST(sum(gcnt) OVER (ORDER BY sv
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+          |       FROM gv),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS big_n,
+          |               CAST(count(DISTINCT sv) AS BIGINT) AS m FROM cells),
+          |grp AS (SELECT rf, ls, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT g.rf, g.ls, g.n, v.sv,
+          |         CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.rf, g.ls
+          |           ORDER BY v.sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS gcum_grp
+          |  FROM grp g CROSS JOIN (SELECT sv FROM gv) v
+          |  LEFT JOIN cells c ON c.rf = g.rf AND c.ls = g.ls AND c.sv = v.sv)
+          |SELECT grid.rf AS l_returnflag, grid.ls AS l_linestatus, grid.n,
+          |       CAST(sum(abs(gcum_grp * tt.big_n - gc.gcum * grid.n)) AS BIGINT) AS t_num,
+          |       round(CAST(sum(abs(gcum_grp * tt.big_n - gc.gcum * grid.n)) AS DOUBLE) /
+          |             CAST(grid.n * tt.big_n * (tt.m - 1) AS DOUBLE), 6) AS t
+          |FROM grid JOIN gc USING (sv) CROSS JOIN tot tt
+          |GROUP BY grid.rf, grid.ls, grid.n, tt.big_n, tt.m
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+
+      // md5-ranked per-stratum top-5 — the deterministic reservoir
+      "q_stratified_k" ->
+        """SELECT o_orderpriority, o_orderkey, rn FROM (
+          |  SELECT o_orderpriority, o_orderkey,
+          |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INTEGER) AS rn
+          |  FROM orders) WHERE rn <= 5
+          |ORDER BY o_orderpriority, rn""".stripMargin,
+
+
+      // tie-aware rank-sum AUC: u2 = Σ np·(2·cum_neg_below + nn) over
+      // the distinct-score grid — every term an exact long, one
+      // division at the end (mirrors Inference.rocAuc)
+      "q_roc_auc" ->
+        """WITH sc AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS s,
+          |         (user_id % 3 = 0) AS y
+          |  FROM events),
+          |bys AS (
+          |  SELECT event_type, s,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          |  FROM sc GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type, s, np, nn,
+          |         COALESCE(sum(nn) OVER (PARTITION BY event_type ORDER BY s
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+          |  FROM bys)
+          |SELECT event_type,
+          |       CAST(sum(np) AS BIGINT) AS n_pos,
+          |       CAST(sum(nn) AS BIGINT) AS n_neg,
+          |       CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+          |       round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE) /
+          |             nullif(2.0 * sum(np) * sum(nn), 0), 6) AS auc
+          |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // descending-bucket sweep: tp/fp cumulative from the top of the
+      // score grid, precision/recall one division per point (mirrors
+      // Inference.prCurve)
+      "q_pr_curve" ->
+        """WITH sc AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) // 5000 AS b,
+          |         (user_id % 3 = 0) AS y
+          |  FROM events),
+          |byb AS (
+          |  SELECT event_type, b,
+          |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          |  FROM sc GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type, b AS bucket,
+          |         sum(np) OVER (PARTITION BY event_type ORDER BY b DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |         sum(nn) OVER (PARTITION BY event_type ORDER BY b DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+          |         sum(np) OVER (PARTITION BY event_type) AS p_tot
+          |  FROM byb)
+          |SELECT event_type, bucket,
+          |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+          |       round(CAST(tp AS DOUBLE) / nullif(p_tot, 0), 6) AS recall
+          |FROM cum ORDER BY event_type, bucket""".stripMargin,
+
+
+      // BH sweep mirrored: per-brand sign-test z from exact counts,
+      // logistic-CDF p (the stated approximation contract), rank by
+      // (p, brand), reversed running min of m·p/rank clamped at 1,
+      // reject from the ROUNDED adjusted p
+      "q_fdr_bh" ->
+        """WITH hyp AS (
+          |  SELECT p_brand, count(*) AS n,
+          |         sum(CASE WHEN CAST(round(p_retailprice * 100) AS BIGINT) % 2 = 0
+          |                  THEN 1 ELSE 0 END) AS x
+          |  FROM part GROUP BY 1),
+          |pv AS (
+          |  SELECT p_brand,
+          |         2.0 / (1.0 + exp(1.702 * abs((2.0 * x - n) / sqrt(CAST(n AS DOUBLE))))) AS p
+          |  FROM hyp),
+          |ranked AS (
+          |  SELECT p_brand, p,
+          |         CAST(count(*) OVER () AS BIGINT) AS m,
+          |         CAST(row_number() OVER (ORDER BY p, p_brand) AS INTEGER) AS rank
+          |  FROM pv),
+          |adj AS (
+          |  SELECT p_brand, p, rank,
+          |         least(1.0, min(m * p / rank) OVER (ORDER BY rank
+          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+          |  FROM ranked)
+          |SELECT p_brand, round(p, 6) AS p, rank,
+          |       round(p_adj, 6) AS p_adj,
+          |       (round(p_adj, 6) <= 0.05) AS reject
+          |FROM adj ORDER BY rank""".stripMargin,
+
+
+      // SPRT on the integer spine k = 2·ups − t: cross at |k| ≥ 8 (the
+      // α=β=0.05 Wald boundary for 0.6-vs-0.4), decision from the
+      // first-crossing struct, llr scales k by the shared ln(1.5)
+      // literal
+      "q_sprt" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |steps AS (
+          |  SELECT event_type, day, c,
+          |         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          |  FROM daily),
+          |ks AS (
+          |  SELECT event_type, day,
+          |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+          |         2 * sum(CASE WHEN c > prev THEN 1 ELSE 0 END)
+          |               OVER (PARTITION BY event_type ORDER BY day
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k
+          |  FROM steps WHERE prev IS NOT NULL),
+          |crs AS (
+          |  SELECT event_type, min(t) AS cross_t
+          |  FROM ks WHERE abs(k) >= 8 GROUP BY 1),
+          |fin AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
+          |         max_by(k, t) AS k_final
+          |  FROM ks GROUP BY 1)
+          |SELECT f.event_type, f.n_steps,
+          |       CAST(c.cross_t AS BIGINT) AS cross_t,
+          |       CAST(kx.k AS BIGINT) AS k_cross,
+          |       CASE WHEN c.cross_t IS NULL THEN 'continue'
+          |            WHEN kx.k >= 8 THEN 'accept_h1'
+          |            ELSE 'accept_h0' END AS decision,
+          |       round(f.k_final * 0.4054651081081644, 6) AS llr_final
+          |FROM fin f
+          |LEFT JOIN crs c ON c.event_type = f.event_type
+          |LEFT JOIN ks kx ON kx.event_type = f.event_type AND kx.t = c.cross_t
+          |ORDER BY f.event_type""".stripMargin,
+
+
+      // coincidence-mass clearing: per-unit off-diagonal mass
+      // 12·(m²−Σn_uc²)/(m−1) summed as exact integers; marginals over
+      // qualifying units; one division (mirrors
+      // Inference.krippendorffAlpha)
+      "q_krippendorff" ->
+        """WITH ratings AS (
+          |  SELECT user_id % 500 AS unit, event_type AS rater,
+          |         least(min(CAST(round(value * 100) AS BIGINT)) // 10000, 3) AS cat
+          |  FROM events GROUP BY 1, 2),
+          |peruc AS (
+          |  SELECT unit, cat, CAST(count(*) AS BIGINT) AS nuc
+          |  FROM ratings GROUP BY 1, 2),
+          |peru AS (
+          |  SELECT unit, sum(nuc) AS mu, sum(nuc * nuc) AS sq
+          |  FROM peruc GROUP BY 1 HAVING sum(nuc) >= 2),
+          |dobs AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+          |         CAST(COALESCE(sum(mu), 0) AS BIGINT) AS n,
+          |         CAST(COALESCE(sum(12 * (mu * mu - sq) / (mu - 1)), 0) AS BIGINT) AS do_scaled
+          |  FROM peru),
+          |marg AS (
+          |  SELECT CAST(COALESCE(sum(nc * nc), 0) AS BIGINT) AS sum_nc2
+          |  FROM (SELECT cat, sum(nuc) AS nc FROM peruc
+          |        WHERE unit IN (SELECT unit FROM peru) GROUP BY 1))
+          |SELECT n_units, n, do_scaled,
+          |       CAST(n * n - sum_nc2 AS BIGINT) AS de_num,
+          |       round(1.0 - CAST((n - 1) * do_scaled AS DOUBLE) /
+          |             CAST(12 * (n * n - sum_nc2) AS DOUBLE), 6) AS alpha
+          |FROM dobs CROSS JOIN marg ORDER BY n_units""".stripMargin,
+
+
+      // Laplace inverse CDF on the md5-seeded uniform, mirrored; 2⁵²
+      // as the exact literal; clamp applied after the shared rounding
+      "q_dp_counts" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |nz AS (
+          |  SELECT event_type, day, n,
+          |         (CAST(('0x' || substring(md5(event_type || chr(1) || day), 1, 13)) AS BIGINT) + 0.5)
+          |           / 4503599627370496.0 AS u
+          |  FROM g)
+          |SELECT event_type, day, n,
+          |       round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+          |       round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS dp_n,
+          |       greatest(round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6), 0.0) AS dp_n_clamped
+          |FROM nz ORDER BY event_type, day""".stripMargin,
+
+
+      // three raters per doc (gold, full-text lang-id, 16-token
+      // lang-id); every kappa term an exact long — the
+      // Inference.fleissKappa clearing
+      "q_fleiss_kappa" ->
+        s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+           |r2 AS (
+           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks),
+           |t16 AS (SELECT doc_id, lang, l[1:16] AS l FROM toks),
+           |r3 AS (
+           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  FROM t16),
+           |assign AS (
+           |  SELECT doc_id AS i, lang AS cat FROM documents
+           |  UNION ALL SELECT doc_id, $sqlLangCase FROM r2
+           |  UNION ALL SELECT doc_id, $sqlLangCase FROM r3),
+           |cells AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS nij
+           |          FROM assign GROUP BY 1, 2),
+           |complete AS (
+           |  SELECT i, CAST(sum(nij * nij) AS BIGINT) AS sq_i
+           |  FROM cells GROUP BY i HAVING sum(nij) = 3),
+           |pi AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |              CAST(coalesce(sum(sq_i), 0) AS BIGINT) AS sum_sq
+           |       FROM complete),
+           |pc AS (
+           |  SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS b FROM (
+           |    SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM cells
+           |    WHERE i IN (SELECT i FROM complete) GROUP BY cat)),
+           |terms AS (
+           |  SELECT n_items, sum_sq - n_items * 3 AS a,
+           |         n_items * 6 AS d1, b,
+           |         n_items * 3 * n_items * 3 AS d2
+           |  FROM pi CROSS JOIN pc)
+           |SELECT n_items, CAST(3 AS INTEGER) AS n_raters,
+           |       round(CAST(a AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS p_bar,
+           |       round(CAST(b AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS p_e,
+           |       round(CAST(a * d2 - b * d1 AS DOUBLE) /
+           |             CAST(d1 * (d2 - b) AS DOUBLE), 6) AS kappa
+           |FROM terms ORDER BY n_items""".stripMargin,
+
+
+      // half-unit average ranks (2r + t - 1), exact W+/W- and the
+      // tie-corrected z tower — the Inference.wilcoxonSignedRank math
+      "q_wilcoxon_signed" ->
+        """WITH y94 AS (
+          |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c94
+          |  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1),
+          |y95 AS (
+          |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c95
+          |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+          |d AS (
+          |  SELECT c95 - c94 AS d, abs(c95 - c94) AS ad
+          |  FROM y94 JOIN y95 USING (o_custkey) WHERE c95 <> c94),
+          |ranked AS (
+          |  SELECT d, CAST(rank() OVER (ORDER BY ad) AS BIGINT) * 2 +
+          |         CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS rank2
+          |  FROM d),
+          |ties AS (
+          |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_cube
+          |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY ad)),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN d > 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w_plus2,
+          |         CAST(sum(CASE WHEN d < 0 THEN rank2 ELSE 0 END) AS BIGINT) AS w_minus2
+          |  FROM ranked)
+          |SELECT n, w_plus2, w_minus2,
+          |       CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie_cube > 0
+          |       THEN round(CAST(w_plus2 * 2 - n * (n + 1) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE)) /
+          |                  sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie_cube AS DOUBLE)), 6)
+          |       END AS z
+          |FROM s CROSS JOIN ties ORDER BY n""".stripMargin,
+
+
+      // exact concordance/tie counts over the day-grid pair space; one
+      // sqrt — the Inference.kendallTauB clearing
+      "q_kendall_tau" ->
+        """WITH g AS (
+          |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          |  FROM events GROUP BY 1),
+          |p AS (
+          |  SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+          |  FROM g a JOIN g b ON a.day < b.day),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+          |         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+          |         CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+          |         CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+          |         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+          |  FROM p)
+          |SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_xy,
+          |       CASE WHEN n_pairs - ties_x - ties_xy > 0 AND n_pairs - ties_y - ties_xy > 0
+          |       THEN round(CAST(concordant - discordant AS DOUBLE) /
+          |                  sqrt(CAST(n_pairs - ties_x - ties_xy AS DOUBLE) *
+          |                       CAST(n_pairs - ties_y - ties_xy AS DOUBLE)), 6)
+          |       END AS tau_b
+          |FROM s ORDER BY n_pairs""".stripMargin,
+
+
+      // the q_ndcg bucket/top-3 CTEs rolled up: AP/RR cleared to exact
+      // 36ths/6ths per query, three divisions total
+      "q_map_mrr" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |tk AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM s QUALIFY rank <= 3),
+           |rel AS (
+           |  SELECT tk.query_id, tk.rank,
+           |         CAST(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS BIGINT) AS rel
+           |  FROM tk JOIN embeddings ql ON ql.vec_id = tk.query_id
+           |          JOIN embeddings nl ON nl.vec_id = tk.neighbor_id),
+           |relc AS (
+           |  SELECT query_id, rank, rel,
+           |         CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM rel),
+           |perq AS (
+           |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           |         CAST(sum(rel * cum *
+           |              CASE rank WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) AS ap18,
+           |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           |  FROM relc GROUP BY query_id),
+           |scored AS (
+           |  SELECT query_id,
+           |         CASE WHEN n_rel > 0 THEN (ap18 * 6) // n_rel ELSE 0 END AS ap36,
+           |         coalesce(6 // first_rel, 0) AS rr6, first_rel
+           |  FROM perq)
+           |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |       CAST(sum(ap36) AS BIGINT) AS sum_ap36,
+           |       CAST(sum(rr6) AS BIGINT) AS sum_rr6,
+           |       CAST(count(first_rel) AS BIGINT) AS n_hit,
+           |       round(CAST(sum(ap36) AS DOUBLE) / CAST(count(*) * 36 AS DOUBLE), 6) AS map3,
+           |       round(CAST(sum(rr6) AS DOUBLE) / CAST(count(*) * 6 AS DOUBLE), 6) AS mrr3,
+           |       round(CAST(count(first_rel) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+           |FROM scored ORDER BY n_queries""".stripMargin,
+
+
+      // expected proportions are the SAME driver-computed literals the
+      // Spark plan carries — no engine log10 in either query
+      // p literals go through a STRING->DOUBLE cast: DuckDB parses a bare
+      // decimal literal as DECIMAL and its decimal->double conversion is
+      // one IEEE division (not a correctly-rounded parse) — 1 ulp off
+      // the Scala literal for digit 3. varchar->double parses exactly.
+      "q_benford" -> {
+        val grid = (1 to 9)
+          .map(d => s"(${d}, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))")
+          .mkString(", ")
+        s"""WITH counts AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           |         count(*) AS n_obs
+           |  FROM lineitem WHERE CAST(floor(l_extendedprice) AS BIGINT) > 0
+           |  GROUP BY 1),
+           |grid AS (SELECT d AS digit, CAST(p AS DOUBLE) AS p
+           |         FROM (VALUES $grid) t(d, p)),
+           |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+           |SELECT g.digit, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           |       t.n AS n, g.p AS expected_p,
+           |       CAST(round((coalesce(c.n_obs, 0) - t.n * g.p) *
+           |                  (coalesce(c.n_obs, 0) - t.n * g.p) /
+           |                  (t.n * g.p) * 1e9, 0) AS BIGINT) AS chi2_nano
+           |FROM grid g LEFT JOIN counts c ON c.digit = g.digit CROSS JOIN tot t
+           |ORDER BY g.digit""".stripMargin
+      },
+
+
+      // classifier score CTEs identical to q_quality_classifier; bins
+      // cut on the round-6 score (hash-stable), stats from exact counts
+      // and micro-quantized prediction sums
+      "q_calibration" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substring(md5('f:' || t), 1, 8)) AS BIGINT) % 1024 AS bucket
+          |  FROM (SELECT doc_id, unnest(l) AS t FROM toks)),
+          |m AS (
+          |  SELECT i AS bucket,
+          |         (CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          |  FROM range(1024) r(i)),
+          |z AS (
+          |  SELECT doc_id, sum(w) / count(*) AS mean_w
+          |  FROM f JOIN m USING (bucket) GROUP BY 1),
+          |s AS (
+          |  SELECT t.doc_id,
+          |         round(1.0 / (1.0 + exp(-8.0 * coalesce(z.mean_w, 0.0))), 6) AS r
+          |  FROM toks t LEFT JOIN z USING (doc_id)),
+          |lab AS (
+          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |b AS (
+          |  SELECT least(CAST(floor(r * 10) AS BIGINT), 9) AS bin, pos,
+          |         CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS sq
+          |  FROM s JOIN lab USING (doc_id))
+          |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n,
+          |       CAST(sum(pos) AS BIGINT) AS n_pos,
+          |       round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_pred,
+          |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS obs_rate
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      "q_pseudonymize" ->
+        """SELECT md5('pepper:' || CAST(user_id AS VARCHAR)) AS user_token,
+          |       count(*) AS n_events,
+          |       count(DISTINCT event_type) AS n_types,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1
+          |ORDER BY n_events DESC, user_token LIMIT 25""".stripMargin,
+
+
+      "q_k_anonymity" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS qh, count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, count(*) AS n_groups,
+          |       count(CASE WHEN n < 5 THEN 1 END) AS n_violating,
+          |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+          |       CAST(min(n) AS BIGINT) AS min_group
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // Q = Σ(S − n·x)² over HUGEINT (squares overflow int64); the
+      // final sqrt/division tower mirrors the Spark expression exactly
+      "q_jackknife" ->
+        """WITH grid AS (
+          |  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ym,
+          |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT l_returnflag, count(*) AS n, CAST(sum(rev) AS BIGINT) AS s
+          |  FROM grid GROUP BY 1),
+          |d AS (
+          |  SELECT g.l_returnflag, t.n, t.s,
+          |         CAST(t.s - t.n * g.rev AS HUGEINT) AS dd
+          |  FROM grid g JOIN tot t USING (l_returnflag)),
+          |q AS (SELECT l_returnflag, n, s, sum(dd * dd) AS q
+          |      FROM d GROUP BY 1, 2, 3)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n_periods,
+          |       round(CAST(s AS DOUBLE) / n, 4) AS mean_x,
+          |       round(sqrt(CAST(q AS DOUBLE) * (n - 1) / n) / (n * (n - 1)), 4)
+          |         AS jack_se
+          |FROM q ORDER BY l_returnflag""".stripMargin,
+
+
+      "q_l_diversity" ->
+        """WITH g AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS qd, count(*) AS n,
+          |         count(DISTINCT user_id % 10) AS l
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, count(*) AS n_groups,
+          |       count(CASE WHEN l < 3 THEN 1 END) AS n_violating,
+          |       CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+          |       CAST(min(l) AS BIGINT) AS min_l
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // same distinct-x collapse + strictly-greater-x running max as
+      // ScaleOps.paretoFrontier (rows-frame valid because x is distinct)
+      "q_pareto_frontier" ->
+        """WITH grid AS (
+          |  SELECT l_partkey,
+          |         CAST(sum(l_quantity) AS BIGINT) AS tot_qty,
+          |         CAST(max(floor(l_extendedprice / l_quantity * 100)) AS BIGINT) AS unit_cents
+          |  FROM lineitem GROUP BY 1),
+          |perx AS (SELECT tot_qty, max(unit_cents) AS best_y FROM grid GROUP BY 1),
+          |reps AS (
+          |  SELECT g.tot_qty, p.best_y, min(g.l_partkey) AS rep_id
+          |  FROM grid g JOIN perx p ON g.tot_qty = p.tot_qty AND g.unit_cents = p.best_y
+          |  GROUP BY 1, 2),
+          |fr AS (
+          |  SELECT rep_id, tot_qty, best_y,
+          |         max(best_y) OVER (ORDER BY tot_qty DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+          |  FROM reps)
+          |SELECT rep_id, tot_qty, CAST(best_y AS BIGINT) AS unit_cents FROM fr
+          |WHERE prev_best IS NULL OR best_y > prev_best
+          |ORDER BY tot_qty DESC""".stripMargin,
+
+
+      // identical md5-inverse-CDF Poisson(1) draw (integer cutpoints,
+      // no float in the weight decision); CI by explicit rank
+      "q_bootstrap_ci" ->
+        """WITH base AS (
+          |  SELECT l_returnflag,
+          |         CAST(('0x' || substring(md5(
+          |           CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+          |         ), 1, 8)) AS BIGINT) AS h,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS xc
+          |  FROM lineitem),
+          |fan AS (
+          |  SELECT l_returnflag, h, xc, i AS rep
+          |  FROM base CROSS JOIN range(50) r(i)),
+          |wt AS (
+          |  SELECT l_returnflag, rep, xc,
+          |         (((((h + rep * 2654435761) % 4294967296) * 1597334677) % 4294967296)
+          |           * 1812433253) % 4294967296 % 1000000 AS u
+          |  FROM fan),
+          |wts AS (
+          |  SELECT l_returnflag, rep, xc,
+          |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+          |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+          |              WHEN u < 996340 THEN 4 ELSE 5 END AS w
+          |  FROM wt),
+          |rm AS (
+          |  SELECT l_returnflag, rep,
+          |         CAST(sum(w * xc) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+          |  FROM wts GROUP BY 1, 2),
+          |rk2 AS (
+          |  SELECT l_returnflag, rep, m,
+          |         row_number() OVER (PARTITION BY l_returnflag ORDER BY m, rep) AS rn
+          |  FROM rm),
+          |pt AS (
+          |  SELECT l_returnflag, count(*) AS n_rows, CAST(sum(xc) AS BIGINT) AS sx
+          |  FROM base GROUP BY 1)
+          |SELECT p.l_returnflag, p.n_rows,
+          |       round(CAST(sx AS DOUBLE) / n_rows, 6) AS point_mean,
+          |       round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi
+          |FROM pt p
+          |JOIN rk2 lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = 2
+          |JOIN rk2 hi ON hi.l_returnflag = p.l_returnflag AND hi.rn = 49
+          |ORDER BY 1""".stripMargin,
+
+
+      "q_quantile_normalize" ->
+        """WITH li AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |r AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         rank() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS ng
+          |  FROM li)
+          |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |       round(CAST(sum(rk) AS DOUBLE) / CAST(count(*) * (max(ng) + 1) AS DOUBLE), 6) AS mean_qnorm
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+      // cleared-denominator integer kappa: exactly one float division,
+      // mirrored op for op
+      "q_cohen_kappa" ->
+        s"""WITH toks AS (
+           |  SELECT lang, $sqlTokens AS l FROM documents),
+           |v AS (
+           |  SELECT lang,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks),
+           |conf AS (
+           |  SELECT lang AS x, $sqlLangCase AS y, count(*) AS n
+           |  FROM v GROUP BY 1, 2),
+           |t AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+           |         CAST(sum(CASE WHEN x = y THEN n ELSE 0 END) AS BIGINT) AS n_agree
+           |  FROM conf),
+           |r AS (SELECT x, CAST(sum(n) AS BIGINT) AS rm FROM conf GROUP BY 1),
+           |c AS (SELECT y, CAST(sum(n) AS BIGINT) AS cm FROM conf GROUP BY 1),
+           |p AS (
+           |  SELECT COALESCE(CAST(sum(rm * cm) AS BIGINT), 0) AS pe_num
+           |  FROM r JOIN c ON r.x = c.y)
+           |SELECT n_tot, n_agree,
+           |       round(CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS p_observed,
+           |       round(CAST(pe_num AS DOUBLE) / CAST(n_tot * n_tot AS DOUBLE), 6) AS p_expected,
+           |       round(CAST(n_tot * n_agree - pe_num AS DOUBLE)
+           |             / CAST(n_tot * n_tot - pe_num AS DOUBLE), 6) AS kappa
+           |FROM t, p ORDER BY n_tot""".stripMargin,
+
+
+      // same bucket/top-3 CTEs as q_ann_topk; discounts and ideal DCG
+      // are CASE literals so no float accumulation can diverge
+      "q_ndcg" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(c.v, q.v) AS c
+           |  FROM b c JOIN b q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |tk AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM s QUALIFY rank <= 3),
+           |rel AS (
+           |  SELECT tk.query_id, tk.rank,
+           |         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+           |  FROM tk JOIN embeddings ql ON ql.vec_id = tk.query_id
+           |          JOIN embeddings nl ON nl.vec_id = tk.neighbor_id),
+           |agg AS (
+           |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           |         sum(rel * CASE rank WHEN 1 THEN CAST(1.0 AS DOUBLE)
+           |                             WHEN 2 THEN 0.6309297535714574
+           |                             ELSE CAST(0.5 AS DOUBLE) END) AS dcg,
+           |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           |  FROM rel GROUP BY 1)
+           |SELECT query_id, n_rel, round(dcg, 6) AS dcg,
+           |       round(dcg / CASE n_rel WHEN 1 THEN CAST(1.0 AS DOUBLE)
+           |                              WHEN 2 THEN 1.6309297535714574
+           |                              WHEN 3 THEN 2.1309297535714574
+           |                              ELSE CAST(1.0 AS DOUBLE) END, 6) AS ndcg,
+           |       COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 6), 0.0) AS rr
+           |FROM agg ORDER BY query_id""".stripMargin,
+
+
+      // doubled midranks (minrank + peers-inclusive cumulative count)
+      // keep every power sum exact; DuckDB sums promote to HUGEINT,
+      // matching Spark's decimal(38,0) — both cast exactly-once to
+      // double in the same tower
+      "q_spearman" ->
+        """WITH b AS (
+          |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS yv
+          |  FROM lineitem),
+          |r AS (
+          |  SELECT g,
+          |         rank() OVER (PARTITION BY g ORDER BY xv)
+          |           + count(*) OVER (PARTITION BY g ORDER BY xv
+          |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+          |         rank() OVER (PARTITION BY g ORDER BY yv)
+          |           + count(*) OVER (PARTITION BY g ORDER BY yv
+          |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry
+          |  FROM b),
+          |s AS (
+          |  SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+          |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          |  FROM r GROUP BY 1)
+          |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+          |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+          |                sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+          |       END AS rho
+          |FROM s ORDER BY l_returnflag""".stripMargin,
+
+
+      "q_corr_matrix" ->
+        """WITH b AS (
+          |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+          |         CAST(floor(l_discount * 100) AS BIGINT) AS disc_c,
+          |         CAST(floor(l_tax * 100) AS BIGINT) AS tax_c
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT count(*) AS n,
+          |         sum(qty) AS s_qty, sum(price_c) AS s_price,
+          |         sum(disc_c) AS s_disc, sum(tax_c) AS s_tax,
+          |         sum(qty * qty) AS ss_qty, sum(price_c * price_c) AS ss_price,
+          |         sum(disc_c * disc_c) AS ss_disc, sum(tax_c * tax_c) AS ss_tax,
+          |         sum(qty * price_c) AS sp_qp, sum(qty * disc_c) AS sp_qd,
+          |         sum(qty * tax_c) AS sp_qt, sum(price_c * disc_c) AS sp_pd,
+          |         sum(price_c * tax_c) AS sp_pt, sum(disc_c * tax_c) AS sp_dt
+          |  FROM b),
+          |p AS (
+          |  SELECT 'qty' AS col_a, 'price_c' AS col_b, n, sp_qp AS sp,
+          |         s_qty AS sa, s_price AS sb, ss_qty AS ssa, ss_price AS ssb FROM s
+          |  UNION ALL SELECT 'qty', 'disc_c', n, sp_qd, s_qty, s_disc, ss_qty, ss_disc FROM s
+          |  UNION ALL SELECT 'qty', 'tax_c', n, sp_qt, s_qty, s_tax, ss_qty, ss_tax FROM s
+          |  UNION ALL SELECT 'price_c', 'disc_c', n, sp_pd, s_price, s_disc, ss_price, ss_disc FROM s
+          |  UNION ALL SELECT 'price_c', 'tax_c', n, sp_pt, s_price, s_tax, ss_price, ss_tax FROM s
+          |  UNION ALL SELECT 'disc_c', 'tax_c', n, sp_dt, s_disc, s_tax, ss_disc, ss_tax FROM s)
+          |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+          |       CASE WHEN n * ssa - sa * sa > 0 AND n * ssb - sb * sb > 0 THEN
+          |         round(CAST(n * sp - sa * sb AS DOUBLE) /
+          |               (sqrt(CAST(n * ssa - sa * sa AS DOUBLE)) *
+          |                sqrt(CAST(n * ssb - sb * sb AS DOUBLE))), 6)
+          |       END AS corr
+          |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+
+      "q_target_encode" ->
+        """WITH g AS (
+          |  SELECT source, count(*) AS n_cat, CAST(sum(n_chars) AS BIGINT) AS s_cat
+          |  FROM documents GROUP BY 1)
+          |SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS t,
+          |       CAST(n_cat AS BIGINT) AS n_cat,
+          |       CASE WHEN n_cat > 1 THEN
+          |         round(CAST(s_cat - n_chars AS DOUBLE) /
+          |               CAST(n_cat - 1 AS DOUBLE), 6)
+          |       END AS loo_mean
+          |FROM documents JOIN g USING (source)
+          |ORDER BY id""".stripMargin,
+
+
+      // quantile_disc == the exact disc median Quantiles computes
+      "q_impute" ->
+        """WITH li AS (
+          |  SELECT l_returnflag AS g,
+          |         CASE WHEN (l_orderkey * 8 + l_linenumber) % 13 = 0 THEN NULL
+          |              ELSE l_quantity END AS qty
+          |  FROM lineitem),
+          |med AS (
+          |  SELECT g, quantile_disc(qty, 0.5) AS med
+          |  FROM li WHERE qty IS NOT NULL GROUP BY 1)
+          |SELECT li.g, count(*) AS n_rows,
+          |       CAST(count(CASE WHEN qty IS NULL THEN 1 END) AS BIGINT) AS n_imputed,
+          |       max(med) AS median_used,
+          |       CAST(sum(CAST(floor(COALESCE(qty, med)) AS BIGINT)) AS BIGINT)
+          |         AS sum_qty_filled
+          |FROM li JOIN med ON li.g = med.g
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // integer cross-multiplied class boundaries — no float share
+      "q_abc_analysis" ->
+        """WITH rev AS (
+          |  SELECT s_nationkey, l_partkey AS p,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  GROUP BY 1, 2),
+          |r2 AS (
+          |  SELECT n_name, p, cents,
+          |         sum(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, p
+          |                          ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cents) OVER (PARTITION BY n_name) AS total
+          |  FROM rev JOIN nation ON n_nationkey = s_nationkey),
+          |cls AS (
+          |  SELECT n_name,
+          |         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+          |              WHEN cum * 20 <= total * 19 THEN 'B'
+          |              ELSE 'C' END AS abc, cents
+          |  FROM r2)
+          |SELECT n_name, abc, count(*) AS n_parts,
+          |       CAST(sum(cents) AS BIGINT) AS cents
+          |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

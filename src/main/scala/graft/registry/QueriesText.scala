@@ -1,0 +1,1215 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.qcew.{NaicsAgg, Resample, Series}
+import graft.ext.{Affinity, AsofJoin, Bloom, Corpus, Dedup, EventsStream, Forecast, Graph, Inference, Multimodal, Privacy, Quantiles, ScaleOps, Sessionize, Similarity, Sketch, Spatial, StatefulOps, TextStats, TimeFill}
+
+/** corpus prep + text statistics + retrieval (quality, lang-id, BM25, chunking, decontamination, packing).
+  *
+  * One registry shard of [[SparkEntry]] (split in round 9 —
+  * the single 11k-line object was the repo's one
+  * maintainability hazard). Entries are verbatim; the shared
+  * helpers live in [[QueryShared]]. SparkEntry concatenates
+  * all shards and unit gates assert name uniqueness and
+  * query/oracle set equality.
+  */
+private[graft] object QueriesText {
+  import QueryShared._
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ext: PII scrub — the corpus tables carry no PII (pure word-salad,
+    // probed), so the demo MANUFACTURES email/phone/IP-bearing text
+    // from event ids deterministically in both engines, then runs the
+    // real redaction operator over it. The unit test covers genuine
+    // handwritten PII fixtures.
+    "q_pii_redact" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 211 === 0)
+      val raw = concat(
+        col("event_type"), lit(": contact u"), col("user_id").cast("string"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("user_id") % 256).cast("string"),
+        lit("."), (col("event_id") % 256).cast("string"))
+      ev.select(col("event_id"), TextStats.redactPii(raw).as("redacted"))
+        .orderBy("event_id")
+    }),
+
+
+    // ext: corpus vocabulary — top-k bigrams by frequency (the vocab-
+    // building sweep before tokenizer training). One shingle explode +
+    // map-side-combined count; the top-k is a total order (count desc,
+    // ngram) so the LIMIT is deterministic in both engines.
+    "q_top_ngrams" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram")).limit(20)
+    }),
+
+
+    // ext corpus: sliding-window chunking — 32-token chunks at stride
+    // 24 (overlapping context windows for training-sequence packing /
+    // RAG indexing). Narrow plan: tokenize once, explode; no shuffle.
+    "q_doc_chunks" -> ((s, dir) => {
+      Corpus.chunkDocs(spread(t(s, dir, "documents")), chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
+
+    // ext corpus: the SAME chunking through the native SlidingChunks
+    // Generator (UDTF) — chunks stream one row at a time instead of
+    // materializing every window of a doc before the explode; per-row
+    // memory O(chunkTokens) regardless of document length. Output
+    // identical to q_doc_chunks (shared oracle; unit-gated).
+    "q_doc_chunks_gen" -> ((s, dir) => {
+      Corpus.chunkDocsGen(spread(t(s, dir, "documents")), chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
+
+    // ext corpus: eval-set decontamination — training docs sharing a
+    // word 4-gram with the held-out split (doc_id % 50 == 0). The eval
+    // shingle set is broadcast (plan-asserted in CorpusSpec); real
+    // deployments use 8–13-grams, proportionate here to ~50-token docs.
+    "q_contamination" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Corpus.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 4)
+        .orderBy("doc_id")
+    }),
+
+
+    // ext corpus: repetition stats (Gopher-style quality rule) — the
+    // distinct-token fraction and top-bigram share flag boilerplate /
+    // degenerate docs; both shuffles key on doc_id with map-side combine.
+    "q_repetition" -> ((s, dir) => {
+      Corpus.repetitionStats(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext corpus: unigram surprisal — per-doc mean -ln p(token) under
+    // the corpus' own unigram LM (zero-dependency quality score). Vocab
+    // is one map-side-combined aggregate, broadcast back to the tokens.
+    "q_lm_surprisal" -> ((s, dir) => {
+      Corpus.unigramSurprisal(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext capstone: the END-TO-END training-data pipeline — quality
+    // gate -> exact-dup removal (keep lowest doc_id per normalized
+    // fingerprint) -> eval-set decontamination -> sliding-window
+    // chunking -> per-shard sequence packing. Every stage is an
+    // already-oracled operator; this row gates their COMPOSITION. The
+    // output is the packed-sequence manifest a trainer would consume.
+    "q_clean_corpus" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val kept = TextStats.withQuality(docs)
+        .filter(col("quality_score") >= 0.7).select("doc_id", "text")
+      val w = Window.partitionBy(Dedup.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      val canon = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val contaminated = Corpus.contamination(
+          canon.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 4)
+        .select("doc_id")
+      val clean = canon.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val chunks = Corpus.chunkDocs(clean, chunkTokens = 32, stride = 24)
+        .withColumn("bucket", col("doc_id") % 8)
+      Corpus.packSequences(chunks, "bucket", Seq("doc_id", "chunk_ix"),
+          budgetTokens = 256L)
+        .orderBy("bucket", "seq_id")
+    }),
+
+
+    // ext corpus: training-sequence packing — chunks concatenated per
+    // deterministic shard (doc_id % 8) and sliced every 256 tokens.
+    // All-integer outputs; the window sort is per-shard, never global.
+    "q_pack_sequences" -> ((s, dir) => {
+      val chunks = Corpus.chunkDocs(spread(t(s, dir, "documents")),
+          chunkTokens = 32, stride = 24)
+        .withColumn("bucket", col("doc_id") % 8)
+      Corpus.packSequences(chunks, "bucket", Seq("doc_id", "chunk_ix"),
+          budgetTokens = 256L)
+        .orderBy("bucket", "seq_id")
+    }),
+
+
+    // ext corpus: within-doc token entropy — internal diversity signal
+    // (surprisal measures drift from the corpus; entropy measures
+    // repetitiveness: spam scores low)
+    "q_token_entropy" -> ((s, dir) => {
+      Corpus.tokenEntropy(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext eval: heuristic-vs-ground-truth language confusion matrix —
+    // the documents table ships a true `lang` column; zh/de are outside
+    // the heuristic's inventory and should land in 'und' or misfire,
+    // which this matrix makes visible. One narrow projection + one agg.
+    "q_langid_confusion" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_id"))
+        .groupBy("lang", "lang_id").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_id")
+    }),
+
+
+    // ext corpus: n-gram novelty — the fraction of a doc's shingles
+    // seen NOWHERE else in the corpus, the memorization/creativity
+    // screen for synthetic and scraped data (novelty ~0 means the doc
+    // is assembled from corpus boilerplate). Shingle→doc-count is one
+    // map-side-combined aggregate; the per-doc ratio is exact counts +
+    // one IEEE division.
+    "q_novelty" -> ((s, dir) => {
+      val sh = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val freq = sh.groupBy("shingle").agg(countDistinct("doc_id").as("df"))
+      sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .withColumn("novelty", round(col("n_unique").cast("double") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext capstone: the composed training-data pipeline — quality gate,
+    // exact dedup keeping the first doc per normalized fingerprint,
+    // then per-language corpus stats. Every stage is an already-oracled
+    // operator; this gates their COMPOSITION.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val kept = TextStats.withQuality(spread(t(s, dir, "documents")))
+        .filter(col("quality_score") >= 0.7)
+        .select("doc_id", "text")
+      val w = Window.partitionBy(Dedup.normalizedFingerprint(col("text")))
+        .orderBy("doc_id")
+      val canon = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      canon
+        .select(TextStats.langId(col("text")).as("lang_id"),
+          TextStats.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpeish").cast("long").as("total_tokens"))
+        .orderBy("lang_id")
+    }),
+
+
+    // ext text: quality features + composite score
+    "q_text_quality" -> ((s, dir) => {
+      TextStats.withQuality(spread(t(s, dir, "documents")))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext text: hashed-feature linear classifier inference — the
+    // model-based quality filter shape (fasttext-style): tokens hash
+    // to buckets, a broadcast WEIGHT TABLE scores them, mean-pool +
+    // sigmoid per doc. Weights are a deterministic md5 stand-in
+    // (TextStats.hashedModel scaladoc); the serving plumbing is real
+    // and the oracle re-derives the identical model from the bucket
+    // ids. keep is computed from the ROUNDED score in both engines so
+    // the boolean can never disagree over a sub-ulp boundary.
+    "q_quality_classifier" -> ((s, dir) => {
+      val scored = TextStats.classifierScore(
+        spread(t(s, dir, "documents")), TextStats.hashedModel(s, 1024), dim = 1024)
+      scored
+        .select(col("doc_id"), col("n_feats"),
+          round(col("score"), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+
+    // ext text: heuristic language ID + BPE-ish token count
+    "q_lang_tokens" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextStats.langId(col("text")).as("lang_id"),
+          TextStats.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext similarity: semantic decontamination — flag corpus vectors
+    // within cosine 0.2 of ANY eval vector (vec_id % 101 = 0 plays the
+    // held-out eval set). The embedding-space complement of the n-gram
+    // q_contamination: paraphrased leakage shares no shingle but still
+    // sits next to the eval point. Pair space = eval × corpus within
+    // shared buckets, eval broadcast — never corpus × corpus.
+    "q_semantic_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ev = emb.filter(col("vec_id") % 101 === 0)
+      val corpus = spread(emb.filter(col("vec_id") % 101 =!= 0))
+      Similarity.semanticContamination(corpus, ev, threshold = 0.2,
+          planes = annPlanes)
+        .orderBy("vec_id")
+    }),
+
+
+    // ext text: TF/DF — top-3 terms per doc by term frequency with the
+    // corpus document frequency joined back (the distributed TF-IDF
+    // skeleton; tf/df are exact ints so the ranking is engine-exact —
+    // the idf float enters only where a caller accepts float output)
+    "q_tf_df" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("term"))
+      // no spread(): the 100-doc slice is tiny — a 32-way repartition
+      // would cost more than the explode it feeds
+      TextStats.termDocFrequency(
+          t(s, dir, "documents").filter(col("doc_id") < 100))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+
+    // ext text: winnowing-style rolling fingerprint — min md5 over
+    // strided character 8-gram windows of normalized text; one narrow
+    // codegen'd expression, no shuffle
+    "q_doc_fingerprint" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextStats.minShingleFingerprint(col("text"), w = 8, stride = 4).as("fp8"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext corpus: source mixture balancing — every source is sampled
+    // down to the smallest source's token total (balance-down mixture),
+    // by taking docs in md5 order until the token budget is spent
+    // (cumulative window per source; membership = exact-int
+    // take-while, deterministic and layout-independent). The real
+    // knob a training pipeline turns when one crawl dwarfs the rest.
+    "q_mixture_balance" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+      val totals = docs.groupBy("source").agg(sum("n_tok").as("total_tokens"))
+      val budget = totals.agg(min("total_tokens").as("budget"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .withColumn("cum", sum("n_tok").over(w))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") - col("n_tok") < col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"), sum("n_tok").as("tokens_kept"))
+        .join(totals, "source")
+        .orderBy("source")
+    }),
+
+
+    // ext corpus: vocabulary growth curve (Heaps'-law probe) — distinct
+    // 3-gram shingle count as successive contiguous tenths of the
+    // corpus arrive; a shingle counts for the FIRST decile that
+    // contains it (min-bucket agg, map-side combined), so the curve is
+    // one small cumulative window over 10 rows. All-integer,
+    // drift-free. (Shingles, not unigrams: the synthetic corpus has a
+    // ~31-token vocabulary, fully covered by decile 0 — the trigram
+    // space is what actually grows.)
+    "q_vocab_growth" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .select(expr("doc_id * 10 div (mx + 1)").as("bucket"),
+          explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("shingle").agg(min("bucket").as("first_bucket"))
+        .groupBy("first_bucket").agg(count(lit(1)).as("new_terms"))
+        .withColumn("cum_vocab",
+          sum("new_terms").over(Window.orderBy("first_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("first_bucket")
+    }),
+
+
+    // ext retrieval: BM25 lexical scoring — the canonical text ranker
+    // and the lexical half of hybrid RAG retrieval. tf filters to the
+    // query's terms BEFORE the shuffle (posting-list read, not a scan
+    // per query); df/avgLen are corpus stats a deployment precomputes.
+    // Every float input is an exact integer; per-doc term-weight sums
+    // (≤3 addends) are rounded 1e-6 to absorb accumulation order.
+    "q_bm25" -> ((s, dir) => {
+      TextStats.bm25(spread(t(s, dir, "documents")),
+          terms = Seq("spark", "table", "fast"))
+        .select(col("doc_id"), col("n_terms_matched"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext retrieval: hybrid lexical+vector fusion by reciprocal rank
+    // (RRF, the standard hybrid-search combiner): each ranker
+    // contributes 1/(60+rank); docs missing from one ranking get only
+    // the other's term. Ranks are assigned over ROUNDED scores with id
+    // tie-breaks, so rank assignment — and therefore the fused score —
+    // is deterministic cross-engine. doc i's embedding is vector i in
+    // the testdata, making the id spaces fuse directly.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextStats.bm25(spread(t(s, dir, "documents")),
+          terms = Seq("spark", "table", "fast"))
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(round(col("bm25"), 6).desc, col("doc_id"))).as("r_lex"))
+        .filter(col("r_lex") <= 50)
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(spread(emb), emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"),
+          row_number().over(
+            Window.orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))).as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ext corpus: per-doc out-of-vocabulary rate against the corpus'
+    // own top-30 vocabulary — the tokenizer-coverage health metric (a
+    // rising OOV rate on a new source means tokenizer or corpus is
+    // off-distribution). Vocab is a TakeOrdered top-k over the
+    // map-side-combined token counts; membership is a broadcast join;
+    // the rate is one IEEE division of exact counts.
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Corpus.oovRate(docs, Corpus.topVocab(docs, vocabSize = 30))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
+
+    // BPE merge-candidate mining — the corpus-scale step of tokenizer
+    // training. The corpus collapses to the distinct-word table BEFORE
+    // any character work, so the pair explode runs over |vocab| short
+    // strings, not over tokens (Corpus scaladoc). Counts exact.
+    "q_bpe_merges" -> ((s, dir) => {
+      Corpus.bpeMergeCandidates(spread(t(s, dir, "documents")), topK = 20)
+        .orderBy(desc("n_pair"), asc("pair"))
+    }),
+
+
+    // positional inverted index over documents: per term, df/cf and the
+    // by-doc_id posting list with 0-based token positions. The df band
+    // [5, 1000] is the hapax floor + stopword cap applied BEFORE
+    // posting assembly (TextStats.invertedIndex scaladoc). Postings
+    // serialize to JSON so the gate compares a flat string, not
+    // engine-specific nested reprs.
+    "q_inverted_index" -> ((s, dir) => {
+      TextStats.invertedIndex(spread(t(s, dir, "documents")), minDf = 5L, maxDf = 1000L)
+        .select(col("term"), col("df"), col("cf"),
+          to_json(col("postings")).as("postings"))
+        .orderBy("term")
+    }),
+
+
+    // duplicated-span mining: word 8-grams shared by ≥2 DISTINCT docs
+    // — the repeated-boilerplate detector (Lee et al.-style span dedup
+    // at shingle granularity). Shingle explode → one map-side-combined
+    // count per distinct span; the ≥2-docs filter prunes the long tail
+    // before the top-k sort, so what reaches the driver is boilerplate
+    // only. Same tokenize-once shape as q_top_ngrams.
+    "q_dup_spans" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("span"))
+        .groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), desc("n_occur"), asc("span"))
+        .limit(30)
+    }),
+
+
+    // policy filtering: phrase-blocklist hits over the corpus — banned
+    // token sequences matched on the canonical token stream (word-
+    // boundary exact, so "fast table" never matches inside "breakfast
+    // tables"), candidates generated by a broadcast anchor-token join
+    // so the corpus never pays |docs|x|phrases| contains calls
+    // (Corpus.blocklistFilter scaladoc).
+    "q_blocklist_filter" -> ((s, dir) => {
+      Corpus.blocklistFilter(spread(t(s, dir, "documents")), blockPhrases)
+        .orderBy("doc_id", "phrase")
+    }),
+
+
+    // generation eval: ROUGE-1/2 recall over adjacent (odd=candidate,
+    // even=reference) doc pairs — clipped multiset n-gram overlap,
+    // exact counts, one division per recall (Corpus.rougeOverlap
+    // scaladoc).
+    "q_rouge_overlap" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("cand_id"),
+          (col("doc_id") - 1).as("ref_id"))
+        .join(docs.select(col("doc_id").as("ref_id")), "ref_id")
+      Corpus.rougeOverlap(docs, pairs)
+        .orderBy("cand_id")
+    }),
+
+
+    // generative text classifier: multinomial naive Bayes trained on
+    // the corpus labels (language), applied back to every document —
+    // token log-probs and priors NANO-QUANTIZED so each doc score is
+    // an exact-long rollup and the argmax can never flip on a float
+    // ulp (TextStats.naiveBayes scaladoc); resubstitution accuracy is
+    // the gate (q_group_split holds the honest-split pattern).
+    "q_naive_bayes" -> ((s, dir) => {
+      TextStats.naiveBayes(spread(t(s, dir, "documents")),
+          col("doc_id"), col("text"), col("lang"))
+        .orderBy("id")
+    }),
+
+
+    // bigram LM quality score: mean −ln P(w2|w1) per doc from the
+    // corpus's own bigram counts — catches plausible-words-implausible-
+    // order text (shuffled/stuffed/template spam) that the unigram
+    // score (q_lm_surprisal) cannot. Bigrams built narrowly (zip_with,
+    // no pre-count shuffle); count and join-back share the bigram key.
+    "q_bigram_surprisal" -> ((s, dir) => {
+      Corpus.bigramSurprisal(spread(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+
+    // LM-smoothing: Kneser–Ney continuation counts — per word, how many
+    // DISTINCT left contexts it completes (N1+(·w)) and the KN
+    // continuation probability against the distinct-bigram-type total,
+    // as exact parts-per-billion. One pair-keyed exchange (reused for
+    // both the per-word rollup and the normalizer), Zipf-bounded.
+    "q_kn_continuation" -> ((s, dir) => {
+      Corpus.knContinuation(spread(t(s, dir, "documents")), minCtx = 5)
+        .orderBy("w")
+    }),
+
+
+    // lexical near-neighbors with no embeddings: TF-IDF cosine over the
+    // inverted-index self-join, df-banded so no stopword posting list
+    // ever joins. Integer-scaled idf keeps dot/norms exact; cosine is
+    // one fixed IEEE tower — bit-identical cross-engine.
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextStats.tfidfCosinePairs(spread(t(s, dir, "documents")))
+        .withColumn("cos_r", round(col("cosine"), 6))
+        .filter(col("cos_r") >= 0.25)
+        .select(col("a"), col("b"), col("n_shared"), col("cos_r"))
+        .orderBy(desc("cos_r"), asc("a"), asc("b"))
+        .limit(50)
+    }),
+
+
+    // corpus: skip-gram (center, context) training pairs within
+    // positional distance 2 — generated narrowly (nested-HOF zip_with;
+    // token arrays never self-join), counted on the Zipf-bounded pair
+    // grid, top-30 by an engine-exact total order.
+    "q_skipgram" -> ((s, dir) => {
+      Corpus.skipgramPairs(spread(t(s, dir, "documents")), window = 2, topK = 30)
+    }),
+
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): word
+    // count bounds, mean word length bounds, alphabetic-word fraction,
+    // stopword presence — the published heuristic battery every LLM
+    // corpus pass starts with. All four rules decide on INTEGER
+    // cross-multiplied comparisons (sumlen ≤ 10·n, 5·nalpha ≥ 4·n), so
+    // no float share ever reaches the gate; per-rule pass counts
+    // map-side-combine from a single narrow scan.
+    "q_gopher_rules" -> ((s, dir) => {
+      val toks = Dedup.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val sumlen = aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), _ + _)
+      val nalpha = aggregate(transform(toks,
+        w => w.rlike("[a-z]").cast("long")), lit(0L), _ + _)
+      val nstop = Seq("the", "a", "of", "to", "and")
+        .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+      spread(t(s, dir, "documents"))
+        .select(explode(map(
+          lit("alpha_words"), nalpha * 5 >= n * 4,
+          lit("mean_word_len"), sumlen >= n * 3 && sumlen <= n * 10,
+          lit("stopwords"), nstop >= 2,
+          lit("word_count"), n.between(5, 10000))).as(Seq("rule", "pass")))
+        .groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass").cast("long")).as("n_pass"))
+        .orderBy("rule")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+      "q_pii_redact" ->
+        """WITH raw AS (
+          |  SELECT event_id,
+          |         event_type || ': contact u' || CAST(user_id AS VARCHAR) ||
+          |         '@example.com or +1 (555) 010-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+          |         ' from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS text
+          |  FROM events WHERE event_id % 211 = 0)
+          |SELECT event_id,
+          |       regexp_replace(
+          |         regexp_replace(
+          |           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          |         '\+?[0-9][0-9().\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+          |FROM raw ORDER BY event_id""".stripMargin,
+
+
+      "q_top_ngrams" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS ngram
+          |  FROM toks)
+          |SELECT ngram, count(*) AS n FROM sh
+          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+
+      // chunk starts 1, 1+24, ... (1-based); list slices clamp at the
+      // doc end on both engines, so the tail chunk semantics match.
+      "q_doc_chunks" -> docChunksSql,
+
+
+      // the native Generator is output-identical to the declarative
+      // form (unit-gated), so it answers to the SAME oracle
+      "q_doc_chunks_gen" -> docChunksSql,
+
+
+      "q_clean_corpus" ->
+        s"""WITH $sqlQualityFeatureCte,
+           |kept AS (
+           |  SELECT doc_id, text FROM f WHERE $sqlQualityScore >= 0.7),
+           |canon AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |           row_number() OVER (
+           |             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |             ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |ctoks AS (SELECT doc_id, $sqlTokens AS l FROM canon),
+           |trainsh AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM ctoks WHERE len(l) >= 4 AND doc_id % 50 <> 0),
+           |evsh AS (
+           |  SELECT DISTINCT unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM qtok WHERE len(l) >= 4 AND doc_id % 50 = 0),
+           |contam AS (SELECT DISTINCT t.doc_id FROM trainsh t JOIN evsh e USING (ng)),
+           |clean AS (
+           |  SELECT doc_id, l FROM ctoks
+           |  WHERE doc_id % 50 <> 0 AND len(l) > 0
+           |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+           |ch AS (
+           |  SELECT doc_id, len(l) AS nl, unnest(generate_series(1, len(l), 24)) AS i
+           |  FROM clean),
+           |chunks AS (
+           |  SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_ix,
+           |         CAST(least(32, nl - i + 1) AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  FROM ch),
+           |cum AS (
+           |  SELECT bucket, doc_id, n,
+           |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
+           |                      ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM chunks)
+           |SELECT bucket, CAST((c - n) // 256 AS BIGINT) AS seq_id, count(*) AS n_chunks,
+           |       CAST(sum(n) AS BIGINT) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+
+      "q_pack_sequences" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |ch AS (
+           |  SELECT doc_id, len(l) AS nl, unnest(generate_series(1, len(l), 24)) AS i
+           |  FROM toks WHERE len(l) > 0),
+           |chunks AS (
+           |  SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_ix,
+           |         CAST(least(32, nl - i + 1) AS BIGINT) AS n, doc_id % 8 AS bucket
+           |  FROM ch),
+           |cum AS (
+           |  SELECT bucket, doc_id, n,
+           |         sum(n) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_ix
+           |                      ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM chunks)
+           |SELECT bucket, CAST((c - n) // 256 AS BIGINT) AS seq_id, count(*) AS n_chunks,
+           |       CAST(sum(n) AS BIGINT) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+           |FROM cum GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
+
+
+      "q_token_entropy" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |tok AS (SELECT doc_id, unnest(l) AS w FROM toks),
+           |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+           |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+      "q_langid_confusion" ->
+        s"""WITH toks AS (
+           |  SELECT lang, $sqlTokens AS l FROM documents),
+           |v AS (
+           |  SELECT lang,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr
+           |  FROM toks)
+           |SELECT lang, $sqlLangCase AS lang_id, count(*) AS n
+           |FROM v GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin,
+
+
+      "q_contamination" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |shing AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)])) AS ng
+           |  FROM toks WHERE len(l) >= 4),
+           |ev AS (SELECT DISTINCT ng, doc_id AS eval_id FROM shing WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, ng FROM shing WHERE doc_id % 50 <> 0)
+           |SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_shared_ngrams,
+           |       count(DISTINCT ev.eval_id) AS n_eval_docs
+           |FROM tr JOIN ev USING (ng) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // the repetitive flag compares the UNROUNDED ratio (one IEEE
+      // division of two exact integers — bit-stable cross-engine)
+      "q_repetition" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |big AS (
+           |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS ng
+           |  FROM toks WHERE len(l) >= 2),
+           |cnt AS (SELECT doc_id, ng, count(*) AS c FROM big GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM cnt GROUP BY 1)
+           |SELECT t.doc_id, len(l) AS n_tokens,
+           |       round(len(list_distinct(l)) * 1.0 / len(l), 4) AS uniq_token_frac,
+           |       round(top * 1.0 / total, 4) AS top_bigram_frac,
+           |       CAST(top * 1.0 / total >= 0.06 AS INT) AS repetitive
+           |FROM toks t JOIN agg USING (doc_id) WHERE len(l) >= 2 ORDER BY doc_id""".stripMargin,
+
+
+      "q_lm_surprisal" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |tok AS (SELECT doc_id, unnest(l) AS w FROM toks),
+           |vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(c) AS n FROM vocab)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       round(avg(ln(n) - ln(c)), 4) AS surprisal
+           |FROM tok JOIN vocab USING (w) CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+      "q_novelty" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |dsh AS (
+          |  SELECT DISTINCT doc_id, shingle FROM (
+          |    SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |    FROM toks)),
+          |freq AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM dsh GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |       count(*) FILTER (WHERE df = 1) AS n_unique,
+          |       round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*), 6) AS novelty
+          |FROM dsh JOIN freq USING (shingle)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+      "q_text_quality" ->
+        s"""WITH $sqlQualityFeatureCte
+           |SELECT doc_id, n_tok AS n_tokens,
+           |       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END, 6) AS punct_ratio,
+           |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE) / n_tok END, 6) AS stopword_ratio,
+           |       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok END, 6) AS mean_word_len,
+           |       $sqlQualityScore AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin,
+
+
+      // capstone composite: the pipeline an actual training-data run
+      // executes — quality gate -> exact dedup keep-first -> per-language
+      // corpus stats — all from already-oracled pieces
+      "q_corpus_pipeline" ->
+        s"""WITH $sqlQualityFeatureCte,
+           |kept AS (
+           |  SELECT doc_id, text FROM f WHERE $sqlQualityScore >= 0.7),
+           |canon AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |           row_number() OVER (
+           |             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           |             ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |ctok AS (
+           |  SELECT doc_id, text, $sqlTokens AS l FROM canon),
+           |lv AS (
+           |  SELECT doc_id,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr,
+           |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
+           |  FROM ctok)
+           |SELECT $sqlLangCase AS lang_id,
+           |       count(*) AS n_docs, CAST(sum(n_bpeish) AS BIGINT) AS total_tokens
+           |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+      // model re-derived from bucket ids; n_feats counts tokens that
+      // joined a weight row (= all tokens: buckets are always in-range)
+      "q_quality_classifier" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |         CAST(('0x' || substring(md5('f:' || t), 1, 8)) AS BIGINT) % 1024 AS bucket
+           |  FROM (SELECT doc_id, unnest(l) AS t FROM toks)),
+           |m AS (
+           |  SELECT i AS bucket,
+           |         (CAST(('0x' || substring(md5('w:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+           |  FROM range(1024) r(i)),
+           |z AS (
+           |  SELECT doc_id, sum(w) / count(*) AS mean_w, count(*) AS n_feats
+           |  FROM f JOIN m USING (bucket) GROUP BY 1),
+           |s AS (
+           |  SELECT t.doc_id, coalesce(z.n_feats, 0) AS n_feats,
+           |         round(1.0 / (1.0 + exp(-8.0 * coalesce(z.mean_w, 0.0))), 6) AS score
+           |  FROM toks t LEFT JOIN z USING (doc_id))
+           |SELECT doc_id, n_feats, score, score >= 0.5 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+
+      "q_lang_tokens" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, text, $sqlTokens AS l FROM documents),
+           |v AS (
+           |  SELECT doc_id,
+           |         (${sqlLangVotes("en")}) AS en,
+           |         (${sqlLangVotes("es")}) AS es,
+           |         (${sqlLangVotes("fr")}) AS fr,
+           |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
+           |  FROM toks)
+           |SELECT doc_id,
+           |       $sqlLangCase AS lang_id,
+           |       n_bpeish
+           |FROM v ORDER BY doc_id""".stripMargin,
+
+
+      // eval × corpus within shared buckets; max over eval cosines is
+      // order-independent, null when the bucket holds no eval vector
+      "q_semantic_contamination" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         CAST(${sqlHyperplaneBucket("embedding")} AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |ev AS (SELECT * FROM b WHERE vec_id % 101 = 0),
+           |co AS (SELECT * FROM b WHERE vec_id % 101 <> 0),
+           |h AS (
+           |  SELECT co.vec_id, max(list_cosine_similarity(co.v, ev.v)) AS mc
+           |  FROM co JOIN ev ON co.bucket = ev.bucket
+           |  GROUP BY 1)
+           |SELECT co.vec_id, round(h.mc, 6) AS max_eval_cos,
+           |       COALESCE(h.mc >= 0.2, false) AS contaminated
+           |FROM co LEFT JOIN h ON co.vec_id = h.vec_id
+           |ORDER BY co.vec_id""".stripMargin,
+
+
+      "q_tf_df" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS term
+           |  FROM documents WHERE doc_id < 100),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |r AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |         row_number() OVER (PARTITION BY tf.doc_id
+           |                            ORDER BY tf.tf DESC, tf.term) AS rnk
+           |  FROM tf JOIN df USING (term))
+           |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+
+      // Spark sequence(1, n, 4) is inclusive of the stop; DuckDB
+      // range(1, n + 1, 4) exclusive — same index set
+      "q_doc_fingerprint" ->
+        """WITH n AS (
+          |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+          |  FROM documents)
+          |SELECT doc_id,
+          |       list_min([md5(substring(norm, i, 8))
+          |                 for i in range(1, greatest(length(norm) - 7, 1) + 1, 4)]) AS fp8
+          |FROM n ORDER BY doc_id""".stripMargin,
+
+
+      "q_mixture_balance" ->
+        """WITH d AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |tot AS (SELECT source, sum(n_tok) AS total_tokens FROM d GROUP BY source),
+          |b AS (SELECT min(total_tokens) AS budget FROM tot),
+          |c AS (
+          |  SELECT doc_id, source, n_tok,
+          |         sum(n_tok) OVER (PARTITION BY source
+          |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                          ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM d),
+          |k AS (
+          |  SELECT source, count(*) AS n_docs_kept, sum(n_tok) AS tokens_kept
+          |  FROM c, b WHERE cum - n_tok < budget GROUP BY source)
+          |SELECT k.source, n_docs_kept,
+          |       CAST(k.tokens_kept AS BIGINT) AS tokens_kept,
+          |       CAST(t.total_tokens AS BIGINT) AS total_tokens
+          |FROM k JOIN tot t ON t.source = k.source
+          |ORDER BY k.source""".stripMargin,
+
+
+      "q_vocab_growth" ->
+        """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          |toks AS (
+          |  SELECT (doc_id * 10) // (m + 1) AS bucket,
+          |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents, mx),
+          |sh AS (
+          |  SELECT bucket, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
+          |  FROM toks),
+          |fb AS (SELECT shingle, min(bucket) AS first_bucket FROM sh GROUP BY shingle),
+          |nb AS (SELECT first_bucket, count(*) AS new_terms FROM fb GROUP BY first_bucket)
+          |SELECT first_bucket, new_terms,
+          |       CAST(sum(new_terms) OVER (ORDER BY first_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+          |FROM nb ORDER BY first_bucket""".stripMargin,
+
+
+      // decimal constants are CAST to DOUBLE (DuckDB parses bare 0.5
+      // as DECIMAL, which would run the tower in decimal arithmetic);
+      // the float expression mirrors the Spark column op-for-op
+      "q_bm25" -> (sqlBm25Cte +
+        """
+          |SELECT doc_id, count(*) AS n_terms_matched, round(sum(weight), 6) AS bm25
+          |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+
+      "q_hybrid_rrf" -> (sqlBm25Cte +
+        """,
+          |scored AS (
+          |  SELECT doc_id, round(sum(weight), 6) AS bm25 FROM w GROUP BY 1),
+          |lexr AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+          |  FROM scored QUALIFY r_lex <= 50),
+          |bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |qv AS (SELECT v AS q FROM bv WHERE vec_id = 0),
+          |vecscored AS (
+          |  SELECT bv.vec_id AS doc_id, list_cosine_similarity(bv.v, q) AS c
+          |  FROM bv, qv WHERE bv.vec_id <> 0),
+          |vectop AS (
+          |  SELECT doc_id, c FROM vecscored
+          |  QUALIFY row_number() OVER (ORDER BY c DESC, doc_id) <= 50),
+          |vecr AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY round(c, 6) DESC, doc_id) AS INTEGER) AS r_vec
+          |  FROM vectop)
+          |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, r_lex, r_vec,
+          |       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+          |             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), CAST(0.0 AS DOUBLE)), 6) AS rrf
+          |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+          |ORDER BY doc_id""".stripMargin),
+
+
+      "q_oov_rate" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+           |vocab AS (
+           |  SELECT w FROM (
+           |    SELECT w, count(*) AS c FROM tok GROUP BY w
+           |    QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 30))
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+           |       round(CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*), 6) AS oov_rate
+           |FROM tok LEFT JOIN vocab v ON tok.w = v.w
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+      "q_bpe_merges" ->
+        s"""WITH wc AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest($sqlTokens) AS w FROM documents)
+           |  GROUP BY 1 HAVING length(w) >= 2),
+           |pairs AS (
+           |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair, n
+           |  FROM wc)
+           |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair
+           |FROM pairs GROUP BY 1
+           |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+
+      "q_inverted_index" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $sqlTokens AS l FROM documents),
+           |p AS (
+           |  SELECT doc_id, unnest([{'term': l[i], 'pos': i - 1} for i in range(1, len(l) + 1)]) AS u
+           |  FROM toks),
+           |pd AS (
+           |  SELECT u.term AS term, doc_id, count(*) AS tf,
+           |         list(u.pos ORDER BY u.pos) AS positions
+           |  FROM p GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           |         to_json(list({'doc_id': doc_id, 'tf': tf, 'positions': positions}
+           |                      ORDER BY doc_id)) AS postings
+           |  FROM pd GROUP BY 1)
+           |SELECT term, df, cf, postings FROM idx
+           |WHERE df BETWEEN 5 AND 1000 ORDER BY term""".stripMargin,
+
+
+      // same tokenize-once + list-slice shingling as q_top_ngrams,
+      // widened to 8-gram spans with a distinct-doc floor
+      "q_dup_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+7], ' ') for i in range(1, len(l) - 6)]) AS span
+          |  FROM toks)
+          |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+          |FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, n_occur DESC, span LIMIT 30""".stripMargin,
+
+
+      // padded token-sequence containment on the canonical token
+      // stream — identical normalization both sides, so the anchor-
+      // token candidate step is invisible to the oracle
+      "q_blocklist_filter" -> {
+        val vals = blockPhrases.map(p => s"('$p')").mkString(", ")
+        s"""WITH p AS (SELECT phrase FROM (VALUES $vals) t(phrase)),
+           |d AS (SELECT doc_id,
+           |             ' ' || array_to_string($sqlTokens, ' ') || ' ' AS ntext
+           |      FROM documents)
+           |SELECT d.doc_id, p.phrase
+           |FROM d JOIN p ON contains(d.ntext, ' ' || p.phrase || ' ')
+           |ORDER BY doc_id, phrase""".stripMargin
+      },
+
+
+      // multinomial NB mirrored stage for stage: nano-quantized token
+      // log-probs and priors, closed-form smoothing floor for absent
+      // (term, class), argmax by (score DESC, class) — exact-long
+      // scores so the winner can never flip
+      "q_naive_bayes" ->
+        s"""WITH base AS (
+           |  SELECT doc_id AS did, lang AS cls, $sqlTokens AS toks
+           |  FROM documents),
+           |tfc AS (
+           |  SELECT did, cls, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT did, cls, unnest(toks) AS term FROM base)
+           |  GROUP BY 1, 2, 3),
+           |dlen AS (SELECT did, cls, sum(tf) AS len FROM tfc GROUP BY 1, 2),
+           |cnt AS (SELECT cls AS mcls, term, sum(tf) AS cnt
+           |        FROM tfc GROUP BY 1, 2),
+           |totc AS (SELECT mcls, sum(cnt) AS tot FROM cnt GROUP BY 1),
+           |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM cnt),
+           |nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+           |classes AS (
+           |  SELECT c.mcls, t.tot, vb.v,
+           |         CAST(round(ln(CAST(c.n_docs AS DOUBLE) / na.n_all) * 1e9) AS BIGINT) AS prior_nano,
+           |         CAST(round(ln(1.0 / CAST(t.tot + vb.v AS DOUBLE)) * 1e9) AS BIGINT) AS floor_nano
+           |  FROM (SELECT cls AS mcls, count(*) AS n_docs FROM base GROUP BY 1) c
+           |  JOIN totc t ON t.mcls = c.mcls CROSS JOIN vocab vb CROSS JOIN nall na),
+           |model AS (
+           |  SELECT cnt.mcls, cnt.term,
+           |         CAST(round(ln(CAST(cnt.cnt + 1 AS DOUBLE) /
+           |           CAST(t.tot + vb.v AS DOUBLE)) * 1e9) AS BIGINT) AS lp
+           |  FROM cnt JOIN totc t ON t.mcls = cnt.mcls CROSS JOIN vocab vb),
+           |present AS (
+           |  SELECT tfc.did, m.mcls, sum(tfc.tf * m.lp) AS sp, sum(tfc.tf) AS tfp
+           |  FROM tfc JOIN model m ON m.term = tfc.term GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT d.did, d.cls, k.mcls,
+           |         k.prior_nano + COALESCE(p.sp, 0) +
+           |           (d.len - COALESCE(p.tfp, 0)) * k.floor_nano AS score
+           |  FROM dlen d CROSS JOIN classes k
+           |  LEFT JOIN present p ON p.did = d.did AND p.mcls = k.mcls),
+           |win AS (
+           |  SELECT did, cls, mcls, score,
+           |         row_number() OVER (PARTITION BY did
+           |           ORDER BY score DESC, mcls) AS rn
+           |  FROM scored)
+           |SELECT did AS id, mcls AS pred,
+           |       CAST(score AS BIGINT) AS score_nano,
+           |       (mcls = cls) AS correct
+           |FROM win WHERE rn = 1 ORDER BY id""".stripMargin,
+
+
+      // clipped multiset n-gram recall, unigrams and the l[i:i+1]
+      // bigram form; zero-overlap pairs kept by the pair-list join-back
+      "q_rouge_overlap" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+           |  FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1
+           |  WHERE a.doc_id % 2 = 1),
+           |uc AS (
+           |  SELECT doc_id AS d, g, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id, unnest(l) AS g FROM toks) GROUP BY 1, 2),
+           |bc AS (
+           |  SELECT doc_id AS d, g, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id,
+           |           unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS g
+           |    FROM toks) GROUP BY 1, 2),
+           |ut AS (SELECT d AS ref_id, CAST(sum(c) AS BIGINT) AS ref_uni FROM uc GROUP BY 1),
+           |bt AS (SELECT d AS ref_id, CAST(sum(c) AS BIGINT) AS ref_bi FROM bc GROUP BY 1),
+           |ov1 AS (
+           |  SELECT p.cand_id, p.ref_id, CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS ov1
+           |  FROM pairs p JOIN uc cu ON cu.d = p.cand_id
+           |               JOIN uc ru ON ru.d = p.ref_id AND ru.g = cu.g
+           |  GROUP BY 1, 2),
+           |ov2 AS (
+           |  SELECT p.cand_id, p.ref_id, CAST(sum(least(cb.c, rb.c)) AS BIGINT) AS ov2
+           |  FROM pairs p JOIN bc cb ON cb.d = p.cand_id
+           |               JOIN bc rb ON rb.d = p.ref_id AND rb.g = cb.g
+           |  GROUP BY 1, 2)
+           |SELECT p.cand_id, p.ref_id,
+           |       coalesce(ut.ref_uni, 0) AS ref_uni, coalesce(ov1.ov1, 0) AS ov1,
+           |       CASE WHEN coalesce(ut.ref_uni, 0) > 0
+           |            THEN round(CAST(coalesce(ov1.ov1, 0) AS DOUBLE) / CAST(ut.ref_uni AS DOUBLE), 6)
+           |       END AS rouge1,
+           |       coalesce(bt.ref_bi, 0) AS ref_bi, coalesce(ov2.ov2, 0) AS ov2,
+           |       CASE WHEN coalesce(bt.ref_bi, 0) > 0
+           |            THEN round(CAST(coalesce(ov2.ov2, 0) AS DOUBLE) / CAST(bt.ref_bi AS DOUBLE), 6)
+           |       END AS rouge2
+           |FROM pairs p LEFT JOIN ov1 USING (cand_id, ref_id)
+           |             LEFT JOIN ov2 USING (cand_id, ref_id)
+           |             LEFT JOIN ut USING (ref_id)
+           |             LEFT JOIN bt USING (ref_id)
+           |ORDER BY cand_id""".stripMargin,
+
+
+      // same tokenize CTE as q_dup_spans; bigram strings via the
+      // 2-element list slice; conditional margin = c12 grouped by the
+      // first word. Docs with < 2 tokens emit no rows on either engine.
+      "q_bigram_surprisal" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |big AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS bg
+          |  FROM toks),
+          |c12 AS (SELECT bg, count(*) AS n12 FROM big GROUP BY 1),
+          |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(n12) AS n1
+          |       FROM c12 GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       round(avg(ln(CAST(n1 AS DOUBLE)) - ln(CAST(n12 AS DOUBLE))), 4)
+          |         AS bigram_surprisal
+          |FROM big
+          |JOIN c12 USING (bg)
+          |JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+      // Kneser–Ney continuation counts: distinct left contexts per word
+      // and the continuation probability vs distinct bigram types, as
+      // exact integer parts-per-billion
+      "q_kn_continuation" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |big AS (
+          |  SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]) AS bg
+          |  FROM toks),
+          |pairs AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 FROM big),
+          |types AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_tok FROM pairs GROUP BY 1, 2),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM types),
+          |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n_ctx,
+          |                CAST(sum(n_tok) AS BIGINT) AS n_tok
+          |         FROM types GROUP BY 1)
+          |SELECT w, n_ctx, n_tok, (n_ctx * 1000000000) // n_types AS cont_ppb
+          |FROM cont, tot WHERE n_ctx >= 5 ORDER BY w""".stripMargin,
+
+
+      // integer-scaled idf ((N*1000) // df — no ln), exact integer
+      // dot/norms, one final IEEE tower: bit-identical to Spark
+      "q_tfidf_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM documents),
+          |wt AS (
+          |  SELECT doc_id, tf.term, tf * ((n_docs * 1000) // df) AS w
+          |  FROM tf JOIN dfr USING (term) CROSS JOIN nd
+          |  WHERE df >= 2 AND df <= n_docs * 0.1),
+          |norms AS (SELECT doc_id, sum(w * w) AS ssq FROM wt GROUP BY 1),
+          |pairs AS (
+          |  SELECT wa.doc_id AS a, wb.doc_id AS b,
+          |         sum(wa.w * wb.w) AS dot, count(*) AS n_shared
+          |  FROM wt wa JOIN wt wb ON wa.term = wb.term AND wa.doc_id < wb.doc_id
+          |  GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+          |         round(CAST(dot AS DOUBLE) /
+          |               (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))), 6) AS cos_r
+          |  FROM pairs JOIN norms na ON pairs.a = na.doc_id
+          |             JOIN norms nb ON pairs.b = nb.doc_id)
+          |SELECT a, b, n_shared, cos_r FROM scored
+          |WHERE cos_r >= 0.25
+          |ORDER BY cos_r DESC, a, b LIMIT 50""".stripMargin,
+
+
+      // positional self-join mirror of the narrow zip_with generation:
+      // unnest-with-subscripts, pairs at index distance 1..2
+      "q_skipgram" ->
+        s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+           |u AS (
+           |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+           |  FROM toks),
+           |p AS (
+           |  SELECT a.w AS w1, b.w AS w2, CAST(b.i - a.i AS INTEGER) AS dist
+           |  FROM u a JOIN u b
+           |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2),
+           |c AS (SELECT w1, w2, dist, count(*) AS n FROM p GROUP BY 1, 2, 3)
+           |SELECT w1, w2, dist, CAST(n AS BIGINT) AS n FROM c
+           |ORDER BY n DESC, w1, w2, dist LIMIT 30""".stripMargin,
+
+
+      "q_gopher_rules" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+          |         -- COALESCE: DuckDB list_sum([]) is NULL while Spark's
+          |         -- aggregate seeds 0, so a zero-token doc must sum to 0
+          |         -- on both sides (rules then pass vacuously on both)
+          |         COALESCE(list_sum(list_transform(l, w -> CAST(length(w) AS BIGINT))), 0) AS sumlen,
+          |         COALESCE(list_sum(list_transform(l, w ->
+          |           CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)), 0) AS nalpha,
+          |         ((CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
+          |          + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)) AS nstop
+          |  FROM toks),
+          |r AS (
+          |  SELECT 'alpha_words' AS rule, (nalpha * 5 >= n * 4) AS pass FROM m
+          |  UNION ALL SELECT 'mean_word_len', (sumlen >= 3 * n AND sumlen <= 10 * n) FROM m
+          |  UNION ALL SELECT 'stopwords', (nstop >= 2) FROM m
+          |  UNION ALL SELECT 'word_count', (n BETWEEN 5 AND 10000) FROM m)
+          |SELECT rule, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

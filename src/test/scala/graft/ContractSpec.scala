@@ -29,6 +29,30 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("registry shards: disjoint names, census equals the aggregated maps") {
+    // the round-9 split of the 11k-line SparkEntry into per-domain
+    // shards must never silently drop or shadow an entry: a duplicate
+    // name across shards would vanish inside toMap
+    val shards = Seq(
+      "core" -> QueriesCore.queries, "lake" -> QueriesLake.queries,
+      "stream" -> QueriesStream.queries, "text" -> QueriesText.queries,
+      "sim" -> QueriesSim.queries, "graph" -> QueriesGraph.queries,
+      "stats" -> QueriesStats.queries, "ts" -> QueriesTs.queries)
+    shards.foreach { case (n, qs) => assert(qs.nonEmpty, s"empty shard $n") }
+    val names = shards.flatMap(_._2.map(_._1))
+    assert(names.distinct.size == names.size,
+      "duplicate query across shards: " +
+        names.diff(names.distinct).distinct.mkString(", "))
+    assert(names.toSet == SparkEntry.queries.keySet)
+    assert(names.size >= 305, s"query census shrank to ${names.size}")
+    val oracleNames = Seq(QueriesCore.oracles, QueriesLake.oracles,
+      QueriesStream.oracles, QueriesText.oracles, QueriesSim.oracles,
+      QueriesGraph.oracles, QueriesStats.oracles, QueriesTs.oracles)
+      .flatMap(_.map(_._1))
+    assert(oracleNames.distinct.size == oracleNames.size)
+    assert(oracleNames.toSet == SparkEntry.oracleSql.keySet)
+  }
+
   test("oracle LSH bucket-cap literal matches lshCandidatePairs' admission formula") {
     // the five LSH oracles hardcode `BETWEEN 2 AND <cap>`; the Spark
     // side computes the cap as lshAdmissionCap(maxBucketSize,

@@ -376,10 +376,10 @@ class ScaleSpec extends SparkSpec {
     val wide = spark.range(1000).toDF("x").repartition(par)
     // already at parallelism: spread must return the SAME frame — the
     // cluster's input splits make the repartition pure waste there
-    assert(SparkEntry.spread(wide) eq wide)
+    assert(QueryShared.spread(wide) eq wide)
     // single-partition local read: spread fans out to the machine
     val narrow = spark.range(1000).toDF("x").coalesce(1)
-    assert(SparkEntry.spread(narrow).rdd.getNumPartitions == par)
+    assert(QueryShared.spread(narrow).rdd.getNumPartitions == par)
   }
 
   test("graph loops: persisted frames stay bounded across rounds") {
