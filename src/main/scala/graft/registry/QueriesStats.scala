@@ -1201,6 +1201,68 @@ private[graft] object QueriesStats {
         .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
         .orderBy("n_name", "abc")
     }),
+
+    // nucleus (top-p) cutoff: per event type, the SMALLEST prefix of
+    // users by descending spend that covers ≥ 90% of total value — the
+    // top-p sampling shape applied to a contribution distribution
+    // (who do you keep to retain 90% of the signal?). Cents exact;
+    // membership is decided by 10·cum_before < 9·total in LONGS so no
+    // float ulp can flip the boundary user; one ranked window over
+    // per-user aggregates (users-per-type grid, never raw events).
+    "q_top_p_filter" -> ((s, dir) => {
+      val per = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("event_type")
+      per
+        .withColumn("cum_prev", coalesce(sum("cents").over(w), lit(0L)))
+        .withColumn("total", sum("cents").over(wAll))
+        .filter(col("cum_prev") * 10 < col("total") * 9)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum("cents").as("kept_cents"),
+          max("total").as("total_cents"))
+        .select(col("event_type"), col("n_kept"), col("kept_cents"),
+          col("total_cents"),
+          round(col("kept_cents").cast("double") /
+            col("total_cents").cast("double"), 6).as("kept_share"))
+        .orderBy("event_type")
+    }),
+
+    // group-aware k-fold assignment: every user lands in exactly one of
+    // 5 folds by md5 of the key — the deterministic, state-free split
+    // that guarantees zero group leakage across folds by construction
+    // (the same property q_group_split gates for train/test). Emits the
+    // per-fold census a training pipeline checks before trusting CV.
+    "q_group_kfold" -> ((s, dir) => {
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withColumn("fold",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5)
+        .groupBy("fold")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("fold")
+    }),
+
+    // inverse-frequency class weights over the embedding labels: w_c =
+    // N / (k·n_c), the standard imbalance correction a classifier head
+    // consumes — exact counts, one division per class, weights rounded
+    // at 6 (the only float). One map-side-combined aggregate.
+    "q_class_weights" -> ((s, dir) => {
+      val counts = t(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("total"),
+        count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot)) // 1-row scalar totals
+        .select(col("label"), col("n"), col("total"),
+          round(col("total").cast("double") /
+            (col("k") * col("n")).cast("double"), 6).as("weight"))
+        .orderBy("label")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2559,5 +2621,43 @@ private[graft] object QueriesStats {
           |SELECT n_name, abc, count(*) AS n_parts,
           |       CAST(sum(cents) AS BIGINT) AS cents
           |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // minimal ≥90%-coverage prefix per type; the integer boundary
+      // test mirrors the Spark side term for term
+      "q_top_p_filter" ->
+        """WITH per AS (
+          |  SELECT event_type, user_id,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |c AS (
+          |  SELECT event_type, user_id, cents,
+          |         COALESCE(sum(cents) OVER (PARTITION BY event_type
+          |           ORDER BY cents DESC, user_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+          |         sum(cents) OVER (PARTITION BY event_type) AS total
+          |  FROM per)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+          |       CAST(sum(cents) AS BIGINT) AS kept_cents,
+          |       CAST(max(total) AS BIGINT) AS total_cents,
+          |       round(CAST(sum(cents) AS DOUBLE) / max(total), 6) AS kept_share
+          |FROM c WHERE cum_prev * 10 < total * 9
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // md5-derived fold id mirrored exactly (first 8 hex chars as a
+      // base-16 integer, mod 5)
+      "q_group_kfold" ->
+        """SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_class_weights" ->
+        """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          |             CAST(count(*) AS BIGINT) AS k FROM c)
+          |SELECT label, CAST(n AS BIGINT) AS n, total,
+          |       round(CAST(total AS DOUBLE) / (k * n), 6) AS weight
+          |FROM c, t ORDER BY label""".stripMargin,
   )
 }

@@ -548,6 +548,63 @@ private[graft] object QueriesText {
         .agg(count(lit(1)).as("n_docs"), sum(col("pass").cast("long")).as("n_pass"))
         .orderBy("rule")
     }),
+
+    // Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    // ln(freq) on ln(rank) — the one-row corpus-health check (natural
+    // text sits near slope −1; synthetic or boilerplate-heavy corpora
+    // drift). Exactness: term frequencies are exact longs, ranks are a
+    // total order (freq desc, term), and both logs are QUANTIZED to
+    // integer micro-nats before the power sums — the q_group_regression
+    // integer-clearing discipline — so the only floats are the final
+    // closed-form divisions. Vocabulary-sized shuffle, never rows.
+    "q_zipf_fit" -> ((s, dir) => {
+      val tf = spread(t(s, dir, "documents"))
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val ranked = tf.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      val q = ranked.select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+      val sums = q.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val covN = col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / n
+      val varXN = col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / n
+      val varYN = col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / n
+      sums.select(col("n").as("n_terms"),
+        round(covN / varXN, 6).as("slope"),
+        // intercept back in nats: the micro-nat scale cancels in the
+        // slope but not in the constant term
+        round((col("sy").cast("double") / n -
+          (covN / varXN) * col("sx").cast("double") / n) / 1e6, 6)
+          .as("intercept_nats"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+    }),
+
+    // per-document lexical diversity: type/token ratio and hapax share
+    // — the de-boilerplate features withQuality lacks (a spammy doc
+    // repeats few types; natural prose keeps TTR high). Exact integer
+    // counts via one (doc, term) aggregate, divisions only at display.
+    "q_lexical_diversity" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") /
+            col("n_types").cast("double"), 6).as("hapax_ratio"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1211,5 +1268,55 @@ private[graft] object QueriesText {
           |SELECT rule, count(*) AS n_docs,
           |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // micro-nat-quantized log-log OLS mirrored term for term; the
+      // slope is scale-free, the intercept rescales by 1e-6
+      "q_zipf_fit" ->
+        s"""WITH tf AS (
+          |  SELECT term, count(*) AS freq FROM (
+          |    SELECT unnest($sqlTokens) AS term FROM documents)
+          |  GROUP BY 1),
+          |ranked AS (
+          |  SELECT freq,
+          |         CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+          |  FROM tf),
+          |q AS (
+          |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+          |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+          |  FROM ranked),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx,
+          |         CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM q)
+          |SELECT n AS n_terms,
+          |       round((sxy - CAST(sx AS DOUBLE) * sy / n) /
+          |             (sxx - CAST(sx AS DOUBLE) * sx / n), 6) AS slope,
+          |       round((CAST(sy AS DOUBLE) / n -
+          |              ((sxy - CAST(sx AS DOUBLE) * sy / n) /
+          |               (sxx - CAST(sx AS DOUBLE) * sx / n)) * sx / n) / 1e6, 6)
+          |         AS intercept_nats,
+          |       round((sxy - CAST(sx AS DOUBLE) * sy / n) *
+          |             (sxy - CAST(sx AS DOUBLE) * sy / n) /
+          |             ((sxx - CAST(sx AS DOUBLE) * sx / n) *
+          |              (syy - CAST(sy AS DOUBLE) * sy / n)), 6) AS r2
+          |FROM s ORDER BY n_terms""".stripMargin,
+
+      "q_lexical_diversity" ->
+        s"""WITH tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest($sqlTokens) AS term FROM documents)
+          |  GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |         CAST(count(*) AS BIGINT) AS n_types,
+          |         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |  FROM tf GROUP BY 1)
+          |SELECT doc_id, n_tokens, n_types, n_hapax,
+          |       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+          |       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+          |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

@@ -703,6 +703,106 @@ private[graft] object QueriesTs {
           sum(col("anom").cast("long")).as("n_anomalies"))
         .orderBy("n_name")
     }),
+
+    // rescaled-range (R/S) Hurst estimate per event type — long-range
+    // dependence vs mean reversion of the daily-total series, the
+    // memory diagnostic behind "is this metric trending or noise?".
+    // Two-scale form: H = (ln RS_full − mean ln RS_half) / ln 2, each
+    // segment's R/S from ITS OWN mean. Exactness: the whole R/S core
+    // is integer — deviations scale by the segment length m (d = m·c −
+    // Σc), the cumulative-deviation range and m·Σc² − (Σc)² stay exact
+    // longs — so each segment costs ONE sqrt and one division; series
+    // are whole-dollar quantized to keep 30×-scale sums far from 2⁶³.
+    // Windows run over the bounded daily grid, segments in parallel.
+    "q_hurst_rs" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(round(sum("value")).cast("long").as("c"))
+      val wType = Window.partitionBy("event_type")
+      val base = daily
+        .withColumn("n_all", count(lit(1)).over(wType))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("half",
+          when(col("rn") * 2 <= col("n_all"), 1).otherwise(2))
+      val segs = base.select(col("event_type"), lit(0).as("seg"),
+          col("day"), col("c"))
+        .unionAll(base.select(col("event_type"), col("half").as("seg"),
+          col("day"), col("c")))
+      val wSeg = Window.partitionBy("event_type", "seg")
+      val wOrd = Window.partitionBy("event_type", "seg").orderBy("day")
+      val rs = segs
+        .withColumn("m", count(lit(1)).over(wSeg))
+        .withColumn("sc", sum("c").over(wSeg))
+        .withColumn("ssq", sum(col("c") * col("c")).over(wSeg))
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("cumc", sum("c").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumdev", col("m") * col("cumc") - col("t") * col("sc"))
+        .groupBy("event_type", "seg")
+        .agg(max("m").as("m"),
+          (max("cumdev") - min("cumdev")).as("r_scaled"),
+          max(col("m") * col("ssq") - col("sc") * col("sc")).as("var_scaled"))
+        .select(col("event_type"), col("seg"), col("m"),
+          when(col("var_scaled") > 0,
+            col("r_scaled").cast("double") /
+              sqrt(col("var_scaled").cast("double"))).as("rs"))
+      rs.groupBy("event_type")
+        .agg(max(when(col("seg") === 0, col("m"))).as("n_days"),
+          max(when(col("seg") === 0, col("rs"))).as("rsf"),
+          max(when(col("seg") === 1, col("rs"))).as("rs1"),
+          max(when(col("seg") === 2, col("rs"))).as("rs2"))
+        .select(col("event_type"), col("n_days"),
+          round(col("rsf"), 6).as("rs_full"),
+          round(col("rs1"), 6).as("rs_half1"),
+          round(col("rs2"), 6).as("rs_half2"),
+          when(col("rsf") > 0 && col("rs1") > 0 && col("rs2") > 0,
+            round((log(col("rsf")) -
+              (log(col("rs1")) + log(col("rs2"))) / lit(2.0)) /
+              log(lit(2.0)), 6)).as("hurst"))
+        .orderBy("event_type")
+    }),
+
+    // partial autocorrelation (lags 1–3) per event type via the
+    // Durbin–Levinson recursion in CLOSED FORM — the AR-order
+    // diagnostic ACF alone can't give (PACF cuts off at the true AR
+    // order). The ACF inputs are exact-integer rationals: deviations
+    // scale by n (d = n·y − Σy), so every Σ d·d_lag and Σ d² is an
+    // exact long and r_k is ONE IEEE division; φ11/φ22/φ33 are then
+    // the same literal rational expressions in both engines. One
+    // bounded-grid window per type, lags as plain column lags.
+    "q_pacf" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wType = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val sums = daily
+        .withColumn("n", count(lit(1)).over(wType))
+        .withColumn("sy", sum("y").over(wType))
+        .withColumn("d", col("n") * col("y") - col("sy"))
+        .withColumn("d1", lag("d", 1).over(wOrd))
+        .withColumn("d2", lag("d", 2).over(wOrd))
+        .withColumn("d3", lag("d", 3).over(wOrd))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), sum(col("d") * col("d")).as("dd"),
+          sum(col("d") * col("d1")).as("n1"),
+          sum(col("d") * col("d2")).as("n2"),
+          sum(col("d") * col("d3")).as("n3"))
+      val r1 = col("n1").cast("double") / col("dd").cast("double")
+      val r2 = col("n2").cast("double") / col("dd").cast("double")
+      val r3 = col("n3").cast("double") / col("dd").cast("double")
+      val phi22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      val phi21 = r1 - phi22 * r1
+      val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+        (lit(1.0) - phi21 * r1 - phi22 * r2)
+      sums.select(col("event_type"), col("n_days"),
+          round(r1, 6).as("pacf1"), round(phi22, 6).as("pacf2"),
+          round(phi33, 6).as("pacf3"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1356,5 +1456,89 @@ private[graft] object QueriesTs {
           |SELECT n_name, count(*) AS n_days,
           |       CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
           |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // integer R/S core mirrored: seg 0 = full series, 1/2 = halves,
+      // each segment's cumulative deviation m·cumc − t·sc exact
+      "q_hurst_rs" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(round(sum(value)) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |base AS (
+          |  SELECT event_type, day, c,
+          |         count(*) OVER (PARTITION BY event_type) AS n_all,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM daily),
+          |segs AS (
+          |  SELECT event_type, 0 AS seg, day, c FROM base
+          |  UNION ALL
+          |  SELECT event_type, CASE WHEN rn * 2 <= n_all THEN 1 ELSE 2 END,
+          |         day, c FROM base),
+          |w AS (
+          |  SELECT event_type, seg, c,
+          |         count(*) OVER (PARTITION BY event_type, seg) AS m,
+          |         sum(c) OVER (PARTITION BY event_type, seg) AS sc,
+          |         sum(c * c) OVER (PARTITION BY event_type, seg) AS ssq,
+          |         row_number() OVER (PARTITION BY event_type, seg ORDER BY day) AS t,
+          |         sum(c) OVER (PARTITION BY event_type, seg ORDER BY day
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+          |  FROM segs),
+          |rs AS (
+          |  SELECT event_type, seg, max(m) AS m,
+          |         CASE WHEN max(m * ssq - sc * sc) > 0 THEN
+          |           CAST(max(m * cumc - t * sc) - min(m * cumc - t * sc) AS DOUBLE)
+          |             / sqrt(CAST(max(m * ssq - sc * sc) AS DOUBLE))
+          |         END AS rs
+          |  FROM w GROUP BY 1, 2),
+          |piv AS (
+          |  SELECT event_type,
+          |         max(CASE WHEN seg = 0 THEN m END) AS n_days,
+          |         max(CASE WHEN seg = 0 THEN rs END) AS rsf,
+          |         max(CASE WHEN seg = 1 THEN rs END) AS rs1,
+          |         max(CASE WHEN seg = 2 THEN rs END) AS rs2
+          |  FROM rs GROUP BY 1)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |       round(rsf, 6) AS rs_full,
+          |       round(rs1, 6) AS rs_half1, round(rs2, 6) AS rs_half2,
+          |       CASE WHEN rsf > 0 AND rs1 > 0 AND rs2 > 0 THEN
+          |         round((ln(rsf) - (ln(rs1) + ln(rs2)) / 2.0) / ln(2.0), 6)
+          |       END AS hurst
+          |FROM piv ORDER BY event_type""".stripMargin,
+
+      // exact-integer ACF rationals + the closed-form Durbin–Levinson
+      // expressions, literal for literal
+      "q_pacf" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         count(*) AS y
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |dev AS (
+          |  SELECT event_type, day,
+          |         count(*) OVER (PARTITION BY event_type) * y -
+          |           sum(y) OVER (PARTITION BY event_type) AS d,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM daily),
+          |lagged AS (
+          |  SELECT event_type, n, d,
+          |         lag(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+          |         lag(d, 2) OVER (PARTITION BY event_type ORDER BY day) AS d2,
+          |         lag(d, 3) OVER (PARTITION BY event_type ORDER BY day) AS d3
+          |  FROM dev),
+          |s AS (
+          |  SELECT event_type, max(n) AS n_days,
+          |         CAST(sum(d * d) AS DOUBLE) AS dd,
+          |         CAST(sum(d * d1) AS DOUBLE) AS n1,
+          |         CAST(sum(d * d2) AS DOUBLE) AS n2,
+          |         CAST(sum(d * d3) AS DOUBLE) AS n3
+          |  FROM lagged GROUP BY 1),
+          |r AS (SELECT event_type, n_days, n1 / dd AS r1, n2 / dd AS r2,
+          |             n3 / dd AS r3 FROM s),
+          |p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM r),
+          |p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |       round(r1, 6) AS pacf1, round(phi22, 6) AS pacf2,
+          |       round((r3 - phi21 * r2 - phi22 * r1) /
+          |             (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+          |FROM p3 ORDER BY event_type""".stripMargin,
   )
 }
