@@ -1248,6 +1248,97 @@ private[graft] object QueriesStats {
         .orderBy("fold")
     }),
 
+    // mergeable fixed-bin quantile sketch vs the exact answer: prices
+    // hash into 8192-cent-wide bins (the sketch IS the groupBy — its
+    // merge is map-side combine, the property that makes it a sketch),
+    // the p-quantile estimate is the upper edge of the first bin whose
+    // cumulative count reaches ⌈p·n⌉, and the row carries the EXACT
+    // discrete quantile next to it with the absolute error — the
+    // accuracy audit a 100-TB deployment runs before trusting the
+    // sketch. Every step exact integers.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      val bins = cents
+        .groupBy(col("l_returnflag"), expr("c DIV 8192").as("bin"))
+        .agg(count(lit(1)).as("bn"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("l_returnflag")
+      val est = bins
+        .withColumn("cum", sum("bn").over(wCum))
+        .withColumn("n", sum("bn").over(wAll))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          min(when(col("cum") * 2 >= col("n"), (col("bin") + 1) * 8192))
+            .as("p50_est"),
+          min(when(col("cum") * 20 >= col("n") * 19, (col("bin") + 1) * 8192))
+            .as("p95_est"))
+      val exact = Quantiles.exactQuantilesDisc(cents, "c",
+        Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50_exact", "p95_exact"))
+      est.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          col("p50_est"), col("p50_exact").cast("long").as("p50_exact"),
+          (col("p50_est") - col("p50_exact").cast("long")).as("p50_err"),
+          col("p95_est"), col("p95_exact").cast("long").as("p95_exact"),
+          (col("p95_est") - col("p95_exact").cast("long")).as("p95_err"))
+        .orderBy("l_returnflag")
+    }),
+
+    // robust outlier flagging by median/MAD: days whose daily total
+    // deviates from the per-type median by more than 3·1.4826·MAD —
+    // the estimator a single bad day cannot move (unlike the q_rolling
+    // mean/σ band). Median and MAD are exact discrete picks; the flag
+    // compares 10000·|c−med| > 44478·MAD in longs, so no float touches
+    // membership.
+    "q_mad_outliers" -> ((s, dir) => {
+      val daily = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val med = Quantiles.exactQuantilesDisc(daily, "c",
+        Seq("event_type"), Seq(0.5), Seq("med"))
+      val dev = daily.join(med, "event_type")
+        .withColumn("ad", abs(col("c") - col("med").cast("long")))
+      val mad = Quantiles.exactQuantilesDisc(dev, "ad",
+        Seq("event_type"), Seq(0.5), Seq("mad"))
+      dev.join(mad, "event_type")
+        .withColumn("madl", col("mad").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max(col("med").cast("long")).as("med_cents"),
+          max("madl").as("mad_cents"),
+          sum((col("ad") * 10000 > col("madl") * 44478).cast("long"))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // sample-ratio-mismatch guard: users hash into two arms; a healthy
+    // 50/50 split keeps the one-degree chi-square (n_a−n_b)²/(n_a+n_b)
+    // under 3.84 — the first dashboard every experiment platform
+    // watches, because a broken randomizer invalidates everything
+    // downstream. Exact integer counts; the flag compares
+    // 100·(n_a−n_b)² > 384·n in longs.
+    "q_srm_check" -> ((s, dir) => {
+      val arms = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).as("arm"))
+        .groupBy("event_type", "user_id")
+        .agg(max("arm").as("arm"))
+      arms.groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round((col("n_a") - col("n_b")).cast("double") *
+            (col("n_a") - col("n_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 100 >
+            (col("n_a") + col("n_b")) * 384).as("srm_flag"))
+        .orderBy("event_type")
+    }),
+
     // inverse-frequency class weights over the embedding labels: w_c =
     // N / (k·n_c), the standard imbalance correction a classifier head
     // consumes — exact counts, one division per class, weights rounded
@@ -2621,6 +2712,72 @@ private[graft] object QueriesStats {
           |SELECT n_name, abc, count(*) AS n_parts,
           |       CAST(sum(cents) AS BIGINT) AS cents
           |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_quantile_sketch" ->
+        """WITH c AS (
+          |  SELECT l_returnflag,
+          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+          |  FROM lineitem),
+          |bins AS (
+          |  SELECT l_returnflag, c // 8192 AS bin, count(*) AS bn
+          |  FROM c GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT l_returnflag, bin, bn,
+          |         sum(bn) OVER (PARTITION BY l_returnflag ORDER BY bin
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |         sum(bn) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM bins),
+          |est AS (
+          |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+          |         CAST(min(CASE WHEN cum * 2 >= n THEN (bin + 1) * 8192 END) AS BIGINT) AS p50_est,
+          |         CAST(min(CASE WHEN cum * 20 >= n * 19 THEN (bin + 1) * 8192 END) AS BIGINT) AS p95_est
+          |  FROM cum GROUP BY 1),
+          |ex AS (
+          |  SELECT l_returnflag,
+          |         CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_exact,
+          |         CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95_exact
+          |  FROM c GROUP BY 1)
+          |SELECT est.l_returnflag, n, p50_est, p50_exact,
+          |       p50_est - p50_exact AS p50_err,
+          |       p95_est, p95_exact, p95_est - p95_exact AS p95_err
+          |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+          |ORDER BY est.l_returnflag""".stripMargin,
+
+      "q_mad_outliers" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, date_trunc('day', ts)),
+          |med AS (
+          |  SELECT event_type, quantile_disc(c, 0.5) AS med
+          |  FROM daily GROUP BY 1),
+          |dev AS (
+          |  SELECT d.event_type, d.c, m.med, abs(d.c - m.med) AS ad
+          |  FROM daily d JOIN med m ON d.event_type = m.event_type),
+          |mad AS (
+          |  SELECT event_type, quantile_disc(ad, 0.5) AS mad
+          |  FROM dev GROUP BY 1)
+          |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |       CAST(max(d.med) AS BIGINT) AS med_cents,
+          |       CAST(max(m.mad) AS BIGINT) AS mad_cents,
+          |       CAST(sum(CASE WHEN d.ad * 10000 > m.mad * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev d JOIN mad m ON d.event_type = m.event_type
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_srm_check" ->
+        """WITH arms AS (
+          |  SELECT event_type, user_id,
+          |         max(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) AS arm
+          |  FROM events GROUP BY 1, 2),
+          |c AS (
+          |  SELECT event_type,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          |  FROM arms GROUP BY 1)
+          |SELECT event_type, n_a, n_b,
+          |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+          |       ((n_a - n_b) * (n_a - n_b) * 100 > (n_a + n_b) * 384) AS srm_flag
+          |FROM c ORDER BY event_type""".stripMargin,
 
       // minimal ≥90%-coverage prefix per type; the integer boundary
       // test mirrors the Spark side term for term

@@ -607,6 +607,27 @@ private[graft] object QueriesStream {
           sum((col("mn") =!= 1 || col("mx") =!= col("n")).cast("long")).as("n_gappy"),
           sum((col("mx") - col("n")).cast("long")).as("n_missing"))
     }),
+
+    // behavioral entropy per active user: Shannon entropy of the
+    // event-type mix, the bot/monoculture detector (a scripted actor
+    // does one thing; humans mix). The q_zipf_fit micro-nat trick
+    // makes it drift-free: H·n·10⁶ = n·L(n) − Σc·L(c) with
+    // L(x) = round(ln x · 10⁶) accumulates as EXACT LONGS — the only
+    // float is the final rescale. Shuffle = (user, type) counts.
+    "q_session_entropy" -> ((s, dir) => {
+      def lmicro(x: Column): Column =
+        round(log(x.cast("double")) * 1e6).cast("long")
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+          sum(col("c") * lmicro(col("c"))).as("clc"))
+        .filter(col("n") >= 20)
+        .select(col("user_id"), col("n"), col("n_types"),
+          round((col("n") * lmicro(col("n")) - col("clc")).cast("double") /
+            (col("n").cast("double") * 1e6), 6).as("entropy_nats"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1136,5 +1157,20 @@ private[graft] object QueriesStream {
           |       CAST(count(CASE WHEN mn <> 1 OR mx <> n THEN 1 END) AS BIGINT) AS n_gappy,
           |       CAST(sum(mx - n) AS BIGINT) AS n_missing
           |FROM g ORDER BY n_orders""".stripMargin,
+
+      // micro-nat integer entropy mirrored term for term
+      "q_session_entropy" ->
+        """WITH c AS (
+          |  SELECT user_id, event_type, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |u AS (
+          |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+          |         CAST(count(*) AS BIGINT) AS n_types,
+          |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS clc
+          |  FROM c GROUP BY 1)
+          |SELECT user_id, n, n_types,
+          |       round(CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - clc AS DOUBLE)
+          |             / (n * 1e6), 6) AS entropy_nats
+          |FROM u WHERE n >= 20 ORDER BY user_id""".stripMargin,
   )
 }

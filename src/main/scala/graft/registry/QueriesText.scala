@@ -587,6 +587,30 @@ private[graft] object QueriesText {
         round(covN * covN / (varXN * varYN), 6).as("r2"))
     }),
 
+    // cross-source vocabulary overlap: Jaccard of the DISTINCT term
+    // sets for every source pair — the mixture-design question "are
+    // these two sources redundant?" answered at the vocab level. The
+    // pair space is generated per TERM (fan-out ≤ sources-per-term²,
+    // never corpus×corpus), intersections and vocab sizes all exact
+    // counts, one division per pair.
+    "q_vocab_overlap" -> ((s, dir) => {
+      val st = spread(t(s, dir, "documents"))
+        .select(col("source"), explode(TextStats.tokens(col("text"))).as("term"))
+        .distinct()
+      val vs = st.groupBy("source").agg(count(lit(1)).as("v"))
+      st.as("a").join(st.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(vs.select(col("source").as("s1"), col("v").as("v1")), "s1")
+        .join(vs.select(col("source").as("s2"), col("v").as("v2")), "s2")
+        .select(col("s1"), col("s2"), col("v1"), col("v2"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("v1") + col("v2") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("s1", "s2")
+    }),
+
     // per-document lexical diversity: type/token ratio and hapax share
     // — the de-boilerplate features withQuality lacks (a spammy doc
     // repeats few types; natural prose keeps TTR high). Exact integer
@@ -1303,6 +1327,21 @@ private[graft] object QueriesText {
           |             ((sxx - CAST(sx AS DOUBLE) * sx / n) *
           |              (syy - CAST(sy AS DOUBLE) * sy / n)), 6) AS r2
           |FROM s ORDER BY n_terms""".stripMargin,
+
+      "q_vocab_overlap" ->
+        s"""WITH st AS (
+          |  SELECT DISTINCT source, term FROM (
+          |    SELECT source, unnest($sqlTokens) AS term FROM documents)),
+          |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY 1),
+          |p AS (
+          |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+          |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT s1, s2, v1.v AS v1, v2.v AS v2,
+          |       CAST(n_common AS BIGINT) AS n_common,
+          |       round(CAST(n_common AS DOUBLE) / (v1.v + v2.v - n_common), 6) AS jaccard
+          |FROM p JOIN vs v1 ON p.s1 = v1.source JOIN vs v2 ON p.s2 = v2.source
+          |ORDER BY s1, s2""".stripMargin,
 
       "q_lexical_diversity" ->
         s"""WITH tf AS (
