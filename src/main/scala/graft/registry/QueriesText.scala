@@ -1317,15 +1317,15 @@ private[graft] object QueriesText {
           |  FROM q)
           |SELECT n AS n_terms,
           |       round((sxy - CAST(sx AS DOUBLE) * sy / n) /
-          |             (sxx - CAST(sx AS DOUBLE) * sx / n), 6) AS slope,
+          |             nullif(sxx - CAST(sx AS DOUBLE) * sx / n, 0), 6) AS slope,
           |       round((CAST(sy AS DOUBLE) / n -
           |              ((sxy - CAST(sx AS DOUBLE) * sy / n) /
-          |               (sxx - CAST(sx AS DOUBLE) * sx / n)) * sx / n) / 1e6, 6)
+          |               nullif(sxx - CAST(sx AS DOUBLE) * sx / n, 0)) * sx / n) / 1e6, 6)
           |         AS intercept_nats,
           |       round((sxy - CAST(sx AS DOUBLE) * sy / n) *
           |             (sxy - CAST(sx AS DOUBLE) * sy / n) /
-          |             ((sxx - CAST(sx AS DOUBLE) * sx / n) *
-          |              (syy - CAST(sy AS DOUBLE) * sy / n)), 6) AS r2
+          |             nullif((sxx - CAST(sx AS DOUBLE) * sx / n) *
+          |                    (syy - CAST(sy AS DOUBLE) * sy / n), 0), 6) AS r2
           |FROM s ORDER BY n_terms""".stripMargin,
 
       "q_vocab_overlap" ->

@@ -1531,14 +1531,15 @@ private[graft] object QueriesTs {
           |         CAST(sum(d * d2) AS DOUBLE) AS n2,
           |         CAST(sum(d * d3) AS DOUBLE) AS n3
           |  FROM lagged GROUP BY 1),
-          |r AS (SELECT event_type, n_days, n1 / dd AS r1, n2 / dd AS r2,
-          |             n3 / dd AS r3 FROM s),
-          |p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM r),
+          |r AS (SELECT event_type, n_days, n1 / nullif(dd, 0) AS r1,
+          |             n2 / nullif(dd, 0) AS r2,
+          |             n3 / nullif(dd, 0) AS r3 FROM s),
+          |p2 AS (SELECT *, (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0) AS phi22 FROM r),
           |p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2)
           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
           |       round(r1, 6) AS pacf1, round(phi22, 6) AS pacf2,
           |       round((r3 - phi21 * r2 - phi22 * r1) /
-          |             (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+          |             nullif(1.0 - phi21 * r1 - phi22 * r2, 0), 6) AS pacf3
           |FROM p3 ORDER BY event_type""".stripMargin,
   )
 }
