@@ -904,4 +904,69 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous label propagation (fixed `rounds`) — the cheap
+    * community detector: every node starts as its own label and each
+    * round adopts its neighbors' PLURALITY label, ties broken by the
+    * SMALLEST label, so the update is a pure deterministic function of
+    * the previous round (no RNG, no visit order — the properties a
+    * cross-engine oracle needs; classic async LPA is neither). Fixed
+    * round count is the pipeline contract, as in [[pageRank]].
+    *
+    * Scale: per round ONE |E|-bounded join + a (node, label) count +
+    * one per-node argmax — all map-side combinable; each round
+    * snapshots (plan depth O(1)) and releases its predecessor. Input
+    * is the symmetrized edge list; isolated nodes never appear (an
+    * edge list defines them away). Returns (id, community).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    var lbl = snapshot(e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count, −label): lexicographic struct max = plurality
+      // with min-label ties — the deterministic update rule
+      val next = snapshot(votes
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .select(col("id"), (-col("best.nl")).as("lbl")))
+      release(lbl)
+      lbl = next
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Conductance of a labeled partition: for every community c,
+    * φ(c) = cut(c) / min(vol(c), 2m − vol(c)) — how leaky the
+    * community boundary is (the quality score that complements
+    * [[modularity]]: modularity rewards density, conductance punishes
+    * escape mass). Over the symmetrized edge list each undirected cut
+    * edge contributes exactly one (src ∈ c, dst ∉ c) row per side, so
+    * cut, vol (= Σ directed degree inside) and 2m are all exact longs
+    * from ONE doubly-labeled edge pass; the division is the only
+    * float. Unlabeled endpoints shrink the graph consistently, as in
+    * [[modularity]]. Returns (community, vol, cut, conductance).
+    */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    val labeled = edges
+      .join(lab.select(col("id").as("src"), col("community").as("c_src")), "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("c_dst")), "dst")
+      .persist() // read twice: per-community aggregate + the 2m scalar
+    val m2 = labeled.agg(count(lit(1)).as("m2"))
+    labeled
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("vol"),
+        sum((col("c_src") =!= col("c_dst")).cast("long")).as("cut"))
+      .crossJoin(broadcast(m2)) // 1-row scalar total
+      .select(col("community"), col("vol"), col("cut"),
+        when(least(col("vol"), col("m2") - col("vol")) > 0,
+          round(col("cut").cast("double") /
+            least(col("vol"), col("m2") - col("vol")).cast("double"), 6))
+          .as("conductance"))
+  }
 }

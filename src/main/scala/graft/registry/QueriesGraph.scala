@@ -343,6 +343,27 @@ private[graft] object QueriesGraph {
         .orderBy("community")
     }),
 
+    // community detection by synchronous label propagation (3 rounds,
+    // plurality label with min-label ties — the deterministic LPA
+    // variant a cross-engine oracle can replay round for round;
+    // Graph.labelPropagation scaladoc). Per-node community output.
+    "q_lpa" -> ((s, dir) => {
+      Graph.labelPropagation(coPurchaseEdges(s, dir, minCount = 2),
+          rounds = 3)
+        .orderBy("id")
+    }),
+
+    // community-boundary quality: conductance of the brand partition
+    // over the co-purchase graph — cut / min(vol, 2m−vol) per
+    // community, all counts exact from one doubly-labeled edge pass
+    // (Graph.conductance scaladoc; the leakiness twin of q_modularity).
+    "q_conductance" -> ((s, dir) => {
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("community"))
+      Graph.conductance(coPurchaseEdges(s, dir, minCount = 2), labels)
+        .orderBy("community")
+    }),
+
 
     // scheduling: weighted CRITICAL PATH over the banded co-purchase
     // DAG (the q_dag_layers input with deterministic integer stage
@@ -1019,6 +1040,52 @@ private[graft] object QueriesGraph {
            |             CAST(m2.m2 * m2.m2 AS DOUBLE), 6) AS contrib
            |FROM dt LEFT JOIN w USING (community) CROSS JOIN m2
            |ORDER BY community""".stripMargin,
+
+      // three synchronous LPA rounds unrolled; per round a (node,
+      // label) vote count then plurality-with-min-label — the exact
+      // deterministic update the Spark side's struct-argmax encodes
+      "q_lpa" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |l0 AS (SELECT DISTINCT src AS id FROM e),
+           |v1 AS (
+           |  SELECT e.dst AS id, l.id AS lbl, count(*) AS c
+           |  FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+           |m1 AS (
+           |  SELECT id, min(CASE WHEN c = mc THEN lbl END) AS lbl FROM (
+           |    SELECT id, lbl, c, max(c) OVER (PARTITION BY id) AS mc FROM v1)
+           |  GROUP BY id),
+           |v2 AS (
+           |  SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN m1 l ON e.src = l.id GROUP BY 1, 2),
+           |m2 AS (
+           |  SELECT id, min(CASE WHEN c = mc THEN lbl END) AS lbl FROM (
+           |    SELECT id, lbl, c, max(c) OVER (PARTITION BY id) AS mc FROM v2)
+           |  GROUP BY id),
+           |v3 AS (
+           |  SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN m2 l ON e.src = l.id GROUP BY 1, 2),
+           |m3 AS (
+           |  SELECT id, min(CASE WHEN c = mc THEN lbl END) AS lbl FROM (
+           |    SELECT id, lbl, c, max(c) OVER (PARTITION BY id) AS mc FROM v3)
+           |  GROUP BY id)
+           |SELECT id, lbl AS community FROM m3 ORDER BY id""".stripMargin,
+
+      "q_conductance" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |lab AS (SELECT p_partkey AS id, p_brand AS community FROM part),
+           |le AS (
+           |  SELECT e.src, e.dst, ls.community AS c_src, ld.community AS c_dst
+           |  FROM e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id),
+           |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM le),
+           |g AS (
+           |  SELECT c_src AS community, CAST(count(*) AS BIGINT) AS vol,
+           |         CAST(sum(CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END) AS BIGINT) AS cut
+           |  FROM le GROUP BY 1)
+           |SELECT community, vol, cut,
+           |       CASE WHEN least(vol, m2.m2 - vol) > 0 THEN
+           |         round(CAST(cut AS DOUBLE) / least(vol, m2.m2 - vol), 6)
+           |       END AS conductance
+           |FROM g CROSS JOIN m2 ORDER BY community""".stripMargin,
 
 
       // the q_dag_layers unrolled max-propagation with max(cost + w)

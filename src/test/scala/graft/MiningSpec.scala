@@ -865,6 +865,30 @@ class MiningSpec extends SparkSpec {
     assert(r2.getLong(0) === 2L && r2.getLong(1) === 8L && r2.getDouble(2) === 0.75)
   }
 
+  test("labelPropagation: plurality-with-min-tie converges a triangle; deterministic oscillation on a pair") {
+    // triangle {1,2,3}: r1 sends every node its neighbors' min id; by
+    // r3 all three carry label 1. Disconnected pair {10,11}: sync LPA
+    // oscillates (bipartite), but DETERMINISTICALLY — after 3 rounds
+    // each holds the other's id. Both follow from the pure update rule.
+    val g = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L)).toDF("id1", "id2"))
+    val out = Graph.labelPropagation(g, rounds = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 11L), (11L, 10L)))
+  }
+
+  test("conductance: two triangles + one bridge — cut 1, vol 7 each side") {
+    val g = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id1", "id2"))
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("id", "community")
+    val out = Graph.conductance(g, labels).orderBy("community").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // 2m = 14 directed; vol = 7 per side; min(7, 14−7) = 7; cut = 1
+    assert(out === Seq(("A", 7L, 1L, 0.142857), ("B", 7L, 1L, 0.142857)))
+  }
+
   test("orientByDegree: hub-star wedge work capped — every out-degree ≤ 1") {
     // star: hub 0 with 200 leaves. A naive (unoriented) wedge
     // enumeration would emit C(200,2) = 19900 wedge rows at the hub;
