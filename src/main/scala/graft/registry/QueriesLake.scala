@@ -670,6 +670,41 @@ private[graft] object QueriesLake {
     }),
 
 
+    // URL canonicalization dedup — the web-corpus staple: the same
+    // page arrives as scheme/host case variants, with tracking params,
+    // fragments, and trailing slashes; the canonical key (lowercased
+    // host + path sans trailing slash, query and fragment dropped)
+    // collapses them. Two deterministic raw variants per doc here;
+    // per-host audit shows raw distinct = 2× canonical. Narrow
+    // codegen string pass + two count-distincts — no shuffle beyond
+    // the rollup.
+    "q_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def mk(scheme: Column, host: Column, tail: Column): Column =
+        concat(scheme, host, lit("/docs/"), col("lang"), lit("/"),
+          col("doc_id"), tail)
+      val raw = docs.select(col("doc_id"), mk(lit("https://"),
+          concat(col("source"), lit(".Example.COM")),
+          concat(lit("?ref=r"), pmod(col("n_chars"), lit(7)))).as("url"))
+        .unionAll(docs.select(col("doc_id"), mk(lit("HTTPS://"),
+          concat(upper(col("source")), lit(".example.com")),
+          lit("/?utm_source=feed&utm_medium=rss#sec")).as("url")))
+      val canon = raw.withColumn("canonical",
+        concat(
+          lower(regexp_extract(col("url"), "^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1)),
+          regexp_replace(
+            regexp_extract(col("url"), "^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)", 1),
+            "/$", "")))
+      canon
+        .withColumn("host",
+          lower(regexp_extract(col("url"), "^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1)))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("url")).as("n_distinct_raw"),
+          countDistinct(col("canonical")).as("n_canonical"))
+        .orderBy("host")
+    }),
+
     // CDC apply with TOMBSTONES: each event is an op on its user key
     // ('D' delete when event_id % 10 = 0, else upsert); the snapshot is
     // the last op per key in (ts, event_id) order with deleted keys
@@ -1218,6 +1253,32 @@ private[graft] object QueriesLake {
           |       CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
           |       CAST(count(DISTINCT seg2) AS BIGINT) AS n_langs
           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // case/query/fragment/trailing-slash variants collapse to one
+      // canonical key; regexes identical to the Spark side
+      "q_url_dedup" ->
+        """WITH raw AS (
+          |  SELECT doc_id,
+          |         'https://' || source || '.Example.COM/docs/' || lang || '/'
+          |           || doc_id || '?ref=r' || (n_chars % 7) AS url
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id,
+          |         'HTTPS://' || upper(source) || '.example.com/docs/' || lang
+          |           || '/' || doc_id || '/?utm_source=feed&utm_medium=rss#sec' AS url
+          |  FROM documents),
+          |c AS (
+          |  SELECT url,
+          |         lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1))
+          |           || regexp_replace(
+          |                regexp_extract(url, '^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)', 1),
+          |                '/$', '') AS canonical,
+          |         lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)) AS host
+          |  FROM raw)
+          |SELECT host, count(*) AS n_raw,
+          |       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+          |       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
       "q_cdc_tombstone" ->
