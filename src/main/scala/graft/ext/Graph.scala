@@ -921,7 +921,12 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
+    // the caller's edge list is typically an expensive derivation and
+    // is re-read every round — persist it once (the orientByDegree
+    // lesson: unpersisted, the co-purchase self-join recomputed per
+    // round and dominated the query)
+    val e = edges.select(col("src"), col("dst")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var lbl = snapshot(e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")))
     for (_ <- 1 to rounds) {
