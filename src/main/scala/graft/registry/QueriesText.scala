@@ -587,6 +587,26 @@ private[graft] object QueriesText {
         round(covN * covN / (varXN * varYN), 6).as("r2"))
     }),
 
+    // per-source exact-duplication rate: the share of a source's docs
+    // whose md5(text) fingerprint occurs more than once ANYWHERE in
+    // the corpus — the standard source-quality ranking signal (a
+    // mirror-heavy source dedups away; rank sources by dup rate before
+    // mixing). One fingerprint count + one broadcastable fingerprint
+    // join; exact counts, one division per source.
+    "q_source_dup_rate" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val counts = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      fp.join(counts, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n") > 1).cast("long")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // cross-source vocabulary overlap: Jaccard of the DISTINCT term
     // sets for every source pair — the mixture-design question "are
     // these two sources redundant?" answered at the vocab level. The
@@ -1327,6 +1347,17 @@ private[graft] object QueriesText {
           |             nullif((sxx - CAST(sx AS DOUBLE) * sx / n) *
           |                    (syy - CAST(sy AS DOUBLE) * sy / n), 0), 6) AS r2
           |FROM s ORDER BY n_terms""".stripMargin,
+
+      "q_source_dup_rate" ->
+        """WITH fp AS (
+          |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+          |c AS (SELECT fp, count(*) AS n FROM fp GROUP BY 1)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / count(*), 6) AS dup_rate
+          |FROM fp JOIN c USING (fp)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_vocab_overlap" ->
         s"""WITH st AS (
