@@ -187,7 +187,9 @@ object EventsStream {
     val stored = probeTsType(spark, path)
     val s = cloneSession(spark, nanos = stored == org.apache.spark.sql.types.LongType)
     val requested = s.conf.getOption("spark.graft.stream.statePartitions")
-      .map(_.toInt)
+      .map(v => scala.util.Try(v.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.graft.stream.statePartitions must be a positive integer, got '$v'")))
     requested.foreach(n =>
       require(n > 0, s"spark.graft.stream.statePartitions must be > 0, got $n"))
     val current = s.conf.get("spark.sql.shuffle.partitions", "200").toInt

@@ -43,8 +43,12 @@ object Forecast {
     * N clears the division: emitted `cusum_n` = N·S_t − t·S is EXACT
     * integer arithmetic end to end, so the argmax (|cusum_n| desc,
     * then ord asc — a total tie-break) is bit-deterministic on any
-    * engine or partitioning. `mean_shifted` = C_t/N in series units is
+    * engine or partitioning. `mean_dev` = C_t/N in series units is
     * the one final division.
+    *
+    * Output: one row (ord, t, n, cusum_n, mean_dev) — t = the 1-based
+    * position of the argmax, n = the series length N (kept so a caller
+    * can recover C_t = cusum_n/n without a second pass).
     *
     * Scale shape: caller aggregates to the series grid first; one
     * global-window prefix sum over grid cells (the [[Inference.ksTest]]

@@ -872,9 +872,15 @@ class MiningSpec extends SparkSpec {
     // each holds the other's id. Both follow from the pure update rule.
     val g = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L)).toDF("id1", "id2"))
+    val before = spark.sparkContext.getPersistentRDDs.size
     val out = Graph.labelPropagation(g, rounds = 3)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 11L), (11L, 10L)))
+    // storage contract: only the returned label snapshot may remain
+    // cached — the internal edge-list persist must be released on exit
+    // (a long-lived session must not strand one edge cache per call)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "labelPropagation must unpersist its edge cache before returning")
   }
 
   test("conductance: two triangles + one bridge — cut 1, vol 7 each side") {

@@ -99,5 +99,12 @@ class StatefulTtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ext.EventsStream.readEventsStream(base, path)
     }
+    // a non-numeric value must fail with the SAME intentional message
+    // shape, not a raw NumberFormatException from .toInt
+    base.conf.set("spark.graft.stream.statePartitions", "auto")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.EventsStream.readEventsStream(base, path)
+    }
+    assert(e.getMessage.contains("spark.graft.stream.statePartitions"))
   }
 }
