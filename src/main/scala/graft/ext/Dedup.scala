@@ -525,6 +525,20 @@ object Dedup {
     * per-round lineage truncation then survives executor loss;
     * unset, `localCheckpoint` (executor memory) is used, which is fine
     * for local/bench runs but ties the result to executor lifetimes.
+    *
+    * Small-graph fast path: when the MEASURED pair count is at most
+    * `spark.graft.dedup.localCcEdges` (default 2,000,000) and the id
+    * type is integral, the edges are pulled to the driver and resolved
+    * by union-find — the same size-based strategy switch a broadcast
+    * join makes. An LSH-survivor graph is orders of magnitude smaller
+    * than the corpus but can have diameter ≫ 5 (embedding near-dup
+    * CHAINS, not cliques: round-10 measured diameter 11 at sf0.1),
+    * and each distributed round is a full job — ~0.4 s of fixed
+    * scheduling/checkpoint cost for a 12 k-edge graph, so 11 rounds
+    * cost ~4.5 s where union-find costs milliseconds. Labels are
+    * identical (component minimum); a pair graph past the threshold
+    * takes the distributed loop unchanged. Set the conf to 0 to force
+    * the distributed path.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           id1Col: String = "id1", id2Col: String = "id2",
@@ -545,9 +559,22 @@ object Dedup {
     // dominate the rounds, while a 100 TB pair graph gets tasks
     // proportional to its edges. The sizing count() hits the persisted
     // pair frame the first iteration would materialize anyway.
+    // An explicit numPartitions opts OUT of both the count and the
+    // local fast path (the caller pinned the distributed layout).
+    val nPairs = if (numPartitions > 0) -1L else p.count()
+    val localCap = spark.conf.get("spark.graft.dedup.localCcEdges",
+      "2000000").toLong
+    val idType = p.schema(id1Col).dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (nPairs >= 0 && nPairs <= localCap && integralIds) {
+      val out = localMinLabelComponents(p, id1Col, id2Col, idType)
+      p.unpersist()
+      return out
+    }
     val parts =
       if (numPartitions > 0) numPartitions
-      else ScaleOps.graphPartitions(p.count())
+      else ScaleOps.graphPartitions(nPairs)
     val sym = p
       .select(col(id1Col).as("src"), col(id2Col).as("dst"))
       .union(p.select(col(id2Col).as("src"), col(id1Col).as("dst")))
@@ -593,6 +620,46 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds; " +
         "component diameter exceeds maxIter — raise it")
     labels
+  }
+
+  /** Driver-side union-find over a BOUNDED pair graph (the
+    * [[connectedComponents]] fast path — callers go through that entry
+    * point, which gates on the measured edge count). Union-by-minimum
+    * keeps every tree's root equal to the minimum member seen, so after
+    * full path resolution each node's root IS the component minimum —
+    * bit-identical to the distributed min-label fixpoint. Path
+    * compression bounds find cost at amortized ~O(log n); 2 M edges
+    * resolve in well under a second on one core.
+    */
+  private def localMinLabelComponents(p: DataFrame, id1Col: String,
+      id2Col: String, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = p.sparkSession
+    val edges = p.select(col(id1Col).cast("long"), col(id2Col).cast("long"))
+      .collect()
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.max(16, edges.length * 2))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    // nodes appear in the map iff seen (roots map to themselves so the
+    // key set is exactly the node set)
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keysIterator.map(k => (k, find(k))).toSeq
+    import spark.implicits._
+    out.toDF("id", "label")
+      .select(col("id").cast(idType).as("id"),
+        col("label").cast(idType).as("label"))
   }
 
   /** Connected components by the ALTERNATING star algorithm (Kiveris
@@ -648,6 +715,20 @@ object Dedup {
     // re-attach unlabeled ones as their own component at the end
     val raw = snapshot(pairs.select(col(pairs.columns.head).as("src"),
       col(pairs.columns(1)).as("dst")))
+    // same size-gated union-find fast path as [[connectedComponents]]
+    // (identical labels; self-loops resolve to themselves either way);
+    // the count scans the just-materialized snapshot blocks, not the
+    // caller's plan
+    val localCap = spark.conf.get("spark.graft.dedup.localCcEdges",
+      "2000000").toLong
+    val idType = raw.schema("src").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && raw.count() <= localCap) {
+      val out = localMinLabelComponents(raw, "src", "dst", idType)
+      Graph.release(raw)
+      return out
+    }
     val selfNodes = raw.filter(col("src") === col("dst"))
       .select(col("src").as("id")).distinct()
     var edges = snapshot(raw.filter(col("src") =!= col("dst")))

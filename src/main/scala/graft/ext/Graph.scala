@@ -140,6 +140,12 @@ object Graph {
     * Σ deg·(deg−1)/2 on the undirected graph), and transitivity =
     * 3·triangles / wedges (rounded at 6; the two counts are exact
     * longs).
+    *
+    * Storage contract: the returned frame is LAZY and caches the edge
+    * list + orientation while alive (see [[orientByDegree]]); call
+    * `spark.catalog.clearCache()` (or unpersist via the catalog) once
+    * consumed — a long-lived session that loops over graphs without it
+    * accumulates edge caches.
     */
   def globalTransitivity(edges: DataFrame): DataFrame = {
     val (deg, oriented) = orientByDegree(edges)
@@ -168,6 +174,10 @@ object Graph {
     * Returns (id, degree, n_tri, lcc) for every node with ≥ 1 edge;
     * degree-1 nodes get null lcc (undefined), exact long counts
     * otherwise, lcc rounded at 6.
+    *
+    * Storage contract: as in [[globalTransitivity]], the returned
+    * frame is lazy and holds edge/orientation/triangle caches while
+    * alive — `spark.catalog.clearCache()` once consumed.
     */
   def localClustering(edges: DataFrame): DataFrame = {
     val (deg, oriented) = orientByDegree(edges)
@@ -176,6 +186,12 @@ object Graph {
     // (two map-side-combined aggregates over the |E| edge rows); only
     // the w credits explode, and that explode is exactly one row per
     // triangle — a third of the previous 3-rows-per-triangle explode.
+    // persist KEPT by measurement (round-10 A/B: min-of-7 3.74 s
+    // persisted vs 4.29/5.93 s without on a quiet host): the three
+    // credit aggregates below key on DIFFERENT columns (u, v, exploded
+    // w), so only the exchanges FEEDING the triangle join are reusable
+    // — the join probe and the Σout² array_intersect would re-execute
+    // per consumer without the cache
     val tris = edgeTriangles(oriented)
       .filter(size(col("ws")) > 0)
       .persist() // read 3×: u-credits, v-credits, w-credits
@@ -966,7 +982,10 @@ object Graph {
     val labeled = edges
       .join(lab.select(col("id").as("src"), col("community").as("c_src")), "src")
       .join(lab.select(col("id").as("dst"), col("community").as("c_dst")), "dst")
-      .persist() // read twice: per-community aggregate + the 2m scalar
+    // NO persist: both consumers (the per-community aggregate and the
+    // 2m scalar) sit in one job above identical join exchanges, which
+    // ReusedExchange dedupes — the round-10 A/B measured 1.80 s
+    // persisted vs 1.54 s without (min-of-5/7, quiet host)
     val m2 = labeled.agg(count(lit(1)).as("m2"))
     labeled
       .groupBy(col("c_src").as("community"))

@@ -161,14 +161,14 @@ private[graft] object QueriesSim {
 
 
     // ext dedup: LSH banding (2 bands x 2 rows) -> candidate pairs.
-    // Signatures are the expensive artifact (one shingle explode + hash
-    // agg over the full corpus): persist them so banding consumes the
-    // cached table instead of recomputing from raw text — the physical
-    // plan shows one InMemoryTableScan per band, zero second shingle
-    // passes. On a real pipeline this would be a parquet signature
-    // table written once and joined many times.
+    // NO persist on the signature frame: lshBands reads it exactly once
+    // (explode over an in-row band array), so a persist is a pure
+    // materialization barrier — the round-10 A/B measured 0.89 s
+    // persisted vs 0.52 s without (min-of-5, quiet host). On a real
+    // pipeline signatures would be a parquet table written once and
+    // joined many times; inside one job, single-consumer frames flow.
     "q_lsh_pairs" -> ((s, dir) => {
-      val sig = Dedup.minhashSignatures(spread(t(s, dir, "documents")), k = 4, n = 3).persist()
+      val sig = Dedup.minhashSignatures(spread(t(s, dir, "documents")), k = 4, n = 3)
       Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
         .orderBy("id1", "id2")
     }),
@@ -179,7 +179,7 @@ private[graft] object QueriesSim {
     // of a real training-data dedup pipeline)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents"))
-      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3)
       val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
       Dedup.resolveClusters(docs, pairs)
         .orderBy("doc_id")
@@ -433,7 +433,7 @@ private[graft] object QueriesSim {
     // (both tables enumerate the same corpus).
     "q_dedup_ensemble" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents"))
-      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3)
       val txtPairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
         .select(col("id1"), col("id2"))
       val embPairs = Similarity.embeddingNearDupPairs(
@@ -454,6 +454,10 @@ private[graft] object QueriesSim {
     // both columns are exact-integer ratios, drift-free cross-engine.
     "q_minhash_eval" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents")).filter(col("doc_id") < 200)
+      // persist KEPT by measurement (round-10 A/B: 0.95 s persisted vs
+      // 1.07–1.28 s without, min-of-5 ×2 runs): sig has THREE consumers
+      // (bands + both sides of the signature-agreement join), and only
+      // the exchange below the agg is reused without it
       val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
       val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
       val s1 = sig.select(col("doc_id").as("id1"),
@@ -481,7 +485,7 @@ private[graft] object QueriesSim {
     // the argmax is drift-free cross-engine.
     "q_dedup_keep_best" -> ((s, dir) => {
       val docs = TextStats.withQuality(spread(t(s, dir, "documents")))
-      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3)
       val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
       Dedup.resolveClustersBy(docs, pairs, "quality_score")
         .orderBy("doc_id")
@@ -674,6 +678,9 @@ private[graft] object QueriesSim {
       val docs = spread(t(s, dir, "documents"))
       val fp = docs.select(col("doc_id"),
         Dedup.normalizedFingerprint(col("text")).as("fp"))
+      // persist KEPT by measurement (round-10 A/B: 1.05 s persisted vs
+      // 1.42–1.54 s without, min-of-5 ×2 runs — the materialized cache
+      // gives the planner known-small stats for the candidate joins)
       val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
       val cand = Dedup.lshCandidatePairs(
         Dedup.lshBands(sig, k = 4, rowsPerBand = 2))

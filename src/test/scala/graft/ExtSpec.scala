@@ -81,9 +81,14 @@ class ExtSpec extends SparkSpec {
   test("dedup: connected components with a reliable checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("ccchk").toString
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
-      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // force the DISTRIBUTED loop (the fast path would bypass the
+    // checkpoint machinery this test exists to exercise)
+    spark.conf.set("spark.graft.dedup.localCcEdges", "0")
+    try {
+      val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    } finally spark.conf.unset("spark.graft.dedup.localCcEdges")
   }
 
   test("dedup: connected components on empty pair set leaves all docs singleton") {
@@ -311,13 +316,17 @@ class ExtSpec extends SparkSpec {
   test("dedup: connected components fails loudly when diameter exceeds maxIter") {
     // a chain 1-2-3-...-8 has diameter 7: min-label propagation needs
     // ~7 rounds, so maxIter=2 must throw rather than return split labels
+    // (distributed loop forced — the union-find fast path never splits)
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2)
-    }
-    val labels = Dedup.connectedComponents(chain, maxIter = 20)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(labels.length == 8 && labels.forall(_._2 == 1L))
+    spark.conf.set("spark.graft.dedup.localCcEdges", "0")
+    try {
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, maxIter = 2)
+      }
+      val labels = Dedup.connectedComponents(chain, maxIter = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(labels.length == 8 && labels.forall(_._2 == 1L))
+    } finally spark.conf.unset("spark.graft.dedup.localCcEdges")
   }
 
   test("dedup: rows-per-band tracks the target threshold monotonically") {

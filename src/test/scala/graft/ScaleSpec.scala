@@ -411,23 +411,30 @@ class ScaleSpec extends SparkSpec {
     // propagation rounds: superseded label snapshots must be released
     // per round, not left to driver GC
     val beforeCC = sc.getPersistentRDDs.size
-    val cc = graft.ext.Dedup.connectedComponents(path)
-    assert(cc.count() == 13)
-    assert(sc.getPersistentRDDs.size <= beforeCC + 1,
-      "connectedComponents must release superseded label snapshots")
-    graft.ext.Graph.release(cc)
+    // force the distributed loop: the union-find fast path has no
+    // per-round snapshots to leak in the first place
+    spark.conf.set("spark.graft.dedup.localCcEdges", "0")
+    try {
+      val cc = graft.ext.Dedup.connectedComponents(path)
+      assert(cc.count() == 13)
+      assert(sc.getPersistentRDDs.size <= beforeCC + 1,
+        "connectedComponents must release superseded label snapshots")
+      graft.ext.Graph.release(cc)
+    } finally spark.conf.unset("spark.graft.dedup.localCcEdges")
   }
 
   test("connectedComponentsStar: equals min-label CC on path, grid, random, and singleton graphs") {
     import spark.implicits._
+    // both DISTRIBUTED algorithms under test, not the shared fast path
+    spark.conf.set("spark.graft.dedup.localCcEdges", "0")
     def labels(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // high-diameter path (the star algorithm's motivating case), two
     // components + a self-loop singleton
     val path = ((1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq ++
       Seq((20L, 21L), (30L, 30L))).toDF("id1", "id2")
-    assert(labels(graft.ext.Dedup.connectedComponentsStar(path)) ===
-      labels(graft.ext.Dedup.connectedComponents(path)))
+    val pl = labels(graft.ext.Dedup.connectedComponents(path))
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(path)) === pl)
     // 6x6 8-neighbor grid — the DBSCAN cell-graph shape
     val grid = (for { x <- 0 to 5; y <- 0 to 5; dx <- -1 to 1; dy <- -1 to 1
       if (dx, dy) != (0, 0) && x + dx >= 0 && x + dx <= 5 && y + dy >= 0 && y + dy <= 5
@@ -438,8 +445,18 @@ class ScaleSpec extends SparkSpec {
     // deterministic pseudo-random graph: hash-derived sparse edges
     val rand = (1L to 200L).map(i =>
       (i % 97, (i * i * 31 + 7) % 97)).filter(p => p._1 != p._2).toDF("id1", "id2")
-    assert(labels(graft.ext.Dedup.connectedComponentsStar(rand)) ===
-      labels(graft.ext.Dedup.connectedComponents(rand)))
+    val rl = labels(graft.ext.Dedup.connectedComponents(rand))
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(rand)) === rl)
+    spark.conf.unset("spark.graft.dedup.localCcEdges")
+    // fast-path parity: default conf routes these same graphs through
+    // driver union-find — labels must be bit-identical to the
+    // distributed results captured above, through BOTH entry points
+    assert(labels(graft.ext.Dedup.connectedComponents(path)) === pl)
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(path)) === pl)
+    assert(labels(graft.ext.Dedup.connectedComponents(grid)) === gl)
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(grid)) === gl)
+    assert(labels(graft.ext.Dedup.connectedComponents(rand)) === rl)
+    assert(labels(graft.ext.Dedup.connectedComponentsStar(rand)) === rl)
   }
 
   test("pageRankDirected: dangling mass keeps total rank at exactly 1") {
