@@ -394,47 +394,62 @@ object Graph {
     * caller wanting the fixpoint raises `rounds` (the observe-metric
     * loop in [[Dedup.connectedComponents]] shows the alternative).
     *
-    * Scale design: one degree aggregate + two semi-join-shaped edge
-    * restrictions per round, all shuffling on the node key — O(|E|)
-    * per round, no adjacency materialization. Each round takes one
-    * eager [[snapshot]] of the surviving edge list — the next round
-    * reads it three times (degree pass + two restrictions), so without
-    * lineage truncation the plan would grow geometrically — and
-    * [[release]]s the previous round (the [[Dedup.connectedComponents]]
-    * pattern), so at most one superseded frame is ever held. A round
-    * that removes no edge ends the peel early: the cascade has reached
-    * its fixpoint and further rounds are identities. The final round's
-    * snapshot backs the returned degree aggregate; callers can
-    * [[release]] the result's backing frame once consumed.
+    * Scale design — DELTA peeling (round-10 rewrite of the
+    * restrict-and-reaggregate loop): the per-round state is the
+    * NODE-degree frame, not the edge list. A round removes nodes with
+    * degree < k, then decrements each still-alive node's degree by its
+    * edge count INTO the just-removed set — only edges incident to
+    * removed nodes are touched (the symmetrized input guarantees the
+    * alive side of every dying edge sees it as an out-edge). The edge
+    * list is scanned once per round from the caller's frame (persist
+    * it — multi-action consumer) but never re-materialized: the old
+    * loop snapshot-wrote O(|E|) surviving edges AND re-aggregated full
+    * degrees every round, which dominated the query (13 s cold at
+    * sf0.1); the per-round shuffle here is the delta aggregate, sized
+    * by the removal cascade, plus a node-sized degree update. Each
+    * round snapshots the (node, degree) state and [[release]]s its
+    * predecessor, so plan depth stays O(1) and at most one superseded
+    * frame is held. A round that removes no node ends the peel early
+    * (further rounds are identities).
     *
     * Input edges must be symmetrized ([[symmetrize]]); returns
     * (id, degree) for nodes with ≥ 1 surviving edge after the final
-    * round, degree counted over the surviving edge list.
+    * round, degree counted over the surviving edge list — identical
+    * output to the restrict-based formulation, round for round.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    var e = edges.select(col("src"), col("dst"))
-    var prev: Option[DataFrame] = None
-    var remaining = -1L // unknown until the first round materializes
+    val e = edges.select(col("src"), col("dst"))
+    var deg = snapshot(e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg")))
     var r = 0
-    var fixpoint = false
-    while (r < rounds && !fixpoint) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("id"))
-      val survived = snapshot( // the round's ONE action
-        e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")))
-      val n = survived.count()
-      prev.foreach(release) // superseded round released
-      prev = Some(survived)
-      fixpoint = n == remaining
-      remaining = n
-      e = survived
+    var done = false
+    while (r < rounds && !done) {
+      val removed = snapshot(deg.filter(col("deg") < k).select(col("id")))
+      if (removed.isEmpty) {
+        release(removed)
+        done = true
+      } else {
+        val alive = deg.filter(col("deg") >= k).select(col("id"))
+        // edges from a still-alive src into a just-removed dst lower
+        // src's degree; edges between two removed nodes die unobserved
+        // (neither endpoint remains to count them)
+        val delta = e
+          .join(removed.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        val next = snapshot(
+          deg.filter(col("deg") >= k)
+            .join(delta, Seq("id"), "left")
+            .select(col("id"),
+              (col("deg") - coalesce(col("d"), lit(0L))).as("deg")))
+        release(deg)
+        release(removed)
+        deg = next
+      }
       r += 1
     }
-    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("deg") >= 1).select(col("id"), col("deg").as("degree"))
   }
 
   /** Personalized PageRank: teleportation goes to the SEED set (mass
