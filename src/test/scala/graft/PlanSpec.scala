@@ -34,10 +34,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))
   }
 
-  test("q_lsh_pairs: banding consumes cached signatures, no re-shingle") {
+  test("q_lsh_pairs: ONE shingle pass feeds banding — no cache, no re-shingle") {
+    // round-10 A/B removed the signature persist: lshBands reads the
+    // signature frame exactly once (in-row band array explode), so the
+    // right plan has NO cache barrier and exactly one shingle explode
+    // over the corpus — two passes would mean banding re-derived the
+    // signatures, the regression the old persist guarded against
     val df = SparkEntry.queries("q_lsh_pairs")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"), "signatures not served from cache")
+    assert(!p.contains("InMemoryTableScan"),
+      "persist crept back onto the single-consumer signature frame")
+    assert("shingles".r.findAllIn(p.toLowerCase).size <= 1 ||
+      "documents".r.findAllIn(p).size <= 1,
+      "signature derivation appears more than once in the plan")
     spark.catalog.clearCache()
   }
 
@@ -252,16 +261,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_dedup_ensemble: assignment consumes checkpointed CC labels, no cartesian") {
-    // CC runs EAGERLY inside the query builder (per-round checkpoints),
-    // so the returned plan starts from the materialized label frame —
-    // an ExistingRDD scan, not a re-derivation of the pair joins. The
-    // signature-cache reuse inside the loop is asserted by the
-    // q_lsh_pairs plan test; here we pin that the served plan is the
-    // cheap tail, not a recomputation.
+  test("q_dedup_ensemble: assignment consumes materialized CC labels, no cartesian") {
+    // CC runs EAGERLY inside the query builder, so the returned plan
+    // starts from the MATERIALIZED label frame, not a re-derivation of
+    // the pair joins: below the localCcEdges threshold that frame is
+    // the union-find fast path's local relation (LocalTableScan);
+    // above it, the distributed loop's checkpoint scan (ExistingRDD).
+    // Either way the served plan is the cheap tail.
     val p = plan("q_dedup_ensemble")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("ExistingRDD"), "CC labels not served from the checkpoint")
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"),
+      "CC labels not served from a materialized frame")
   }
 
   test("q_oov_rate: vocab membership join broadcasts the vocab side") {
