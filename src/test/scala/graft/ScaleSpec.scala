@@ -385,6 +385,9 @@ class ScaleSpec extends SparkSpec {
   test("graph loops: persisted frames stay bounded across rounds") {
     import spark.implicits._
     val sc = spark.sparkContext
+    // force the DISTRIBUTED loops: this test gates their per-round
+    // snapshot/release discipline, which the local fast paths bypass
+    spark.conf.set("spark.graft.graph.localEdges", "0")
     // a 12-hop path forces many BFS rounds; bounded cache regardless
     val path = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
     val edges = graft.ext.Graph.symmetrize(path)
@@ -420,7 +423,41 @@ class ScaleSpec extends SparkSpec {
       assert(sc.getPersistentRDDs.size <= beforeCC + 1,
         "connectedComponents must release superseded label snapshots")
       graft.ext.Graph.release(cc)
-    } finally spark.conf.unset("spark.graft.dedup.localCcEdges")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.localCcEdges")
+      spark.conf.unset("spark.graft.graph.localEdges")
+    }
+  }
+
+  test("propagation fast paths: bit-identical to the distributed loops") {
+    import spark.implicits._
+    // BFS/SSSP/layers/critical-path are exact-integer recurrences, so
+    // the size-gated driver relaxation must reproduce the distributed
+    // rounds exactly — including the PARTIAL result when the round
+    // budget stops short of the fixpoint (maxHops = 2 on a 12-chain)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = graft.ext.Graph.symmetrize(chain)
+    val dag = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val wdag = dag.select(col("src"), col("dst"),
+      (col("src") % 3 + 1).as("w"))
+    val seeds = Seq(0L, 7L).toDF("id")
+    def all() = Seq(
+      m(graft.ext.Graph.bfsHops(edges, seeds, maxHops = 2)),
+      m(graft.ext.Graph.bfsHops(edges, seeds, maxHops = 12)),
+      m(graft.ext.Graph.sssp(wdag, seeds, maxHops = 3)),
+      m(graft.ext.Graph.longestPathLayers(dag, maxRounds = 4)), // partial
+      m(graft.ext.Graph.longestPathLayers(dag, maxRounds = 20)),
+      m(graft.ext.Graph.criticalPath(wdag, maxRounds = 20)))
+    val fast = all() // default conf: local fast path (13 edges < cap)
+    spark.conf.set("spark.graft.graph.localEdges", "0")
+    try {
+      val dist = all()
+      fast.zip(dist).zipWithIndex.foreach { case ((f, d), i) =>
+        assert(f === d, s"fast path diverged from distributed at case $i")
+      }
+    } finally spark.conf.unset("spark.graft.graph.localEdges")
   }
 
   test("connectedComponentsStar: equals min-label CC on path, grid, random, and singleton graphs") {
