@@ -22,6 +22,12 @@ class PlanAuditSpec extends SparkSpec {
       val plan = fn(spark, SparkSpec.sf0001).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
+    // building 321 queries registers every builder-side .persist() in
+    // the CacheManager (registration happens at analysis, not action);
+    // left in place they SUBSTITUTE InMemoryRelations into plans built
+    // by later suites on the shared session, breaking their scan/cache
+    // assertions (PlanSpec's q_lsh_pairs no-cache pin found this)
+    spark.catalog.clearCache()
     assert(offenders.isEmpty, s"cartesian products planned by: $offenders")
   }
 }

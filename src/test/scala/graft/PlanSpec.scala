@@ -11,6 +11,10 @@ class PlanSpec extends SparkSpec {
   private val dir = SparkSpec.sf0001
 
   private def plan(q: String): String = {
+    // the shared session may carry cache registrations from earlier
+    // suites (persist() registers at ANALYSIS time); clear them so
+    // every pin asserts the cold plan the builder actually declares
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(q)(spark, dir)
     df.queryExecution.executedPlan.toString
   }
@@ -40,6 +44,7 @@ class PlanSpec extends SparkSpec {
     // right plan has NO cache barrier and exactly one shingle explode
     // over the corpus — two passes would mean banding re-derived the
     // signatures, the regression the old persist guarded against
+    spark.catalog.clearCache() // drop cache registrations from earlier suites
     val df = SparkEntry.queries("q_lsh_pairs")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("InMemoryTableScan"),
