@@ -145,7 +145,8 @@ object Graph {
     * OrientationSpec gates on a hub-star fixture). Input is the
     * symmetrized edge list; returns (deg, oriented).
     */
-  private[graft] def orientByDegree(edges: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def orientByDegree(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // Persist BOTH frames: the caller's edge list is typically an
     // expensive derivation (q_transitivity's edges are a lineitem
     // self-join + pair aggregate), and without a persist every
@@ -166,7 +167,10 @@ object Graph {
       .select(col("src"), col("dst"))
       .persist( // read twice by edgeTriangles (adjacency + edge join)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    (deg, oriented)
+    // the third element hands the edge cache back so LOOPING callers
+    // (kTrussPeel) can unpersist both frames once a round materializes;
+    // single-shot callers leave them to the clearCache contract
+    (deg, oriented, e)
   }
 
   /** Per-oriented-edge triangle closure — the EDGE-ITERATOR kernel both
@@ -214,7 +218,7 @@ object Graph {
     * accumulates edge caches.
     */
   def globalTransitivity(edges: DataFrame): DataFrame = {
-    val (deg, oriented) = orientByDegree(edges)
+    val (deg, oriented, _) = orientByDegree(edges)
     val tri = edgeTriangles(oriented)
       .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long")
         .as("n_triangles"))
@@ -246,7 +250,7 @@ object Graph {
     * alive — `spark.catalog.clearCache()` once consumed.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    val (deg, oriented) = orientByDegree(edges)
+    val (deg, oriented, _) = orientByDegree(edges)
     // credit each detected triangle (edge (u,v), closing corner w ∈ ws)
     // to ALL THREE corners: u and v get size(ws) WITHOUT exploding
     // (two map-side-combined aggregates over the |E| edge rows); only
@@ -488,6 +492,102 @@ object Graph {
       r += 1
     }
     cost
+  }
+
+  /** Per-edge triangle SUPPORT — for every undirected edge {u, v}, the
+    * number of triangles through it (= |N(u) ∩ N(v)|), the quantity
+    * k-truss peeling filters on and the strongest cheap edge-strength
+    * signal (an edge inside a community closes many triangles; a
+    * spurious co-occurrence closes none). Same skew-proof
+    * [[orientByDegree]] + [[edgeTriangles]] kernel as
+    * [[globalTransitivity]]: each triangle {a,b,c} is detected exactly
+    * once (at its oriented edge (a,b), closing corner c) and then
+    * credits ALL THREE of its edges — one explode row per edge per
+    * triangle, output-proportional, never Σdeg² wedge rows. Edges in
+    * no triangle surface with support 0 via the left join back to the
+    * oriented edge list.
+    *
+    * Input must be symmetrized ([[symmetrize]]); returns one row per
+    * undirected edge: (id1, id2, support) with id1 < id2 ordering of
+    * the endpoints NOT guaranteed (id1/id2 are the degree-oriented
+    * pair normalized by least/greatest), support an exact long.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = edgeSupportCore(edges)._1
+
+  /** [[edgeSupport]] plus the two frames [[orientByDegree]] persisted,
+    * so LOOPING callers ([[kTrussPeel]]) can unpersist each round's
+    * caches once the round's result materializes. */
+  private def edgeSupportCore(edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val (_, oriented, e) = orientByDegree(edges)
+    val tris = edgeTriangles(oriented).filter(size(col("ws")) > 0)
+    // one row per (triangle, edge): the detected edge plus the two
+    // corner edges, all normalized to (least, greatest)
+    val credits = tris.select(explode(col("ws")).as("w"), col("u"), col("v"))
+      .select(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"))).as("es"))
+      .select(explode(col("es")).as("e"))
+      .groupBy(col("e.a").as("id1"), col("e.b").as("id2"))
+      .agg(count(lit(1)).as("support"))
+    val out = oriented
+      .select(least(col("src"), col("dst")).as("id1"),
+        greatest(col("src"), col("dst")).as("id2"))
+      .join(credits, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("support"))
+    (out, Seq(oriented, e))
+  }
+
+  /** Fixed-round k-TRUSS peeling — the edge-level refinement of
+    * [[kCorePeel]]: each round recomputes per-edge triangle support
+    * over the CURRENT edge set and drops every edge with support
+    * < k − 2 (the k-truss condition); dropping an edge lowers its
+    * neighbors' supports, which the next round sees. As in
+    * [[kCorePeel]], `rounds` is the pipeline contract: after r rounds
+    * the surviving edges are a monotone-shrinking superset of the true
+    * k-truss. A round that removes no edge ends the peel early.
+    *
+    * Scale: each round is one [[edgeSupport]] pass over the surviving
+    * edges — O(|E|^1.5) intersection work in-row, shuffle
+    * output-proportional — plus a semi-join restriction; the surviving
+    * undirected edge list is snapshotted per round and its predecessor
+    * [[release]]d (plan depth O(1)).
+    *
+    * Input must be symmetrized; returns the surviving undirected edges
+    * with their support over the FINAL surviving set:
+    * (id1, id2, support), id1 < id2.
+    */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1, "k must be >= 2 and rounds positive")
+    var und = snapshot(edges
+      .select(least(col("src"), col("dst")).as("id1"),
+        greatest(col("src"), col("dst")).as("id2"))
+      .distinct())
+    var remaining = -1L
+    var r = 0
+    var fixpoint = false
+    while (r < rounds && !fixpoint) {
+      val sym = und.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(und.select(col("id2").as("src"), col("id1").as("dst")))
+      val (sup, caches) = edgeSupportCore(sym)
+      val keep = sup.filter(col("support") >= k - 2)
+        .select(col("id1"), col("id2"))
+      val next = snapshot(und.join(keep, Seq("id1", "id2"), "left_semi"))
+      val n = next.count()
+      // the round's orientation caches are fully consumed by `next`
+      caches.foreach(_.unpersist(blocking = false))
+      release(und)
+      und = next
+      fixpoint = n == remaining
+      remaining = n
+      r += 1
+    }
+    edgeSupport(und.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(und.select(col("id2").as("src"), col("id1").as("dst"))))
+      .select(col("id1"), col("id2"), col("support"))
   }
 
   /** Fixed-round k-core peeling: each round drops every node with

@@ -71,6 +71,42 @@ object Inference {
          se1 * se1 / (col("n1") - lit(1)).cast("double")), 6).as("welch_df")): _*)
   }
 
+  /** Cohen's d effect size between arms 0 and 1 per metric group —
+    * the "is the lift big or just significant" companion to [[welchT]]
+    * (a t-stat grows with √n; d = (mean1 − mean0)/s_pooled does not):
+    * s_pooled² = ((n0−1)·s0² + (n1−1)·s1²) / (n0+n1−2). Same one-pass
+    * conditional power-sum aggregate as welchT (6 longs per group, no
+    * join, no pivot); all floats are closed-form expressions over the
+    * exact sums. Groups where either arm has < 2 rows or the pooled
+    * variance is 0 emit null d. Emits (group, n0, n1, mean_diff,
+    * pooled_sd, cohens_d), rounded at 6.
+    */
+  def cohensD(df: DataFrame, group: Seq[String], arm: Column, x: Column): DataFrame = {
+    val armsWide = df
+      .select(group.map(col) ++ Seq(arm.cast("int").as("arm"),
+        x.cast("long").as("x")): _*)
+      .groupBy(group.map(col): _*)
+      .agg(
+        sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(when(col("arm") === 0, col("x")).otherwise(lit(0L))).as("s0"),
+        sum(when(col("arm") === 0, col("x") * col("x")).otherwise(lit(0L))).as("ss0"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("arm") === 1, col("x")).otherwise(lit(0L))).as("s1"),
+        sum(when(col("arm") === 1, col("x") * col("x")).otherwise(lit(0L))).as("ss1"))
+    val diff = meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0"))
+    val pooledVar =
+      ((col("n0") - lit(1)).cast("double") * varC(col("n0"), col("s0"), col("ss0")) +
+       (col("n1") - lit(1)).cast("double") * varC(col("n1"), col("s1"), col("ss1"))) /
+        (col("n0") + col("n1") - lit(2)).cast("double")
+    armsWide.select(group.map(col) ++ Seq(
+      col("n0"), col("n1"),
+      round(diff, 6).as("mean_diff"),
+      when(col("n0") >= 2 && col("n1") >= 2, round(sqrt(pooledVar), 6))
+        .as("pooled_sd"),
+      when(col("n0") >= 2 && col("n1") >= 2 && pooledVar > 0,
+        round(diff / sqrt(pooledVar), 6)).as("cohens_d")): _*)
+  }
+
   /** Per-group simple linear regression y = a + b·x by the closed-form
     * least-squares solution, plus r². x and y must be integral (the
     * caller quantizes); the five power sums are exact longs, so slope /

@@ -263,6 +263,35 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // per-edge triangle SUPPORT over the sparse co-purchase graph —
+    // the edge-strength signal k-truss filters on (an edge inside a
+    // community closes many triangles; incidental co-occurrence closes
+    // none). Same oriented edge-iterator kernel as q_transitivity;
+    // each triangle credits its three edges with ONE explode row each
+    // (output-proportional, never Σdeg² wedges; Graph.edgeSupport
+    // scaladoc). Zero-support edges kept via the left join back.
+    "q_edge_support" -> ((s, dir) => {
+      Graph.edgeSupport(coPurchaseEdges(s, dir, minCount = 2))
+        .orderBy("id1", "id2")
+    }),
+
+
+    // graph hygiene one level above q_kcore: fixed-round k-TRUSS peel
+    // (k=3, 2 rounds) — every surviving edge sits in ≥ 1 triangle of
+    // the surviving set after each round's cascade; the classic
+    // community-backbone extractor that node-degree filters can't
+    // express (a hub with many weak edges survives k-core but not
+    // k-truss). Support recompute per round is the q_edge_support
+    // kernel; edge list snapshot/released per round
+    // (Graph.kTrussPeel scaladoc). Output: surviving edges with their
+    // final-set support.
+    "q_ktruss" -> ((s, dir) => {
+      Graph.kTrussPeel(coPurchaseEdges(s, dir, minCount = 2), k = 3,
+          rounds = 2)
+        .orderBy("id1", "id2")
+    }),
+
+
     // degree assortativity of the co-purchase graph: do hub parts
     // co-sell with other hubs? One degree pass + two edge annotations
     // + exact power sums (Graph.degreeAssortativity scaladoc).
@@ -899,6 +928,64 @@ private[graft] object QueriesGraph {
            |       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
            |         AS transitivity
            |FROM tri CROSS JOIN ow ORDER BY n_triangles""".stripMargin,
+
+
+      // support(u,v) = |N(u) ∩ N(v)| counted directly on the
+      // symmetrized edge set (the brute-force definition — the Spark
+      // side's oriented single-detection + 3-edge credit must agree);
+      // zero-support edges kept via the left join
+      "q_edge_support" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |und AS (SELECT src AS id1, dst AS id2 FROM p),
+           |sup AS (
+           |  SELECT u.id1, u.id2, count(*) AS s
+           |  FROM und u
+           |  JOIN e a ON a.src = u.id1
+           |  JOIN e b ON b.src = u.id2 AND b.dst = a.dst
+           |  GROUP BY 1, 2)
+           |SELECT u.id1 AS id1, u.id2 AS id2,
+           |       CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+           |FROM und u LEFT JOIN sup ON sup.id1 = u.id1 AND sup.id2 = u.id2
+           |ORDER BY u.id1, u.id2""".stripMargin,
+
+
+      // two unrolled peel rounds (support >= k-2 = 1 on the CURRENT
+      // set), then the final-set support — mirrors Graph.kTrussPeel
+      // round for round; an edge absent from a support CTE has support
+      // 0 and the inner join drops it, matching the < k-2 drop
+      "q_ktruss" ->
+        s"""WITH ${sqlCoPurchaseCtes(2)},
+           |u0 AS (SELECT src AS id1, dst AS id2 FROM p),
+           |s0 AS (
+           |  SELECT u.id1, u.id2, count(*) AS s
+           |  FROM u0 u
+           |  JOIN e a ON a.src = u.id1
+           |  JOIN e b ON b.src = u.id2 AND b.dst = a.dst
+           |  GROUP BY 1, 2),
+           |u1 AS (SELECT u0.id1, u0.id2 FROM u0
+           |       JOIN s0 ON s0.id1 = u0.id1 AND s0.id2 = u0.id2 AND s0.s >= 1),
+           |e1 AS (SELECT id1 AS src, id2 AS dst FROM u1
+           |       UNION ALL SELECT id2, id1 FROM u1),
+           |s1 AS (
+           |  SELECT u.id1, u.id2, count(*) AS s
+           |  FROM u1 u
+           |  JOIN e1 a ON a.src = u.id1
+           |  JOIN e1 b ON b.src = u.id2 AND b.dst = a.dst
+           |  GROUP BY 1, 2),
+           |u2 AS (SELECT u1.id1, u1.id2 FROM u1
+           |       JOIN s1 ON s1.id1 = u1.id1 AND s1.id2 = u1.id2 AND s1.s >= 1),
+           |e2 AS (SELECT id1 AS src, id2 AS dst FROM u2
+           |       UNION ALL SELECT id2, id1 FROM u2),
+           |s2 AS (
+           |  SELECT u.id1, u.id2, count(*) AS s
+           |  FROM u2 u
+           |  JOIN e2 a ON a.src = u.id1
+           |  JOIN e2 b ON b.src = u.id2 AND b.dst = a.dst
+           |  GROUP BY 1, 2)
+           |SELECT u.id1 AS id1, u.id2 AS id2,
+           |       CAST(COALESCE(s2.s, 0) AS BIGINT) AS support
+           |FROM u2 u LEFT JOIN s2 ON s2.id1 = u.id1 AND s2.id2 = u.id2
+           |ORDER BY u.id1, u.id2""".stripMargin,
 
 
       "q_degree_assort" ->

@@ -543,6 +543,20 @@ private[graft] object QueriesStats {
     }),
 
 
+    // effect SIZE for the same experiment readout: Cohen's d between
+    // the user_id%2 arms per event_type — the "big or just
+    // significant" complement to q_ab_ttest (t grows with √n, d does
+    // not; at 100 TB everything is significant and only d is
+    // decision-grade). Same one-pass exact power sums
+    // (Inference.cohensD scaladoc).
+    "q_cohens_d" -> ((s, dir) => {
+      Inference.cohensD(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"),
+          arm = col("user_id") % 2, x = floor(col("value") * 100))
+        .orderBy("event_type")
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -1800,6 +1814,44 @@ private[graft] object QueriesStats {
           |       round((se0 + se1) * (se0 + se1)
           |             / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
           |                + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6) AS welch_df
+          |FROM h ORDER BY event_type""".stripMargin,
+
+
+      // same conditional power sums as q_ab_ttest; variance, pooled
+      // variance and d mirror Inference.cohensD's double expressions
+      // op for op (exact long inputs, so the doubles agree bit-wise)
+      "q_cohens_d" ->
+        """WITH e AS (
+          |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS ss0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS ss1
+          |  FROM e GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, n0, n1,
+          |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |           - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+          |         (CAST(n0 - 1 AS DOUBLE)
+          |            * ((CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+          |                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          |               / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)))
+          |          + CAST(n1 - 1 AS DOUBLE)
+          |            * ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+          |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))))
+          |         / CAST(n0 + n1 - 2 AS DOUBLE) AS pv
+          |  FROM g)
+          |SELECT event_type, n0, n1, round(diff, 6) AS mean_diff,
+          |       CASE WHEN n0 >= 2 AND n1 >= 2 THEN round(sqrt(pv), 6) END AS pooled_sd,
+          |       CASE WHEN n0 >= 2 AND n1 >= 2 AND pv > 0
+          |            THEN round(diff / sqrt(pv), 6) END AS cohens_d
           |FROM h ORDER BY event_type""".stripMargin,
 
 

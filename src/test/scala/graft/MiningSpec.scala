@@ -883,6 +883,43 @@ class MiningSpec extends SparkSpec {
       "labelPropagation must unpersist its edge cache before returning")
   }
 
+  test("edgeSupport: K4 minus an edge — shared edge support 2, rest 1; pendant 0") {
+    // K4 minus {3,4}: triangles {1,2,3} and {1,2,4} share edge {1,2}
+    val g2 = Graph.symmetrize(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("id1", "id2"))
+    val sup = Graph.edgeSupport(g2).orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 3L) -> 1L, (2L, 4L) -> 1L))
+    // triangle + pendant: the pendant edge closes no triangle → 0
+    val g3 = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id1", "id2"))
+    val sup3 = Graph.edgeSupport(g3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup3 === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 4L) -> 0L))
+  }
+
+  test("kTrussPeel: cascade removes the whole K4-minus-edge at k=4; k=3 keeps the triangle") {
+    val g2 = Graph.symmetrize(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("id1", "id2"))
+    // k=4 (support ≥ 2): round 1 keeps only {1,2}; round 2 recomputes
+    // support over the lone survivor → 0 → empty (the CASCADE k-core
+    // can't see: every NODE has degree ≥ 2 after round 1)
+    assert(Graph.kTrussPeel(g2, k = 4, rounds = 2).count() === 0L)
+    // k=3 (support ≥ 1): everything survives round 1, early fixpoint
+    val t3 = Graph.kTrussPeel(g2, k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 3L) -> 1L, (2L, 4L) -> 1L))
+    // pendant pruning: triangle + tail — k=3 drops the tail edge only
+    val g3 = Graph.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id1", "id2"))
+    val t4 = Graph.kTrussPeel(g3, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4 === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
   test("conductance: two triangles + one bridge — cut 1, vol 7 each side") {
     val g = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id1", "id2"))
@@ -904,7 +941,7 @@ class MiningSpec extends SparkSpec {
     // This is the skew bound the triangle kernels rely on at 100 TB.
     val star = Graph.symmetrize(
       (1L to 200L).map(i => (0L, i)).toDF("id1", "id2"))
-    val (_, oriented) = Graph.orientByDegree(star)
+    val (_, oriented, _) = Graph.orientByDegree(star)
     assert(oriented.count() === 200L) // each undirected edge exactly once
     val outDeg = oriented.groupBy("src").agg(count(lit(1)).as("od"))
     assert(outDeg.agg(max("od")).head().getLong(0) === 1L)
