@@ -379,6 +379,39 @@ object Graph {
     visited
   }
 
+  /** Bounded DOUBLE-BFS diameter estimate — the standard cheap lower
+    * bound: BFS from the minimum node id, take the farthest node
+    * reached (ties → smallest id), BFS again from it; the second
+    * walk's maximum hop is a diameter lower bound that is exact on
+    * trees and empirically tight on real graphs. This is the probe a
+    * pipeline runs BEFORE choosing an iterative algorithm's round
+    * budget ([[Dedup.connectedComponents]]'s maxIter = diameter, LPA
+    * round counts) — mis-sizing those is the classic silent-wrong-
+    * result trap this measures away. Both walks are [[bfsHops]]
+    * (size-gated local fast path included); the two scalar decisions
+    * between them (min id, argmax hop) are deliberate 1-row driver
+    * actions, the same bounded-scalar pattern as the A4 mode.
+    *
+    * Both eccentricities are BOUNDED at `maxHops` — on a graph whose
+    * diameter exceeds the bound the result reads `maxHops` (raise it),
+    * mirroring the [[bfsHops]] contract. Input must be symmetrized.
+    * Returns one row: (seed_id, far_id, ecc_seed, diameter_lb).
+    */
+  def diameterDoubleBfs(edges: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+    val seed0 = e.agg(min(col("src")).cast("long")).head.getLong(0)
+    val b1 = bfsHops(e, Seq(seed0).toDF("id"), maxHops)
+    val far = b1.orderBy(col("hop").desc, col("id").asc).limit(1)
+      .select(col("id").cast("long"), col("hop").cast("int")).head
+    val (farId, ecc1) = (far.getLong(0), far.getInt(1))
+    bfsHops(e, Seq(farId).toDF("id"), maxHops)
+      .agg(max(col("hop")).cast("int").as("diameter_lb"))
+      .select(lit(seed0).as("seed_id"), lit(farId).as("far_id"),
+        lit(ecc1).as("ecc_seed"), col("diameter_lb"))
+  }
+
   /** Longest-path layering of a DAG — assign every node the length of
     * the longest directed path ending at it (sources get 0), the
     * classic topological "level" used for dependency scheduling, lineage

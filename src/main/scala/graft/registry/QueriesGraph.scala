@@ -174,6 +174,19 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // graph sizing probe: bounded double-BFS diameter lower bound over
+    // the co-purchase graph — BFS from the min node, re-BFS from the
+    // farthest reached (tie → min id). The number that sizes every
+    // iterative round budget (CC maxIter = diameter; LPA rounds)
+    // BEFORE running it, so non-convergence is a measured decision,
+    // not a surprise (Graph.diameterDoubleBfs scaladoc). Exact ints.
+    "q_graph_diameter" -> ((s, dir) => {
+      Graph.diameterDoubleBfs(coPurchaseEdges(s, dir, minCount = 2)
+          .persist(), maxHops = 12)
+        .orderBy("seed_id")
+    }),
+
+
     // fixed-round k-core peeling (k=90, 3 rounds) over the dense
     // co-purchase graph: the high-degree backbone left after the
     // peeling cascade — the graph-hygiene pass that separates hub
@@ -741,6 +754,30 @@ private[graft] object QueriesGraph {
            |  WHERE w.hop < 4)
            |SELECT id, CAST(min(hop) AS INTEGER) AS hop
            |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+
+      // double BFS, both walks bounded at 12 as the Spark side; far =
+      // argmax(hop) with the (hop DESC, id ASC) total tie-break
+      "q_graph_diameter" ->
+        s"""WITH RECURSIVE ${sqlCoPurchaseCtes(2)},
+           |s0 AS (SELECT CAST(min(src) AS BIGINT) AS id FROM e),
+           |w1(id, hop) AS (
+           |  SELECT id, 0 AS hop FROM s0
+           |  UNION
+           |  SELECT e.dst, w1.hop + 1 FROM w1 JOIN e ON e.src = w1.id
+           |  WHERE w1.hop < 12),
+           |b1 AS (SELECT id, min(hop) AS hop FROM w1 GROUP BY id),
+           |far AS (SELECT id, hop FROM b1 ORDER BY hop DESC, id ASC LIMIT 1),
+           |w2(id, hop) AS (
+           |  SELECT id, 0 AS hop FROM far
+           |  UNION
+           |  SELECT e.dst, w2.hop + 1 FROM w2 JOIN e ON e.src = w2.id
+           |  WHERE w2.hop < 12),
+           |b2 AS (SELECT id, min(hop) AS hop FROM w2 GROUP BY id)
+           |SELECT s0.id AS seed_id, far.id AS far_id,
+           |       CAST(far.hop AS INTEGER) AS ecc_seed,
+           |       (SELECT CAST(max(hop) AS INTEGER) FROM b2) AS diameter_lb
+           |FROM s0 CROSS JOIN far ORDER BY seed_id""".stripMargin,
 
 
       "q_kcore" ->

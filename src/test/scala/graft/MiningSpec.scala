@@ -920,6 +920,21 @@ class MiningSpec extends SparkSpec {
     assert(t4 === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
 
+  test("diameterDoubleBfs: exact on a chain; eccentricities capped at maxHops") {
+    // chain 0–12: seed = 0 (min id), ecc 12, farthest = 12, second
+    // walk from 12 gives the true diameter 12 (double-BFS is exact on
+    // trees)
+    val chain = Graph.symmetrize(
+      (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2"))
+    val r = Graph.diameterDoubleBfs(chain, maxHops = 20).head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)) ===
+      ((0L, 12L, 12, 12)))
+    // bound engaged: both walks stop at 5, so the estimate reads 5 —
+    // the documented "raise maxHops" signal, never a silent overread
+    val b = Graph.diameterDoubleBfs(chain, maxHops = 5).head
+    assert((b.getLong(1), b.getInt(2), b.getInt(3)) === ((5L, 5, 5)))
+  }
+
   test("conductance: two triangles + one bridge — cut 1, vol 7 each side") {
     val g = Graph.symmetrize(Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id1", "id2"))
