@@ -124,7 +124,12 @@ object Bench {
           }
         }
         warm(name) = best(times)
-        median(name) = times.sorted.apply(times.size / 2)
+        // median TRIMMED of the single slowest rep once escalated: a
+        // burst in the first window otherwise biases the median of 5,
+        // while a real regression moves every rep and survives the trim
+        val trimmed =
+          if (times.size > runs) times.sorted.dropRight(1) else times.sorted
+        median(name) = trimmed(trimmed.size / 2)
         reps(name) = times.size
         spread(name) = if (times.min > 0) times.max / times.min else 1.0
         if (countRows) {
