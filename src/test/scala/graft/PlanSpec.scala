@@ -279,6 +279,22 @@ class PlanSpec extends SparkSpec {
       "CC labels not served from a materialized frame")
   }
 
+  test("q_edge_support / q_ktruss: intersection work stays in-row, no cartesian") {
+    for (q <- Seq("q_edge_support", "q_ktruss")) {
+      val p = plan(q)
+      assert(p.contains("array_intersect"),
+        s"$q: triangle closure must run inside codegen'd array_intersect")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q_cohens_d: one map-side-combined aggregate, no join") {
+    val p = plan("q_cohens_d")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+    assert(!p.contains("Join"),
+      "effect size must come from ONE conditional power-sum pass")
+  }
+
   test("q_oov_rate: vocab membership join broadcasts the vocab side") {
     val p = plan("q_oov_rate")
     assert(p.contains("BroadcastHashJoin"), "vocab join should broadcast")
