@@ -193,6 +193,19 @@ private[graft] object QueryShared {
        |  GROUP BY 1, 2 HAVING count(*) >= $minCount),
        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)""".stripMargin
 
+  /** DuckDB mirror of [[Graph.linkPredictionParams]]: the measured
+    * cap/floor derivation over a `deg` CTE (src, deg per node of the
+    * symmetrized edge list). sum(deg) is the edge-row count and
+    * count(*) the node count, so `cap = greatest(8, 20·⌊rows/nodes⌋)`
+    * and `mc = greatest(1, ⌊rows/nodes⌋ // 2)` replay the Spark-side
+    * integer arithmetic exactly. Shared by the link-prediction trio.
+    */
+  val sqlLinkPredParams: String =
+    """prm AS (
+      |  SELECT greatest(8, 20 * (CAST(sum(deg) AS BIGINT) // count(*))) AS cap,
+      |         greatest(1, (CAST(sum(deg) AS BIGINT) // count(*)) // 2) AS mc
+      |  FROM deg)""".stripMargin
+
   /** DuckDB mirror of [[eventPoints]] + cell assignment + the ×9
     * neighbor-cell probe explode, shared by the spatial oracles.
     */

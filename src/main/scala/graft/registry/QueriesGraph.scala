@@ -345,21 +345,25 @@ private[graft] object QueriesGraph {
     // popularity-weighted link prediction: Adamic–Adar over the same
     // co-purchase graph as q_common_neighbors — shared neighbors
     // down-weighted by 1/ln(degree), so a rare shared part outranks a
-    // commodity one; same apex cap and deterministic top-k
-    // (Graph.adamicAdar scaladoc).
+    // commodity one; same measured-distribution cap/floor derivation
+    // and deterministic top-k (Graph.adamicAdar /
+    // Graph.linkPredictionParams scaladoc).
     "q_adamic_adar" -> ((s, dir) => {
-      Graph.adamicAdar(coPurchaseEdges(s, dir, minCount = 2).persist(),
-        maxApexDegree = 60, minCommon = 2, topK = 40)
+      val e = coPurchaseEdges(s, dir, minCount = 2).persist()
+      val (cap, mc) = Graph.linkPredictionParams(e)
+      Graph.adamicAdar(e, maxApexDegree = cap, minCommon = mc, topK = 40)
     }),
 
 
     // normalized node similarity: neighborhood Jaccard over the
     // co-purchase graph — cn/(d1+d2−cn), ORDERED by the exact integer
     // ppb so no float touches the top-k cut (Graph.nodeJaccard
-    // scaladoc).
+    // scaladoc); cap/floor measured, not fixed
+    // (Graph.linkPredictionParams scaladoc).
     "q_node_jaccard" -> ((s, dir) => {
-      Graph.nodeJaccard(coPurchaseEdges(s, dir, minCount = 2).persist(),
-        maxApexDegree = 60, minCommon = 2, topK = 40)
+      val e = coPurchaseEdges(s, dir, minCount = 2).persist()
+      val (cap, mc) = Graph.linkPredictionParams(e)
+      Graph.nodeJaccard(e, maxApexDegree = cap, minCommon = mc, topK = 40)
     }),
 
 
@@ -501,12 +505,17 @@ private[graft] object QueriesGraph {
     // common-neighbor link prediction over the co-purchase graph:
     // non-adjacent part pairs ranked by shared neighbors — the
     // "related items you don't sell together YET" candidate set. Hub
-    // apexes above deg 60 are excluded BEFORE the wedge join (the IDF
-    // principle doubling as the skew bound; Graph.commonNeighbors
-    // scaladoc); deterministic (cn DESC, id1, id2) top-k.
+    // apexes are excluded BEFORE the wedge join (the IDF principle
+    // doubling as the skew bound; Graph.commonNeighbors scaladoc), and
+    // both the apex cap and the noise floor are DERIVED from the
+    // measured degree distribution (Graph.linkPredictionParams —
+    // round-10 verdict: the fixed (60, 2) pair went vacuous at sf0.1
+    // because the graph gets sparser per node, not denser).
+    // Deterministic (cn DESC, id1, id2) top-k.
     "q_common_neighbors" -> ((s, dir) => {
-      Graph.commonNeighbors(coPurchaseEdges(s, dir, minCount = 2).persist(),
-        maxApexDegree = 60, minCommon = 2, topK = 40)
+      val e = coPurchaseEdges(s, dir, minCount = 2).persist()
+      val (cap, mc) = Graph.linkPredictionParams(e)
+      Graph.commonNeighbors(e, maxApexDegree = cap, minCommon = mc, topK = 40)
     }),
 
 
@@ -1097,17 +1106,19 @@ private[graft] object QueriesGraph {
 
 
       // q_common_neighbors' wedges rescored cn/(d1+d2-cn); the order
-      // key is the exact integer ppb — no float in the cut
+      // key is the exact integer ppb — no float in the cut; cap/floor
+      // measured (sqlLinkPredParams)
       "q_node_jaccard" ->
         s"""WITH ${sqlCoPurchaseCtes(2)},
            |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-           |keep AS (SELECT src FROM deg WHERE deg <= 60),
+           |$sqlLinkPredParams,
+           |keep AS (SELECT src FROM deg WHERE deg <= (SELECT cap FROM prm)),
            |ke AS (SELECT e.src AS u, e.dst AS v FROM e
            |       JOIN keep k ON e.src = k.src),
            |cn AS (
            |  SELECT a.v AS id1, b.v AS id2, CAST(count(*) AS BIGINT) AS cn
            |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
-           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |  GROUP BY 1, 2 HAVING count(*) >= (SELECT mc FROM prm)),
            |nonadj AS (
            |  SELECT cn.id1, cn.id2, cn.cn FROM cn WHERE NOT EXISTS (
            |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))
@@ -1237,18 +1248,21 @@ private[graft] object QueriesGraph {
 
 
       // q_common_neighbors' wedge CTEs with the apex 1/ln(deg) weight
-      // carried and summed; float sum rounded at 6 both sides
+      // carried and summed; float sum rounded at 6 both sides;
+      // cap/floor measured (sqlLinkPredParams)
       "q_adamic_adar" ->
         s"""WITH ${sqlCoPurchaseCtes(2)},
            |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |$sqlLinkPredParams,
            |ke AS (SELECT e.src AS u, e.dst AS v,
            |              CAST(1.0 AS DOUBLE) / ln(CAST(deg.deg AS DOUBLE)) AS w_apex
-           |       FROM e JOIN deg ON e.src = deg.src WHERE deg.deg <= 60),
+           |       FROM e JOIN deg ON e.src = deg.src
+           |       WHERE deg.deg <= (SELECT cap FROM prm)),
            |cn AS (
            |  SELECT a.v AS id1, b.v AS id2, CAST(count(*) AS BIGINT) AS cn,
            |         sum(a.w_apex) AS aa_raw
            |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
-           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |  GROUP BY 1, 2 HAVING count(*) >= (SELECT mc FROM prm)),
            |nonadj AS (
            |  SELECT id1, id2, cn, aa_raw FROM cn WHERE NOT EXISTS (
            |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))
@@ -1420,18 +1434,20 @@ private[graft] object QueriesGraph {
           |FROM pt GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
 
-      // same apex cap, wedge grouping, anti-join, and (cn, id) total
-      // order as Graph.commonNeighbors
+      // same MEASURED apex cap / noise floor (sqlLinkPredParams),
+      // wedge grouping, anti-join, and (cn, id) total order as
+      // Graph.commonNeighbors + linkPredictionParams
       "q_common_neighbors" ->
         s"""WITH ${sqlCoPurchaseCtes(2)},
            |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-           |keep AS (SELECT src FROM deg WHERE deg <= 60),
+           |$sqlLinkPredParams,
+           |keep AS (SELECT src FROM deg WHERE deg <= (SELECT cap FROM prm)),
            |ke AS (SELECT e.src AS u, e.dst AS v FROM e
            |       JOIN keep k ON e.src = k.src),
            |cn AS (
            |  SELECT a.v AS id1, b.v AS id2, count(*) AS cn
            |  FROM ke a JOIN ke b ON a.u = b.u AND a.v < b.v
-           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |  GROUP BY 1, 2 HAVING count(*) >= (SELECT mc FROM prm)),
            |nonadj AS (
            |  SELECT cn.id1, cn.id2, cn.cn FROM cn WHERE NOT EXISTS (
            |    SELECT 1 FROM e WHERE e.src = cn.id1 AND e.dst = cn.id2))

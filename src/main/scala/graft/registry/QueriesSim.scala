@@ -452,8 +452,17 @@ private[graft] object QueriesSim {
     // bounded doc subset. The "measure, don't guess" check a pipeline
     // runs before trusting k and the banding scheme at full scale;
     // both columns are exact-integer ratios, drift-free cross-engine.
+    // The subset bound is MEASURED, not fixed (round-11): doc_id < 200
+    // was 40% of the sf0.01 corpus but 4% at sf0.1 — too thin a slice
+    // to contain any near-dup pair, so the eval went vacuous while
+    // still paying its cost. cap = max(200, 2·n_docs/5) keeps sf0.01
+    // bit-identical and the subset FRACTION scale-stable; the exact-
+    // Jaccard join stays bounded by the subset, which is the point of
+    // the subset.
     "q_minhash_eval" -> ((s, dir) => {
-      val docs = spread(t(s, dir, "documents")).filter(col("doc_id") < 200)
+      val all = spread(t(s, dir, "documents"))
+      val cap = math.max(200L, 2L * all.count() / 5L)
+      val docs = all.filter(col("doc_id") < cap)
       // persist KEPT by measurement (round-10 A/B: 0.95 s persisted vs
       // 1.07–1.28 s without, min-of-5 ×2 runs): sig has THREE consumers
       // (bands + both sides of the signature-agreement join), and only
@@ -1272,11 +1281,13 @@ private[graft] object QueriesSim {
 
 
       // signature-agreement estimate vs true n-gram Jaccard on the
-      // same bounded subset (doc_id < 200) the Spark side uses
+      // same MEASURED subset bound (max(200, 2·n_docs/5), exact
+      // integer floor division) the Spark side derives
       "q_minhash_eval" ->
         """WITH toks AS (
           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS l
-          |  FROM documents WHERE doc_id < 200),
+          |  FROM documents
+          |  WHERE doc_id < (SELECT greatest(200, (count(*) * 2) // 5) FROM documents)),
           |sh AS (
           |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS shingle
           |  FROM toks),
