@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * session cache is cleared between queries so a query that persists
   * intermediates (q_lsh_pairs) neither leaks memory nor pre-warms a
   * later query.
+  *
+  * Self-adjudication (round 11): every row carries the 1-min loadavg
+  * stamped when its reps finished ("loadavg"), rows stamped above the
+  * guard threshold are re-timed once the host quiets ("requeued"),
+  * and a non-vacuity gate archives every query that returned 0 rows
+  * at the bench sf without an allowlist entry ("vacuous") — an empty
+  * answer computed at full cost is a defect the sf0.01 oracle cannot
+  * see, so the bench is where it must fail.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -103,7 +111,13 @@ object Bench {
     // out for quick local iteration.
     val countRows = !sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("0")
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    names.foreach { name =>
+    // per-query 1-min loadavg stamped when the query's reps FINISH
+    // (round-10 verdict item 3: the start-of-run guard can't see a
+    // mid-run burst, so two archived rows cost a judge re-bench; with
+    // a stamp per row the archive is self-adjudicating — a reader
+    // discards rows whose stamp exceeded the guard threshold)
+    val qload = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timeQuery(name: String): Unit = {
       val fn = SparkEntry.queries(name)
       try {
         cold(name) = timeOnce(fn)
@@ -132,7 +146,8 @@ object Bench {
         median(name) = trimmed(trimmed.size / 2)
         reps(name) = times.size
         spread(name) = if (times.min > 0) times.max / times.min else 1.0
-        if (countRows) {
+        qload(name) = osBean.getSystemLoadAverage
+        if (countRows && !rows.contains(name)) {
           spark.catalog.clearCache()
           rows(name) = fn(spark, sfDir).count()
         }
@@ -141,6 +156,34 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       spark.catalog.clearCache()
+    }
+    names.foreach(timeQuery)
+    // re-run load-contaminated rows once the host quiets (round-10
+    // verdict item 3's optional half): a row stamped above the guard
+    // threshold is machine noise, not engine signal — replacing it
+    // with a quiet measurement makes the archive regression-adjudicable
+    // without a judge re-bench. Bounded: at most `requeueMax` rows
+    // (the worst-stamped first) and one more quiet-wait window, so a
+    // permanently-loaded host degrades to the stamped-only archive
+    // instead of looping.
+    val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_MAX", "20").toInt
+    val requeued = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flagged = qload.filter(_._2 > maxLoad).toSeq.sortBy(-_._2)
+      .take(requeueMax).map(_._1)
+    if (flagged.nonEmpty && loadGuard == "quiet") {
+      val t0 = System.nanoTime()
+      while (osBean.getSystemLoadAverage > maxLoad &&
+             (System.nanoTime() - t0) / 1e9 < loadWaitSec) {
+        System.err.println(f"[bench] waiting to requeue ${flagged.size} " +
+          f"load-flagged queries (loadavg ${osBean.getSystemLoadAverage}%.2f)")
+        Thread.sleep(10000)
+      }
+      if (osBean.getSystemLoadAverage <= maxLoad) flagged.foreach { n =>
+        warm.remove(n); median.remove(n); reps.remove(n); cold.remove(n)
+        spread.remove(n); errors.remove(n)
+        timeQuery(n)
+        requeued += n
+      }
     }
 
     def jstr(s: String): String =
@@ -163,12 +206,35 @@ object Bench {
     val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
     val noisy = spread.filter(_._2 > 3.0).keys.toSeq.sorted
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
+    // Non-vacuity gate (round-10 verdict item 2): a query that returns
+    // 0 rows at bench scale is computing an empty answer at full cost —
+    // the link-prediction trio passed its sf0.01 oracle for two rounds
+    // while doing exactly that at sf0.1. Every query must produce > 0
+    // rows at the bench sf unless EXPLICITLY allowlisted here (with the
+    // reason); violations are archived in "vacuous" and shouted to
+    // stderr so the failure is mechanical, not a judge's close read.
+    // The allowlist is empty on purpose: no current query has a
+    // legitimately-empty bench result. SPARK_GRAFT_VACUOUS_ALLOW adds
+    // names for local what-if runs without editing code.
+    val vacuousAllow: Set[String] =
+      Set.empty[String] ++
+        sys.env.get("SPARK_GRAFT_VACUOUS_ALLOW").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val vacuous =
+      if (!countRows) Seq.empty[String]
+      else rows.filter(_._2 == 0L).keys.filterNot(vacuousAllow).toSeq.sorted
+    if (vacuous.nonEmpty)
+      System.err.println(s"[bench] VACUITY GATE FAILED: ${vacuous.size} " +
+        s"queries returned 0 rows at $sfDir and are not allowlisted: " +
+        vacuous.mkString(", "))
+    val vacuousJson = vacuous.map(jstr).mkString("[", ",", "]")
     val rowsJson =
       if (!countRows) ""
       else rows.map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString(""","rows":{""", ",", "}")
     val repsJson = reps.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"noisy":$noisyJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+    val requeuedJson = requeued.sorted.map(jstr).mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"requeued":$requeuedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
@@ -188,7 +254,7 @@ object Bench {
       val omitPart =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"noisy":$noisyJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(qs)},"noisy":$noisyJson,"vacuous":$vacuousJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
     }
     val bySlow = warm.toSeq.sortBy(-_._2)
     var keep = bySlow.size
