@@ -634,8 +634,12 @@ object Dedup {
   private def localMinLabelComponents(p: DataFrame, id1Col: String,
       id2Col: String, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = p.sparkSession
+    import spark.implicits._
+    // typed collect (round-10 ADVICE): the tuple encoder yields
+    // primitive longs straight from the unsafe rows — no Row boxing
+    // on a path whose whole point is driver-side speed
     val edges = p.select(col(id1Col).cast("long"), col(id2Col).cast("long"))
-      .collect()
+      .as[(Long, Long)].collect()
     val parent = new scala.collection.mutable.LongMap[Long](
       math.max(16, edges.length * 2))
     def find(x: Long): Long = {
@@ -647,17 +651,25 @@ object Dedup {
     }
     // nodes appear in the map iff seen (roots map to themselves so the
     // key set is exactly the node set)
-    edges.foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    edges.foreach { case (a, b) =>
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent(rb) = ra
       else if (rb < ra) parent(ra) = rb
     }
-    val out = parent.keysIterator.map(k => (k, find(k))).toSeq
-    import spark.implicits._
-    out.toDF("id", "label")
+    val out = parent.keysIterator.map(k => (k, find(k))).toArray
+    // RDD-backed result, NOT a LocalRelation (round-10 ADVICE): toDF
+    // on a local Seq embeds every (id, label) row INTO the logical
+    // plan, re-serialized into each consuming plan — at the 2 M-edge
+    // gate that is megabytes of plan per consumer. parallelize keeps
+    // the rows behind an RDD reference; a handful of partitions is
+    // plenty for a ≤ node-count result that consumers re-shuffle
+    // anyway.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      1 + out.length / 500000))
+    spark.sparkContext.parallelize(out.toIndexedSeq, parts)
+      .toDF("id", "label")
       .select(col("id").cast(idType).as("id"),
         col("label").cast(idType).as("label"))
   }

@@ -58,17 +58,25 @@ object Inference {
     val se0 = varC(col("n0"), col("s0"), col("ss0")) / col("n0").cast("double")
     val se1 = varC(col("n1"), col("s1"), col("ss1")) / col("n1").cast("double")
     val se2 = se0 + se1
+    // arm-size guards, the cohensD convention: an empty arm's mean and
+    // a single-row arm's variance divide by zero, where Spark's SQL
+    // divide nulls but an IEEE engine produces inf/NaN — null is the
+    // portable (and honest) answer for every derived statistic
+    val both1 = col("n0") >= 1 && col("n1") >= 1
+    val both2 = col("n0") >= 2 && col("n1") >= 2
     armsWide.select(group.map(col) ++ Seq(
       col("n0"), col("n1"),
-      round(meanC(col("n0"), col("s0")), 6).as("mean0"),
-      round(meanC(col("n1"), col("s1")), 6).as("mean1"),
-      round(meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0")), 6)
+      when(col("n0") >= 1, round(meanC(col("n0"), col("s0")), 6)).as("mean0"),
+      when(col("n1") >= 1, round(meanC(col("n1"), col("s1")), 6)).as("mean1"),
+      when(both1,
+        round(meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0")), 6))
         .as("mean_diff"),
-      round((meanC(col("n1"), col("s1")) - meanC(col("n0"), col("s0"))) /
-        sqrt(se2), 6).as("t_stat"),
-      round(se2 * se2 /
+      when(both2, round((meanC(col("n1"), col("s1")) -
+        meanC(col("n0"), col("s0"))) / sqrt(se2), 6)).as("t_stat"),
+      when(both2, round(se2 * se2 /
         (se0 * se0 / (col("n0") - lit(1)).cast("double") +
-         se1 * se1 / (col("n1") - lit(1)).cast("double")), 6).as("welch_df")): _*)
+         se1 * se1 / (col("n1") - lit(1)).cast("double")), 6))
+        .as("welch_df")): _*)
   }
 
   /** Cohen's d effect size between arms 0 and 1 per metric group —
@@ -100,7 +108,13 @@ object Inference {
         (col("n0") + col("n1") - lit(2)).cast("double")
     armsWide.select(group.map(col) ++ Seq(
       col("n0"), col("n1"),
-      round(diff, 6).as("mean_diff"),
+      // mean_diff needs BOTH arms non-empty: an empty arm's mean is a
+      // 0/0 whose result is engine-specific (Spark nulls the integer-
+      // backed division, IEEE engines produce NaN) — null is the one
+      // portable answer, and it is also the honest one (round-10
+      // ADVICE: pooled_sd/cohens_d were guarded but mean_diff was not)
+      when(col("n0") >= 1 && col("n1") >= 1, round(diff, 6))
+        .as("mean_diff"),
       when(col("n0") >= 2 && col("n1") >= 2, round(sqrt(pooledVar), 6))
         .as("pooled_sd"),
       when(col("n0") >= 2 && col("n1") >= 2 && pooledVar > 0,

@@ -687,10 +687,18 @@ private[graft] object QueriesSim {
       val docs = spread(t(s, dir, "documents"))
       val fp = docs.select(col("doc_id"),
         Dedup.normalizedFingerprint(col("text")).as("fp"))
-      // persist KEPT by measurement (round-10 A/B: 1.05 s persisted vs
-      // 1.42–1.54 s without, min-of-5 ×2 runs — the materialized cache
-      // gives the planner known-small stats for the candidate joins)
-      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3).persist()
+      // persist REMOVED (round-11 re-adjudication of the round-10
+      // keep): sig has exactly ONE consumer (the bands explode), so
+      // there is nothing for a cache to deduplicate — the round-10
+      // "known-small stats" hypothesis is falsified by the plans
+      // (candidate joins broadcast identically either way), and a
+      // same-JVM interleaved A/B shows parity on wall (1.055 vs
+      // 1.050 s) with the persist paying 11 extra cache-fill tasks.
+      // The round-10 cross-JVM 1.05-vs-1.4 reading was host-load
+      // noise, the same artifact class its own verdict flagged for
+      // q_fleiss_kappa/q_spearman. PlanSpec pins the shape: minhash
+      // derivation exactly once, no cache scan.
+      val sig = Dedup.minhashSignatures(docs, k = 4, n = 3)
       val cand = Dedup.lshCandidatePairs(
         Dedup.lshBands(sig, k = 4, rowsPerBand = 2))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))

@@ -1808,12 +1808,17 @@ private[graft] object QueriesStats {
           |           / CAST(n1 AS DOUBLE) AS se1
           |  FROM g)
           |SELECT event_type, n0, n1,
-          |       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
-          |       round(mean1 - mean0, 6) AS mean_diff,
-          |       round((mean1 - mean0) / sqrt(se0 + se1), 6) AS t_stat,
-          |       round((se0 + se1) * (se0 + se1)
-          |             / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
-          |                + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6) AS welch_df
+          |       CASE WHEN n0 >= 1 THEN round(mean0, 6) END AS mean0,
+          |       CASE WHEN n1 >= 1 THEN round(mean1, 6) END AS mean1,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1
+          |            THEN round(mean1 - mean0, 6) END AS mean_diff,
+          |       CASE WHEN n0 >= 2 AND n1 >= 2
+          |            THEN round((mean1 - mean0) / sqrt(se0 + se1), 6) END AS t_stat,
+          |       CASE WHEN n0 >= 2 AND n1 >= 2
+          |            THEN round((se0 + se1) * (se0 + se1)
+          |                       / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+          |                          + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6)
+          |       END AS welch_df
           |FROM h ORDER BY event_type""".stripMargin,
 
 
@@ -1848,7 +1853,8 @@ private[graft] object QueriesStats {
           |               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))))
           |         / CAST(n0 + n1 - 2 AS DOUBLE) AS pv
           |  FROM g)
-          |SELECT event_type, n0, n1, round(diff, 6) AS mean_diff,
+          |SELECT event_type, n0, n1,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1 THEN round(diff, 6) END AS mean_diff,
           |       CASE WHEN n0 >= 2 AND n1 >= 2 THEN round(sqrt(pv), 6) END AS pooled_sd,
           |       CASE WHEN n0 >= 2 AND n1 >= 2 AND pv > 0
           |            THEN round(diff / sqrt(pv), 6) END AS cohens_d
