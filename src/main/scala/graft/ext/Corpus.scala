@@ -372,6 +372,94 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Multi-round BPE tokenizer TRAINING — the iterative complement of
+    * [[bpeMergeCandidates]] (mining is one round's pair count;
+    * training APPLIES the winning merge and re-mines). Round r over
+    * the distinct-word symbol table: (1) count adjacent symbol pairs
+    * weighted by word frequency; (2) take the top pair by
+    * (count DESC, pair ASC) — a total order over exact longs and
+    * strings, so the rule sequence is engine- and retry-stable;
+    * (3) rewrite every word by merging that pair greedily
+    * left-to-right (the standard BPE application order: a left-fold
+    * whose accumulator is the emitted sequence, so "a a a" under
+    * (a,a) gives "aa a", never "a aa"). Words are restricted to
+    * `^[a-z0-9]+$` (tokenizer training runs on cleaned words; it also
+    * keeps the '|' symbol separator unambiguous).
+    *
+    * Returns the merge TABLE a tokenizer ships: one row per executed
+    * round, (round, lhs, rhs, n_pair), ending early when no adjacent
+    * pair remains anywhere (every word fully merged).
+    *
+    * Scale design: the corpus collapses to the DISTINCT-word table
+    * before any character work ([[bpeMergeCandidates]]'s bound — the
+    * per-round shuffle is vocabulary-sized, never token-sized), the
+    * merge application is a NARROW per-word fold (no shuffle), and
+    * the per-round state is snapshotted with its predecessor
+    * [[Graph.release]]d, the iterative-kernel discipline. The one
+    * driver scalar per round is the winning rule itself — the A4-mode
+    * bounded collect: k rules ARE the model being trained. Exhausting
+    * the vocabulary ends the loop early on any engine (an empty top-1
+    * cascades through the remaining rounds identically in the oracle's
+    * unrolled CTEs).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
+    val spark = docs.sparkSession
+    def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val wc = docs.select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var state = snapshot(wc.select(col("n"), concat_ws("|", expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("seq")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = state
+        .select(col("n"), split(col("seq"), "\\|").as("l"))
+        .filter(size(col("l")) >= 2) // sequence(1, 0) would DESCEND
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+            |  i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum("n").as("n_pair"))
+        .orderBy(desc("n_pair"), asc("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((r, a, b, top(0).getLong(1)))
+        // greedy leftmost single-rule application: acc is the emitted
+        // '|'-joined sequence; a merge replaces its LAST symbol when
+        // that symbol is `a` and the incoming one is `b`. The merged
+        // token a+b is strictly longer than `a`, so it can never
+        // re-match as the left side within the same round. Symbols
+        // are alnum (filtered above), so inlining them is safe and
+        // '|' boundaries are unambiguous.
+        val fold =
+          s"""aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),
+             |  (acc, x) -> CASE
+             |    WHEN (acc = '$a' OR endswith(acc, '|$a')) AND x = '$b'
+             |    THEN concat(substring(acc, 1, length(acc) - ${a.length}), '$a$b')
+             |    ELSE concat(acc, '|', x) END)""".stripMargin
+        val next = snapshot(state
+          .select(col("n"), split(col("seq"), "\\|").as("l"))
+          .select(col("n"), expr(fold).as("seq")))
+        Graph.release(state)
+        state = next
+      }
+      r += 1
+    }
+    Graph.release(state)
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "n_pair")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        col("n_pair"))
+  }
+
   /** Bigram conditional-surprisal quality score per document: the mean
     * of −ln P(w₂|w₁) = ln c(w₁·) − ln c(w₁w₂) over the document's
     * bigrams, with probabilities from the corpus's own bigram counts —

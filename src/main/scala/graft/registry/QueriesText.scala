@@ -406,6 +406,21 @@ private[graft] object QueriesText {
     }),
 
 
+    // tokenizer-training capstone (round-11): SIX ROUNDS of actual BPE
+    // training — mine weighted symbol-pair counts over the distinct-
+    // word table, apply the winning merge greedily left-to-right,
+    // re-mine — the iterative train complement of q_bpe_merges' single
+    // mining pass (Corpus.bpeTrain scaladoc). Output is the merge
+    // table itself: exact-integer counts, (count DESC, pair) rule
+    // order, so both engines derive the identical rule sequence; the
+    // oracle unrolls the six rounds as CTEs whose per-word merge is
+    // the same left-fold.
+    "q_bpe_train" -> ((s, dir) => {
+      Corpus.bpeTrain(spread(t(s, dir, "documents")), rounds = 6)
+        .orderBy("round")
+    }),
+
+
     // positional inverted index over documents: per term, df/cf and the
     // by-doc_id posting list with 0-based token positions. The df band
     // [5, 1000] is the hapax floor + stopword cap applied BEFORE
@@ -1055,6 +1070,48 @@ private[graft] object QueriesText {
            |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair
            |FROM pairs GROUP BY 1
            |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+
+      // six unrolled training rounds; each round's s{r+1} applies
+      // t{r}'s winning rule with the same greedy left-fold
+      // (list_reduce) the Spark side runs, and an exhausted t{r}
+      // cascades empties through the remaining rounds exactly like
+      // the Spark loop's early stop
+      "q_bpe_train" -> {
+        val rounds = 6
+        val roundCtes = (0 until rounds).map { r =>
+          s"""l$r AS (SELECT n, string_split(seq, '|') AS l FROM s$r),
+             |p$r AS (
+             |  SELECT unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS pair, n
+             |  FROM l$r),
+             |t$r AS (
+             |  SELECT $r AS round, split_part(pair, ' ', 1) AS lhs,
+             |         split_part(pair, ' ', 2) AS rhs,
+             |         CAST(sum(n) AS BIGINT) AS n_pair
+             |  FROM p$r GROUP BY pair ORDER BY sum(n) DESC, pair LIMIT 1),
+             |s${r + 1} AS (
+             |  SELECT s.n,
+             |         list_reduce(string_split(s.seq, '|'),
+             |           (acc, x) -> CASE
+             |             WHEN (acc = t.lhs OR ends_with(acc, '|' || t.lhs)) AND x = t.rhs
+             |             THEN substring(acc, 1, length(acc) - length(t.lhs)) || t.lhs || t.rhs
+             |             ELSE acc || '|' || x END) AS seq
+             |  FROM s$r s, t$r t)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 until rounds).map(r => s"SELECT * FROM t$r")
+          .mkString(" UNION ALL ")
+        s"""WITH wc AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest($sqlTokens) AS w FROM documents)
+           |  WHERE regexp_full_match(w, '[a-z0-9]+') AND length(w) >= 2
+           |  GROUP BY 1),
+           |s0 AS (
+           |  SELECT n, array_to_string([w[i] for i in range(1, length(w) + 1)], '|') AS seq
+           |  FROM wc),
+           |$roundCtes
+           |SELECT round, lhs, rhs, n_pair FROM ($unionAll)
+           |ORDER BY round""".stripMargin
+      },
 
 
       "q_inverted_index" ->

@@ -201,4 +201,26 @@ class CorpusSpec extends SparkSpec {
     val cut = Corpus.knContinuation(d, minCtx = 2).collect()
     assert(cut.map(_.getString(0)).toSeq === Seq("b"))
   }
+
+  test("bpeTrain: rule sequence by hand; greedy leftmost merge application") {
+    // vocab: "aaab" x3, "ab" x2, "cd" (all alnum, len >= 2).
+    // round 0 pairs (weighted): a-a from aaab = 2 adjacencies x3 = 6,
+    //   a-b = 3 (aaab) + 2 (ab) = 5, c-d = 1 -> top = (a,a,6)
+    // greedy leftmost on "a|a|a|b": merges positions 1-2 -> "aa|a|b"
+    //   (NOT "a|aa|b") — the overlap case the fold exists for
+    // round 1 pairs: aa-a = 3, a-b = 5 (3 from aaab + 2 from ab), c-d=1
+    //   -> top = (a,b,5); "aa|a|b" -> "aa|ab", "a|b" -> "ab"
+    // round 2: aa-ab = 3, c-d = 1 -> (aa,ab,3) -> "aaab"
+    // round 3: c-d = 1 -> (c,d,1) -> "cd"
+    // round 4: nothing adjacent anywhere -> training exhausts early
+    val d = docs(1L -> "aaab aaab aaab ab ab cd")
+    val out = Corpus.bpeTrain(d, rounds = 6).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0, "a", "a", 6L), (1, "a", "b", 5L),
+      (2, "aa", "ab", 3L), (3, "c", "d", 1L)))
+    // non-alnum and single-char words never enter training
+    val skip = Corpus.bpeTrain(docs(1L -> "x y|z ."), rounds = 2).collect()
+    assert(skip.isEmpty)
+  }
 }
