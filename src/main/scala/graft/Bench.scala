@@ -54,6 +54,39 @@ object Bench {
     val loadGuard =
       if (loadStart < 0) "unavailable"
       else if (loadStart <= maxLoad) "quiet" else "exceeded"
+    // Host-speed calibration anchor (round 11): this VM's per-core
+    // throughput moves in EPOCHS (hypervisor tenancy) that loadavg and
+    // steal accounting never see — a round-11 replay of the round-10
+    // jar measured the identical untouched queries ~2x the round-10
+    // archive's times on a loadavg-quiet host, which would otherwise
+    // read as a universal regression. A fixed pure-JVM integer loop
+    // timed at run start and end gives every archive a common divisor:
+    // compare query_sec / cal_1t_sec ACROSS rounds (and distrust a run
+    // whose end calibration drifted from its start). The loop is
+    // xorshift mixing — deterministic, allocation-free, DCE-proof.
+    def calSec(threads: Int): Double = {
+      def best(xs: Seq[Double]): Double = xs.min
+      best((1 to 3).map { _ =>
+        val sink = new java.util.concurrent.atomic.AtomicLong
+        val t0 = System.nanoTime()
+        val th = (1 to threads).map { i =>
+          val t = new Thread(() => {
+            var x = 0x9E3779B97F4A7C15L + i
+            var n = 0L
+            while (n < 200000000L) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+              n += 1
+            }
+            sink.addAndGet(x) // publish so the loop cannot be elided
+          })
+          t.start(); t
+        }
+        th.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    val cal1Start = calSec(1)
+    val calNStart = calSec(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -226,6 +259,7 @@ object Bench {
     // from plan regressions
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadEnd = os.getSystemLoadAverage
+    val cal1End = calSec(1)
     val heapMax = Runtime.getRuntime.maxMemory / (1 << 20)
     val noisy = spread.filter(_._2 > 3.0).keys.toSeq.sorted
     val noisyJson = noisy.map(jstr).mkString("[", ",", "]")
@@ -257,7 +291,7 @@ object Bench {
         .mkString(""","rows":{""", ",", "}")
     val repsJson = reps.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val requeuedJson = requeued.sorted.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"ext_load":${jmapD(qext)},"requeued":$requeuedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"ext_load":${jmapD(qext)},"requeued":$requeuedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"cal_1t_start_sec":${fmt(cal1Start)},"cal_${cpus}t_start_sec":${fmt(calNStart)},"cal_1t_end_sec":${fmt(cal1End)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
