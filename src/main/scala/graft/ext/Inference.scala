@@ -1194,4 +1194,209 @@ object Inference {
           (lit(scale) * (col("n") * col("n") - col("sum_nc2"))).cast("double"),
           6).as("alpha"))
   }
+
+  /** One-way ANOVA F test across the k groups of `group` on the
+    * caller-quantized integral measure `x` — the k-sample
+    * generalization of [[welchT]] (equal-variance form): "do the
+    * group means differ more than within-group noise explains?".
+    *
+    * Same power-sum shape as everything in this module: one
+    * map-side-combined pass collapses rows to (n, Σx, Σx²) per group,
+    * a group-cardinality-sized second aggregate combines them, and
+    * only then does the float tower run. The between/within split
+    * uses the standard sums-of-squares algebra: with per-group
+    * b_g = s_g²/n_g (double), SSB = Σb_g − S²/N and SSW = Σss_g − Σb_g.
+    * Both are differences of O(Σx²)-magnitude terms, so they are NOT
+    * emitted raw (their trailing digits are below one ulp at scale) —
+    * only the O(1)-magnitude ratios F and η² are, rounded at 6, where
+    * the cancellation-amplified relative error (~1e-10 at sf0.1) sits
+    * far below the rounding grain. F is null when k < 2, N ≤ k, or
+    * SSW ≤ 0 (all within-group values identical).
+    */
+  def anovaF(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val g = df.select(group.map(col) :+ x.cast("long").as("x"): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+      sum("s").cast("double").as("sd"), sum("ss").cast("double").as("ssd"),
+      sum(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")).as("sb"))
+    val nD = col("n").cast("double")
+    val ssb = col("sb") - col("sd") * col("sd") / nD
+    val ssw = col("ssd") - col("sb")
+    val f = (ssb / (col("k") - 1L).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    tot.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("n") > col("k") && ssw > 0,
+        round(f, 6)).as("f_stat"),
+      when(col("k") >= 2L && col("n") > col("k") && ssb + ssw > 0,
+        round(ssb / (ssb + ssw), 6)).as("eta_sq"))
+  }
+
+  /** Kruskal–Wallis H test — the k-sample rank generalization of
+    * [[mannWhitney]]: "does at least one group stochastically dominate
+    * another?", robust to outliers and any monotone transform of `x`.
+    *
+    * Same doubled-midrank exactness trick as [[mannWhitney]]: per
+    * distinct value, 2·midrank = 2·cumBefore + cnt + 1 is an exact
+    * long, so each group's doubled rank sum R2_g = Σ c_gv·(2cb+cv+1)
+    * is an exact long too; the halving happens inside the final float
+    * tower. Tie correction Σ(t³−t) is likewise an exact long off the
+    * value grid.
+    *
+    * Scale shape: rows collapse map-side to the (group, value) grid,
+    * the value-total grid derives from THAT (never a second row
+    * scan), and the one ordered pass (cumulative counts) runs over
+    * value-grid cells. The grid join back is grid-sized. H and its
+    * tie-corrected form round at 6; both null when k < 2 or every
+    * value is identical (tie correction hits 0).
+    */
+  def kruskalWallisH(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val cells = df.select(group.map(col) :+ x.cast("long").as("v"): _*)
+      .groupBy(group.map(col) :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val vt = cells.groupBy("v").agg(sum("c").as("cv"))
+      .withColumn("cb", coalesce(sum("cv").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val perG = cells.join(vt, Seq("v"))
+      .groupBy(group.map(col): _*)
+      .agg(sum("c").as("ng"),
+        sum(col("c") * (lit(2L) * col("cb") + col("cv") + 1L)).as("r2"))
+    val gTot = perG.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      sum(col("r2").cast("double") * col("r2").cast("double") /
+        (lit(4.0) * col("ng").cast("double"))).as("rterm"))
+    val ties = vt.agg(sum(col("cv") * col("cv") * col("cv") - col("cv"))
+      .as("t3"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("rterm") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("t3").cast("double") / (nD * nD * nD - nD)
+    gTot.crossJoin(ties) // two 1-row scalar aggregates
+      .select(col("k"), col("n"), col("t3"),
+        when(col("k") >= 2L && col("n") >= 2L, round(h, 6)).as("h_stat"),
+        when(col("k") >= 2L && col("n") >= 2L && corr > 0,
+          round(h / corr, 6)).as("h_corrected"))
+  }
+
+  /** Brown–Forsythe robust equal-variance test (the median-centered
+    * Levene W): one-way ANOVA F on z = |x − median_g| — the gate a
+    * pipeline runs BEFORE trusting [[anovaF]]'s pooled-variance
+    * assumption, robust because the center is each group's median,
+    * not its outlier-dragged mean.
+    *
+    * Everything happens on the (group, value) grid: per-group
+    * discrete medians come from a grid-cumulative window (lower
+    * middle, min v with cum ≥ (n+1) div 2 — engine-exact, no
+    * interpolation), z is an exact long per grid cell, and the ANOVA
+    * power sums are COUNT-WEIGHTED grid aggregates (Σc·z, Σc·z²) — the
+    * rows are never rescanned after the first collapse. Emits
+    * (k, n, w_stat) with the same null guards as [[anovaF]].
+    */
+  def brownForsytheW(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val gc = group.map(col)
+    val cells = df.select(gc :+ x.cast("long").as("v"): _*)
+      .groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(gc: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+    val meds = cells
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("ng", sum("c").over(wAll))
+      .groupBy(gc: _*)
+      .agg(min(when(col("cum") >= shiftright(col("ng") + 1L, 1), col("v")))
+        .as("med"))
+    val z = cells.join(meds, group) // group-cardinality broadcast
+      .withColumn("z", abs(col("v") - col("med")))
+    val perG = z.groupBy(gc: _*)
+      .agg(sum("c").as("n"), sum(col("c") * col("z")).as("s"),
+        sum(col("c") * col("z") * col("z")).as("ss"))
+    val tot = perG.agg(count(lit(1)).as("k"), sum("n").as("n"),
+      sum("s").cast("double").as("sd"), sum("ss").cast("double").as("ssd"),
+      sum(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")).as("sb"))
+    val nD = col("n").cast("double")
+    val ssb = col("sb") - col("sd") * col("sd") / nD
+    val ssw = col("ssd") - col("sb")
+    val w = (ssb / (col("k") - 1L).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    tot.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("n") > col("k") && ssw > 0,
+        round(w, 6)).as("w_stat"))
+  }
+
+  /** Grubbs-style max-deviation outlier score per group: the largest
+    * studentized deviation G = max|x − mean|/sd and the suspect value
+    * itself — the per-group screen a pipeline runs before a batch is
+    * admitted (is the extreme a tail draw or a corruption?).
+    *
+    * Exactness trick: max|x − mean| over rows never needs a float
+    * argmax — it is greatest(max − mean, mean − min), and WHICH side
+    * wins reduces to the exact long comparison n·(max+min) ≥ 2·Σx
+    * (ties → the max side), so the suspect value is exact-integer
+    * deterministic. One power-sum pass (n, Σx, Σx², min, max) per
+    * group; G rounds at 6, null when n < 3 or sd = 0.
+    */
+  def grubbsMax(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val g = df.select(group.map(col) :+ x.cast("long").as("x"): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"),
+        min("x").as("mn"), max("x").as("mx"))
+    val mean = meanC(col("n"), col("s"))
+    val sd = sqrt(varC(col("n"), col("s"), col("ss")))
+    val dev = greatest(col("mx").cast("double") - mean,
+      mean - col("mn").cast("double"))
+    g.select(group.map(col) :+ col("n") :+
+      when(col("n") * (col("mx") + col("mn")) >= lit(2L) * col("s"),
+        col("mx")).otherwise(col("mn")).as("suspect_val") :+
+      when(col("n") >= 3L && sd > 0, round(dev / sd, 6)).as("grubbs_g"): _*)
+  }
+
+  /** Mood's median test: a chi-square on each group's split around
+    * the GRAND discrete median — the coarsest, most assumption-free
+    * k-sample location test (only the counts above/at-or-below the
+    * shared median matter), the right gate when even ranks are too
+    * much structure to trust.
+    *
+    * The grand median comes off the global value grid (same
+    * grid-cumulative shape as [[ksTest]]'s CDF; lower middle, exact),
+    * per-group above/below are exact longs, and each group's
+    * chi-square contribution (a−Ea)²/Ea + (b−Eb)²/Eb is a float tower
+    * over exact counts. Emits one row per group with its contribution
+    * plus the shared total (a k-row unpartitioned window — grid-sized
+    * by construction), both rounded at 6.
+    */
+  def moodMedianChi2(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val gc = group.map(col)
+    val vals = df.select(gc :+ x.cast("long").as("v"): _*)
+    val vt = vals.groupBy("v").agg(count(lit(1)).as("cv"))
+      .withColumn("cum", sum("cv").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cv").over(Window.partitionBy()))
+    val med = vt.agg(min(when(col("cum") >= shiftright(col("n") + 1L, 1),
+      col("v"))).as("med")) // 1-row scalar
+    val perG = vals.crossJoin(broadcast(med))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"))
+      .withColumn("below", col("n") - col("above"))
+    val wAll = Window.partitionBy()
+    val withTot = perG
+      .withColumn("na", sum("above").over(wAll))
+      .withColumn("nb", sum("below").over(wAll))
+      .withColumn("nt", sum("n").over(wAll))
+    val ea = col("n").cast("double") * col("na").cast("double") /
+      col("nt").cast("double")
+    val eb = col("n").cast("double") * col("nb").cast("double") /
+      col("nt").cast("double")
+    val contrib =
+      (col("above").cast("double") - ea) * (col("above").cast("double") - ea) / ea +
+      (col("below").cast("double") - eb) * (col("below").cast("double") - eb) / eb
+    withTot
+      .withColumn("contrib", when(ea > 0 && eb > 0, contrib))
+      .select(gc :+ col("n") :+ col("above") :+ col("below") :+
+        round(col("contrib"), 6).as("chi2_contrib") :+
+        round(sum("contrib").over(wAll), 6).as("chi2_total"): _*)
+  }
 }

@@ -557,6 +557,63 @@ private[graft] object QueriesStats {
     }),
 
 
+    // one-way ANOVA F across ALL k event types at once — the k-sample
+    // step up from q_ab_ttest's two arms ("do the type means differ at
+    // all?" before any pairwise drill-down). One power-sum pass,
+    // k-bounded shuffle; only the O(1) ratios F and η² are emitted
+    // (Inference.anovaF scaladoc on why the raw sums of squares are
+    // not hash-stable at scale).
+    "q_anova_f" -> ((s, dir) => {
+      Inference.anovaF(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"), x = floor(col("value") * 100))
+    }),
+
+
+    // Kruskal–Wallis H across order priorities on the dollar-floored
+    // total price — the rank-based ANOVA for skewed money amounts,
+    // exact via the same doubled-midrank trick as q_mann_whitney
+    // (every aggregate an exact long; the value grid, not the rows,
+    // carries the one ordered pass).
+    "q_kruskal_wallis" -> ((s, dir) => {
+      Inference.kruskalWallisH(spread(t(s, dir, "orders")),
+          group = Seq("o_orderpriority"), x = floor(col("o_totalprice")))
+    }),
+
+
+    // Brown–Forsythe robust variance-equality gate on the same readout
+    // as q_anova_f — run BEFORE trusting ANOVA's pooled variance.
+    // Median-centered |deviations| computed entirely on the
+    // (type, value) grid: per-group discrete medians from a grid
+    // cumulative, count-weighted power sums, rows scanned once.
+    "q_levene_bf" -> ((s, dir) => {
+      Inference.brownForsytheW(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"), x = floor(col("value") * 100))
+    }),
+
+
+    // Grubbs-style max studentized deviation per return flag: the
+    // batch-admission outlier screen, with the suspect value decided
+    // by an exact long comparison (n·(max+min) vs 2·Σx — no float
+    // argmax over rows, Inference.grubbsMax scaladoc).
+    "q_grubbs" -> ((s, dir) => {
+      Inference.grubbsMax(spread(t(s, dir, "lineitem")),
+          group = Seq("l_returnflag"), x = floor(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // Mood's median test across market segments on cent-quantized
+    // account balance: each segment's split around the GRAND discrete
+    // median, per-segment chi-square contributions plus the shared
+    // total — the assumption-free location gate when even ranks are
+    // too much structure (heavy censoring, bounded scales).
+    "q_mood_median" -> ((s, dir) => {
+      Inference.moodMedianChi2(spread(t(s, dir, "customer")),
+          group = Seq("c_mktsegment"), x = floor(col("c_acctbal") * 100))
+        .orderBy("c_mktsegment")
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -1859,6 +1916,209 @@ private[graft] object QueriesStats {
           |       CASE WHEN n0 >= 2 AND n1 >= 2 AND pv > 0
           |            THEN round(diff / sqrt(pv), 6) END AS cohens_d
           |FROM h ORDER BY event_type""".stripMargin,
+
+
+      // exact long power sums per type; the sums-of-squares algebra
+      // and the float op order mirror Inference.anovaF expression for
+      // expression (only the O(1) ratios are emitted — raw SSB/SSW
+      // trailing digits sit below one ulp at scale)
+      "q_anova_f" ->
+        """WITH e AS (
+          |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS s,
+          |         CAST(sum(x * x) AS BIGINT) AS ss
+          |  FROM e GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+          |         CAST(sum(s) AS DOUBLE) AS sd, CAST(sum(ss) AS DOUBLE) AS ssd,
+          |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |             / CAST(n AS DOUBLE)) AS sb
+          |  FROM g),
+          |h AS (
+          |  SELECT k, n, sb - sd * sd / CAST(n AS DOUBLE) AS ssb,
+          |         ssd - sb AS ssw
+          |  FROM t)
+          |SELECT k, n,
+          |       CASE WHEN k >= 2 AND n > k AND ssw > 0
+          |            THEN round((ssb / CAST(k - 1 AS DOUBLE))
+          |                       / (ssw / CAST(n - k AS DOUBLE)), 6)
+          |       END AS f_stat,
+          |       CASE WHEN k >= 2 AND n > k AND ssb + ssw > 0
+          |            THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+          |FROM h ORDER BY k""".stripMargin,
+
+
+      // doubled-midrank grid identical to q_mann_whitney's oracle;
+      // per-priority doubled rank sums stay exact longs, the H float
+      // tower mirrors Inference.kruskalWallisH op for op
+      "q_kruskal_wallis" ->
+        """WITH o AS (
+          |  SELECT o_orderpriority AS g,
+          |         CAST(floor(o_totalprice) AS BIGINT) AS v
+          |  FROM orders),
+          |cells AS (
+          |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+          |vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1),
+          |vt2 AS (
+          |  SELECT v, cv,
+          |         COALESCE(CAST(sum(cv) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS BIGINT), 0) AS cb
+          |  FROM vt),
+          |pg AS (
+          |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+          |         CAST(sum(c * (2 * cb + cv + 1)) AS BIGINT) AS r2
+          |  FROM cells JOIN vt2 USING (v) GROUP BY 1),
+          |gt AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+          |         sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+          |             / (4.0 * CAST(ng AS DOUBLE))) AS rterm
+          |  FROM pg),
+          |tt AS (
+          |  SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t3 FROM vt),
+          |h AS (
+          |  SELECT k, n, t3,
+          |         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+          |           * rterm - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hs,
+          |         1.0 - CAST(t3 AS DOUBLE)
+          |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          |              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+          |  FROM gt CROSS JOIN tt)
+          |SELECT k, n, t3,
+          |       CASE WHEN k >= 2 AND n >= 2 THEN round(hs, 6) END AS h_stat,
+          |       CASE WHEN k >= 2 AND n >= 2 AND corr > 0
+          |            THEN round(hs / corr, 6) END AS h_corrected
+          |FROM h ORDER BY k""".stripMargin,
+
+
+      // grid-median |deviations| then the same ANOVA tower as
+      // q_anova_f; (ng+1)//2 is the engine-exact lower middle
+      // (Spark side: shiftright(ng+1, 1))
+      "q_levene_bf" ->
+        """WITH e AS (
+          |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+          |  FROM events),
+          |cells AS (
+          |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+          |cc AS (
+          |  SELECT g, v, c,
+          |         CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum,
+          |         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+          |  FROM cells),
+          |meds AS (
+          |  SELECT g, min(CASE WHEN cum >= (ng + 1) // 2 THEN v END) AS med
+          |  FROM cc GROUP BY 1),
+          |z AS (
+          |  SELECT cells.g AS g, c, abs(v - med) AS z
+          |  FROM cells JOIN meds ON cells.g = meds.g),
+          |pg AS (
+          |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+          |         CAST(sum(c * z) AS BIGINT) AS s,
+          |         CAST(sum(c * z * z) AS BIGINT) AS ss
+          |  FROM z GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+          |         CAST(sum(s) AS DOUBLE) AS sd, CAST(sum(ss) AS DOUBLE) AS ssd,
+          |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |             / CAST(n AS DOUBLE)) AS sb
+          |  FROM pg),
+          |h AS (
+          |  SELECT k, n, sb - sd * sd / CAST(n AS DOUBLE) AS ssb,
+          |         ssd - sb AS ssw
+          |  FROM t)
+          |SELECT k, n,
+          |       CASE WHEN k >= 2 AND n > k AND ssw > 0
+          |            THEN round((ssb / CAST(k - 1 AS DOUBLE))
+          |                       / (ssw / CAST(n - k AS DOUBLE)), 6)
+          |       END AS w_stat
+          |FROM h ORDER BY k""".stripMargin,
+
+
+      // suspect side decided by the exact long comparison
+      // n·(max+min) ≥ 2·Σx; variance/sd mirror Inference's varC
+      "q_grubbs" ->
+        """WITH li AS (
+          |  SELECT l_returnflag,
+          |         CAST(floor(l_extendedprice) AS BIGINT) AS x
+          |  FROM lineitem),
+          |g AS (
+          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS s,
+          |         CAST(sum(x * x) AS BIGINT) AS ss,
+          |         CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+          |  FROM li GROUP BY 1),
+          |h AS (
+          |  SELECT l_returnflag, n, s, mn, mx,
+          |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |         sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          |              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+          |  FROM g)
+          |SELECT l_returnflag, n,
+          |       CASE WHEN n * (mx + mn) >= 2 * s THEN mx ELSE mn END
+          |         AS suspect_val,
+          |       CASE WHEN n >= 3 AND sd > 0
+          |            THEN round(greatest(CAST(mx AS DOUBLE) - mean,
+          |                                mean - CAST(mn AS DOUBLE)) / sd, 6)
+          |       END AS grubbs_g
+          |FROM h ORDER BY l_returnflag""".stripMargin,
+
+
+      // grand grid median, exact per-segment splits, float chi-square
+      // tower mirroring Inference.moodMedianChi2 (shared total via the
+      // same unpartitioned window sum)
+      "q_mood_median" ->
+        """WITH c AS (
+          |  SELECT c_mktsegment AS g,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+          |  FROM customer),
+          |vt AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1),
+          |vc AS (
+          |  SELECT v,
+          |         CAST(sum(cv) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum,
+          |         CAST(sum(cv) OVER () AS BIGINT) AS n
+          |  FROM vt),
+          |med AS (
+          |  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+          |  FROM vc),
+          |pg AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS above
+          |  FROM c CROSS JOIN med GROUP BY 1),
+          |wt AS (
+          |  SELECT g, n, above, n - above AS below,
+          |         CAST(sum(above) OVER () AS BIGINT) AS na,
+          |         CAST(sum(n - above) OVER () AS BIGINT) AS nb,
+          |         CAST(sum(n) OVER () AS BIGINT) AS nt
+          |  FROM pg),
+          |ct AS (
+          |  SELECT g, n, above, below,
+          |         CAST(n AS DOUBLE) * CAST(na AS DOUBLE)
+          |           / CAST(nt AS DOUBLE) AS ea,
+          |         CAST(n AS DOUBLE) * CAST(nb AS DOUBLE)
+          |           / CAST(nt AS DOUBLE) AS eb
+          |  FROM wt),
+          |cb AS (
+          |  SELECT g, n, above, below,
+          |         CASE WHEN ea > 0 AND eb > 0 THEN
+          |           (CAST(above AS DOUBLE) - ea) * (CAST(above AS DOUBLE) - ea)
+          |             / ea
+          |           + (CAST(below AS DOUBLE) - eb)
+          |             * (CAST(below AS DOUBLE) - eb) / eb
+          |         END AS contrib
+          |  FROM ct)
+          |SELECT g AS c_mktsegment, n, above, below,
+          |       round(contrib, 6) AS chi2_contrib,
+          |       round(sum(contrib) OVER (), 6) AS chi2_total
+          |FROM cb ORDER BY c_mktsegment""".stripMargin,
 
 
       "q_group_regression" ->
