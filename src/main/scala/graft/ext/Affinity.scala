@@ -277,4 +277,44 @@ object Affinity {
         round(col("credit_ppb").cast("double") / 1e9, 6).as("credit"),
         col("n_touches"))
   }
+
+  /** Slope-one recommender model table: for every ordered item pair
+    * (i < j), the average per-user rating deviation
+    * dev_ij = Σ_u (r_ui − r_uj) / n_ij over users who rated both —
+    * the entire "training" of the classic slope-one CF baseline, and
+    * the join table its prediction step consumes (predict r_uj from
+    * r_ui + (−)dev_ij). Ratings are caller-quantized integers (the
+    * module contract), so the deviation numerator and co-rating count
+    * are exact longs; the one division rounds at 6. Pairs below
+    * `minCo` co-raters drop — an unsupported deviation is noise.
+    *
+    * Scale shape (the [[pairCounts]] skeleton): ratings collapse to
+    * one row per (user, item) in a single map-side-combined sum, each
+    * user's item set collects and expands ordered pairs with a narrow
+    * array lambda — ONE user-keyed shuffle, no self-join — and the
+    * pair aggregate is map-side combined, bounded by the item-catalog
+    * grid |V|²/2, never by rows. Per-user fan-out is k·(k−1)/2 for a
+    * k-item user: bound the item vocabulary (brands, categories — not
+    * raw SKUs) exactly as the miners do.
+    */
+  def slopeOneDeviations(ratings: DataFrame, user: Column, item: Column,
+      rating: Column, minCo: Long): DataFrame = {
+    val perUI = ratings
+      .select(user.as("u"), item.as("i"), rating.cast("long").as("r"))
+      .groupBy("u", "i").agg(sum("r").as("r"))
+    perUI.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("i"), col("r")))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(items, (x, ix) ->
+          |  transform(slice(items, ix + 2, size(items)), y ->
+          |    named_struct('item_i', x.i, 'item_j', y.i,
+          |                 'd', x.r - y.r))))""".stripMargin)).as("p"))
+      .groupBy(col("p.item_i").as("item_i"), col("p.item_j").as("item_j"))
+      .agg(count(lit(1)).as("n_co"), sum(col("p.d")).as("dev_num"))
+      .filter(col("n_co") >= minCo)
+      .select(col("item_i"), col("item_j"), col("n_co"), col("dev_num"),
+        round(col("dev_num").cast("double") / col("n_co").cast("double"), 6)
+          .as("dev"))
+  }
 }

@@ -671,4 +671,72 @@ object Forecast {
       .select(kcols ++ Seq(col("r.o").as(ordCol),
         col("r.tp").as("tp"), col("r.tn").as("tn")): _*)
   }
+
+  /** Yule–Walker AR(2) fit + one-step forecast per series — the
+    * cheapest model that captures both momentum AND mean reversion,
+    * and the standard "is a real model worth it?" rung above
+    * [[seasonalNaive]]: fit φ₁, φ₂ from the first two sample
+    * autocorrelations (φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²))
+    * and forecast x̂_{T+1} = m + φ₁(x_T − m) + φ₂(x_{T−1} − m).
+    *
+    * Determinism: the caller aggregates to an integral series grid
+    * (the [[Inference.autocorr]] contract), so every moment the fit
+    * needs — n, Σy, Σy², the lag-1/lag-2 cross sums and their boundary
+    * sums — is an exact long from ONE aggregate; r₁ and r₂ are each a
+    * single division of exact longs ([[Inference.autocorr]]'s
+    * N²-cleared numerator), so the φ tower is bit-identical
+    * cross-engine, rounded at 6. The last two observations come from
+    * max_by over the same aggregate (no second scan; ties impossible —
+    * ord is a grid). Null when n < 3, the series variance is 0, or
+    * 1−r₁² = 0 (a perfectly alternating series).
+    *
+    * Scale shape: two lag windows + one aggregate per series, all over
+    * grid cells; output is one row per series.
+    */
+  def ar2Forecast(series: DataFrame, keys: Seq[String], ord: Column,
+      y: Column): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy("ord")
+    val base = series.select(kc ++ Seq(ord.as("ord"),
+      y.cast("long").as("y")): _*)
+    val lagged = base
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("y2", lag("y", 2).over(w))
+    val sums = lagged.groupBy(kc: _*).agg(
+      count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y") * col("y")).as("ss"),
+      count(col("y1")).as("c1"),
+      sum(col("y") * col("y1")).as("sab1"),
+      sum(when(col("y1").isNotNull, col("y"))).as("sa1"),
+      sum("y1").as("sb1"),
+      count(col("y2")).as("c2"),
+      sum(col("y") * col("y2")).as("sab2"),
+      sum(when(col("y2").isNotNull, col("y"))).as("sa2"),
+      sum("y2").as("sb2"),
+      max_by(col("y"), col("ord")).as("yt"),
+      max_by(col("y1"), when(col("y1").isNotNull, col("ord"))).as("yt1"))
+    def rk(k: Int): Column = {
+      val num = col("n") * col("n") * col(s"sab$k") -
+        col("n") * col("s") * (col(s"sa$k") + col(s"sb$k")) +
+        col(s"c$k") * col("s") * col("s")
+      num.cast("double") /
+        (col("n") * (col("n") * col("ss") - col("s") * col("s"))).cast("double")
+    }
+    val r1 = rk(1)
+    val r2 = rk(2)
+    val denom = lit(1.0) - r1 * r1
+    val phi1 = r1 * (lit(1.0) - r2) / denom
+    val phi2 = (r2 - r1 * r1) / denom
+    val m = col("s").cast("double") / col("n").cast("double")
+    val fc = m + phi1 * (col("yt").cast("double") - m) +
+      phi2 * (col("yt1").cast("double") - m)
+    val varOk = col("n") * col("ss") - col("s") * col("s") > 0
+    val ok = col("n") >= 3L && varOk && abs(denom) > lit(1e-12)
+    sums.select(kc ++ Seq(col("n"),
+      when(varOk, round(r1, 6)).as("r1"),
+      when(varOk, round(r2, 6)).as("r2"),
+      when(ok, round(phi1, 6)).as("phi1"),
+      when(ok, round(phi2, 6)).as("phi2"),
+      when(ok, round(fc, 6)).as("forecast")): _*)
+  }
 }

@@ -1399,4 +1399,50 @@ object Inference {
         round(col("contrib"), 6).as("chi2_contrib") :+
         round(sum("contrib").over(wAll), 6).as("chi2_total"): _*)
   }
+
+  /** Decision-stump split scan: for every candidate threshold t of the
+    * caller-quantized integral `feature`, the weighted Gini impurity
+    * of the (x ≤ t | x > t) split against the boolean `label` — the
+    * inner kernel of tree training (and the single most informative
+    * univariate screen of a feature against a target). The best
+    * threshold is flagged, ties going to the SMALLEST threshold so the
+    * flag is deterministic.
+    *
+    * Scale shape: rows collapse map-side to the distinct-value grid
+    * (count + positives per value), the cumulative pass and the
+    * impurity tower run over grid cells, and the output is grid-sized.
+    * All counts are exact longs; the impurity is a fixed float tower
+    * over them, rounded at 6 (the best flag compares the ROUNDED
+    * values, so it is exactly as stable as the emitted column). The
+    * top value drops — splitting nothing off is not a split.
+    */
+  def giniSplitScan(df: DataFrame, feature: Column, label: Column): DataFrame = {
+    val cells = df
+      .select(feature.cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("pos"))
+      .groupBy("v").agg(count(lit(1)).as("c"), sum("pos").as("p"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = cells
+      .withColumn("n_le", sum("c").over(wCum))
+      .withColumn("p_le", sum("p").over(wCum))
+      .withColumn("nt", sum("c").over(wAll))
+      .withColumn("pt", sum("p").over(wAll))
+      .filter(col("n_le") < col("nt"))
+    val nle = col("n_le").cast("double")
+    val ple = col("p_le").cast("double")
+    val qle = (col("n_le") - col("p_le")).cast("double")
+    val ngt = (col("nt") - col("n_le")).cast("double")
+    val pgt = (col("pt") - col("p_le")).cast("double")
+    val qgt = (col("nt") - col("n_le") - (col("pt") - col("p_le"))).cast("double")
+    val gLe = lit(1.0) - (ple * ple + qle * qle) / (nle * nle)
+    val gGt = lit(1.0) - (pgt * pgt + qgt * qgt) / (ngt * ngt)
+    val wg = round((nle * gLe + ngt * gGt) / col("nt").cast("double"), 6)
+    val scored = cum.select(col("v").as("threshold"), col("n_le"),
+      col("p_le"), wg.as("gini_split"))
+    scored
+      .withColumn("is_best",
+        row_number().over(Window.orderBy("gini_split", "threshold")) === 1)
+  }
 }

@@ -113,6 +113,25 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // slope-one recommender training: per-brand-pair average rating
+    // deviation over customers who bought both (rating = total
+    // quantity) — the classic CF baseline's entire model table in one
+    // user-keyed shuffle (pairCounts' array-lambda expansion, no
+    // self-join; pair space bounded by the brand catalog, never rows).
+    "q_slope_one" -> ((s, dir) => {
+      val ratings = spreadBy(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            floor(col("l_quantity")).as("qty")), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      Affinity.slopeOneDeviations(ratings, user = col("o_custkey"),
+          item = col("p_brand"), rating = col("qty"), minCo = 20)
+        .orderBy("item_i", "item_j")
+    }),
+
+
     // A-priori stage 3: frequent supplier TRIPLES per order basket —
     // the nested-HOF expansion over each basket's sorted item set, so
     // the Spark side needs NO self-join at all (one basket-keyed
@@ -613,6 +632,30 @@ private[graft] object QueriesGraph {
            |            ELSE 0.0 END AS lcc
            |FROM deg d LEFT JOIN tpn t ON t.id = d.id
            |ORDER BY d.id""".stripMargin,
+
+
+      // exact-long deviation numerators over customer×brand ratings;
+      // the self-join form is the oracle's — the Spark side expands
+      // pairs from each user's sorted item array (identical pair set:
+      // ordered pairs item_i < item_j, one rating per (user, item))
+      "q_slope_one" ->
+        """WITH r AS (
+          |  SELECT o_custkey AS u, p_brand AS i,
+          |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS r
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN part ON l_partkey = p_partkey
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.i AS item_i, b.i AS item_j,
+          |         CAST(count(*) AS BIGINT) AS n_co,
+          |         CAST(sum(a.r - b.r) AS BIGINT) AS dev_num
+          |  FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+          |  GROUP BY 1, 2)
+          |SELECT item_i, item_j, n_co, dev_num,
+          |       round(CAST(dev_num AS DOUBLE) / CAST(n_co AS DOUBLE), 6) AS dev
+          |FROM p WHERE n_co >= 20
+          |ORDER BY item_i, item_j""".stripMargin,
 
 
       "q_assoc_rules" ->

@@ -614,6 +614,19 @@ private[graft] object QueriesStats {
     }),
 
 
+    // decision-stump split scan: weighted Gini of every quantity
+    // threshold against the "returned" label — tree training's inner
+    // kernel as a grid-sized scan (counts collapse map-side to the
+    // distinct-value grid; smallest-threshold tie-break flags the
+    // winner deterministically).
+    "q_best_split" -> ((s, dir) => {
+      Inference.giniSplitScan(spread(t(s, dir, "lineitem")),
+          feature = floor(col("l_quantity")),
+          label = col("l_returnflag") === "R")
+        .orderBy("threshold")
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -2119,6 +2132,52 @@ private[graft] object QueriesStats {
           |       round(contrib, 6) AS chi2_contrib,
           |       round(sum(contrib) OVER (), 6) AS chi2_total
           |FROM cb ORDER BY c_mktsegment""".stripMargin,
+
+
+      // grid-cumulative counts, impurity tower mirroring
+      // Inference.giniSplitScan op for op; row_number tie-break on
+      // (gini, threshold) flags the winner in both engines
+      "q_best_split" ->
+        """WITH li AS (
+          |  SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+          |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+          |  FROM lineitem),
+          |cells AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS c,
+          |         CAST(sum(pos) AS BIGINT) AS p
+          |  FROM li GROUP BY 1),
+          |cum AS (
+          |  SELECT v,
+          |         CAST(sum(c) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS n_le,
+          |         CAST(sum(p) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS p_le,
+          |         CAST(sum(c) OVER () AS BIGINT) AS nt,
+          |         CAST(sum(p) OVER () AS BIGINT) AS pt
+          |  FROM cells),
+          |sc AS (
+          |  SELECT v AS threshold, n_le, p_le,
+          |         round((CAST(n_le AS DOUBLE)
+          |                  * (1.0 - (CAST(p_le AS DOUBLE) * CAST(p_le AS DOUBLE)
+          |                            + CAST(n_le - p_le AS DOUBLE)
+          |                              * CAST(n_le - p_le AS DOUBLE))
+          |                           / (CAST(n_le AS DOUBLE)
+          |                              * CAST(n_le AS DOUBLE)))
+          |                + CAST(nt - n_le AS DOUBLE)
+          |                  * (1.0 - (CAST(pt - p_le AS DOUBLE)
+          |                              * CAST(pt - p_le AS DOUBLE)
+          |                            + CAST(nt - n_le - (pt - p_le) AS DOUBLE)
+          |                              * CAST(nt - n_le - (pt - p_le) AS DOUBLE))
+          |                           / (CAST(nt - n_le AS DOUBLE)
+          |                              * CAST(nt - n_le AS DOUBLE))))
+          |               / CAST(nt AS DOUBLE), 6) AS gini_split
+          |  FROM cum WHERE n_le < nt)
+          |SELECT threshold, n_le, p_le, gini_split,
+          |       row_number() OVER (ORDER BY gini_split, threshold) = 1
+          |         AS is_best
+          |FROM sc ORDER BY threshold""".stripMargin,
 
 
       "q_group_regression" ->

@@ -217,6 +217,23 @@ private[graft] object QueriesTs {
     }),
 
 
+    // Yule–Walker AR(2) fit + one-step forecast per event type on the
+    // daily count series — the "is a real model worth it?" rung above
+    // q_seasonal_naive: φ₁/φ₂ from the first two sample
+    // autocorrelations (each one division of exact longs), forecast
+    // from the series' last two observations via max_by on the same
+    // aggregate (Forecast.ar2Forecast scaladoc).
+    "q_ar2_forecast" -> ((s, dir) => {
+      val days = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("y"))
+      Forecast.ar2Forecast(days, keys = Seq("event_type"),
+          ord = col("day"), y = col("y"))
+        .orderBy("event_type")
+    }),
+
+
     // CUSUM mean-shift changepoint on the daily purchase-value series:
     // where does the mean level shift? Exact-integer argmax of the
     // N-scaled cumulative deviation (Forecast.cusumChangepoint
@@ -1018,6 +1035,60 @@ private[graft] object QueriesTs {
            |$rows
            |ORDER BY "lag"""".stripMargin
       },
+
+
+      // same exact-long moment sums as q_autocorr's oracle, two lags,
+      // plus arg_max last-observation pulls; the φ/forecast float
+      // tower mirrors Forecast.ar2Forecast op for op
+      "q_ar2_forecast" ->
+        """WITH d AS (
+          |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+          |           AS day,
+          |         count(*)::BIGINT AS y
+          |  FROM events GROUP BY 1, 2),
+          |l AS (
+          |  SELECT event_type, day, y,
+          |         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2
+          |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |s AS (
+          |  SELECT event_type, count(*)::BIGINT AS n,
+          |         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y*y) AS BIGINT) AS ss,
+          |         CAST(count(y1) AS BIGINT) AS c1,
+          |         CAST(sum(y*y1) AS BIGINT) AS sab1,
+          |         CAST(sum(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT)
+          |           AS sa1,
+          |         CAST(sum(y1) AS BIGINT) AS sb1,
+          |         CAST(count(y2) AS BIGINT) AS c2,
+          |         CAST(sum(y*y2) AS BIGINT) AS sab2,
+          |         CAST(sum(CASE WHEN y2 IS NOT NULL THEN y END) AS BIGINT)
+          |           AS sa2,
+          |         CAST(sum(y2) AS BIGINT) AS sb2,
+          |         arg_max(y, day) AS yt,
+          |         arg_max(y1, CASE WHEN y1 IS NOT NULL THEN day END) AS yt1
+          |  FROM l GROUP BY 1),
+          |r AS (
+          |  SELECT event_type, n, yt, yt1, n*ss - s*s AS varn,
+          |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+          |         CAST(n*n*sab1 - n*s*(sa1 + sb1) + c1*s*s AS DOUBLE)
+          |           / CAST(n*(n*ss - s*s) AS DOUBLE) AS r1,
+          |         CAST(n*n*sab2 - n*s*(sa2 + sb2) + c2*s*s AS DOUBLE)
+          |           / CAST(n*(n*ss - s*s) AS DOUBLE) AS r2
+          |  FROM s),
+          |f AS (SELECT *, 1.0 - r1*r1 AS den FROM r)
+          |SELECT event_type, n,
+          |       CASE WHEN varn > 0 THEN round(r1, 6) END AS r1,
+          |       CASE WHEN varn > 0 THEN round(r2, 6) END AS r2,
+          |       CASE WHEN n >= 3 AND varn > 0 AND abs(den) > 1e-12
+          |            THEN round(r1*(1.0 - r2)/den, 6) END AS phi1,
+          |       CASE WHEN n >= 3 AND varn > 0 AND abs(den) > 1e-12
+          |            THEN round((r2 - r1*r1)/den, 6) END AS phi2,
+          |       CASE WHEN n >= 3 AND varn > 0 AND abs(den) > 1e-12
+          |            THEN round(m + r1*(1.0 - r2)/den
+          |                         * (CAST(yt AS DOUBLE) - m)
+          |                       + (r2 - r1*r1)/den
+          |                         * (CAST(yt1 AS DOUBLE) - m), 6)
+          |       END AS forecast
+          |FROM f ORDER BY event_type""".stripMargin,
 
 
       // exact-integer argmax of the N-scaled cumulative deviation with
