@@ -1377,4 +1377,59 @@ object Graph {
             least(col("vol"), col("m2") - col("vol")).cast("double"), 6))
           .as("conductance"))
   }
+
+  /** Strongly-connected-component labels of a CATEGORY-LEVEL digraph
+    * by reachability-closure squaring: R ← R ∪ R∘R doubles the covered
+    * path length each round (log₂(longest path) joins, early exit at
+    * the count fixpoint), then scc(u) = min over {v : R(u,v) ∧ R(v,u)}
+    * ∪ {u} — node u and v share a label iff they reach each other.
+    * Returns (node, scc_id, scc_size), scc_id the smallest member.
+    *
+    * Scale contract — this is NOT the per-row-entity SCC: the closure
+    * is |V|²-bounded, so the input must be a graph whose vertex set is
+    * a CATEGORY cardinality (event-type transition digraphs, state
+    * machines, category co-movement graphs — the condensation
+    * consumers), where |V|² is thousands, not billions. The row-scale
+    * work is the caller's edge derivation (one windowed pass over the
+    * fact table); everything here is grid-sized. Each round snapshots
+    * the grown closure and releases the superseded one (the
+    * [[bfsHops]] cache discipline); the returned frame is a final
+    * snapshot — `spark.catalog.clearCache()` once consumed.
+    */
+  def sccLabels(edges: DataFrame, maxDoublings: Int = 6): DataFrame = {
+    val base = snapshot(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = snapshot(base.select(col("src").as("id"))
+      .unionAll(base.select(col("dst").as("id"))).distinct())
+    var r = base
+    var n = r.count()
+    var fixed = n == 0L
+    var i = 0
+    while (!fixed && i < maxDoublings) {
+      val grown = snapshot(
+        r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+          .unionAll(r).distinct())
+      val m = grown.count()
+      fixed = m == n
+      release(r)
+      r = grown
+      n = m
+      i += 1
+    }
+    val mutual = r.as("f").join(
+      r.select(col("dst").as("rsrc"), col("src").as("rdst")).as("b"),
+      col("f.src") === col("rsrc") && col("f.dst") === col("rdst"))
+      .select(col("f.src").as("id"), col("f.dst").as("peer"))
+    val out = snapshot(nodes.join(mutual, Seq("id"), "left")
+      .groupBy("id").agg(min("peer").as("mp"))
+      .select(col("id").as("node"),
+        least(col("id"), coalesce(col("mp"), col("id"))).as("scc_id"))
+      .withColumn("scc_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("scc_id"))))
+    release(r)
+    release(nodes)
+    out
+  }
 }

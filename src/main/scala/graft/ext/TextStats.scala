@@ -401,4 +401,52 @@ object TextStats {
         (-col("w.ns")).as("score_nano"),
         (col("w.c") === col("cls")).as("correct"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the term distributions
+    * of every group pair — the symmetric, bounded ([0, ln 2] nats)
+    * corpus-drift readout: "how different is source A's language from
+    * source B's?", the distributional complement to q_psi_drift-style
+    * bin drift and the gate a mixing pipeline runs before blending
+    * corpora.
+    *
+    * Shared-support trick — terms present in only ONE side never join,
+    * yet their contribution is exactly p·ln2 (the m = p/2 limit), so
+    * JSD(a,b) = ½·[Σ_both (p·ln(p/m) + q·ln(q/m))
+    *             + ln2·(2 − Σ_both p − Σ_both q)]:
+    * the whole statistic reduces to sums over the SHARED vocabulary,
+    * one term-keyed equi-join, no dense grid, no outer join. Counts
+    * and totals are exact longs; each term's contribution is a fixed
+    * float expression of two exact ratios, summed per pair (all terms
+    * bounded by ln 2, no cancellation), rounded at 6 alongside the
+    * ln2-normalized form.
+    *
+    * Scale shape: rows collapse map-side to the (group, term) grid;
+    * the self-join shuffles grid cells keyed by term with fan-out
+    * k²-bounded per term (k = group cardinality — sources, not rows);
+    * group totals broadcast. Pairs sharing NO term are absent (their
+    * JSD is exactly ln 2).
+    */
+  def jensenShannonPairs(df: DataFrame, grp: Column, term: Column,
+      weight: Column): DataFrame = {
+    val tf = df.select(grp.as("g"), term.as("t"), weight.cast("long").as("c"))
+      .groupBy("g", "t").agg(sum("c").as("c"))
+    val tot = tf.groupBy("g").agg(sum("c").as("n"))
+    val tfn = tf.join(broadcast(tot), Seq("g"))
+    val ln2 = lit(0.6931471805599453)
+    val pairs = tfn.as("a").join(tfn.as("b"),
+      col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+    val p = col("a.c").cast("double") / col("a.n").cast("double")
+    val q = col("b.c").cast("double") / col("b.n").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib = p * log(p / m) + q * log(q / m)
+    pairs.groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(contrib).as("both"),
+        sum(p).as("massa"), sum(q).as("massb"))
+      .select(col("g_a"), col("g_b"), col("n_shared"),
+        round(lit(0.5) * (col("both") +
+          ln2 * (lit(2.0) - col("massa") - col("massb"))), 6).as("jsd_nats"),
+        round(lit(0.5) * (col("both") +
+          ln2 * (lit(2.0) - col("massa") - col("massb"))) / ln2, 6)
+          .as("jsd_norm"))
+  }
 }

@@ -430,6 +430,29 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // strongly connected components of the event-type LIFT digraph
+    // (edges kept where observed transitions beat independence:
+    // n·T > rowtot·coltot, an exact long compare) — which behavior
+    // states form recurrent loops vs one-way funnels. Category-level
+    // SCC: the closure is |types|²-bounded, the row-scale work is one
+    // windowed pass (Graph.sccLabels scaladoc).
+    "q_scc" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      val cnt = steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val lifted = cnt
+        .withColumn("na", sum("n").over(Window.partitionBy("src")))
+        .withColumn("nb", sum("n").over(Window.partitionBy("dst")))
+        .withColumn("t", sum("n").over(Window.partitionBy()))
+        .filter(col("n") * col("t") > col("na") * col("nb"))
+      Graph.sccLabels(lifted.select("src", "dst"))
+        .orderBy("node")
+    }),
+
+
     // scheduling: weighted CRITICAL PATH over the banded co-purchase
     // DAG (the q_dag_layers input with deterministic integer stage
     // costs w = 1 + (src·7 + dst) % 5) — cost(v) = the most expensive
@@ -1247,6 +1270,43 @@ private[graft] object QueriesGraph {
            |    SELECT id, lbl, c, max(c) OVER (PARTITION BY id) AS mc FROM v3)
            |  GROUP BY id)
            |SELECT id, lbl AS community FROM m3 ORDER BY id""".stripMargin,
+
+      // recursive-CTE transitive closure on the same lift-filtered
+      // edge set (exact long lift compare); scc = min over the mutual
+      // reach set, sizes via the same scc-keyed window
+      "q_scc" ->
+        """WITH RECURSIVE sq AS (
+          |  SELECT user_id, event_type AS src,
+          |         lead(event_type, 1) OVER (PARTITION BY user_id
+          |                                   ORDER BY ts, event_id) AS dst
+          |  FROM events),
+          |tr AS (SELECT src, dst FROM sq
+          |       WHERE dst IS NOT NULL AND dst <> src),
+          |cnt AS (SELECT src, dst, count(*)::BIGINT AS n
+          |        FROM tr GROUP BY 1, 2),
+          |lf AS (
+          |  SELECT src, dst, n,
+          |         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS na,
+          |         CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS nb,
+          |         CAST(sum(n) OVER () AS BIGINT) AS t
+          |  FROM cnt),
+          |e AS (SELECT src, dst FROM lf WHERE n * t > na * nb),
+          |reach AS (
+          |  SELECT src AS a, dst AS b FROM e
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+          |mutual AS (
+          |  SELECT f.a AS id, f.b AS peer
+          |  FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |lab AS (
+          |  SELECT n.id, least(n.id, coalesce(min(m.peer), n.id)) AS scc_id
+          |  FROM nodes n LEFT JOIN mutual m ON m.id = n.id GROUP BY n.id)
+          |SELECT id AS node, scc_id,
+          |       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
+          |         AS scc_size
+          |FROM lab ORDER BY node""".stripMargin,
+
 
       "q_conductance" ->
         s"""WITH ${sqlCoPurchaseCtes(2)},

@@ -279,6 +279,20 @@ private[graft] object QueriesText {
     }),
 
 
+    // pairwise Jensen–Shannon divergence between source token
+    // distributions — the symmetric corpus-drift gate before blending
+    // corpora. One-sided vocabulary never joins: its mass contributes
+    // exactly p·ln2, so the whole statistic reduces to shared-term
+    // sums (TextStats.jensenShannonPairs scaladoc).
+    "q_js_divergence" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("source"), explode(TextStats.tokens(col("text"))).as("term"))
+      TextStats.jensenShannonPairs(toks, grp = col("source"),
+          term = col("term"), weight = lit(1L))
+        .orderBy("g_a", "g_b")
+    }),
+
+
     // ext text: winnowing-style rolling fingerprint — min md5 over
     // strided character 8-gram windows of normalized text; one narrow
     // codegen'd expression, no shuffle
@@ -958,6 +972,36 @@ private[graft] object QueriesText {
            |  FROM tf JOIN df USING (term))
            |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df
            |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+
+      // shared-vocabulary JSD identity (one-sided mass = p·ln2); the
+      // float tower mirrors TextStats.jensenShannonPairs op for op,
+      // ln2 pinned to the same double literal both sides
+      "q_js_divergence" ->
+        s"""WITH tok AS (
+           |  SELECT source AS g, unnest($sqlTokens) AS t FROM documents),
+           |tf AS (SELECT g, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+           |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+           |j AS (
+           |  SELECT a.g AS g_a, b.g AS g_b,
+           |         CAST(a.c AS DOUBLE) / CAST(ta.n AS DOUBLE) AS p,
+           |         CAST(b.c AS DOUBLE) / CAST(tb.n AS DOUBLE) AS q
+           |  FROM tf a JOIN tf b ON a.t = b.t AND a.g < b.g
+           |  JOIN tot ta ON ta.g = a.g
+           |  JOIN tot tb ON tb.g = b.g),
+           |ag AS (
+           |  SELECT g_a, g_b, count(*)::BIGINT AS n_shared,
+           |         sum(p * ln(p / ((p + q) / 2.0))
+           |             + q * ln(q / ((p + q) / 2.0))) AS shared_sum,
+           |         sum(p) AS massa, sum(q) AS massb
+           |  FROM j GROUP BY 1, 2)
+           |SELECT g_a, g_b, n_shared,
+           |       round(0.5 * (shared_sum + 0.6931471805599453
+           |                      * (2.0 - massa - massb)), 6) AS jsd_nats,
+           |       round(0.5 * (shared_sum + 0.6931471805599453
+           |                      * (2.0 - massa - massb))
+           |             / 0.6931471805599453, 6) AS jsd_norm
+           |FROM ag ORDER BY g_a, g_b""".stripMargin,
 
 
       // Spark sequence(1, n, 4) is inclusive of the stop; DuckDB
