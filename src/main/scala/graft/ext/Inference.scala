@@ -1445,4 +1445,94 @@ object Inference {
       .withColumn("is_best",
         row_number().over(Window.orderBy("gini_split", "threshold")) === 1)
   }
+
+  /** Friedman test (tie-corrected, Conover's T1 form) over complete
+    * blocks: rank the k treatments WITHIN each block, then ask whether
+    * the per-treatment rank sums differ more than chance — the
+    * repeated-measures complement to [[kruskalWallisH]] (each block is
+    * its own control, so between-block level shifts cancel exactly).
+    * Blocks missing any treatment are dropped (the classical
+    * complete-block requirement), with k measured from the data.
+    *
+    * Exactness: within-block midranks carry DOUBLED (2·midrank =
+    * 2·countBelow + ties + 1, an exact long via one RANGE window),
+    * and clearing T1's denominators by 4 and n makes the whole
+    * statistic ONE division of exact longs:
+    *   T1 = (k−1)·(ΣR2_j² − n²k(k+1)²) / (n·(ΣA2 − nk(k+1)²)).
+    * Emits one row per treatment (n_blocks, doubled rank sum, mean
+    * rank) with the shared T1; null when the denominator is 0 (all
+    * blocks fully tied).
+    *
+    * Scale shape: one (block, treatment)-keyed collapse, two
+    * block-partitioned count windows (block size = k, a category
+    * cardinality), one treatment-sized aggregate.
+    */
+  def friedmanT1(df: DataFrame, block: Column, treatment: Column,
+      y: Column): DataFrame = {
+    val cells = df.select(block.as("b"), treatment.as("trt"),
+        y.cast("long").as("y"))
+      .groupBy("b", "trt").agg(sum("y").as("y"))
+    val kRow = cells.agg(countDistinct(col("trt")).as("k"))
+    val blockSizes = cells.groupBy("b").agg(count(lit(1)).as("bk"))
+    val complete = cells.join(blockSizes, Seq("b"))
+      .crossJoin(broadcast(kRow)).filter(col("bk") === col("k"))
+    val wLt = Window.partitionBy("b").orderBy("y")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("b", "y")
+    val ranked = complete
+      .withColumn("clt", count(lit(1)).over(wLt))
+      .withColumn("teq", count(lit(1)).over(wEq))
+      .withColumn("r2", lit(2L) * col("clt") + col("teq") + 1L)
+    val perT = ranked.groupBy("trt", "k")
+      .agg(count(lit(1)).as("n"), sum("r2").as("r2sum"),
+        sum(col("r2") * col("r2")).as("a2t"))
+    val wAll = Window.partitionBy()
+    val g = perT
+      .withColumn("a2", sum("a2t").over(wAll))
+      .withColumn("sr2", sum(col("r2sum") * col("r2sum")).over(wAll))
+    val kk1sq = col("k") * (col("k") + 1L) * (col("k") + 1L)
+    val num = (col("k") - 1L) * (col("sr2") - col("n") * col("n") * kk1sq)
+    val den = col("n") * (col("a2") - col("n") * kk1sq)
+    g.select(col("trt"), col("n").as("n_blocks"), col("r2sum"),
+      when(col("n") > 0, round(col("r2sum").cast("double") /
+        (lit(2.0) * col("n").cast("double")), 6)).as("mean_rank"),
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .as("friedman_t1"))
+  }
+
+  /** Post-hoc pairwise contrasts after [[anovaF]]: for every group
+    * pair, the mean difference and its studentized value
+    * t = (mean_a − mean_b) / √(MSW·(1/n_a + 1/n_b)) against the
+    * POOLED within-group variance — the Tukey-HSD-style table that
+    * says WHICH groups differ once the omnibus F fires (compare |t| to
+    * the studentized-range critical value for k groups upstream).
+    *
+    * Same one-pass power sums as [[anovaF]]; the pair expansion is a
+    * broadcast non-equi self-join over the k-row group frame (k² pairs
+    * of a category cardinality — never rows), MSW is a broadcast
+    * 1-row scalar, and each output value is a fixed float tower over
+    * exact longs, rounded at 6. t is null when MSW ≤ 0 or N ≤ k.
+    */
+  def tukeyPairs(df: DataFrame, group: String, x: Column): DataFrame = {
+    val g = df.select(col(group).as("g"), x.cast("long").as("x"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n").as("nt"),
+      sum("ss").cast("double").as("ssd"),
+      sum(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")).as("sb"))
+    val pairs = g.as("a")
+      .join(broadcast(g.as("b")), col("a.g") < col("b.g"), "inner")
+      .crossJoin(broadcast(tot))
+    val msw = (col("ssd") - col("sb")) / (col("nt") - col("k")).cast("double")
+    val diff = col("a.s").cast("double") / col("a.n").cast("double") -
+      col("b.s").cast("double") / col("b.n").cast("double")
+    val se = sqrt(msw * (lit(1.0) / col("a.n").cast("double") +
+      lit(1.0) / col("b.n").cast("double")))
+    pairs.select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+      col("a.n").as("n_a"), col("b.n").as("n_b"),
+      round(diff, 6).as("mean_diff"),
+      when(col("nt") > col("k") && msw > 0, round(diff / se, 6))
+        .as("t_stat"))
+  }
 }

@@ -627,6 +627,33 @@ private[graft] object QueriesStats {
     }),
 
 
+    // Friedman test over day blocks × event-type treatments on the
+    // daily count: the repeated-measures "do the types rank the same
+    // every day?" — each day is its own control, so weekday level
+    // shifts cancel exactly. Doubled within-block midranks keep T1 one
+    // division of exact longs (Inference.friedmanT1 scaladoc).
+    "q_friedman" -> ((s, dir) => {
+      val days = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      Inference.friedmanT1(days, block = col("day"),
+          treatment = col("event_type"), y = col("y"))
+        .orderBy("trt")
+    }),
+
+
+    // post-hoc pairwise contrasts on the q_anova_f readout: WHICH
+    // event-type pairs differ once the omnibus F fires — mean diff and
+    // studentized t against the pooled MSW, k² broadcast pairs
+    // (Inference.tukeyPairs scaladoc).
+    "q_tukey_pairs" -> ((s, dir) => {
+      Inference.tukeyPairs(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = "event_type", x = floor(col("value") * 100))
+        .orderBy("g_a", "g_b")
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -2178,6 +2205,81 @@ private[graft] object QueriesStats {
           |       row_number() OVER (ORDER BY gini_split, threshold) = 1
           |         AS is_best
           |FROM sc ORDER BY threshold""".stripMargin,
+
+
+      // doubled within-block midranks via the same RANGE window; T1
+      // cleared to one exact-long division, mirroring
+      // Inference.friedmanT1
+      "q_friedman" ->
+        """WITH d AS (
+          |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS b,
+          |         event_type AS trt, count(*)::BIGINT AS y
+          |  FROM events GROUP BY 1, 2),
+          |k AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM d),
+          |bs AS (SELECT b, count(*)::BIGINT AS bk FROM d GROUP BY 1),
+          |compl AS (
+          |  SELECT d.b, d.trt, d.y, k.k
+          |  FROM d JOIN bs ON d.b = bs.b CROSS JOIN k WHERE bs.bk = k.k),
+          |r AS (
+          |  SELECT trt, k,
+          |         2 * CAST(count(*) OVER (PARTITION BY b ORDER BY y
+          |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |             AS BIGINT)
+          |         + CAST(count(*) OVER (PARTITION BY b, y) AS BIGINT)
+          |         + 1 AS r2
+          |  FROM compl),
+          |pt AS (
+          |  SELECT trt, k, count(*)::BIGINT AS n,
+          |         CAST(sum(r2) AS BIGINT) AS r2sum,
+          |         CAST(sum(r2 * r2) AS BIGINT) AS a2t
+          |  FROM r GROUP BY 1, 2),
+          |g AS (
+          |  SELECT trt, k, n, r2sum,
+          |         CAST(sum(a2t) OVER () AS BIGINT) AS a2,
+          |         CAST(sum(r2sum * r2sum) OVER () AS BIGINT) AS sr2
+          |  FROM pt)
+          |SELECT trt, n AS n_blocks, r2sum,
+          |       CASE WHEN n > 0 THEN round(CAST(r2sum AS DOUBLE)
+          |                                  / (2.0 * CAST(n AS DOUBLE)), 6)
+          |       END AS mean_rank,
+          |       CASE WHEN n * (a2 - n * k * (k + 1) * (k + 1)) > 0
+          |            THEN round(CAST((k - 1) * (sr2 - n * n * k * (k + 1)
+          |                                             * (k + 1)) AS DOUBLE)
+          |                       / CAST(n * (a2 - n * k * (k + 1) * (k + 1))
+          |                              AS DOUBLE), 6)
+          |       END AS friedman_t1
+          |FROM g ORDER BY trt""".stripMargin,
+
+
+      // same conditional power sums as q_anova_f; pair table via the
+      // k² self-join, float tower mirroring Inference.tukeyPairs
+      "q_tukey_pairs" ->
+        """WITH e AS (
+          |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |gr AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS s,
+          |         CAST(sum(x * x) AS BIGINT) AS ss
+          |  FROM e GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+          |         CAST(sum(ss) AS DOUBLE) AS ssd,
+          |         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |             / CAST(n AS DOUBLE)) AS sb
+          |  FROM gr),
+          |p AS (
+          |  SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+          |         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+          |           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS diff,
+          |         (ssd - sb) / CAST(nt - k AS DOUBLE) AS msw, nt, k
+          |  FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN tot)
+          |SELECT g_a, g_b, n_a, n_b, round(diff, 6) AS mean_diff,
+          |       CASE WHEN nt > k AND msw > 0
+          |            THEN round(diff / sqrt(msw * (1.0 / CAST(n_a AS DOUBLE)
+          |                       + 1.0 / CAST(n_b AS DOUBLE))), 6)
+          |       END AS t_stat
+          |FROM p ORDER BY g_a, g_b""".stripMargin,
 
 
       "q_group_regression" ->
