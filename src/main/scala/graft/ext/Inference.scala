@@ -1514,9 +1514,18 @@ object Inference {
     * exact longs, rounded at 6. t is null when MSW ≤ 0 or N ≤ k.
     */
   def tukeyPairs(df: DataFrame, group: String, x: Column): DataFrame = {
+    // the k-row power-sum frame has THREE consumers (both self-join
+    // sides and the MSW scalar); self-join aliasing defeats exchange
+    // reuse, so without materialization the ROW-SCALE aggregate runs
+    // three times (30× sweep: 11.6 s → one scan). Eager-checkpoint the
+    // k rows once — k is a category cardinality, the snapshot is tiny;
+    // Bench/Verify clearCache between queries releases it (the
+    // [[Graph.sccLabels]] storage contract).
     val g = df.select(col(group).as("g"), x.cast("long").as("x"))
       .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
         sum(col("x") * col("x")).as("ss"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tot = g.agg(count(lit(1)).as("k"), sum("n").as("nt"),
       sum("ss").cast("double").as("ssd"),
       sum(col("s").cast("double") * col("s").cast("double") /

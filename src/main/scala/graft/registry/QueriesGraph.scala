@@ -119,13 +119,22 @@ private[graft] object QueriesGraph {
     // user-keyed shuffle (pairCounts' array-lambda expansion, no
     // self-join; pair space bounded by the brand catalog, never rows).
     "q_slope_one" -> ((s, dir) => {
-      val ratings = spreadBy(t(s, dir, "lineitem")
+      // pre-aggregate to (order, brand) BEFORE the orders join: the
+      // broadcast brand join is shuffle-free, the map-side-combined
+      // sum shrinks the rows entering the orderkey exchange, and the
+      // post-join (customer, brand) aggregate rolls up the already-
+      // combined partials (30× A/B: never worse, 3× better under
+      // memory pressure — the big-row join was the spill site)
+      val perOB = spreadBy(t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"),
-            floor(col("l_quantity")).as("qty")), col("l_orderkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
+            floor(col("l_quantity")).cast("long").as("qty")), col("l_orderkey"))
         .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"), col("p_brand"))
+        .agg(sum("qty").as("qty"))
+      val ratings = perOB
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
       Affinity.slopeOneDeviations(ratings, user = col("o_custkey"),
           item = col("p_brand"), rating = col("qty"), minCo = 20)
         .orderBy("item_i", "item_j")

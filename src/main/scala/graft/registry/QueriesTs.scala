@@ -224,7 +224,10 @@ private[graft] object QueriesTs {
     // from the series' last two observations via max_by on the same
     // aggregate (Forecast.ar2Forecast scaladoc).
     "q_ar2_forecast" -> ((s, dir) => {
-      val days = EventsStream.readEvents(s, s"$dir/events.parquet")
+      // spread BEFORE the row-scale groupBy: the date-trunc+format on
+      // every event is the CPU-dense stage and inherits the single
+      // input split without it (30× sweep: 6.6 s → fan-out)
+      val days = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .groupBy(col("event_type"),
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("y"))
