@@ -1432,4 +1432,61 @@ object Graph {
     release(nodes)
     out
   }
+
+  /** Bipartiteness check per connected component of a CATEGORY-LEVEL
+    * graph (input symmetrized here): closure squaring as in
+    * [[sccLabels]] but carrying walk PARITY — a component contains an
+    * odd cycle (is non-2-colorable) iff any node closes an odd walk to
+    * itself, the classic two-sides-or-not question for interaction
+    * graphs (buyer/seller, query/document) where an odd cycle means
+    * the two-role model is violated. Returns
+    * (node, comp_id, comp_bipartite), comp_id the smallest member.
+    *
+    * Same |V|²-bounded scale contract, cache discipline, and
+    * count-fixpoint loop as [[sccLabels]] (states here are
+    * (src, dst, parity) — at most 2|V|²); the returned frame is a
+    * final snapshot — `spark.catalog.clearCache()` once consumed.
+    */
+  def bipartiteComponents(edges: DataFrame,
+      maxDoublings: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val base = snapshot(sym.withColumn("p", lit(1)))
+    val nodes = snapshot(base.select(col("src").as("id")).distinct())
+    var r = base
+    var n = r.count()
+    var fixed = n == 0L
+    var i = 0
+    while (!fixed && i < maxDoublings) {
+      val grown = snapshot(
+        r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"),
+            pmod(col("x.p") + col("y.p"), lit(2)).as("p"))
+          .unionAll(r).distinct())
+      val m = grown.count()
+      fixed = m == n
+      release(r)
+      r = grown
+      n = m
+      i += 1
+    }
+    val lab = nodes
+      .join(r.select(col("src").as("id"), col("dst").as("peer")),
+        Seq("id"), "left")
+      .groupBy("id").agg(min("peer").as("mp"))
+      .select(col("id").as("node"),
+        least(col("id"), coalesce(col("mp"), col("id"))).as("comp_id"))
+    val odd = r.filter(col("src") === col("dst") && col("p") === 1)
+      .select(col("src").as("node")).distinct().withColumn("o", lit(1))
+    val out = snapshot(lab.join(odd, Seq("node"), "left")
+      .withColumn("comp_bipartite",
+        max(coalesce(col("o"), lit(0)))
+          .over(w.partitionBy("comp_id")) === 0)
+      .select(col("node"), col("comp_id"), col("comp_bipartite")))
+    release(r)
+    release(nodes)
+    out
+  }
 }

@@ -1500,6 +1500,135 @@ object Inference {
         .as("friedman_t1"))
   }
 
+  /** CUPED variance-reduced A/B readout: adjust each unit's outcome by
+    * its pre-period covariate, y_adj = y − θ·(x − x̄), with
+    * θ = cov(x,y)/var(x) pooled across arms — the industry-standard
+    * sensitivity lift (the same experiment detects effects ~1/(1−ρ²)
+    * smaller). Emits the raw and adjusted arm-mean differences plus
+    * ρ² (the variance fraction removed); adjusted diff equals
+    * (ȳ₁−ȳ₀) − θ·(x̄₁−x̄₀), so no per-row adjusted column ever
+    * materializes.
+    *
+    * `unit` keys the experiment unit; `arm` must evaluate 0/1 per
+    * unit; x (pre-period) and y (outcome) are caller-quantized
+    * integral measures aggregated per unit HERE (conditional sums, so
+    * units missing a period contribute 0 — the standard imputation).
+    * Scale shape: one unit-keyed combine, then ONE row of power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy per arm + pooled), float tower at the
+    * end, rounded at 6. θ and ρ² null when var(x) = 0; t-free by
+    * design — pair with [[welchT]] on the adjusted metric upstream if
+    * a p-value is needed.
+    */
+  def cupedAdjust(df: DataFrame, unit: Column, arm: Column, x: Column,
+      y: Column): DataFrame = {
+    val perU = df.select(unit.as("u"), arm.cast("int").as("arm"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy("u", "arm").agg(sum("x").as("x"), sum("y").as("y"))
+    val sums = perU.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+      sum(when(col("arm") === 0, col("x")).otherwise(lit(0L))).as("sx0"),
+      sum(when(col("arm") === 0, col("y")).otherwise(lit(0L))).as("sy0"),
+      sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(col("arm") === 1, col("x")).otherwise(lit(0L))).as("sx1"),
+      sum(when(col("arm") === 1, col("y")).otherwise(lit(0L))).as("sy1"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXN = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYN = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covN / varXN
+    val rawDiff = col("sy1").cast("double") / col("n1").cast("double") -
+      col("sy0").cast("double") / col("n0").cast("double")
+    val xDiff = col("sx1").cast("double") / col("n1").cast("double") -
+      col("sx0").cast("double") / col("n0").cast("double")
+    val armsOk = col("n0") >= 1L && col("n1") >= 1L
+    sums.select(col("n").as("n_units"), col("n0"), col("n1"),
+      when(varXN > 0, round(theta, 6)).as("theta"),
+      when(armsOk, round(rawDiff, 6)).as("diff_raw"),
+      when(armsOk && varXN > 0, round(rawDiff - theta * xDiff, 6))
+        .as("diff_cuped"),
+      when(varXN > 0 && varYN > 0,
+        round(covN * covN / (varXN * varYN), 6)).as("rho_sq"))
+  }
+
+  /** 2×2 difference-in-differences: the causal-inference workhorse for
+    * "did the treated arm move MORE than the control moved?" across a
+    * pre/post boundary — (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre), which cancels both the arm-level
+    * baseline gap and the common time shock. One conditional power-sum
+    * pass (four cell counts + four cell sums, exact longs), float
+    * tower at the end; null when any cell is empty (no
+    * counterfactual). Emits the four cell means, both slopes, and the
+    * DiD estimate, rounded at 6.
+    */
+  def diffInDiff(df: DataFrame, treat: Column, post: Column,
+      y: Column): DataFrame = {
+    val base = df.select(treat.cast("int").as("tr"),
+      post.cast("int").as("po"), y.cast("long").as("y"))
+    def cellN(t: Int, p: Int) =
+      sum(when(col("tr") === t && col("po") === p, 1L).otherwise(0L))
+    def cellS(t: Int, p: Int) =
+      sum(when(col("tr") === t && col("po") === p, col("y")).otherwise(0L))
+    val sums = base.agg(
+      cellN(0, 0).as("n00"), cellS(0, 0).as("s00"),
+      cellN(0, 1).as("n01"), cellS(0, 1).as("s01"),
+      cellN(1, 0).as("n10"), cellS(1, 0).as("s10"),
+      cellN(1, 1).as("n11"), cellS(1, 1).as("s11"))
+    def mean(n: String, s: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val ok = col("n00") >= 1L && col("n01") >= 1L &&
+      col("n10") >= 1L && col("n11") >= 1L
+    val slopeC = mean("n01", "s01") - mean("n00", "s00")
+    val slopeT = mean("n11", "s11") - mean("n10", "s10")
+    sums.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n00") >= 1L, round(mean("n00", "s00"), 6)).as("mean_c_pre"),
+      when(col("n01") >= 1L, round(mean("n01", "s01"), 6)).as("mean_c_post"),
+      when(col("n10") >= 1L, round(mean("n10", "s10"), 6)).as("mean_t_pre"),
+      when(col("n11") >= 1L, round(mean("n11", "s11"), 6)).as("mean_t_post"),
+      when(ok, round(slopeC, 6)).as("slope_ctrl"),
+      when(ok, round(slopeT, 6)).as("slope_treat"),
+      when(ok, round(slopeT - slopeC, 6)).as("did"))
+  }
+
+  /** Bartlett's variance-equality test — the PARAMETRIC complement to
+    * [[brownForsytheW]]: most powerful under normality, famously
+    * fragile off it (run both; agreement is the signal). From the same
+    * per-group power sums as [[anovaF]]:
+    *   T = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C,
+    *   C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)),
+    * χ²(k−1) under H₀. The per-group ln terms are fixed float towers
+    * over exact longs summed across k groups (category cardinality);
+    * T rounds at 6, null when k < 2 or any group has n < 2 or zero
+    * variance.
+    */
+  def bartlettT(df: DataFrame, group: Seq[String], x: Column): DataFrame = {
+    val g = df.select(group.map(col) :+ x.cast("long").as("x"): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val v = varC(col("n"), col("s"), col("ss"))
+    val tot = g.select(col("n"), v.as("v"))
+      .agg(count(lit(1)).as("k"), sum("n").as("n"),
+        sum((col("n") - 1L).cast("double") * col("v")).as("ssw"),
+        sum((col("n") - 1L).cast("double") * log(col("v"))).as("slnv"),
+        sum(lit(1.0) / (col("n") - 1L).cast("double")).as("sinv"),
+        min("n").as("minn"), min("v").as("minv"))
+    val dfw = (col("n") - col("k")).cast("double")
+    val sp2 = col("ssw") / dfw
+    val t = (dfw * log(sp2) - col("slnv")) /
+      (lit(1.0) + (col("sinv") - lit(1.0) / dfw) /
+        (lit(3.0) * (col("k") - 1L).cast("double")))
+    tot.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("minn") >= 2L && col("minv") > 0,
+        round(t, 6)).as("bartlett_t"))
+  }
+
   /** Post-hoc pairwise contrasts after [[anovaF]]: for every group
     * pair, the mean difference and its studentized value
     * t = (mean_a − mean_b) / √(MSW·(1/n_a + 1/n_b)) against the

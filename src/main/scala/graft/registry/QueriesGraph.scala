@@ -462,6 +462,27 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // is the q_scc lift graph (symmetrized) 2-colorable? Parity-
+    // carrying closure squaring detects any odd cycle per component —
+    // the "does a two-role model fit this interaction graph?" gate
+    // (Graph.bipartiteComponents scaladoc; |types|²-bounded closure).
+    "q_bipartite" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      val cnt = steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val lifted = cnt
+        .withColumn("na", sum("n").over(Window.partitionBy("src")))
+        .withColumn("nb", sum("n").over(Window.partitionBy("dst")))
+        .withColumn("t", sum("n").over(Window.partitionBy()))
+        .filter(col("n") * col("t") > col("na") * col("nb"))
+      Graph.bipartiteComponents(lifted.select("src", "dst"))
+        .orderBy("node")
+    }),
+
+
     // scheduling: weighted CRITICAL PATH over the banded co-purchase
     // DAG (the q_dag_layers input with deterministic integer stage
     // costs w = 1 + (src·7 + dst) % 5) — cost(v) = the most expensive
@@ -1315,6 +1336,49 @@ private[graft] object QueriesGraph {
           |       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
           |         AS scc_size
           |FROM lab ORDER BY node""".stripMargin,
+
+
+      // same lift-filtered edges symmetrized; the recursive closure
+      // carries walk parity, odd self-walks mark non-bipartite
+      // components (mirrors Graph.bipartiteComponents)
+      "q_bipartite" ->
+        """WITH RECURSIVE sq AS (
+          |  SELECT user_id, event_type AS src,
+          |         lead(event_type, 1) OVER (PARTITION BY user_id
+          |                                   ORDER BY ts, event_id) AS dst
+          |  FROM events),
+          |tr AS (SELECT src, dst FROM sq
+          |       WHERE dst IS NOT NULL AND dst <> src),
+          |cnt AS (SELECT src, dst, count(*)::BIGINT AS n
+          |        FROM tr GROUP BY 1, 2),
+          |lf AS (
+          |  SELECT src, dst, n,
+          |         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS na,
+          |         CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS nb,
+          |         CAST(sum(n) OVER () AS BIGINT) AS t
+          |  FROM cnt),
+          |e0 AS (SELECT src, dst FROM lf WHERE n * t > na * nb),
+          |se AS (
+          |  SELECT src, dst FROM e0 WHERE src <> dst
+          |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+          |reach AS (
+          |  SELECT src AS a, dst AS b, 1 AS p FROM se
+          |  UNION
+          |  SELECT r.a, se.dst, (r.p + 1) % 2 FROM reach r
+          |  JOIN se ON r.b = se.src),
+          |nodes AS (SELECT src AS id FROM se UNION SELECT dst FROM se),
+          |lab AS (
+          |  SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS comp_id
+          |  FROM nodes n LEFT JOIN reach r ON r.a = n.id GROUP BY n.id),
+          |odd AS (SELECT DISTINCT a AS id FROM reach
+          |        WHERE a = b AND p = 1),
+          |fl AS (
+          |  SELECT l.id, l.comp_id,
+          |         CASE WHEN o.id IS NULL THEN 0 ELSE 1 END AS o
+          |  FROM lab l LEFT JOIN odd o ON o.id = l.id)
+          |SELECT id AS node, comp_id,
+          |       max(o) OVER (PARTITION BY comp_id) = 0 AS comp_bipartite
+          |FROM fl ORDER BY node""".stripMargin,
 
 
       "q_conductance" ->

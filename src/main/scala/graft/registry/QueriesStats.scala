@@ -654,6 +654,58 @@ private[graft] object QueriesStats {
     }),
 
 
+    // CUPED variance-reduced A/B: per-user pre-period spend adjusts
+    // the post-period readout (pre/post = grand median of the distinct
+    // day grid — engine-exact), θ and both arm diffs from ONE row of
+    // power sums; ρ² says how much variance the covariate removed
+    // (Inference.cupedAdjust scaladoc).
+    "q_cuped" -> ((s, dir) => {
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val dg = ev.select("day").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("day")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      val med = dg.agg(min(when(col("rn") >= shiftright(col("nd") + 1L, 1),
+        col("day"))).as("med"))
+      Inference.cupedAdjust(ev.crossJoin(broadcast(med)),
+        unit = col("user_id"), arm = col("user_id") % 2,
+        x = when(col("day") <= col("med"), col("cents")).otherwise(0L),
+        y = when(col("day") > col("med"), col("cents")).otherwise(0L))
+    }),
+
+
+    // 2×2 difference-in-differences across the same pre/post boundary:
+    // did the odd-user arm MOVE more than the even arm moved? Cancels
+    // the arm baseline gap and the common time shock in one
+    // conditional power-sum pass (Inference.diffInDiff scaladoc).
+    "q_did" -> ((s, dir) => {
+      val ev = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val dg = ev.select("day").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("day")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      val med = dg.agg(min(when(col("rn") >= shiftright(col("nd") + 1L, 1),
+        col("day"))).as("med"))
+      Inference.diffInDiff(ev.crossJoin(broadcast(med)),
+        treat = col("user_id") % 2, post = col("day") > col("med"),
+        y = col("cents"))
+    }),
+
+
+    // Bartlett's variance-equality test on the q_anova_f readout — the
+    // parametric complement to q_levene_bf (most powerful under
+    // normality, fragile off it; agreement between the two is the
+    // signal). Same per-type power sums, ln tower at the end.
+    "q_bartlett" -> ((s, dir) => {
+      Inference.bartlettT(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"), x = floor(col("value") * 100))
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -2280,6 +2332,172 @@ private[graft] object QueriesStats {
           |                       + 1.0 / CAST(n_b AS DOUBLE))), 6)
           |       END AS t_stat
           |FROM p ORDER BY g_a, g_b""".stripMargin,
+
+
+      // per-user conditional sums around the grid-median day split;
+      // θ/diff/ρ² float tower mirrors Inference.cupedAdjust op for op
+      "q_cuped" ->
+        """WITH ev AS (
+          |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+          |           AS day,
+          |         CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |dg AS (
+          |  SELECT day, row_number() OVER (ORDER BY day) AS rn,
+          |         count(*) OVER () AS nd
+          |  FROM (SELECT DISTINCT day FROM ev)),
+          |med AS (
+          |  SELECT min(CASE WHEN rn >= (nd + 1) // 2 THEN day END) AS med
+          |  FROM dg),
+          |pu AS (
+          |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(sum(CASE WHEN day <= med THEN cents ELSE 0 END)
+          |              AS BIGINT) AS x,
+          |         CAST(sum(CASE WHEN day > med THEN cents ELSE 0 END)
+          |              AS BIGINT) AS y
+          |  FROM ev CROSS JOIN med GROUP BY 1, 2),
+          |s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx,
+          |         CAST(sum(y * y) AS BIGINT) AS syy,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+          |           AS sx0,
+          |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+          |           AS sy0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+          |           AS sx1,
+          |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+          |           AS sy1
+          |  FROM pu),
+          |h AS (
+          |  SELECT n, n0, n1,
+          |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+          |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+          |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+          |         CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |           - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rawdiff,
+          |         CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |           - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS xdiff
+          |  FROM s)
+          |SELECT n AS n_units, n0, n1,
+          |       CASE WHEN varxn > 0 THEN round(covn / varxn, 6) END AS theta,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1 THEN round(rawdiff, 6) END
+          |         AS diff_raw,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1 AND varxn > 0
+          |            THEN round(rawdiff - covn / varxn * xdiff, 6) END
+          |         AS diff_cuped,
+          |       CASE WHEN varxn > 0 AND varyn > 0
+          |            THEN round(covn * covn / (varxn * varyn), 6) END
+          |         AS rho_sq
+          |FROM h ORDER BY n_units""".stripMargin,
+
+
+      // four conditional cell sums around the same grid-median split;
+      // slopes and DiD mirror Inference.diffInDiff
+      "q_did" ->
+        """WITH ev AS (
+          |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+          |           AS day,
+          |         CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |dg AS (
+          |  SELECT day, row_number() OVER (ORDER BY day) AS rn,
+          |         count(*) OVER () AS nd
+          |  FROM (SELECT DISTINCT day FROM ev)),
+          |med AS (
+          |  SELECT min(CASE WHEN rn >= (nd + 1) // 2 THEN day END) AS med
+          |  FROM dg),
+          |b AS (
+          |  SELECT CAST(user_id % 2 AS INTEGER) AS tr,
+          |         CASE WHEN day > med THEN 1 ELSE 0 END AS po, cents AS y
+          |  FROM ev CROSS JOIN med),
+          |s AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n00,
+          |    CAST(sum(CASE WHEN tr = 0 AND po = 0 THEN y ELSE 0 END)
+          |         AS BIGINT) AS s00,
+          |    CAST(sum(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n01,
+          |    CAST(sum(CASE WHEN tr = 0 AND po = 1 THEN y ELSE 0 END)
+          |         AS BIGINT) AS s01,
+          |    CAST(sum(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n10,
+          |    CAST(sum(CASE WHEN tr = 1 AND po = 0 THEN y ELSE 0 END)
+          |         AS BIGINT) AS s10,
+          |    CAST(sum(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n11,
+          |    CAST(sum(CASE WHEN tr = 1 AND po = 1 THEN y ELSE 0 END)
+          |         AS BIGINT) AS s11
+          |  FROM b),
+          |h AS (
+          |  SELECT *,
+          |         CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+          |           - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS slc,
+          |         CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+          |           - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS slt,
+          |         n00 >= 1 AND n01 >= 1 AND n10 >= 1 AND n11 >= 1 AS ok
+          |  FROM s)
+          |SELECT n00, n01, n10, n11,
+          |       CASE WHEN n00 >= 1 THEN
+          |         round(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6) END
+          |         AS mean_c_pre,
+          |       CASE WHEN n01 >= 1 THEN
+          |         round(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE), 6) END
+          |         AS mean_c_post,
+          |       CASE WHEN n10 >= 1 THEN
+          |         round(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE), 6) END
+          |         AS mean_t_pre,
+          |       CASE WHEN n11 >= 1 THEN
+          |         round(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE), 6) END
+          |         AS mean_t_post,
+          |       CASE WHEN ok THEN round(slc, 6) END AS slope_ctrl,
+          |       CASE WHEN ok THEN round(slt, 6) END AS slope_treat,
+          |       CASE WHEN ok THEN round(slt - slc, 6) END AS did
+          |FROM h ORDER BY n00""".stripMargin,
+
+
+      // per-type sample variances from the q_anova_f power sums; the
+      // ln tower mirrors Inference.bartlettT op for op
+      "q_bartlett" ->
+        """WITH e AS (
+          |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS s,
+          |         CAST(sum(x * x) AS BIGINT) AS ss
+          |  FROM e GROUP BY 1),
+          |v AS (
+          |  SELECT n,
+          |         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v
+          |  FROM g),
+          |t AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+          |         sum(CAST(n - 1 AS DOUBLE) * v) AS ssw,
+          |         sum(CAST(n - 1 AS DOUBLE) * ln(v)) AS slnv,
+          |         sum(1.0 / CAST(n - 1 AS DOUBLE)) AS sinv,
+          |         CAST(min(n) AS BIGINT) AS minn, min(v) AS minv
+          |  FROM v)
+          |SELECT k, n,
+          |       CASE WHEN k >= 2 AND minn >= 2 AND minv > 0 THEN
+          |         round((CAST(n - k AS DOUBLE)
+          |                  * ln(ssw / CAST(n - k AS DOUBLE)) - slnv)
+          |               / (1.0 + (sinv - 1.0 / CAST(n - k AS DOUBLE))
+          |                        / (3.0 * CAST(k - 1 AS DOUBLE))), 6)
+          |       END AS bartlett_t
+          |FROM t ORDER BY k""".stripMargin,
 
 
       "q_group_regression" ->
