@@ -1629,6 +1629,87 @@ object Inference {
         round(t, 6)).as("bartlett_t"))
   }
 
+  /** Simpson's-paradox screen: the least-squares slope of y on x
+    * WITHIN each segment versus the POOLED slope — the aggregation
+    * trap detector ("the trend reverses when you split by segment")
+    * every dashboard aggregation should run before a pooled trend is
+    * believed. Emits one row per segment with both slopes (the same
+    * power-sum algebra as [[linearFit]], one division each), a
+    * per-segment sign-flip flag, and the shared all-segments-flip
+    * verdict (the full paradox). Flags compare the ROUNDED slopes, so
+    * they are exactly as stable as the emitted columns; zero-variance
+    * segments yield null slope and no flip.
+    *
+    * Scale shape: one (segment)-keyed power-sum pass; the pooled sums
+    * are the segment sums re-aggregated (segment-cardinality work, no
+    * second row scan) and broadcast back.
+    */
+  def simpsonScreen(df: DataFrame, seg: Column, x: Column,
+      y: Column): DataFrame = {
+    val g = df.select(seg.as("seg"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val pooled = g.agg(sum("n").as("pn"), sum("sx").as("psx"),
+      sum("sy").as("psy"), sum("sxx").as("psxx"), sum("sxy").as("psxy"))
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column): (Column, Column) = {
+      val den = n.cast("double") * sxx.cast("double") -
+        sx.cast("double") * sx.cast("double")
+      val sl = (n.cast("double") * sxy.cast("double") -
+        sx.cast("double") * sy.cast("double")) / den
+      (sl, den)
+    }
+    val (slS, denS) = slope(col("n"), col("sx"), col("sy"), col("sxx"),
+      col("sxy"))
+    val (slP, denP) = slope(col("pn"), col("psx"), col("psy"), col("psxx"),
+      col("psxy"))
+    val withSl = g.crossJoin(broadcast(pooled))
+      .select(col("seg"), col("n"),
+        when(denS > 0, round(slS, 6)).as("slope_seg"),
+        when(denP > 0, round(slP, 6)).as("slope_pooled"))
+      .withColumn("sign_flip",
+        col("slope_seg").isNotNull && col("slope_pooled").isNotNull &&
+          ((col("slope_seg") > 0 && col("slope_pooled") < 0) ||
+           (col("slope_seg") < 0 && col("slope_pooled") > 0)))
+    withSl.withColumn("all_flip",
+      min(col("sign_flip").cast("int")).over(Window.partitionBy()) === 1)
+  }
+
+  /** Experiment power analysis: the minimum detectable effect at
+    * α = 0.05 (two-sided) / power 0.8 per metric group, from the
+    * OBSERVED variance and the arms' actual sizes —
+    * MDE = (z_{α/2} + z_β)·√(σ²·(1/n₀ + 1/n₁)) — the "is this
+    * experiment even capable of seeing the effect we care about?"
+    * gate that should run BEFORE [[welchT]] is read. The z constants
+    * are pinned literals (1.959963984540054, 0.8416212335729143) so
+    * both engines compute identical doubles. One conditional power-sum
+    * pass; emits absolute and relative (to the pooled mean) MDE,
+    * rounded at 6; null when either arm is empty or variance is 0.
+    */
+  def mdePower(df: DataFrame, group: Seq[String], arm: Column,
+      x: Column): DataFrame = {
+    val g = df.select(group.map(col) ++ Seq(arm.cast("int").as("arm"),
+        x.cast("long").as("x")): _*)
+      .groupBy(group.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"),
+        sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n1"))
+    val z = lit(1.959963984540054) + lit(0.8416212335729143)
+    val v = varC(col("n"), col("s"), col("ss"))
+    val mde = z * sqrt(v * (lit(1.0) / col("n0").cast("double") +
+      lit(1.0) / col("n1").cast("double")))
+    val mean = meanC(col("n"), col("s"))
+    val ok = col("n0") >= 1L && col("n1") >= 1L && col("n") >= 2L && v > 0
+    g.select(group.map(col) ++ Seq(col("n0"), col("n1"),
+      when(col("n") >= 2L && v > 0, round(sqrt(v), 6)).as("sd"),
+      when(ok, round(mde, 6)).as("mde_abs"),
+      when(ok && mean =!= 0.0, round(mde / mean, 6)).as("mde_rel")): _*)
+  }
+
   /** Post-hoc pairwise contrasts after [[anovaF]]: for every group
     * pair, the mean difference and its studentized value
     * t = (mean_a − mean_b) / √(MSW·(1/n_a + 1/n_b)) against the

@@ -706,6 +706,31 @@ private[graft] object QueriesStats {
     }),
 
 
+    // Simpson's-paradox screen: price-on-quantity slope per return
+    // flag vs pooled — does splitting by flag reverse the trend the
+    // pooled dashboard shows? Per-segment + pooled slopes from one
+    // power-sum pass (Inference.simpsonScreen scaladoc).
+    "q_simpson" -> ((s, dir) => {
+      Inference.simpsonScreen(spread(t(s, dir, "lineitem")),
+          seg = col("l_returnflag"), x = floor(col("l_quantity")),
+          y = floor(col("l_extendedprice")))
+        .orderBy("seg")
+    }),
+
+
+    // experiment power gate: minimum detectable effect per event type
+    // from the OBSERVED variance and the parity arms' actual sizes —
+    // run BEFORE reading q_ab_ttest (an underpowered test's null is
+    // not evidence). Pinned z literals keep both engines bit-equal
+    // (Inference.mdePower scaladoc).
+    "q_mde" -> ((s, dir) => {
+      Inference.mdePower(spread(EventsStream.readEvents(s, s"$dir/events.parquet")),
+          group = Seq("event_type"), arm = col("user_id") % 2,
+          x = floor(col("value") * 100))
+        .orderBy("event_type")
+    }),
+
+
     // per-group closed-form least squares: price-per-quantity slope /
     // intercept / r² per return flag from five exact power sums — the
     // feature-vs-target screen a training pipeline runs over every
@@ -2498,6 +2523,98 @@ private[graft] object QueriesStats {
           |                        / (3.0 * CAST(k - 1 AS DOUBLE))), 6)
           |       END AS bartlett_t
           |FROM t ORDER BY k""".stripMargin,
+
+
+      // per-segment + pooled slope from one power-sum pass; flip flags
+      // compare the ROUNDED slopes exactly as Inference.simpsonScreen
+      "q_simpson" ->
+        """WITH li AS (
+          |  SELECT l_returnflag AS seg,
+          |         CAST(floor(l_quantity) AS BIGINT) AS x,
+          |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+          |  FROM lineitem),
+          |g AS (
+          |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x * x) AS BIGINT) AS sxx,
+          |         CAST(sum(x * y) AS BIGINT) AS sxy
+          |  FROM li GROUP BY 1),
+          |p AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS pn, CAST(sum(sx) AS BIGINT)
+          |           AS psx,
+          |         CAST(sum(sy) AS BIGINT) AS psy,
+          |         CAST(sum(sxx) AS BIGINT) AS psxx,
+          |         CAST(sum(sxy) AS BIGINT) AS psxy
+          |  FROM g),
+          |sl AS (
+          |  SELECT seg, n,
+          |         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          |              THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |                            - CAST(sx AS DOUBLE)
+          |                              * CAST(sx AS DOUBLE)), 6)
+          |         END AS slope_seg,
+          |         CASE WHEN CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+          |                   - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) > 0
+          |              THEN round((CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+          |                          - CAST(psx AS DOUBLE)
+          |                            * CAST(psy AS DOUBLE))
+          |                         / (CAST(pn AS DOUBLE)
+          |                            * CAST(psxx AS DOUBLE)
+          |                            - CAST(psx AS DOUBLE)
+          |                              * CAST(psx AS DOUBLE)), 6)
+          |         END AS slope_pooled
+          |  FROM g CROSS JOIN p),
+          |fl AS (
+          |  SELECT seg, n, slope_seg, slope_pooled,
+          |         slope_seg IS NOT NULL AND slope_pooled IS NOT NULL AND
+          |         ((slope_seg > 0 AND slope_pooled < 0) OR
+          |          (slope_seg < 0 AND slope_pooled > 0)) AS sign_flip
+          |  FROM sl)
+          |SELECT seg, n, slope_seg, slope_pooled, sign_flip,
+          |       min(CAST(sign_flip AS INTEGER)) OVER () = 1 AS all_flip
+          |FROM fl ORDER BY seg""".stripMargin,
+
+
+      // same conditional power sums as q_ab_ttest; pinned z literals
+      // mirror Inference.mdePower op for op
+      "q_mde" ->
+        """WITH e AS (
+          |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+          |         CAST(floor(value * 100) AS BIGINT) AS x
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS s,
+          |         CAST(sum(x * x) AS BIGINT) AS ss,
+          |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n0,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n1
+          |  FROM e GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, n, n0, n1,
+          |         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v,
+          |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+          |  FROM g),
+          |m AS (
+          |  SELECT event_type, n, n0, n1, v, mean,
+          |         (1.959963984540054 + 0.8416212335729143)
+          |           * sqrt(v * (1.0 / CAST(n0 AS DOUBLE)
+          |                       + 1.0 / CAST(n1 AS DOUBLE))) AS mde
+          |  FROM h)
+          |SELECT event_type, n0, n1,
+          |       CASE WHEN n >= 2 AND v > 0 THEN round(sqrt(v), 6) END AS sd,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1 AND n >= 2 AND v > 0
+          |            THEN round(mde, 6) END AS mde_abs,
+          |       CASE WHEN n0 >= 1 AND n1 >= 1 AND n >= 2 AND v > 0
+          |                 AND mean <> 0.0
+          |            THEN round(mde / mean, 6) END AS mde_rel
+          |FROM m ORDER BY event_type""".stripMargin,
 
 
       "q_group_regression" ->
