@@ -1456,12 +1456,15 @@ object Inference {
     *
     * Exactness: within-block midranks carry DOUBLED (2·midrank =
     * 2·countBelow + ties + 1, an exact long via one RANGE window),
-    * and clearing T1's denominators by 4 and n makes the whole
-    * statistic ONE division of exact longs:
-    *   T1 = (k−1)·(ΣR2_j² − n²k(k+1)²) / (n·(ΣA2 − nk(k+1)²)).
-    * Emits one row per treatment (n_blocks, doubled rank sum, mean
-    * rank) with the shared T1; null when the denominator is 0 (all
-    * blocks fully tied).
+    * and clearing the statistic's denominators by 4 makes it ONE
+    * division of exact longs:
+    *   χ²_F = (k−1)·(ΣR2_j² − n²k(k+1)²) / (ΣA2 − nk(k+1)²),
+    * which reduces to the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1) when
+    * no block has ties (unit-pinned on the hand-computed 2-block
+    * perfect-agreement case, χ² = k−1·n = 4). Emits one row per
+    * treatment (n_blocks, doubled rank sum, mean rank) with the
+    * shared statistic; null when the denominator is 0 (all blocks
+    * fully tied).
     *
     * Scale shape: one (block, treatment)-keyed collapse, two
     * block-partitioned count windows (block size = k, a category
@@ -1492,12 +1495,12 @@ object Inference {
       .withColumn("sr2", sum(col("r2sum") * col("r2sum")).over(wAll))
     val kk1sq = col("k") * (col("k") + 1L) * (col("k") + 1L)
     val num = (col("k") - 1L) * (col("sr2") - col("n") * col("n") * kk1sq)
-    val den = col("n") * (col("a2") - col("n") * kk1sq)
+    val den = col("a2") - col("n") * kk1sq
     g.select(col("trt"), col("n").as("n_blocks"), col("r2sum"),
       when(col("n") > 0, round(col("r2sum").cast("double") /
         (lit(2.0) * col("n").cast("double")), 6)).as("mean_rank"),
       when(den > 0, round(num.cast("double") / den.cast("double"), 6))
-        .as("friedman_t1"))
+        .as("friedman_chi2"))
   }
 
   /** CUPED variance-reduced A/B readout: adjust each unit's outcome by

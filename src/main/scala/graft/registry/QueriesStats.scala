@@ -630,8 +630,9 @@ private[graft] object QueriesStats {
     // Friedman test over day blocks × event-type treatments on the
     // daily count: the repeated-measures "do the types rank the same
     // every day?" — each day is its own control, so weekday level
-    // shifts cancel exactly. Doubled within-block midranks keep T1 one
-    // division of exact longs (Inference.friedmanT1 scaladoc).
+    // shifts cancel exactly. Doubled within-block midranks keep the
+    // tie-corrected chi-square ONE division of exact longs
+    // (Inference.friedmanT1 scaladoc).
     "q_friedman" -> ((s, dir) => {
       val days = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
@@ -2284,9 +2285,9 @@ private[graft] object QueriesStats {
           |FROM sc ORDER BY threshold""".stripMargin,
 
 
-      // doubled within-block midranks via the same RANGE window; T1
-      // cleared to one exact-long division, mirroring
-      // Inference.friedmanT1
+      // doubled within-block midranks via the same RANGE window; the
+      // tie-corrected chi-square cleared to one exact-long division,
+      // mirroring Inference.friedmanT1
       "q_friedman" ->
         """WITH d AS (
           |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS b,
@@ -2319,12 +2320,12 @@ private[graft] object QueriesStats {
           |       CASE WHEN n > 0 THEN round(CAST(r2sum AS DOUBLE)
           |                                  / (2.0 * CAST(n AS DOUBLE)), 6)
           |       END AS mean_rank,
-          |       CASE WHEN n * (a2 - n * k * (k + 1) * (k + 1)) > 0
+          |       CASE WHEN a2 - n * k * (k + 1) * (k + 1) > 0
           |            THEN round(CAST((k - 1) * (sr2 - n * n * k * (k + 1)
           |                                             * (k + 1)) AS DOUBLE)
-          |                       / CAST(n * (a2 - n * k * (k + 1) * (k + 1))
+          |                       / CAST(a2 - n * k * (k + 1) * (k + 1)
           |                              AS DOUBLE), 6)
-          |       END AS friedman_t1
+          |       END AS friedman_chi2
           |FROM g ORDER BY trt""".stripMargin,
 
 
