@@ -1489,4 +1489,69 @@ object Graph {
     release(nodes)
     out
   }
+
+  /** Stationary distribution of a CATEGORY-LEVEL Markov chain by fixed
+    * power iteration: π ← πP for `iters` rounds from uniform, with
+    * P(i,j) the observed transition fraction (exact counts, one
+    * division) — "where does the behavior process settle?", the
+    * equilibrium complement to the raw transition table (a state can
+    * be rare in transitions yet heavy at equilibrium if it RETAINS).
+    * Dangling states (no outgoing edge) redistribute uniformly (the
+    * PageRank convention, no damping).
+    *
+    * Scale contract as [[sccLabels]]: the chain lives on a CATEGORY
+    * vertex set, so every iteration is a k-row join + k-row aggregate.
+    * Each round's π is eagerly materialized (a k-row [[snapshot]], the
+    * superseded one [[release]]d): π feeds BOTH the moved-mass join
+    * and the dangling-mass aggregate, so a lazy fold would embed the
+    * previous round's plan twice per round — 2^iters plan blowup that
+    * hangs the ANALYZER before a byte of data moves (measured: 12
+    * rounds never finished planning). The row-scale work is the
+    * caller's one windowed transition pass. The float tower is
+    * order-stable to ~1e-13 at category cardinalities. Emits one row
+    * per state: (state, n_out, round(pi, 6));
+    * `spark.catalog.clearCache()` once consumed.
+    */
+  def stationaryDistribution(transitions: DataFrame,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // ONE row-scale pass: everything downstream (P, the state set, the
+    // out-degrees, every iteration) derives from this k²-row snapshot —
+    // without it the transition aggregate (and the caller's windowed
+    // row pass under it) re-derives once per consumer (the
+    // q_tukey_pairs lesson). clearCache once consumed.
+    val cnt = snapshot(transitions.select(col("src"), col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n")))
+    val p = cnt
+      .withColumn("rowtot", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .withColumn("p", col("n").cast("double") / col("rowtot").cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+    val states = cnt.select(col("src").as("state"))
+      .unionAll(cnt.select(col("dst").as("state"))).distinct()
+    val k = states.count() // one bounded action: the category count
+    val init = snapshot(states.withColumn("pi", lit(1.0) / lit(k.toDouble)))
+    val out = (1 to iters).foldLeft(init) { (pi, _) =>
+      // mass through edges + dangling mass redistributed uniformly
+      val moved = pi.join(p, pi("state") === p("src"))
+        .select(col("dst").as("state"), (col("pi") * col("p")).as("m"))
+      val dangling = pi.join(p.select(col("src")).distinct(),
+          pi("state") === col("src"), "left_anti")
+        .agg(coalesce(sum("pi"), lit(0.0)).as("dm"))
+      val next = snapshot(
+        states.join(moved.groupBy("state").agg(sum("m").as("m")),
+            Seq("state"), "left")
+          .crossJoin(broadcast(dangling)) // 1-row scalar
+          .select(col("state"),
+            (coalesce(col("m"), lit(0.0)) +
+              col("dm") / lit(k.toDouble)).as("pi")))
+      release(pi)
+      next
+    }
+    val nOut = cnt.groupBy(col("src").as("state"))
+      .agg(sum("n").as("n_out"))
+    out.join(nOut, Seq("state"), "left")
+      .select(col("state"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+        round(col("pi"), 6).as("pi"))
+  }
 }

@@ -1632,6 +1632,45 @@ object Inference {
         round(t, 6)).as("bartlett_t"))
   }
 
+  /** Iterative proportional fitting (raking) of a two-way contingency
+    * table to uniform target marginals: the classic survey-weighting /
+    * dataset-rebalancing kernel — scale rows to hit the row targets,
+    * then columns to hit the column targets, `iters` times; the result
+    * is the maximum-entropy reweighting consistent with both marginals
+    * (the 2-D special case of what a training-data mixer does when it
+    * must hit source AND language quotas simultaneously).
+    *
+    * Everything runs on the r×c cell grid (category cardinalities —
+    * rows collapse in ONE counting pass): each half-iteration is two
+    * grid-partitioned window sums and one multiply, so the lazy plan
+    * is 2·iters windows deep over a tiny frame, no snapshots needed.
+    * Cell weights start at the exact observed proportions; the float
+    * tower is order-stable to ~1e-14 at category cardinalities, far
+    * below the 1e-6 rounding. Emits (row, col, n, weight) with weights
+    * summing to 1.
+    */
+  def ipfRake(df: DataFrame, rowC: Column, colC: Column,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val base = df.select(rowC.as("r"), colC.as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+    val dims = base.agg(countDistinct(col("r")).as("nr"),
+      countDistinct(col("c")).as("nc"), sum("n").as("nt"))
+    val cells = base.crossJoin(broadcast(dims)) // 1-row scalar dims
+      .withColumn("w", col("n").cast("double") / col("nt").cast("double"))
+    val wRow = Window.partitionBy("r")
+    val wCol = Window.partitionBy("c")
+    val raked = (1 to iters).foldLeft(cells) { (d, _) =>
+      val rowScaled = d.withColumn("w",
+        col("w") * ((lit(1.0) / col("nr").cast("double")) /
+          sum("w").over(wRow)))
+      rowScaled.withColumn("w",
+        col("w") * ((lit(1.0) / col("nc").cast("double")) /
+          sum("w").over(wCol)))
+    }
+    raked.select(col("r"), col("c"), col("n"), round(col("w"), 6).as("weight"))
+  }
+
   /** Simpson's-paradox screen: the least-squares slope of y on x
     * WITHIN each segment versus the POOLED slope — the aggregation
     * trap detector ("the trend reverses when you split by segment")

@@ -462,6 +462,21 @@ private[graft] object QueriesGraph {
     }),
 
 
+    // equilibrium of the behavior chain: π ← πP for 12 fixed rounds
+    // from uniform over the full consecutive-event transition table
+    // (self-transitions kept — retention IS the equilibrium driver);
+    // dangling states redistribute uniformly. k-row iterations composed
+    // lazily (Graph.stationaryDistribution scaladoc).
+    "q_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      Graph.stationaryDistribution(steps).orderBy("state")
+    }),
+
+
     // is the q_scc lift graph (symmetrized) 2-colorable? Parity-
     // carrying closure squaring detects any odd cycle per component —
     // the "does a two-role model fit this interaction graph?" gate
@@ -1336,6 +1351,56 @@ private[graft] object QueriesGraph {
           |       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
           |         AS scc_size
           |FROM lab ORDER BY node""".stripMargin,
+
+
+      // 12 unrolled power-iteration CTEs (the q_bpe_train pattern —
+      // DuckDB forbids aggregates over a recursive reference); each
+      // mirrors Graph.stationaryDistribution's
+      // coalesce(moved, 0) + dangling/k op for op
+      "q_markov_stationary" -> {
+        val iters = (1 to 12).map { i =>
+          val prev = s"pi${i - 1}"
+          // AS MATERIALIZED: each round reads the previous twice (moved
+          // + dangling); inlined CTEs would expand 2^12-fold and exhaust
+          // file handles re-scanning events
+          s"""pi$i AS MATERIALIZED (
+             |  SELECT st.state,
+             |         COALESCE(m.m, 0.0) + d.dm / kk.k AS pi
+             |  FROM states st
+             |  LEFT JOIN (SELECT p.dst AS state, sum(prev.pi * p.p) AS m
+             |             FROM $prev prev JOIN p ON prev.state = p.src
+             |             GROUP BY 1) m USING (state)
+             |  CROSS JOIN (SELECT COALESCE(sum(pi), 0.0) AS dm FROM $prev
+             |              WHERE state NOT IN (SELECT src FROM p)) d
+             |  CROSS JOIN kk)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH steps AS (
+           |  SELECT event_type AS src,
+           |         lead(event_type, 1) OVER (PARTITION BY user_id
+           |                                   ORDER BY ts, event_id) AS dst
+           |  FROM events),
+           |cnt AS MATERIALIZED (
+           |  SELECT src, dst, count(*)::BIGINT AS n
+           |  FROM steps WHERE dst IS NOT NULL GROUP BY 1, 2),
+           |p AS MATERIALIZED (
+           |  SELECT src, dst,
+           |         CAST(n AS DOUBLE)
+           |           / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+           |  FROM cnt),
+           |states AS MATERIALIZED (SELECT src AS state FROM cnt
+           |           UNION SELECT dst FROM cnt),
+           |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+           |pi0 AS MATERIALIZED (
+           |  SELECT state, 1.0 / kk.k AS pi FROM states CROSS JOIN kk),
+           |$iters,
+           |no AS (SELECT src AS state, CAST(sum(n) AS BIGINT) AS n_out
+           |       FROM cnt GROUP BY 1)
+           |SELECT s.state, COALESCE(no.n_out, 0) AS n_out,
+           |       round(pi12.pi, 6) AS pi
+           |FROM states s JOIN pi12 ON pi12.state = s.state
+           |LEFT JOIN no ON no.state = s.state
+           |ORDER BY s.state""".stripMargin
+      },
 
 
       // same lift-filtered edges symmetrized; the recursive closure

@@ -707,6 +707,23 @@ private[graft] object QueriesStats {
     }),
 
 
+    // survey-style raking: reweight the (segment × priority) mix to
+    // uniform marginals in 4 IPF rounds — the maximum-entropy
+    // rebalance a training-data mixer needs when it must hit source
+    // AND language quotas at once. All grid-sized after one counting
+    // pass (Inference.ipfRake scaladoc).
+    "q_ipf_rake" -> ((s, dir) => {
+      val oc = spread(t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority")))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      Inference.ipfRake(oc, rowC = col("c_mktsegment"),
+          colC = col("o_orderpriority"))
+        .orderBy("r", "c")
+    }),
+
+
     // Simpson's-paradox screen: price-on-quantity slope per return
     // flag vs pooled — does splitting by flag reverse the trend the
     // pooled dashboard shows? Per-segment + pooled slopes from one
@@ -2524,6 +2541,44 @@ private[graft] object QueriesStats {
           |                        / (3.0 * CAST(k - 1 AS DOUBLE))), 6)
           |       END AS bartlett_t
           |FROM t ORDER BY k""".stripMargin,
+
+
+      // 8 unrolled half-step CTEs (row scale then column scale × 4
+      // rounds), each mirroring Inference.ipfRake's
+      // w · ((1/target)/marginal) op for op
+      "q_ipf_rake" -> {
+        val steps = (1 to 4).flatMap { i =>
+          val prevR = if (i == 1) "w0" else s"b${i - 1}"
+          Seq(
+            s"""a$i AS (
+               |  SELECT r, c, n, nr, nc,
+               |         w * ((1.0 / CAST(nr AS DOUBLE))
+               |              / sum(w) OVER (PARTITION BY r)) AS w
+               |  FROM $prevR)""".stripMargin,
+            s"""b$i AS (
+               |  SELECT r, c, n, nr, nc,
+               |         w * ((1.0 / CAST(nc AS DOUBLE))
+               |              / sum(w) OVER (PARTITION BY c)) AS w
+               |  FROM a$i)""".stripMargin)
+        }.mkString(",\n")
+        s"""WITH oc AS (
+           |  SELECT c_mktsegment AS r, o_orderpriority AS c
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |cells AS (
+           |  SELECT r, c, count(*)::BIGINT AS n FROM oc GROUP BY 1, 2),
+           |dims AS (
+           |  SELECT CAST(count(DISTINCT r) AS BIGINT) AS nr,
+           |         CAST(count(DISTINCT c) AS BIGINT) AS nc,
+           |         CAST(sum(n) AS BIGINT) AS nt
+           |  FROM cells),
+           |w0 AS (
+           |  SELECT r, c, n, nr, nc,
+           |         CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS w
+           |  FROM cells CROSS JOIN dims),
+           |$steps
+           |SELECT r, c, n, round(w, 6) AS weight
+           |FROM b4 ORDER BY r, c""".stripMargin
+      },
 
 
       // per-segment + pooled slope from one power-sum pass; flip flags
