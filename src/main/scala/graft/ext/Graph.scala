@@ -1501,15 +1501,21 @@ object Graph {
     *
     * Scale contract as [[sccLabels]]: the chain lives on a CATEGORY
     * vertex set, so every iteration is a k-row join + k-row aggregate.
-    * Each round's π is eagerly materialized (a k-row [[snapshot]], the
-    * superseded one [[release]]d): π feeds BOTH the moved-mass join
-    * and the dangling-mass aggregate, so a lazy fold would embed the
-    * previous round's plan twice per round — 2^iters plan blowup that
-    * hangs the ANALYZER before a byte of data moves (measured: 12
-    * rounds never finished planning). The row-scale work is the
-    * caller's one windowed transition pass. The float tower is
-    * order-stable to ~1e-13 at category cardinalities. Emits one row
-    * per state: (state, n_out, round(pi, 6));
+    * The dangling mass is folded INTO the transition matrix up front
+    * (each dangling state gets k uniform out-edges), so a round reads
+    * the previous π exactly ONCE — π feeding two consumers per round
+    * would embed the previous round's plan twice, a 2^iters tree that
+    * hangs the ANALYZER before a byte of data moves (measured: the
+    * two-consumer lazy form never finished planning). The iteration
+    * itself runs as ONE higher-order-function fold over the collected
+    * k²-entry matrix (the Forecast chunked-scan pattern): per-round
+    * DataFrame joins paid one scheduled stage per round in fixed
+    * latency alone. The row-scale work is the caller's one windowed
+    * transition pass, materialized once into a k²-row snapshot. The
+    * fold's float sums run in sorted-entry order; cross-engine the
+    * oracle sums in its own order — both land within ~1e-13 at
+    * category cardinalities, far below the 1e-6 rounding. Emits one
+    * row per state: (state, n_out, round(pi, 6));
     * `spark.catalog.clearCache()` once consumed.
     */
   def stationaryDistribution(transitions: DataFrame,
@@ -1530,24 +1536,38 @@ object Graph {
     val states = cnt.select(col("src").as("state"))
       .unionAll(cnt.select(col("dst").as("state"))).distinct()
     val k = states.count() // one bounded action: the category count
-    val init = snapshot(states.withColumn("pi", lit(1.0) / lit(k.toDouble)))
-    val out = (1 to iters).foldLeft(init) { (pi, _) =>
-      // mass through edges + dangling mass redistributed uniformly
-      val moved = pi.join(p, pi("state") === p("src"))
-        .select(col("dst").as("state"), (col("pi") * col("p")).as("m"))
-      val dangling = pi.join(p.select(col("src")).distinct(),
-          pi("state") === col("src"), "left_anti")
-        .agg(coalesce(sum("pi"), lit(0.0)).as("dm"))
-      val next = snapshot(
-        states.join(moved.groupBy("state").agg(sum("m").as("m")),
-            Seq("state"), "left")
-          .crossJoin(broadcast(dangling)) // 1-row scalar
-          .select(col("state"),
-            (coalesce(col("m"), lit(0.0)) +
-              col("dm") / lit(k.toDouble)).as("pi")))
-      release(pi)
-      next
-    }
+    // fold dangling states into P as k uniform out-edges each, so a
+    // round reads π exactly once (scaladoc)
+    val dangling = states
+      .join(p.select(col("src")).distinct(),
+        states("state") === col("src"), "left_anti")
+      .select(col("state").as("src"))
+    val pAug = p.unionByName(dangling
+      .crossJoin(broadcast(states.select(col("state").as("dst"))))
+      .withColumn("p", lit(1.0) / lit(k.toDouble)))
+    // the whole power iteration as ONE higher-order-function fold over
+    // the collected k²-entry matrix (the Forecast *Chunked pattern):
+    // k² is category-bounded by contract, so the matrix fits one row
+    // and 12 rounds run in a single narrow task — the per-round
+    // join+aggregate form paid one scheduled stage PER ROUND on k-row
+    // frames (measured 5.6 s at sf0.1 vs ~2 s for this form, all of it
+    // fixed stage latency, not data)
+    val matRow = pAug.agg(sort_array(collect_list(
+      struct(col("src"), col("dst"), col("p")))).as("mat"))
+    val statesRow = states.agg(sort_array(collect_list(col("state")))
+      .as("sts"))
+    val out = matRow.crossJoin(broadcast(statesRow)) // two 1-row scalars
+      .select(col("sts"), expr(
+        s"""aggregate(
+           |  sequence(1, $iters),
+           |  map_from_arrays(sts,
+           |    transform(sts, s -> 1.0D / CAST($k AS DOUBLE))),
+           |  (acc, it) -> map_from_arrays(sts, transform(sts, j ->
+           |    aggregate(filter(mat, e -> e.dst = j), 0.0D,
+           |      (m, e) -> m + element_at(acc, e.src) * e.p))))""".stripMargin)
+        .as("pim"))
+      .select(explode(col("sts")).as("state"), col("pim"))
+      .select(col("state"), element_at(col("pim"), col("state")).as("pi"))
     val nOut = cnt.groupBy(col("src").as("state"))
       .agg(sum("n").as("n_out"))
     out.join(nOut, Seq("state"), "left")

@@ -1360,19 +1360,14 @@ private[graft] object QueriesGraph {
       "q_markov_stationary" -> {
         val iters = (1 to 12).map { i =>
           val prev = s"pi${i - 1}"
-          // AS MATERIALIZED: each round reads the previous twice (moved
-          // + dangling); inlined CTEs would expand 2^12-fold and exhaust
-          // file handles re-scanning events
+          // AS MATERIALIZED: without it DuckDB may inline the chain and
+          // re-derive every earlier round per reference
           s"""pi$i AS MATERIALIZED (
-             |  SELECT st.state,
-             |         COALESCE(m.m, 0.0) + d.dm / kk.k AS pi
+             |  SELECT st.state, COALESCE(m.m, 0.0) AS pi
              |  FROM states st
-             |  LEFT JOIN (SELECT p.dst AS state, sum(prev.pi * p.p) AS m
-             |             FROM $prev prev JOIN p ON prev.state = p.src
-             |             GROUP BY 1) m USING (state)
-             |  CROSS JOIN (SELECT COALESCE(sum(pi), 0.0) AS dm FROM $prev
-             |              WHERE state NOT IN (SELECT src FROM p)) d
-             |  CROSS JOIN kk)""".stripMargin
+             |  LEFT JOIN (SELECT pa.dst AS state, sum(prev.pi * pa.p) AS m
+             |             FROM $prev prev JOIN pa ON prev.state = pa.src
+             |             GROUP BY 1) m USING (state))""".stripMargin
         }.mkString(",\n")
         s"""WITH steps AS (
            |  SELECT event_type AS src,
@@ -1387,6 +1382,13 @@ private[graft] object QueriesGraph {
            |         CAST(n AS DOUBLE)
            |           / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
            |  FROM cnt),
+           |pa AS MATERIALIZED (
+           |  SELECT src, dst, p FROM p
+           |  UNION ALL
+           |  SELECT d.src, st.state AS dst, 1.0 / kk.k AS p
+           |  FROM (SELECT state AS src FROM states
+           |        WHERE state NOT IN (SELECT src FROM p)) d
+           |  CROSS JOIN states st CROSS JOIN kk),
            |states AS MATERIALIZED (SELECT src AS state FROM cnt
            |           UNION SELECT dst FROM cnt),
            |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
