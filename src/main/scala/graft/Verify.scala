@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the WindowExec per-task WARN flood ate the round-11 driver's
+    // captured output — the global windows here are individually
+    // audited, the repeated warning is noise (see Log.scala)
+    Log.silenceNoisyWarnings()
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for local iteration (mirrors
     // Bench's SPARK_GRAFT_BENCH_ONLY); the driver leaves it unset so
