@@ -1417,6 +1417,17 @@ object Graph {
       n = m
       i += 1
     }
+    // fail LOUDLY on truncation: an unconverged closure silently merges
+    // fewer nodes than the true SCCs (wrong labels), and nothing
+    // downstream can tell converged from truncated — a graph exceeding
+    // the category-level contract must error, not mislabel
+    if (!fixed) {
+      release(r); release(nodes)
+      throw new IllegalStateException(
+        s"sccLabels: reachability closure not at fixpoint after " +
+        s"$maxDoublings doublings (walks up to ${1 << maxDoublings}); " +
+        s"input exceeds the category-level contract — raise maxDoublings")
+    }
     val mutual = r.as("f").join(
       r.select(col("dst").as("rsrc"), col("src").as("rdst")).as("b"),
       col("f.src") === col("rsrc") && col("f.dst") === col("rdst"))
@@ -1471,6 +1482,16 @@ object Graph {
       r = grown
       n = m
       i += 1
+    }
+    // same loud-truncation contract as [[sccLabels]]: an unconverged
+    // parity closure can miss the odd cycle and call a component
+    // bipartite that is not
+    if (!fixed) {
+      release(r); release(nodes)
+      throw new IllegalStateException(
+        s"bipartiteComponents: parity closure not at fixpoint after " +
+        s"$maxDoublings doublings (walks up to ${1 << maxDoublings}); " +
+        s"input exceeds the category-level contract — raise maxDoublings")
     }
     val lab = nodes
       .join(r.select(col("src").as("id"), col("dst").as("peer")),

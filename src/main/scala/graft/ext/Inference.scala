@@ -1223,7 +1223,10 @@ object Inference {
       sum(col("s").cast("double") * col("s").cast("double") /
         col("n").cast("double")).as("sb"))
     val nD = col("n").cast("double")
-    val ssb = col("sb") - col("sd") * col("sd") / nD
+    // clamp at 0: when every group mean is equal, float cancellation in
+    // sb - sd²/n can land a hair below zero and emit a tiny negative
+    // f_stat/eta_sq instead of 0 (round-11 advice)
+    val ssb = greatest(col("sb") - col("sd") * col("sd") / nD, lit(0.0))
     val ssw = col("ssd") - col("sb")
     val f = (ssb / (col("k") - 1L).cast("double")) /
       (ssw / (col("n") - col("k")).cast("double"))
@@ -1316,7 +1319,8 @@ object Inference {
       sum(col("s").cast("double") * col("s").cast("double") /
         col("n").cast("double")).as("sb"))
     val nD = col("n").cast("double")
-    val ssb = col("sb") - col("sd") * col("sd") / nD
+    // same equal-means cancellation clamp as [[anovaF]]
+    val ssb = greatest(col("sb") - col("sd") * col("sd") / nD, lit(0.0))
     val ssw = col("ssd") - col("sb")
     val w = (ssb / (col("k") - 1L).cast("double")) /
       (ssw / (col("n") - col("k")).cast("double"))
@@ -1749,7 +1753,10 @@ object Inference {
     g.select(group.map(col) ++ Seq(col("n0"), col("n1"),
       when(col("n") >= 2L && v > 0, round(sqrt(v), 6)).as("sd"),
       when(ok, round(mde, 6)).as("mde_abs"),
-      when(ok && mean =!= 0.0, round(mde / mean, 6)).as("mde_rel")): _*)
+      // magnitude, not signed: dividing by the signed mean inverts the
+      // "is the experiment powered" reading for negative-mean metrics
+      // (round-11 advice) — mde_rel is relative SIZE by definition
+      when(ok && mean =!= 0.0, round(mde / abs(mean), 6)).as("mde_rel")): _*)
   }
 
   /** Post-hoc pairwise contrasts after [[anovaF]]: for every group
@@ -1764,6 +1771,15 @@ object Inference {
     * of a category cardinality — never rows), MSW is a broadcast
     * 1-row scalar, and each output value is a fixed float tower over
     * exact longs, rounded at 6. t is null when MSW ≤ 0 or N ≤ k.
+    *
+    * STORAGE CONTRACT (the [[Graph.sccLabels]] discipline): the k-row
+    * power-sum frame is eagerly localCheckpointed (it has three
+    * consumers — both self-join sides and the MSW scalar — and
+    * self-join aliasing defeats exchange reuse). The checkpoint blocks
+    * live until the CALLER runs `spark.catalog.clearCache()` (as
+    * Bench/Verify do between queries) or the driver GCs; a long-lived
+    * session embedding this operator must clear the cache once the
+    * result is consumed.
     */
   def tukeyPairs(df: DataFrame, group: String, x: Column): DataFrame = {
     // the k-row power-sum frame has THREE consumers (both self-join

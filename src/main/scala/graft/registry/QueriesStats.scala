@@ -2073,7 +2073,7 @@ private[graft] object QueriesStats {
           |             / CAST(n AS DOUBLE)) AS sb
           |  FROM g),
           |h AS (
-          |  SELECT k, n, sb - sd * sd / CAST(n AS DOUBLE) AS ssb,
+          |  SELECT k, n, greatest(sb - sd * sd / CAST(n AS DOUBLE), 0) AS ssb,
           |         ssd - sb AS ssw
           |  FROM t)
           |SELECT k, n,
@@ -2163,7 +2163,7 @@ private[graft] object QueriesStats {
           |             / CAST(n AS DOUBLE)) AS sb
           |  FROM pg),
           |h AS (
-          |  SELECT k, n, sb - sd * sd / CAST(n AS DOUBLE) AS ssb,
+          |  SELECT k, n, greatest(sb - sd * sd / CAST(n AS DOUBLE), 0) AS ssb,
           |         ssd - sb AS ssw
           |  FROM t)
           |SELECT k, n,
@@ -2669,7 +2669,7 @@ private[graft] object QueriesStats {
           |            THEN round(mde, 6) END AS mde_abs,
           |       CASE WHEN n0 >= 1 AND n1 >= 1 AND n >= 2 AND v > 0
           |                 AND mean <> 0.0
-          |            THEN round(mde / mean, 6) END AS mde_rel
+          |            THEN round(mde / abs(mean), 6) END AS mde_rel
           |FROM m ORDER BY event_type""".stripMargin,
 
 
