@@ -78,11 +78,30 @@ private[graft] object QueryShared {
   def sqlLangVotes(lang: String): String =
     sqlVotesOver(TextStats.stopwords(lang))
 
+  /** DuckDB mirror of [[TextStats.zhVotes]]: CJK ideograph count over
+    * the token list aliased `l` — same code-point range (U+4E00..
+    * U+9FFF) as `TextStats.ZhClass`, RE2 hex-escape spelling.
+    */
+  val sqlZhVotes =
+    """len(regexp_extract_all(array_to_string(l, ' '), '[\x{4E00}-\x{9FFF}]'))"""
+
+  /** The five vote columns (en/es/fr/de from stopword membership, zh
+    * from the CJK char class) over the token list `l` — one shared
+    * snippet so every oracle votes identically.
+    */
+  val sqlLangVoteCols: String =
+    Seq("en", "es", "fr", "de").map(lg => s"(${sqlLangVotes(lg)}) AS $lg")
+      .mkString(", ") + s", ($sqlZhVotes) AS zh"
+
   /** DuckDB mirror of [[TextStats.langIdFromTokens]]'s argmax with the
-    * en > es > fr tie-break, over vote columns named en/es/fr.
+    * en > es > fr > de > zh tie-break (an earlier language keeps the
+    * argmax unless a later one is STRICTLY greater), over vote columns
+    * named en/es/fr/de/zh.
     */
   val sqlLangCase =
-    """CASE WHEN greatest(en, es, fr) <= 0 THEN 'und'
+    """CASE WHEN greatest(en, es, fr, de, zh) <= 0 THEN 'und'
+      |            WHEN zh > greatest(en, es, fr, de) THEN 'zh'
+      |            WHEN de > greatest(en, es, fr) THEN 'de'
       |            WHEN fr > greatest(en, es) THEN 'fr'
       |            WHEN es > en THEN 'es' ELSE 'en' END""".stripMargin
 

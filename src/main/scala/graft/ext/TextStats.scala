@@ -21,12 +21,29 @@ object TextStats {
 
   /** Tiny per-language stopword inventories for the heuristic
     * language ID. Counts of these as standalone tokens vote for the
-    * language.
+    * language. zh is NOT here: Chinese text has no whitespace token
+    * boundaries, so its vote is a character-class count ([[zhVotes]]),
+    * not a stopword-membership count.
     */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
     "es" -> Seq("el", "la", "de", "que", "los", "en", "una", "con"),
-    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"))
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "mit", "ist", "ein"))
+
+  /** CJK Unified Ideographs range, shared verbatim (same code points)
+    * with the DuckDB oracle mirror (`QueryShared.sqlZhVotes`).
+    */
+  val ZhClass = "[一-鿿]"
+
+  /** zh vote over a token array: the count of CJK ideographs across
+    * the tokens — whitespace tokenization never splits Chinese text,
+    * so membership voting is structurally blind to it; characters are
+    * the unit that scales with text length the way stopword hits do
+    * for European languages. Null-safe: null text votes 0.
+    */
+  def zhVotes(toks: Column): Column =
+    coalesce(size(regexp_extract_all(concat_ws(" ", toks), lit(ZhClass), lit(0))), lit(0))
 
   /** Lowercased whitespace tokens, empties dropped — the one
     * tokenization every text feature derives from.
@@ -45,12 +62,14 @@ object TextStats {
     stopwords.keys.map(l => l -> langVotes(toks, l)).toMap
 
   /** Heuristic language ID over a precomputed token array: argmax of
-    * stopword votes; 'und' when all zero. Deterministic tie-break:
-    * en > es > fr (fixed eval order).
+    * votes (stopword-membership counts for en/es/fr/de, CJK char count
+    * for zh); 'und' when all zero. Deterministic tie-break:
+    * en > es > fr > de > zh (fixed eval order — an earlier language
+    * keeps the argmax unless a later one is STRICTLY greater).
     */
   def langIdFromTokens(toks: Column): Column = {
-    val s = langScores(toks)
-    val best = Seq("en", "es", "fr").map(l => struct(s(l).as("n"), lit(l).as("lang")))
+    val s = langScores(toks) + ("zh" -> zhVotes(toks))
+    val best = Seq("en", "es", "fr", "de", "zh").map(l => struct(s(l).as("n"), lit(l).as("lang")))
       .reduce((a, b) => when(b.getField("n") > a.getField("n"), b).otherwise(a))
     when(best.getField("n") <= 0, lit("und")).otherwise(best.getField("lang"))
   }

@@ -1817,9 +1817,7 @@ private[graft] object QueriesStats {
            |lv AS (
            |  SELECT doc_id,
            |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
-           |         (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es,
-           |         (${sqlLangVotes("fr")}) AS fr
+           |         $sqlLangVoteCols
            |  FROM toks),
            |lang AS (
            |  SELECT doc_id, bucket,
@@ -3049,13 +3047,11 @@ private[graft] object QueriesStats {
       "q_fleiss_kappa" ->
         s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
            |r2 AS (
-           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  SELECT doc_id, $sqlLangVoteCols
            |  FROM toks),
            |t16 AS (SELECT doc_id, lang, l[1:16] AS l FROM toks),
            |r3 AS (
-           |  SELECT doc_id, (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es, (${sqlLangVotes("fr")}) AS fr
+           |  SELECT doc_id, $sqlLangVoteCols
            |  FROM t16),
            |assign AS (
            |  SELECT doc_id AS i, lang AS cat FROM documents
@@ -3401,9 +3397,7 @@ private[graft] object QueriesStats {
            |  SELECT lang, $sqlTokens AS l FROM documents),
            |v AS (
            |  SELECT lang,
-           |         (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es,
-           |         (${sqlLangVotes("fr")}) AS fr
+           |         $sqlLangVoteCols
            |  FROM toks),
            |conf AS (
            |  SELECT lang AS x, $sqlLangCase AS y, count(*) AS n

@@ -795,9 +795,7 @@ private[graft] object QueriesText {
            |  SELECT lang, $sqlTokens AS l FROM documents),
            |v AS (
            |  SELECT lang,
-           |         (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es,
-           |         (${sqlLangVotes("fr")}) AS fr
+           |         $sqlLangVoteCols
            |  FROM toks)
            |SELECT lang, $sqlLangCase AS lang_id, count(*) AS n
            |FROM v GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin,
@@ -890,9 +888,7 @@ private[graft] object QueriesText {
            |  SELECT doc_id, text, $sqlTokens AS l FROM canon),
            |lv AS (
            |  SELECT doc_id,
-           |         (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es,
-           |         (${sqlLangVotes("fr")}) AS fr,
+           |         $sqlLangVoteCols,
            |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
            |  FROM ctok)
            |SELECT $sqlLangCase AS lang_id,
@@ -929,9 +925,7 @@ private[graft] object QueriesText {
            |  SELECT doc_id, text, $sqlTokens AS l FROM documents),
            |v AS (
            |  SELECT doc_id,
-           |         (${sqlLangVotes("en")}) AS en,
-           |         (${sqlLangVotes("es")}) AS es,
-           |         (${sqlLangVotes("fr")}) AS fr,
+           |         $sqlLangVoteCols,
            |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish
            |  FROM toks)
            |SELECT doc_id,

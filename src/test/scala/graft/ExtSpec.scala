@@ -253,11 +253,20 @@ class ExtSpec extends SparkSpec {
     val d = Seq(
       (1L, "the cat and the dog sat in the house of wonder"),
       (2L, "el perro y la casa de la gente en una ciudad con sol"),
-      (3L, "zzz qqq www")
+      (3L, "zzz qqq www"),
+      // de: stopword-membership votes, same mechanism as en/es/fr
+      (4L, "der hund und die katze sind nicht mit dem kind im haus"),
+      // zh: whitespace tokenization yields ONE token — the char-class
+      // vote must fire where membership voting is structurally blind
+      (5L, "今天天气很好我们一起去公园散步吧"),
+      // zh embedded in latin boilerplate: 12 CJK chars outvote the
+      // single 'the' stopword hit
+      (6L, "the 今天天气很好我们去公园散步 page")
     ).toDF("doc_id", "text")
     val got = d.select($"doc_id", TextStats.langId($"text").as("lang"))
       .orderBy("doc_id").as[(Long, String)].collect()
     assert(got(0)._2 == "en" && got(1)._2 == "es" && got(2)._2 == "und")
+    assert(got(3)._2 == "de" && got(4)._2 == "zh" && got(5)._2 == "zh")
     val counts = d.filter($"doc_id" === 1).select(
       TextStats.wsTokenCount($"text"), TextStats.bpeishTokenCount($"text")).head()
     assert(counts.getInt(0) == 11)
