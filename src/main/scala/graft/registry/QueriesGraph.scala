@@ -136,7 +136,10 @@ private[graft] object QueriesGraph {
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
       Affinity.slopeOneDeviations(ratings, user = col("o_custkey"),
-          item = col("p_brand"), rating = col("qty"), minCo = 20)
+          item = col("p_brand"), rating = col("qty"), minCo = 20,
+          // brand vocabulary from the DIMENSION, not the fact pipeline:
+          // the dictionary pass must not re-run the joins above
+          itemDict = Some(t(s, dir, "part").select(col("p_brand").as("i"))))
         .orderBy("item_i", "item_j")
     }),
 
