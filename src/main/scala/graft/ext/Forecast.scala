@@ -739,4 +739,86 @@ object Forecast {
       when(ok, round(phi2, 6)).as("phi2"),
       when(ok, round(fc, 6)).as("forecast")): _*)
   }
+
+  /** Wald–Wolfowitz runs test on the SIGNS of successive differences
+    * per series — "are the ups and downs random, or does the series
+    * trend/oscillate?", the distribution-free randomness screen run
+    * before any autocorrelation model is trusted. Zero differences
+    * drop (the standard treatment); a run is a maximal block of equal
+    * signs; z compares the observed run count to its exact null mean
+    * μ = 2·n₊·n₋/n + 1 and variance (μ−1)(μ−2)/(n−1).
+    *
+    * Scale shape: callers hand in an already-aggregated series (a day
+    * grid, a period grid), so both windows — the lag-diff and the
+    * run-boundary flag — share ONE series-keyed exchange+sort over
+    * grid rows, and everything after is exact longs; the z tower is
+    * the only float, rounded at 6 (null when either sign is absent or
+    * the variance is 0).
+    */
+  def runsTest(series: DataFrame, keys: Seq[String], t: Column,
+      y: Column): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy("t")
+    val signs = series.select(kc ++ Seq(t.as("t"), y.cast("long").as("y")): _*)
+      .withColumn("diff", col("y") - lag("y", 1).over(w))
+      .filter(col("diff").isNotNull && col("diff") =!= 0L)
+      // not signum: the same two-branch CASE exists verbatim in the
+      // oracle (diff = 0 is already filtered)
+      .withColumn("s", when(col("diff") > 0L, 1).otherwise(-1))
+    val flagged = signs.withColumn("newrun",
+      when(lag("s", 1).over(w).isNull || lag("s", 1).over(w) =!= col("s"), 1L)
+        .otherwise(0L))
+    val g = flagged.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_minus"),
+        sum("newrun").as("runs"))
+    val nD = col("n").cast("double")
+    val mu = lit(2.0) * col("n_plus").cast("double") *
+      col("n_minus").cast("double") / nD + lit(1.0)
+    val v = (mu - 1.0) * (mu - 2.0) / (nD - 1.0)
+    g.select(kc ++ Seq(col("n"), col("n_plus"), col("n_minus"), col("runs"),
+      when(col("n_plus") >= 1L && col("n_minus") >= 1L && col("n") >= 3L
+          && v > 0,
+        round((col("runs").cast("double") - mu) / sqrt(v), 6)).as("z")): _*)
+  }
+
+  /** Cross-correlation lead–lag table between two aligned integral
+    * series: for every lag in [−maxLag, maxLag], the Pearson
+    * correlation of (a_t, b_{t+lag}) over the overlapping index range —
+    * "does A lead B, and by how much?" (the argmax row), the screen
+    * run before any cross-series regression. `t` must be an integral,
+    * gap-meaningful index (epoch day, period number).
+    *
+    * Scale shape: callers hand in the ALIGNED GRID (two measures on
+    * one time index — a day grid, never raw rows), so the lag
+    * expansion is grid × (2·maxLag+1) rows, the shifted join is an
+    * equi-join on the grid, and each lag's power sums are exact longs;
+    * the correlation tower is the only float, rounded at 6 (null when
+    * either side is constant over the overlap).
+    */
+  def leadLagCorr(series: DataFrame, t: Column, a: Column, b: Column,
+      maxLag: Int): DataFrame = {
+    val s = series.select(t.cast("long").as("t"), a.cast("long").as("a"),
+      b.cast("long").as("b"))
+    val la = s.select(explode(typedLit((-maxLag to maxLag).map(_.toLong)))
+      .as("lag"), col("t"), col("a"))
+    val sb = s.select(col("t").as("tb"), col("b"))
+    val j = la.join(sb, col("tb") === col("t") + col("lag"))
+    val g = j.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("a") * col("b")).as("sab"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sab").cast("double") -
+      col("sa").cast("double") * col("sb").cast("double")
+    val vaN = nD * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val vbN = nD * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    g.select(col("lag"), col("n").as("n_overlap"),
+      when(col("n") >= 2L && vaN > 0 && vbN > 0,
+        round(covN / (sqrt(vaN) * sqrt(vbN)), 6)).as("xcorr"))
+  }
 }

@@ -1812,4 +1812,85 @@ object Inference {
       when(col("nt") > col("k") && msw > 0, round(diff / se, 6))
         .as("t_stat"))
   }
+
+  /** Gini concentration coefficient per group over per-unit totals:
+    * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with the unit totals x ranked
+    * ascending — "how concentrated is spend/traffic/tokens across
+    * customers/users/sources?", the Lorenz-curve summary every
+    * mixture-balance review starts from (0 = perfectly even,
+    * →1 = one unit holds everything).
+    *
+    * Exactness: rows collapse map-side to the (group, unit) grid; the
+    * rank is a deterministic row_number (ties broken by unit id —
+    * Σ i·x is INVARIANT under permutations within a tied block, so
+    * the tie-break affects nothing), and Σ i·x is an exact long. The
+    * G tower is the only float, rounded at 6 (null when n < 2 or the
+    * total is 0). The rank window sorts the UNIT GRID per group —
+    * aggregated units, never raw rows.
+    */
+  def giniCoefficient(df: DataFrame, group: Seq[String], unit: Column,
+      x: Column): DataFrame = {
+    val gc = group.map(col)
+    val perUnit = df.select(gc ++ Seq(unit.as("u"), x.cast("long").as("v")): _*)
+      .groupBy(gc :+ col("u"): _*).agg(sum("v").as("v"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("v"), col("u"))
+    perUnit.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        sum(col("i") * col("v")).as("iwx"))
+      .select(gc ++ Seq(col("n"), col("total"),
+        when(col("n") >= 2L && col("total") > 0L,
+          round(lit(2.0) * col("iwx").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")) -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6))
+          .as("gini")): _*)
+  }
+
+  /** Murphy decomposition of the Brier score per group over K
+    * forecast bins: BS = reliability − resolution + uncertainty,
+    * where bin b's implied forecast is the midpoint f_b = (2b+1)/(2K)
+    * — the "is the probability model calibrated, and does it actually
+    * discriminate?" readout behind every calibration plot.
+    *
+    * Exactness: one map-side-combined pass to the (group, bin) cell
+    * grid (n_b, o_b exact longs); the Brier score itself clears to an
+    * EXACT integer numerator over denominator 4K²·N
+    * (Σ_b n_b(2b+1)² − 4K(2b+1)o_b + 4K²o_b, using y² = y), so BS is
+    * drift-free; reliability/resolution are K-term sums of
+    * non-negative doubles off exact cell counts (no cancellation —
+    * reassociation error ~ulp, far below the 1e-6 rounding) and
+    * uncertainty is one division. `bin` must evaluate to an integer
+    * in [0, K).
+    */
+  def brierDecomposition(df: DataFrame, group: Seq[String], bin: Column,
+      k: Int, y: Column): DataFrame = {
+    val gc = group.map(col)
+    val cells = df.select(gc ++ Seq(bin.cast("long").as("b"),
+        y.cast("long").as("y")): _*)
+      .groupBy(gc :+ col("b"): _*)
+      .agg(count(lit(1)).as("nk"), sum("y").as("ok"))
+    val w = Window.partitionBy(gc: _*)
+    val f = col("b") * lit(2L) + lit(1L) // 2b+1; f_b = (2b+1)/(2K)
+    val brierNum = col("nk") * f * f -
+      lit(4L * k) * f * col("ok") + lit(4L * k.toLong * k) * col("ok")
+    val fD = f.cast("double") / lit(2.0 * k)
+    val obk = col("ok").cast("double") / col("nk").cast("double")
+    val obar = col("o").cast("double") / col("n").cast("double")
+    cells
+      .withColumn("n", sum("nk").over(w))
+      .withColumn("o", sum("ok").over(w))
+      .groupBy(gc: _*)
+      .agg(max("n").as("n"), max("o").as("o"),
+        sum(brierNum).as("bnum"),
+        sum(col("nk").cast("double") * (fD - obk) * (fD - obk)).as("reln"),
+        sum(col("nk").cast("double") * (obk - obar) * (obk - obar)).as("resn"))
+      .select(gc ++ Seq(col("n"),
+        round(col("bnum").cast("double") /
+          (lit(4.0 * k * k) * col("n").cast("double")), 6).as("brier"),
+        round(col("reln") / col("n").cast("double"), 6).as("reliability"),
+        round(col("resn") / col("n").cast("double"), 6).as("resolution"),
+        round(col("o").cast("double") / col("n").cast("double") *
+          (lit(1.0) - col("o").cast("double") / col("n").cast("double")), 6)
+          .as("uncertainty")): _*)
+  }
 }

@@ -21,6 +21,38 @@ private[graft] object QueriesStats {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
+    // ext stats: Gini concentration of per-customer spend within each
+    // order priority — the Lorenz-curve summary every mixture-balance
+    // review starts from (Inference.giniCoefficient scaladoc: rank
+    // window over the AGGREGATED customer grid, Σ i·x an exact long,
+    // tie-invariant by construction).
+    "q_gini_coef" -> ((s, dir) => {
+      Inference.giniCoefficient(spread(t(s, dir, "orders")),
+          Seq("o_orderpriority"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long"))
+        .orderBy("o_orderpriority")
+    }),
+
+
+    // ext model-eval: Murphy decomposition of the Brier score over 10
+    // forecast bins per event type — reliability − resolution +
+    // uncertainty, the calibration-plot readout behind q_calibration.
+    // Label is the deterministic pseudo-class (user_id % 3 = 0, the
+    // q_roc_auc convention) and the forecast is the bin midpoint, so
+    // near-zero resolution is the expected honest answer — the
+    // plumbing (exact cell grid, drift-free integer BS numerator) is
+    // the deliverable (Inference.brierDecomposition scaladoc).
+    "q_brier_decomp" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          pmod(round(col("value") * 100).cast("long"), lit(10L)).as("b"),
+          (col("user_id") % 3 === 0).as("y"))
+      Inference.brierDecomposition(ev, Seq("event_type"), col("b"), 10,
+          col("y"))
+        .orderBy("event_type")
+    }),
+
+
     // A4: deterministic statistical mode (tie-break: smallest value)
     "q_mode" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1563,6 +1595,72 @@ private[graft] object QueriesStats {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+      // exact (group, customer) totals, deterministic rank, exact
+      // Σ i·x — the G tower mirrors Inference.giniCoefficient op for op
+      "q_gini_coef" ->
+        """WITH pu AS (
+          |  SELECT o_orderpriority AS g, o_custkey AS u,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (
+          |  SELECT g, v,
+          |         CAST(row_number() OVER (PARTITION BY g ORDER BY v, u)
+          |              AS BIGINT) AS i
+          |  FROM pu),
+          |a AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(v) AS BIGINT) AS total,
+          |         CAST(sum(i * v) AS BIGINT) AS iwx
+          |  FROM r GROUP BY 1)
+          |SELECT g AS o_orderpriority, n, total,
+          |       CASE WHEN n >= 2 AND total > 0
+          |            THEN round(2.0 * CAST(iwx AS DOUBLE)
+          |                       / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+          |                       - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+          |       END AS gini
+          |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+
+      // exact (type, bin) cell grid; the integer Brier numerator
+      // (y² = y clearing) and the float reliability/resolution sums
+      // mirror Inference.brierDecomposition op for op
+      "q_brier_decomp" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |         ((CAST(round(value * 100) AS BIGINT) % 10) + 10) % 10 AS b,
+          |         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+          |  FROM events),
+          |cells AS (
+          |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS nk,
+          |         CAST(sum(y) AS BIGINT) AS ok
+          |  FROM e GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(sum(nk) AS BIGINT) AS n,
+          |         CAST(sum(ok) AS BIGINT) AS o
+          |  FROM cells GROUP BY 1),
+          |j AS (
+          |  SELECT c.event_type AS event_type, nk, ok, b, n, o,
+          |         CAST(2 * b + 1 AS DOUBLE) / 20.0 AS f,
+          |         CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE) AS obk,
+          |         CAST(o AS DOUBLE) / CAST(n AS DOUBLE) AS obar
+          |  FROM cells c JOIN tot USING (event_type)),
+          |a AS (
+          |  SELECT event_type, max(n) AS n, max(o) AS o,
+          |         CAST(sum(nk * (2 * b + 1) * (2 * b + 1)
+          |                  - 40 * (2 * b + 1) * ok + 400 * ok) AS BIGINT) AS bnum,
+          |         sum(CAST(nk AS DOUBLE) * (f - obk) * (f - obk)) AS reln,
+          |         sum(CAST(nk AS DOUBLE) * (obk - obar) * (obk - obar)) AS resn
+          |  FROM j GROUP BY 1)
+          |SELECT event_type, n,
+          |       round(CAST(bnum AS DOUBLE) / (400.0 * CAST(n AS DOUBLE)), 6)
+          |         AS brier,
+          |       round(reln / CAST(n AS DOUBLE), 6) AS reliability,
+          |       round(resn / CAST(n AS DOUBLE), 6) AS resolution,
+          |       round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+          |             * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+          |         AS uncertainty
+          |FROM a ORDER BY event_type""".stripMargin,
 
       "q_mode" ->
         """SELECT l_returnflag AS mode_val FROM lineitem

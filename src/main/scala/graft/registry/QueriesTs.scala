@@ -21,6 +21,40 @@ private[graft] object QueriesTs {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
+    // ext ts: Wald–Wolfowitz runs test on the daily-total diff signs
+    // per event type — the distribution-free randomness screen over
+    // the 30-day grid (Forecast.runsTest scaladoc: both windows share
+    // one grid exchange, exact run/sign counts, one z float tower).
+    "q_runs_test" -> ((s, dir) => {
+      val daily = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      Forecast.runsTest(daily, Seq("event_type"), col("day"), col("cents"))
+        .orderBy("event_type")
+    }),
+
+
+    // ext ts: view→purchase lead–lag cross-correlation over the daily
+    // grid, lags −3..3 — "does A lead B, and by how much?"
+    // (Forecast.leadLagCorr scaladoc: lag expansion and shifted
+    // equi-join over the 30-day grid, per-lag exact power sums).
+    "q_lead_lag" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val daily = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "view", cents).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+            .as("b"))
+      Forecast.leadLagCorr(daily, col("day"), col("a"), col("b"), maxLag = 3)
+        .orderBy("lag")
+    }),
+
+
     // explicit window FRAME: trailing 3-month moving average over the
     // monthly revenue series. Revenue is floored per lineitem (exact
     // int64, like q_mway_join), so the frame averages integer-valued
@@ -826,6 +860,95 @@ private[graft] object QueriesTs {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+      // same day grid, lag windows, and exact counts; the z tower
+      // mirrors Forecast.runsTest op for op
+      "q_runs_test" ->
+        """WITH daily AS (
+          |  SELECT event_type,
+          |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |           AS cents
+          |  FROM events GROUP BY 1, 2),
+          |d AS (
+          |  SELECT event_type, day,
+          |         cents - lag(cents) OVER (PARTITION BY event_type
+          |                                  ORDER BY day) AS diff
+          |  FROM daily),
+          |sg AS (
+          |  SELECT event_type, day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+          |  FROM d WHERE diff IS NOT NULL AND diff <> 0),
+          |rr AS (
+          |  SELECT event_type, s,
+          |         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+          |                   IS NULL
+          |                OR lag(s) OVER (PARTITION BY event_type ORDER BY day)
+          |                   <> s
+          |              THEN 1 ELSE 0 END AS newrun
+          |  FROM sg),
+          |a AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_plus,
+          |         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_minus,
+          |         CAST(sum(newrun) AS BIGINT) AS runs
+          |  FROM rr GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, n, n_plus, n_minus, runs,
+          |         2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+          |           / CAST(n AS DOUBLE) + 1.0 AS mu
+          |  FROM a)
+          |SELECT event_type, n, n_plus, n_minus, runs,
+          |       CASE WHEN n_plus >= 1 AND n_minus >= 1 AND n >= 3
+          |                 AND (mu - 1.0) * (mu - 2.0)
+          |                     / (CAST(n AS DOUBLE) - 1.0) > 0
+          |            THEN round((CAST(runs AS DOUBLE) - mu)
+          |                       / sqrt((mu - 1.0) * (mu - 2.0)
+          |                              / (CAST(n AS DOUBLE) - 1.0)), 6)
+          |       END AS z
+          |FROM h ORDER BY event_type""".stripMargin,
+
+
+      // same daily two-series grid and lag expansion; per-lag exact
+      // power sums, correlation tower mirrors Forecast.leadLagCorr
+      "q_lead_lag" ->
+        """WITH daily AS (
+          |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          |         CAST(sum(CASE WHEN event_type = 'view'
+          |                       THEN CAST(round(value * 100) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS a,
+          |         CAST(sum(CASE WHEN event_type = 'purchase'
+          |                       THEN CAST(round(value * 100) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS b
+          |  FROM events WHERE event_type IN ('view', 'purchase')
+          |  GROUP BY 1),
+          |lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(-3, 4) r(i)),
+          |j AS (
+          |  SELECT l.lag AS lag, s1.a AS a, s2.b AS b
+          |  FROM lags l
+          |  JOIN daily s1 ON true
+          |  JOIN daily s2 ON s2.day = s1.day + l.lag),
+          |g AS (
+          |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+          |         CAST(sum(a * a) AS BIGINT) AS saa,
+          |         CAST(sum(b * b) AS BIGINT) AS sbb,
+          |         CAST(sum(a * b) AS BIGINT) AS sab
+          |  FROM j GROUP BY 1),
+          |h AS (
+          |  SELECT lag, n,
+          |         CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          |           - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS covn,
+          |         CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+          |           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS van,
+          |         CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+          |           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vbn
+          |  FROM g)
+          |SELECT lag, n AS n_overlap,
+          |       CASE WHEN n >= 2 AND van > 0 AND vbn > 0
+          |            THEN round(covn / (sqrt(van) * sqrt(vbn)), 6) END AS xcorr
+          |FROM h ORDER BY lag""".stripMargin,
 
       "q_moving_avg" ->
         """WITH rev AS (
