@@ -243,6 +243,40 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // loadavg-matched self-load estimator (round 12): the kernel's
+    // 1-min loadavg is an EWMA with decay exp(−dt/60); subtracting
+    // only THIS query's average cores (the round-11 form) misses the
+    // residual our own EARLIER queries left in the EWMA, so a fully
+    // quiet host still flagged 80% of a full-surface run's rows. A
+    // daemon thread folds sampled process CPU through the same EWMA
+    // formula, and ext_load = loadavg − ownEwma compares like with
+    // like. ownCores (per-query average) stays as the lower bound:
+    // right after a heavy query starts the EWMA lags our true load.
+    val ownEwmaBits = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(0.0))
+    def ownEwma: Double = java.lang.Double.longBitsToDouble(ownEwmaBits.get)
+    locally {
+      val t = new Thread(() => {
+        var last = processCpuNanos
+        var lastT = System.nanoTime()
+        while (true) {
+          Thread.sleep(5000)
+          val c = processCpuNanos
+          val now = System.nanoTime()
+          if (c >= 0 && last >= 0) {
+            val cores = (c - last).toDouble / math.max(1L, now - lastT)
+            val a = math.exp(-((now - lastT) / 1e9) / 60.0)
+            val prev = java.lang.Double.longBitsToDouble(ownEwmaBits.get)
+            ownEwmaBits.set(java.lang.Double.doubleToLongBits(
+              prev * a + cores * (1 - a)))
+          }
+          last = c
+          lastT = now
+        }
+      }, "bench-ownload-ewma")
+      t.setDaemon(true)
+      t.start()
+    }
     // budget pressure: remaining budget over projected remaining work,
     // from the running average wall cost of completed queries. Until 3
     // queries have completed the estimate is too thin — run FULL.
@@ -305,7 +339,11 @@ object Bench {
           if (cpu0 < 0 || cpu1 < 0) 0.0
           else (cpu1 - cpu0).toDouble / math.max(1L, System.nanoTime() - wall0)
         qload(name) = load
-        qext(name) = if (load < 0) load else math.max(0.0, load - ownCores)
+        // subtract the LARGER of the EWMA-tracked self-load and this
+        // query's own average cores — see the ownEwma comment above
+        qext(name) =
+          if (load < 0) load
+          else math.max(0.0, load - math.max(ownCores, ownEwma))
         if (countRows && !rows.contains(name)) {
           if (m == "full" || m == "no_esc" || !priorRows.contains(name)) {
             spark.catalog.clearCache()

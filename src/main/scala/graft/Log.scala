@@ -24,6 +24,14 @@ object Log {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
         org.apache.logging.log4j.Level.ERROR)
+      // "RDD was locally checkpointed, its lineage has been truncated"
+      // fires once per RDD on every snapshot/release cycle — the
+      // release discipline is deliberate (Graph/Dedup scaladoc
+      // contracts) and the warning repeats hundreds of times across a
+      // full bench run
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
     } catch { case _: Throwable => () } // logging config must never fail a run
   }
 }

@@ -1862,6 +1862,168 @@ object Inference {
     * uncertainty is one division. `bin` must evaluate to an integer
     * in [0, K).
     */
+  /** Cramér's V association between two categorical columns: the
+    * χ²-based effect size V = √(χ² / (N·(min(R,C)−1))) — "are these
+    * two labels related at all, and how strongly?" on a 0..1 scale,
+    * the first screen before any categorical feature is kept.
+    *
+    * Exactness: one map-side-combined pass to the (a, b) contingency
+    * grid; margins derive from the GRID (never a second row scan);
+    * χ² is a per-cell float tower over exact longs summed across the
+    * R·C grid cells (non-negative terms — reassociation error ~ulp,
+    * far below the 1e-6 rounding). Null V when N = 0 or min(R,C) < 2.
+    */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+    val wA = Window.partitionBy("a")
+    val wB = Window.partitionBy("b")
+    val wAll = Window.partitionBy()
+    val withM = cells
+      .withColumn("ri", sum("nij").over(wA))
+      .withColumn("cj", sum("nij").over(wB))
+      .withColumn("n", sum("nij").over(wAll))
+    val e = col("ri").cast("double") * col("cj").cast("double") /
+      col("n").cast("double")
+    val term = (col("nij").cast("double") - e) *
+      (col("nij").cast("double") - e) / e
+    val g = withM.groupBy()
+      .agg(max("n").as("n"), countDistinct("a").as("r"),
+        countDistinct("b").as("c"), sum(term).as("chi2"))
+    val mindim = least(col("r"), col("c")).cast("double") - lit(1.0)
+    g.select(col("n"), col("r"), col("c"), round(col("chi2"), 6).as("chi2"),
+      when(col("n") > 0L && mindim >= 1.0,
+        round(sqrt(col("chi2") / (col("n").cast("double") * mindim)), 6))
+        .as("cramers_v"))
+  }
+
+  /** 2×2 odds ratio per group with a Wald 95% CI on the log scale:
+    * OR = a·d / (b·c) over the (exposed × outcome) cell counts, and
+    * ln(OR) ± 1.96·√(1/a + 1/b + 1/c + 1/d) — the standard
+    * case-control readout ("how much does exposure multiply the odds?").
+    *
+    * Exactness: ONE conditional power-sum pass widens the four cells
+    * onto a row per group (exact longs); OR is a single float ratio
+    * rounded at 6. The CI bounds pass through `ln`/`exp`, whose last
+    * bit is not IEEE-pinned across libm implementations, so they round
+    * at 4 (the q_token_entropy convention). All emissions null when
+    * any cell is 0 (the CI is undefined; callers add ½ corrections
+    * upstream if they want them).
+    */
+  def oddsRatio(df: DataFrame, group: Seq[String], exposed: Column,
+      outcome: Column): DataFrame = {
+    val gc = group.map(col)
+    val g = df.select(gc ++ Seq(exposed.cast("boolean").as("x"),
+        outcome.cast("boolean").as("y")): _*)
+      .groupBy(gc: _*)
+      .agg(sum(when(col("x") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("x") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("x") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("x") && !col("y"), 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+    val or = col("a").cast("double") * col("d").cast("double") /
+      (col("b").cast("double") * col("c").cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    g.select(gc ++ Seq(col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(or, 6)).as("odds_ratio"),
+      when(ok, round(exp(log(or) - lit(1.96) * se), 4)).as("ci_lo"),
+      when(ok, round(exp(log(or) + lit(1.96) * se), 4)).as("ci_hi")): _*)
+  }
+
+  /** McNemar's test between two PAIRED classifiers: over items both
+    * raters judged, count the discordant cells (b = only rater 1
+    * correct, c = only rater 2 correct); χ² = (b−c)²/(b+c) — "is the
+    * new model actually better than the old on the same items, or is
+    * the accuracy delta coin-flip noise?", the paired readout an
+    * unpaired accuracy comparison gets wrong.
+    *
+    * Exactness: b and c are exact conditional counts in one pass;
+    * (b−c)² is an exact long; χ² is one division rounded at 6 (null
+    * when b + c = 0 — no discordant pairs, no test).
+    */
+  def mcnemar(df: DataFrame, group: Seq[String], correct1: Column,
+      correct2: Column): DataFrame = {
+    val gc = group.map(col)
+    val g = df.select(gc ++ Seq(correct1.cast("boolean").as("c1"),
+        correct2.cast("boolean").as("c2")): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c1") && !col("c2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("c1") && col("c2"), 1L).otherwise(0L)).as("c"))
+    val num = (col("b") - col("c")) * (col("b") - col("c"))
+    g.select(gc ++ Seq(col("n"), col("b"), col("c"),
+      when(col("b") + col("c") > 0L,
+        round(num.cast("double") / (col("b") + col("c")).cast("double"), 6))
+        .as("chi2")): _*)
+  }
+
+  /** Cochran's Q test across k = 3 PAIRED binary raters — does any of
+    * the three classifiers differ in success rate on the same items?
+    * The k-rater generalization of [[mcnemar]] (run it first; McNemar
+    * pairs tell you WHICH raters differ once Q fires).
+    *
+    * Exactness: one pass to per-item indicator sums; Q clears to
+    * (k−1)·(k·ΣG_j² − (ΣG)²) / (k·ΣL_i − ΣL_i²) where G_j = rater j's
+    * successes and L_i = item i's success count — every term an exact
+    * long, one division rounded at 6 (null when the denominator is 0:
+    * all items unanimous).
+    */
+  def cochranQ(df: DataFrame, c1: Column, c2: Column,
+      c3: Column): DataFrame = {
+    val ind = df.select(c1.cast("long").as("x1"), c2.cast("long").as("x2"),
+      c3.cast("long").as("x3"))
+      .withColumn("l", col("x1") + col("x2") + col("x3"))
+    val g = ind.agg(count(lit(1)).as("n"),
+      sum("x1").as("g1"), sum("x2").as("g2"), sum("x3").as("g3"),
+      sum("l").as("sl"), sum(col("l") * col("l")).as("sl2"))
+    val k = lit(3L)
+    val sg = col("g1") + col("g2") + col("g3")
+    val sg2 = col("g1") * col("g1") + col("g2") * col("g2") +
+      col("g3") * col("g3")
+    val num = (k - 1L) * (k * sg2 - sg * sg)
+    val den = k * col("sl") - col("sl2")
+    g.select(col("n"), col("g1"), col("g2"), col("g3"),
+      when(den > 0L, round(num.cast("double") / den.cast("double"), 6))
+        .as("q_stat"))
+  }
+
+  /** Theil T inequality index per group over per-unit integral totals:
+    * T = Σ x_i·ln(x_i/μ) / (n·μ) — the entropy-based concentration
+    * twin of [[giniCoefficient]], and the one that DECOMPOSES
+    * (T_total = T_between + Σ share·T_within), so mixture reviews can
+    * attribute inequality to across-source vs within-source skew.
+    *
+    * Exactness (the q_session_entropy micro-nat discipline, but with
+    * ln applied to INTEGERS only): using ln(μ) = ln(S) − ln(n),
+    * T = [Σ x·lnq(x) − S·(lnq(S) − lnq(n))] / (S·Q) where
+    * lnq(k) = round(ln(k)·Q) is a quantized-long log of an integer —
+    * so the big sum Σ x·lnq(x) accumulates as EXACT longs and engines
+    * agree bit-for-bit. Q = 1e5 keeps x·lnq(x) ≤ ~2e12 per unit and
+    * the group sum inside int64 for unit grids up to ~10⁶ units of
+    * ~10⁷-scale totals; positive-total units only (ln needs x > 0;
+    * zero/negative units drop, documented). Rounds at 6.
+    */
+  def theilIndex(df: DataFrame, group: Seq[String], unit: Column,
+      x: Column): DataFrame = {
+    val gc = group.map(col)
+    val q = 1e5
+    val perUnit = df.select(gc ++ Seq(unit.as("u"), x.cast("long").as("v")): _*)
+      .groupBy(gc :+ col("u"): _*).agg(sum("v").as("v"))
+      .filter(col("v") > 0L)
+    def lnq(c: Column): Column = round(log(c.cast("double")) * q).cast("long")
+    val g = perUnit.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * lnq(col("v"))).as("xlnx"))
+    val tNum = col("xlnx") - col("s") * (lnq(col("s")) - lnq(col("n")))
+    g.select(gc ++ Seq(col("n"), col("s").as("total"),
+      when(col("n") >= 1L && col("s") > 0L,
+        round(tNum.cast("double") / (col("s").cast("double") * q), 6))
+        .as("theil_t")): _*)
+  }
+
   def brierDecomposition(df: DataFrame, group: Seq[String], bin: Column,
       k: Int, y: Column): DataFrame = {
     val gc = group.map(col)

@@ -53,6 +53,80 @@ private[graft] object QueriesStats {
     }),
 
 
+    // ext stats: Cramér's V association between return flag and line
+    // status — the 0..1 categorical-dependence screen
+    // (Inference.cramersV scaladoc: contingency grid + grid-derived
+    // margins, exact counts, per-cell χ² float tower).
+    "q_cramers_v" -> ((s, dir) => {
+      Inference.cramersV(spread(t(s, dir, "lineitem")),
+          col("l_returnflag"), col("l_linestatus"))
+        .orderBy("n")
+    }),
+
+
+    // ext stats: 2×2 odds ratio with Wald CI per event type — exposed
+    // = deterministic arm (user_id % 2), outcome = cents > 5000 (~37%
+    // base rate, all four cells populated at sf0.01). OR rounds at 6;
+    // the CI bounds pass through ln/exp and round at 4 (the
+    // q_token_entropy libm convention) — Inference.oddsRatio scaladoc.
+    "q_odds_ratio" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          (col("user_id") % 2 === 1).as("x"),
+          (round(col("value") * 100).cast("long") > 5000L).as("y"))
+      Inference.oddsRatio(ev, Seq("event_type"), col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+
+
+    // ext model-eval: McNemar's paired test between the full-text
+    // lang-id and its 16-token truncation against the gold label —
+    // "is the cheap truncated classifier actually worse on the SAME
+    // docs?" (the q_fleiss_kappa raters, now paired row-wise; exact
+    // discordant counts, one division — Inference.mcnemar scaladoc).
+    "q_mcnemar" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("lang"), TextStats.tokens(col("text")).as("l"))
+      val paired = toks.select(
+        (TextStats.langIdFromTokens(col("l")) === col("lang")).as("c1"),
+        (TextStats.langIdFromTokens(slice(col("l"), 1, 16)) === col("lang"))
+          .as("c2"))
+      Inference.mcnemar(paired, Seq.empty, col("c1"), col("c2"))
+        .orderBy("n")
+    }),
+
+
+    // ext stats: Theil T inequality of per-customer spend within each
+    // order priority — the decomposable entropy twin of q_gini_coef
+    // (Inference.theilIndex scaladoc: quantized-long logs of INTEGER
+    // arguments only, so the row-scale sum is exact).
+    "q_theil_index" -> ((s, dir) => {
+      Inference.theilIndex(spread(t(s, dir, "orders")),
+          Seq("o_orderpriority"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long"))
+        .orderBy("o_orderpriority")
+    }),
+
+
+    // ext model-eval: Cochran's Q across THREE paired lang-id raters
+    // (full text, 16-token, 8-token truncations vs the gold label) —
+    // the k-rater omnibus run before pairwise q_mcnemar
+    // (Inference.cochranQ scaladoc: per-item indicator sums, Q one
+    // division of exact longs).
+    "q_cochran_q" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("lang"), TextStats.tokens(col("text")).as("l"))
+      val r = toks.select(
+        (TextStats.langIdFromTokens(col("l")) === col("lang")).as("c1"),
+        (TextStats.langIdFromTokens(slice(col("l"), 1, 16)) === col("lang"))
+          .as("c2"),
+        (TextStats.langIdFromTokens(slice(col("l"), 1, 8)) === col("lang"))
+          .as("c3"))
+      Inference.cochranQ(r, col("c1"), col("c2"), col("c3"))
+        .orderBy("n")
+    }),
+
+
     // A4: deterministic statistical mode (tie-break: smallest value)
     "q_mode" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1595,6 +1669,167 @@ private[graft] object QueriesStats {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+      // three rater derivations (the q_fleiss_kappa vote columns at
+      // full/16/8 tokens) paired per doc; Q a single division of
+      // exact longs — mirrors Inference.cochranQ
+      "q_cochran_q" ->
+        s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+           |v1 AS (SELECT doc_id, lang, $sqlLangVoteCols FROM toks),
+           |p1 AS (SELECT doc_id,
+           |              CASE WHEN $sqlLangCase = lang THEN 1 ELSE 0 END AS x1
+           |       FROM v1),
+           |t16 AS (SELECT doc_id, lang, l[1:16] AS l FROM toks),
+           |v2 AS (SELECT doc_id, lang, $sqlLangVoteCols FROM t16),
+           |p2 AS (SELECT doc_id,
+           |              CASE WHEN $sqlLangCase = lang THEN 1 ELSE 0 END AS x2
+           |       FROM v2),
+           |t8 AS (SELECT doc_id, lang, l[1:8] AS l FROM toks),
+           |v3 AS (SELECT doc_id, lang, $sqlLangVoteCols FROM t8),
+           |p3 AS (SELECT doc_id,
+           |              CASE WHEN $sqlLangCase = lang THEN 1 ELSE 0 END AS x3
+           |       FROM v3),
+           |ind AS (
+           |  SELECT x1, x2, x3, x1 + x2 + x3 AS ll
+           |  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
+           |g AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(x1) AS BIGINT) AS g1,
+           |         CAST(sum(x2) AS BIGINT) AS g2,
+           |         CAST(sum(x3) AS BIGINT) AS g3,
+           |         CAST(sum(ll) AS BIGINT) AS sl,
+           |         CAST(sum(ll * ll) AS BIGINT) AS sl2
+           |  FROM ind)
+           |SELECT n, g1, g2, g3,
+           |       CASE WHEN 3 * sl - sl2 > 0
+           |            THEN round(CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+           |                 - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
+           |                 / CAST(3 * sl - sl2 AS DOUBLE), 6) END AS q_stat
+           |FROM g ORDER BY n""".stripMargin,
+
+
+      // contingency grid + grid margins; per-cell χ² tower mirrors
+      // Inference.cramersV op for op
+      "q_cramers_v" ->
+        """WITH cells AS (
+          |  SELECT l_returnflag AS a, l_linestatus AS b,
+          |         CAST(count(*) AS BIGINT) AS nij
+          |  FROM lineitem GROUP BY 1, 2),
+          |m AS (
+          |  SELECT a, b, nij,
+          |         CAST(sum(nij) OVER (PARTITION BY a) AS BIGINT) AS ri,
+          |         CAST(sum(nij) OVER (PARTITION BY b) AS BIGINT) AS cj,
+          |         CAST(sum(nij) OVER () AS BIGINT) AS n
+          |  FROM cells),
+          |t AS (
+          |  SELECT max(n) AS n, CAST(count(DISTINCT a) AS BIGINT) AS r,
+          |         CAST(count(DISTINCT b) AS BIGINT) AS c,
+          |         sum((CAST(nij AS DOUBLE)
+          |              - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+          |                / CAST(n AS DOUBLE))
+          |             * (CAST(nij AS DOUBLE)
+          |                - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+          |                  / CAST(n AS DOUBLE))
+          |             / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+          |                / CAST(n AS DOUBLE))) AS chi2
+          |  FROM m)
+          |SELECT n, r, c, round(chi2, 6) AS chi2,
+          |       CASE WHEN n > 0 AND CAST(least(r, c) AS DOUBLE) - 1.0 >= 1.0
+          |            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
+          |                 * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+          |       END AS cramers_v
+          |FROM t ORDER BY n""".stripMargin,
+
+
+      // one conditional pass to the four exact cells; OR at 6, CI
+      // bounds through ln/exp at 4 — mirrors Inference.oddsRatio
+      "q_odds_ratio" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |         user_id % 2 = 1 AS x,
+          |         CAST(round(value * 100) AS BIGINT) > 5000 AS y
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type,
+          |         CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          |         CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS b,
+          |         CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS c,
+          |         CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS d
+          |  FROM e GROUP BY 1),
+          |h AS (
+          |  SELECT event_type, a, b, c, d,
+          |         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orr,
+          |         sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+          |              + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+          |           AS se
+          |  FROM g)
+          |SELECT event_type, a, b, c, d,
+          |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+          |            THEN round(orr, 6) END AS odds_ratio,
+          |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+          |            THEN round(exp(ln(orr) - 1.96 * se), 4) END AS ci_lo,
+          |       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+          |            THEN round(exp(ln(orr) + 1.96 * se), 4) END AS ci_hi
+          |FROM h ORDER BY event_type""".stripMargin,
+
+
+      // both raters re-derived per doc (the q_fleiss_kappa vote
+      // columns), paired row-wise; exact discordant counts, one
+      // division — mirrors Inference.mcnemar
+      "q_mcnemar" ->
+        s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+           |v1 AS (
+           |  SELECT doc_id, lang, $sqlLangVoteCols
+           |  FROM toks),
+           |p1 AS (SELECT doc_id, ($sqlLangCase = lang) AS c1 FROM v1),
+           |t16 AS (SELECT doc_id, lang, l[1:16] AS l FROM toks),
+           |v2 AS (
+           |  SELECT doc_id, lang, $sqlLangVoteCols
+           |  FROM t16),
+           |p2 AS (SELECT doc_id, ($sqlLangCase = lang) AS c2 FROM v2),
+           |pair AS (SELECT c1, c2 FROM p1 JOIN p2 USING (doc_id)),
+           |g AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS b,
+           |         CAST(sum(CASE WHEN NOT c1 AND c2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS c
+           |  FROM pair)
+           |SELECT n, b, c,
+           |       CASE WHEN b + c > 0
+           |            THEN round(CAST((b - c) * (b - c) AS DOUBLE)
+           |                       / CAST(b + c AS DOUBLE), 6) END AS chi2
+           |FROM g ORDER BY n""".stripMargin,
+
+
+      // quantized-long logs of integer arguments only (ln(mean) =
+      // ln(S) − ln(n)); the exact-long sum and T tower mirror
+      // Inference.theilIndex op for op
+      "q_theil_index" ->
+        """WITH pu AS (
+          |  SELECT o_orderpriority AS g, o_custkey AS u,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |p AS (SELECT g, v FROM pu WHERE v > 0),
+          |a AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(v) AS BIGINT) AS s,
+          |         CAST(sum(v * CAST(round(ln(CAST(v AS DOUBLE)) * 1e5)
+          |                           AS BIGINT)) AS BIGINT) AS xlnx
+          |  FROM p GROUP BY 1)
+          |SELECT g AS o_orderpriority, n, s AS total,
+          |       CASE WHEN n >= 1 AND s > 0
+          |            THEN round(CAST(xlnx - s *
+          |                 (CAST(round(ln(CAST(s AS DOUBLE)) * 1e5) AS BIGINT)
+          |                  - CAST(round(ln(CAST(n AS DOUBLE)) * 1e5)
+          |                         AS BIGINT)) AS DOUBLE)
+          |                 / (CAST(s AS DOUBLE) * 1e5), 6) END AS theil_t
+          |FROM a ORDER BY o_orderpriority""".stripMargin,
+
 
       // exact (group, customer) totals, deterministic rank, exact
       // Σ i·x — the G tower mirrors Inference.giniCoefficient op for op

@@ -37,9 +37,12 @@ private[graft] object QueriesTs {
 
 
     // ext ts: view→purchase lead–lag cross-correlation over the daily
-    // grid, lags −3..3 — "does A lead B, and by how much?"
-    // (Forecast.leadLagCorr scaladoc: lag expansion and shifted
-    // equi-join over the 30-day grid, per-lag exact power sums).
+    // grid, lags −3..3 — "does A lead B or B lead A, and by how much?"
+    // The SYMMETRIC complement to q_xcorr_lag (Inference.crossCorr:
+    // one-sided lags 0..k via lead() windows on one series); negative
+    // lags answer the reverse-direction question, and the plan shape
+    // differs (lag-expanded grid equi-join vs per-lag window columns).
+    // Forecast.leadLagCorr scaladoc: per-lag exact power sums.
     "q_lead_lag" -> ((s, dir) => {
       val cents = round(col("value") * 100).cast("long")
       val daily = spread(EventsStream.readEvents(s, s"$dir/events.parquet"))
