@@ -1990,6 +1990,77 @@ object Inference {
         .as("q_stat"))
   }
 
+  /** Herfindahl–Hirschman concentration index per group over per-unit
+    * integral totals: HHI = Σ_u (v_u/S)² — the squared-share market-
+    * concentration standard (1/HHI is the "effective number of units"),
+    * completing the concentration triple with [[giniCoefficient]] and
+    * [[theilIndex]] (HHI weights the HEAD, Gini the whole curve, Theil
+    * decomposes).
+    *
+    * Exactness: rows collapse to the (group, unit) grid; v² is summed
+    * in DOUBLE (the [[varC]] overflow convention — v² exceeds int64
+    * once v reaches ~3e9) with non-negative terms, so reassociation
+    * error is ~ulp, far below the 1e-6 rounding; HHI is one division.
+    */
+  def hhi(df: DataFrame, group: Seq[String], unit: Column,
+      x: Column): DataFrame = {
+    val gc = group.map(col)
+    val perUnit = df.select(gc ++ Seq(unit.as("u"), x.cast("long").as("v")): _*)
+      .groupBy(gc :+ col("u"): _*).agg(sum("v").as("v"))
+    perUnit.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        sum(col("v").cast("double") * col("v").cast("double")).as("ss"))
+      .select(gc ++ Seq(col("n"), col("total"),
+        when(col("total") > 0L,
+          round(col("ss") / (col("total").cast("double") *
+            col("total").cast("double")), 6)).as("hhi")): _*)
+  }
+
+  /** Stratified average-treatment-effect estimate per group: within
+    * each covariate stratum, the treated-minus-control mean; the ATE
+    * is the stratum-size-weighted sum Σ_s (n_s/N)·(ȳ₁ₛ − ȳ₀ₛ) — the
+    * confounder-adjusted complement to the naive arm difference (also
+    * emitted, so the adjustment is visible), the workhorse when
+    * randomization is imperfect but a blocking covariate exists.
+    *
+    * Exactness: one conditional power-sum pass to the (group, stratum)
+    * grid (all longs); per-stratum means are exact-long divisions, the
+    * weighted sum runs over the stratum grid (a handful of mixed-sign
+    * doubles of similar magnitude — reassociation ~ulp against the
+    * 1e-6 rounding). Strata missing an arm are excluded from BOTH the
+    * ATE numerator and its weight mass (the standard common-support
+    * trim), exactly mirrored in the oracle.
+    */
+  def stratifiedAte(df: DataFrame, group: Seq[String], stratum: Column,
+      treated: Column, y: Column): DataFrame = {
+    val gc = group.map(col)
+    val cells = df.select(gc ++ Seq(stratum.cast("long").as("st"),
+        treated.cast("int").as("tr"), y.cast("long").as("y")): _*)
+      .groupBy(gc :+ col("st"): _*)
+      .agg(sum(when(col("tr") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("s1"),
+        sum(when(col("tr") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("tr") === 0, col("y")).otherwise(0L)).as("s0"))
+    val supported = col("n1") >= 1L && col("n0") >= 1L
+    val diff = col("s1").cast("double") / col("n1").cast("double") -
+      col("s0").cast("double") / col("n0").cast("double")
+    val g = cells.groupBy(gc: _*)
+      .agg(sum(col("n1") + col("n0")).as("n"),
+        sum(col("n1")).as("nt"), sum(col("n0")).as("nc"),
+        sum(col("s1")).as("st1"), sum(col("s0")).as("st0"),
+        sum(when(supported, col("n1") + col("n0")).otherwise(0L)).as("nsup"),
+        sum(when(supported,
+          (col("n1") + col("n0")).cast("double") * diff).otherwise(0.0))
+          .as("wsum"))
+    val naive = col("st1").cast("double") / col("nt").cast("double") -
+      col("st0").cast("double") / col("nc").cast("double")
+    g.select(gc ++ Seq(col("n"), col("nt"), col("nc"),
+      when(col("nt") >= 1L && col("nc") >= 1L, round(naive, 6))
+        .as("diff_naive"),
+      when(col("nsup") > 0L,
+        round(col("wsum") / col("nsup").cast("double"), 6)).as("ate_strat")): _*)
+  }
+
   /** Theil T inequality index per group over per-unit integral totals:
     * T = Σ x_i·ln(x_i/μ) / (n·μ) — the entropy-based concentration
     * twin of [[giniCoefficient]], and the one that DECOMPOSES

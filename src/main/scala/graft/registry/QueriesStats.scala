@@ -127,6 +127,37 @@ private[graft] object QueriesStats {
     }),
 
 
+    // ext stats: Herfindahl–Hirschman concentration of per-customer
+    // spend within each order priority — the squared-share head-weight
+    // complement to q_gini_coef/q_theil_index (Inference.hhi scaladoc:
+    // unit grid, double v² per the varC overflow convention).
+    "q_hhi" -> ((s, dir) => {
+      Inference.hhi(spread(t(s, dir, "orders")),
+          Seq("o_orderpriority"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long"))
+        .orderBy("o_orderpriority")
+    }),
+
+
+    // ext experiment: stratified ATE per event type — arm = user_id
+    // parity, outcome = cents, stratum = a user-id-derived decile (the
+    // blocking covariate); emits the naive diff alongside so the
+    // adjustment is visible. Plumbing-first like q_roc_auc: near-zero
+    // effects expected, the (group, stratum) exact cell grid and the
+    // common-support trim are the deliverable
+    // (Inference.stratifiedAte scaladoc).
+    "q_strat_ate" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          pmod(expr("user_id DIV 7"), lit(10L)).as("st"),
+          (col("user_id") % 2).cast("int").as("tr"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Inference.stratifiedAte(ev, Seq("event_type"), col("st"), col("tr"),
+          col("cents"))
+        .orderBy("event_type")
+    }),
+
+
     // A4: deterministic statistical mode (tie-break: smallest value)
     "q_mode" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1669,6 +1700,71 @@ private[graft] object QueriesStats {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+      // unit grid then double v² — mirrors Inference.hhi op for op
+      "q_hhi" ->
+        """WITH pu AS (
+          |  SELECT o_orderpriority AS g, o_custkey AS u,
+          |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |a AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(v) AS BIGINT) AS total,
+          |         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ss
+          |  FROM pu GROUP BY 1)
+          |SELECT g AS o_orderpriority, n, total,
+          |       CASE WHEN total > 0
+          |            THEN round(ss / (CAST(total AS DOUBLE)
+          |                             * CAST(total AS DOUBLE)), 6)
+          |       END AS hhi
+          |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+
+      // (type, stratum) exact cell grid; common-support trim and the
+      // weighted float sum mirror Inference.stratifiedAte op for op
+      "q_strat_ate" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |         ((user_id // 7) % 10 + 10) % 10 AS st,
+          |         CAST(user_id % 2 AS INTEGER) AS tr,
+          |         CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events),
+          |cells AS (
+          |  SELECT event_type, st,
+          |         CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n1,
+          |         CAST(sum(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT)
+          |           AS s1,
+          |         CAST(sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n0,
+          |         CAST(sum(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT)
+          |           AS s0
+          |  FROM e GROUP BY 1, 2),
+          |g AS (
+          |  SELECT event_type,
+          |         CAST(sum(n1 + n0) AS BIGINT) AS n,
+          |         CAST(sum(n1) AS BIGINT) AS nt,
+          |         CAST(sum(n0) AS BIGINT) AS nc,
+          |         CAST(sum(s1) AS BIGINT) AS st1,
+          |         CAST(sum(s0) AS BIGINT) AS st0,
+          |         CAST(sum(CASE WHEN n1 >= 1 AND n0 >= 1 THEN n1 + n0
+          |                       ELSE 0 END) AS BIGINT) AS nsup,
+          |         sum(CASE WHEN n1 >= 1 AND n0 >= 1
+          |                  THEN CAST(n1 + n0 AS DOUBLE)
+          |                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |                          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |                  ELSE 0.0 END) AS wsum
+          |  FROM cells GROUP BY 1)
+          |SELECT event_type, n, nt, nc,
+          |       CASE WHEN nt >= 1 AND nc >= 1
+          |            THEN round(CAST(st1 AS DOUBLE) / CAST(nt AS DOUBLE)
+          |                       - CAST(st0 AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+          |       END AS diff_naive,
+          |       CASE WHEN nsup > 0
+          |            THEN round(wsum / CAST(nsup AS DOUBLE), 6)
+          |       END AS ate_strat
+          |FROM g ORDER BY event_type""".stripMargin,
+
 
       // three rater derivations (the q_fleiss_kappa vote columns at
       // full/16/8 tokens) paired per doc; Q a single division of
