@@ -34,14 +34,28 @@ import org.apache.spark.sql.SparkSession
   *   pressure >= 1.4  FULL       cold + runs warm + noisy escalation + rows
   *   1.1 <= p < 1.4   NO_ESC     full minus the noisy-rep escalation
   *   0.85 <= p < 1.1  RUNS2      cold + 2 warm, rows reused from the
-  *                               prior BENCH_FULL.json when unchanged
-  *   p < 0.85         FLOOR      one timed run, no cold, rows reused
+  *                               prior BENCH_FULL.json (by name)
+  *   0.5 <= p < 0.85  FLOOR      one timed run, no cold, rows reused
+  *   p < 0.5          REUSED     nothing runs — the prior archive's
+  *                               time is emitted, stamped per row
   * so every query always lands in the archive (the JSON line is ALWAYS
   * emitted, even on a fatal error) and degradation is recorded per row
   * ("mode") plus in aggregate ("degraded"). Load and requeue waits are
   * clamped to the remaining budget, and a per-query watchdog cancels
   * the job group after min(SPARK_GRAFT_BENCH_QUERY_CAP, remaining) so
   * one hung plan cannot eat the round's artifact.
+  *
+  * Reuse-not-error (round 13, verdict item 2): BENCH_r12.json carried
+  * 3 watchdog-cancelled rows as errors although all three were healthy
+  * in the quiet archive — a budget/watchdog kill is a HOST statement,
+  * not an engine one, so both the sub-floor budget rung and a watchdog
+  * cancellation now fall back to the prior BENCH_FULL.json time (row
+  * mode "reused", names in "times_reused"); only queries with no prior
+  * time, or genuine (non-cancellation) failures, land in "errors".
+  * Reused rows carry no fresh load stamp and are EXCLUDED from
+  * quiet_total. The top-level "dominant_mode" stamp names the modal
+  * per-row mode so a floor/reused quiet_total is never cross-compared
+  * with a warm-median one.
   *
   * Quiet-total (round 12, verdict item 2): alongside "value" (sum of
   * all warm minima) the archive emits "quiet_total" + "quiet_n" — the
@@ -51,6 +65,13 @@ import org.apache.spark.sql.SparkSession
   * rather than a fixed 20.
   */
 object Bench {
+  /** Thrown when a timed body died because OUR watchdog cancelled its
+    * job group — a host/budget statement, not an engine failure, so
+    * the row falls back to the prior archive's time instead of an
+    * error (round-13 verdict item 2).
+    */
+  final class WatchdogCancelled(msg: String) extends RuntimeException(msg)
+
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
@@ -148,18 +169,28 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // single daemon thread arming one cancellation per timed section
+    // single daemon thread arming one cancellation per timed section;
+    // a body that dies AFTER the watchdog fired rethrows as
+    // WatchdogCancelled so timeQuery can tell a host-kill (reusable)
+    // from a genuine engine failure (an error)
     val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
     def withCap[A](group: String, capSec: Double)(body: => A): A = {
       spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       val task = watchdog.schedule(new Runnable {
         def run(): Unit = {
           System.err.println(f"[bench] watchdog: cancelling $group after $capSec%.0f s")
+          fired.set(true)
           spark.sparkContext.cancelJobGroup(group)
         }
       }, math.max(1L, (capSec * 1000).toLong), java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
+      catch {
+        case e: Throwable if fired.get =>
+          throw new Bench.WatchdogCancelled(
+            f"$group watchdog-cancelled after $capSec%.0f s")
+      }
       finally { task.cancel(false); spark.sparkContext.clearJobGroup() }
     }
 
@@ -213,21 +244,33 @@ object Bench {
     // map, not just the scale sweep); SPARK_GRAFT_BENCH_ROWS=0 opts
     // out for quick local iteration. Under budget pressure the count
     // pass is the first thing to go: the prior BENCH_FULL.json's rows
-    // map is reused for queries whose census entry is unchanged
+    // map is reused BY NAME — no unchanged-definition check, so a
+    // query redefined this round carries the prior round's count
     // ("rows_reused" names them — a reader can tell measured from
-    // carried-over).
+    // carried-over, and discounts reused rows accordingly).
     val countRows = !sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("0")
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val rowsReused = scala.collection.mutable.ArrayBuffer.empty[String]
-    // prior archive's rows map (regex-parsed — the format is ours)
-    val priorRows: Map[String, Long] = try {
+    // prior archive's rows + warm-time maps (regex-parsed — the format
+    // is ours). priorWarm backs the reuse-not-error ladder rung: a
+    // budget- or watchdog-cancelled query emits this time (stamped
+    // "reused") instead of an error.
+    val priorArchive: String = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.readString(p)
-        val m = """"rows":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-        """"([^"]+)":(\d+)""".r.findAllMatchIn(m)
-          .map(g => g.group(1) -> g.group(2).toLong).toMap
-      } else Map.empty
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+      else ""
+    } catch { case _: Throwable => "" }
+    val priorRows: Map[String, Long] = try {
+      val m = """"rows":\{([^}]*)\}""".r.findFirstMatchIn(priorArchive)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(m)
+        .map(g => g.group(1) -> g.group(2).toLong).toMap
+    } catch { case _: Throwable => Map.empty }
+    val priorWarm: Map[String, Double] = try {
+      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(priorArchive)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(m)
+        .map(g => g.group(1) -> g.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     // per-query load stamped when the query's reps FINISH (round-10
     // verdict item 3: the start-of-run guard can't see a mid-run
@@ -295,13 +338,43 @@ object Bench {
         if (p >= 1.4) "full"
         else if (p >= 1.1) "no_esc"
         else if (p >= 0.85) "runs2"
-        else "floor"
+        else if (p >= 0.5) "floor"
+        // last rung: don't run at all — reuse the prior archive's time
+        // (timeQuery falls back to floor when no prior time exists)
+        else "reused"
       }
     }
-    def timeQuery(name: String, m: String): Unit = {
+    val timesReused = scala.collection.mutable.ArrayBuffer.empty[String]
+    // reuse-not-error: stamp the prior archive's time for this row —
+    // a budget/watchdog kill is host pressure, not engine signal. No
+    // fresh load stamp (the time is the PRIOR round's measurement), so
+    // the row never enters quiet_total; partial fresh measurements
+    // from an interrupted attempt are dropped for consistency.
+    def reuseRow(name: String, why: String): Unit = {
+      warm(name) = priorWarm(name)
+      cold.remove(name); median.remove(name); reps.remove(name)
+      spread.remove(name); qload.remove(name); qext.remove(name)
+      qmode(name) = "reused"
+      timesReused += name
+      if (countRows && !rows.contains(name) && priorRows.contains(name)) {
+        rows(name) = priorRows(name)
+        rowsReused += name
+      }
+      System.err.println(s"[bench] $name: reusing prior archive time " +
+        f"${priorWarm(name)}%.3f s ($why)")
+    }
+    def timeQuery(name: String, m0: String): Unit = {
       val fn = SparkEntry.queries(name)
       val wall0 = System.nanoTime()
       val cpu0 = processCpuNanos
+      // reuse costs ~0 wall, so it must not dilute the running average
+      // that the pressure estimate divides by — return without
+      // touching doneWall/doneN
+      if (m0 == "reused" && priorWarm.contains(name)) {
+        reuseRow(name, "budget rung")
+        return
+      }
+      val m = if (m0 == "reused") "floor" else m0
       qmode(name) = m
       try {
         val nWarm = m match {
@@ -352,8 +425,19 @@ object Bench {
         if (countRows && !rows.contains(name)) {
           if (m == "full" || m == "no_esc" || !priorRows.contains(name)) {
             spark.catalog.clearCache()
-            rows(name) = withCap(s"rows-$name", math.max(30.0, math.min(queryCap, remainingSec))) {
-              fn(spark, sfDir).count()
+            // a watchdog kill HERE must not discard the fresh warm
+            // time already measured above — fall back to the prior
+            // count (or swallow when there is none) instead of letting
+            // the cancellation escape to the outer catch
+            try {
+              rows(name) = withCap(s"rows-$name", math.max(30.0, math.min(queryCap, remainingSec))) {
+                fn(spark, sfDir).count()
+              }
+            } catch {
+              case _: Bench.WatchdogCancelled if priorRows.contains(name) =>
+                rows(name) = priorRows(name)
+                rowsReused += name
+              case _: Bench.WatchdogCancelled => ()
             }
           } else {
             rows(name) = priorRows(name)
@@ -361,6 +445,12 @@ object Bench {
           }
         }
       } catch {
+        // a watchdog kill with a prior time on file is host pressure —
+        // reuse; a kill with NO prior time (a brand-new query) still
+        // errors, and any non-cancellation failure stays an error (a
+        // genuine engine bug must never hide behind reuse)
+        case e: Bench.WatchdogCancelled if priorWarm.contains(name) =>
+          reuseRow(name, Option(e.getMessage).getOrElse("watchdog"))
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -471,11 +561,19 @@ object Bench {
     val repsJson = reps.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val requeuedJson = requeued.sorted.map(jstr).mkString("[", ",", "]")
     val rowsReusedJson = rowsReused.sorted.map(jstr).mkString("[", ",", "]")
+    val timesReusedJson = timesReused.sorted.map(jstr).mkString("[", ",", "]")
     val degraded = qmode.filter(_._2 != "full")
-    val degradedJson = Seq("no_esc", "runs2", "floor")
+    val degradedJson = Seq("no_esc", "runs2", "floor", "reused")
       .map(m => s"${jstr(m)}:${degraded.count(_._2 == m)}").mkString("{", ",", "}")
     val modeJson = degraded.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"ext_load":${jmapD(qext)},"requeued":$requeuedJson,"rows_reused":$rowsReusedJson,"mode":$modeJson,"degraded":$degradedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"wall_budget_sec":${fmt(wallBudget)},"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"cal_1t_start_sec":${fmt(cal1Start)},"cal_${cpus}t_start_sec":${fmt(calNStart)},"cal_1t_end_sec":${fmt(cal1End)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+    // the run's modal per-row mode, stamped top-level: a floor/reused
+    // total is a different KIND of number than a warm-median one and
+    // must never be cross-compared silently (round-13 verdict item 2)
+    val dominantMode =
+      if (qmode.isEmpty) "full"
+      else qmode.values.toSeq.groupBy(identity).toSeq
+        .sortBy { case (m, g) => (-g.size, m) }.head._1
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"ext_load":${jmapD(qext)},"requeued":$requeuedJson,"rows_reused":$rowsReusedJson,"times_reused":$timesReusedJson,"dominant_mode":${jstr(dominantMode)},"mode":$modeJson,"degraded":$degradedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"wall_budget_sec":${fmt(wallBudget)},"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"cal_1t_start_sec":${fmt(cal1Start)},"cal_${cpus}t_start_sec":${fmt(calNStart)},"cal_1t_end_sec":${fmt(cal1End)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     // Full detail goes to stderr AND a repo file; the harness that
     // archives this run keeps only a short tail of stdout, and the r2/r3
     // archives show the full line no longer fits in it (parsed: null).
@@ -495,7 +593,7 @@ object Bench {
       val omitPart =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"n_queries":${warm.size},"queries":${jmapD(qs)},"noisy":$noisyJson,"vacuous":$vacuousJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"degraded":$degradedJson,"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"n_queries":${warm.size},"queries":${jmapD(qs)},"noisy":$noisyJson,"vacuous":$vacuousJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"dominant_mode":${jstr(dominantMode)},"degraded":$degradedJson,"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
     }
     val bySlow = warm.toSeq.sortBy(-_._2)
     var keep = bySlow.size

@@ -78,9 +78,14 @@ private[graft] object QueryShared {
   def sqlLangVotes(lang: String): String =
     sqlVotesOver(TextStats.stopwords(lang))
 
-  /** DuckDB mirror of [[TextStats.zhVotes]]: CJK ideograph count over
-    * the token list aliased `l` — same code-point range (U+4E00..
-    * U+9FFF) as `TextStats.ZhClass`, RE2 hex-escape spelling.
+  /** DuckDB mirror of [[TextStats.zhVotes]]/[[TextStats.zhVotesText]]:
+    * CJK ideograph count over the token list aliased `l` — same
+    * code-point range (U+4E00..U+9FFF) as `TextStats.ZhClass`, RE2
+    * hex-escape spelling. The Spark side counts by LENGTH DIFFERENCE
+    * (round-13 perf fix — no match-array materialization); this
+    * extract-and-count form is value-identical (both are the number of
+    * CJK code points, an exact integer — no float order to mirror) and
+    * the oracle's cost is irrelevant.
     */
   val sqlZhVotes =
     """len(regexp_extract_all(array_to_string(l, ' '), '[\x{4E00}-\x{9FFF}]'))"""
@@ -104,6 +109,37 @@ private[graft] object QueryShared {
       |            WHEN de > greatest(en, es, fr) THEN 'de'
       |            WHEN fr > greatest(en, es) THEN 'fr'
       |            WHEN es > en THEN 'es' ELSE 'en' END""".stripMargin
+
+  /** Literal polyglot micro-corpus for q_langid_poly (round-13 verdict
+    * item 3): the shipped documents table is the same latin vocabulary
+    * under EVERY lang label (zero CJK), so no data-derived query can
+    * ever show a de/zh diagonal — these plan-literal sentences,
+    * identical in the Spark query and the DuckDB oracle, carry the
+    * oracle-gated diagonal proof for all five languages plus the
+    * zh-embedded-in-latin case from ExtSpec. Vote margins are designed
+    * to clear every stopword-list overlap (la ∈ es∩fr, etc.) under the
+    * strict en > es > fr > de > zh tie-break.
+    */
+  val polyglotCorpus: Seq[(Int, String, String)] = Seq(
+    (1, "en", "the cat sat on the mat and the dog is in the yard with that stick of wood to chew"),
+    (2, "en", "this is the end of the story and that is all there is to say in the book"),
+    (3, "es", "el perro y la gata de la casa que los vecinos en una calle con luz"),
+    (4, "es", "la vida de los campos en una manana con el sol y con la luna que brilla"),
+    (5, "fr", "le chien et la ville les amis des montagnes dans une maison pour le soir est la"),
+    (6, "fr", "les fleurs des champs dans le jardin pour une saison est la vie des gens"),
+    (7, "de", "der hund und die katze das ist nicht mit ein haus und der baum im garten"),
+    (8, "de", "die kinder und der garten das wetter ist nicht gut mit ein buch und der tee"),
+    (9, "zh", "我们的数据处理系统每天分析大量文本数据"),
+    (10, "zh", "这个查询引擎在大规模集群上运行得很快"),
+    (11, "zh", "mixed latin 前缀 with embedded 中文字符 inside the frame"))
+
+  /** The polyglot corpus as a DuckDB VALUES body — same tuples
+    * verbatim (single quotes doubled).
+    */
+  def sqlPolyglotValues: String =
+    polyglotCorpus.map { case (i, lg, tx) =>
+      s"($i, '$lg', '${tx.replace("'", "''")}')"
+    }.mkString(", ")
 
   /** Blocklist for q_blocklist_filter: token-normalized phrases over
     * the corpus vocabulary (two- and three-token sequences). Shared

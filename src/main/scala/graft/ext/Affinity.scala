@@ -314,11 +314,28 @@ object Affinity {
     // orientation is still plain item order. Callers pass `itemDict`
     // (one distinct-item column) when a DIMENSION table knows the
     // vocabulary — deriving it from `ratings` would re-run the whole
-    // upstream fact pipeline for one tiny distinct.
+    // upstream fact pipeline for one tiny distinct. A caller-supplied
+    // itemDict MUST be a superset of the rated items: the dictionary
+    // join below is inner, so ratings on items absent from the dict
+    // are dropped (pass None to derive the vocabulary from `ratings`
+    // when coverage is uncertain).
     val vocab = itemDict.getOrElse(ratings.select(item.as("i")).distinct())
       .select(col("i")).distinct()
-    val dict = vocab.withColumn("iid",
-      row_number().over(Window.orderBy("i")).cast("long"))
+    // Loud guard on the packed-key shift (round-13 advice): iid is the
+    // dense row_number 1..|V|, so any iid ≥ 2^20 means the pack below
+    // WOULD collide — raise instead of silently merging pair counts.
+    // The check rides the vocabulary-sized dictionary (no extra job,
+    // one codegen branch per dict row), and 2^20 ids is far past the
+    // bounded-catalog contract in the scale note above.
+    val packShift = 1048576L // 2^20, matches the literals in the expr
+    val dict = vocab
+      .withColumn("iid", row_number().over(Window.orderBy("i")).cast("long"))
+      .withColumn("iid",
+        when(col("iid") < packShift, col("iid")).otherwise(raise_error(concat(
+          lit("slopeOneDeviations: item vocabulary exceeds 2^20 ids (iid="),
+          col("iid").cast("string"),
+          lit(") — the packed pair key would collide; dictionary-encode to "
+            + "a bounded catalog (brands/categories, not raw SKUs)")))))
     val withId = perUI.join(broadcast(dict), "i")
       .select(col("u"), col("iid"), col("r"))
     val packed = withId.groupBy("u")

@@ -793,9 +793,13 @@ object Forecast {
     * Scale shape: callers hand in the ALIGNED GRID (two measures on
     * one time index — a day grid, never raw rows), so the lag
     * expansion is grid × (2·maxLag+1) rows, the shifted join is an
-    * equi-join on the grid, and each lag's power sums are exact longs;
-    * the correlation tower is the only float, rounded at 6 (null when
-    * either side is constant over the overlap).
+    * equi-join on the grid; first-order sums stay exact longs, while
+    * the squared/cross terms accumulate as DOUBLES (the hhi/varC
+    * convention: a² at values ~3·10⁹ — plausible daily cent totals at
+    * higher sf — silently overflows an int64 sum; similar-magnitude
+    * terms reassociate at ~ulp, far below the 1e-6 rounding), mirrored
+    * term-for-term in the oracle. Rounded at 6 (null when either side
+    * is constant over the overlap).
     */
   def leadLagCorr(series: DataFrame, t: Column, a: Column, b: Column,
       maxLag: Int): DataFrame = {
@@ -805,11 +809,13 @@ object Forecast {
       .as("lag"), col("t"), col("a"))
     val sb = s.select(col("t").as("tb"), col("b"))
     val j = la.join(sb, col("tb") === col("t") + col("lag"))
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
     val g = j.groupBy("lag")
       .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
-        sum(col("a") * col("a")).as("saa"),
-        sum(col("b") * col("b")).as("sbb"),
-        sum(col("a") * col("b")).as("sab"))
+        sum(aD * aD).as("saa"),
+        sum(bD * bD).as("sbb"),
+        sum(aD * bD).as("sab"))
     val nD = col("n").cast("double")
     val covN = nD * col("sab").cast("double") -
       col("sa").cast("double") * col("sb").cast("double")

@@ -1846,22 +1846,6 @@ object Inference {
           .as("gini")): _*)
   }
 
-  /** Murphy decomposition of the Brier score per group over K
-    * forecast bins: BS = reliability − resolution + uncertainty,
-    * where bin b's implied forecast is the midpoint f_b = (2b+1)/(2K)
-    * — the "is the probability model calibrated, and does it actually
-    * discriminate?" readout behind every calibration plot.
-    *
-    * Exactness: one map-side-combined pass to the (group, bin) cell
-    * grid (n_b, o_b exact longs); the Brier score itself clears to an
-    * EXACT integer numerator over denominator 4K²·N
-    * (Σ_b n_b(2b+1)² − 4K(2b+1)o_b + 4K²o_b, using y² = y), so BS is
-    * drift-free; reliability/resolution are K-term sums of
-    * non-negative doubles off exact cell counts (no cancellation —
-    * reassociation error ~ulp, far below the 1e-6 rounding) and
-    * uncertainty is one division. `bin` must evaluate to an integer
-    * in [0, K).
-    */
   /** Cramér's V association between two categorical columns: the
     * χ²-based effect size V = √(χ² / (N·(min(R,C)−1))) — "are these
     * two labels related at all, and how strongly?" on a 0..1 scale,
@@ -1870,8 +1854,15 @@ object Inference {
     * Exactness: one map-side-combined pass to the (a, b) contingency
     * grid; margins derive from the GRID (never a second row scan);
     * χ² is a per-cell float tower over exact longs summed across the
-    * R·C grid cells (non-negative terms — reassociation error ~ulp,
-    * far below the 1e-6 rounding). Null V when N = 0 or min(R,C) < 2.
+    * FULL R·C grid — observed cells contribute (n−E)²/E, and every
+    * EMPTY cell with nonzero margins contributes its expected count E
+    * (since (0−E)²/E = E). The empty-cell total never enumerates the
+    * missing cells: Σ_all E = N, so Σ_missing E = N − Σ_observed E
+    * = (N² − Σ_observed ri·cj)/N, whose numerator is an EXACT long
+    * (structural zeros cost one extra integer sum, not a margins
+    * cross-join; N² bounds int64 up to N ~ 3·10⁹ rows — past that,
+    * pre-aggregate). Non-negative terms — reassociation error ~ulp,
+    * far below the 1e-6 rounding. Null V when N = 0 or min(R,C) < 2.
     */
   def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.select(a.as("a"), b.as("b"))
@@ -1889,11 +1880,17 @@ object Inference {
       (col("nij").cast("double") - e) / e
     val g = withM.groupBy()
       .agg(max("n").as("n"), countDistinct("a").as("r"),
-        countDistinct("b").as("c"), sum(term).as("chi2"))
+        countDistinct("b").as("c"), sum(term).as("chi2obs"),
+        sum(col("ri") * col("cj")).as("rcsum"))
+    // empty-cell correction: (N² − Σ_observed ri·cj)/N — exact-long
+    // numerator, exactly 0 when the grid is complete
+    val chi2 = col("chi2obs") +
+      (col("n") * col("n") - col("rcsum")).cast("double") /
+        col("n").cast("double")
     val mindim = least(col("r"), col("c")).cast("double") - lit(1.0)
-    g.select(col("n"), col("r"), col("c"), round(col("chi2"), 6).as("chi2"),
+    g.select(col("n"), col("r"), col("c"), round(chi2, 6).as("chi2"),
       when(col("n") > 0L && mindim >= 1.0,
-        round(sqrt(col("chi2") / (col("n").cast("double") * mindim)), 6))
+        round(sqrt(chi2 / (col("n").cast("double") * mindim)), 6))
         .as("cramers_v"))
   }
 
@@ -2095,6 +2092,22 @@ object Inference {
         .as("theil_t")): _*)
   }
 
+  /** Murphy decomposition of the Brier score per group over K
+    * forecast bins: BS = reliability − resolution + uncertainty,
+    * where bin b's implied forecast is the midpoint f_b = (2b+1)/(2K)
+    * — the "is the probability model calibrated, and does it actually
+    * discriminate?" readout behind every calibration plot.
+    *
+    * Exactness: one map-side-combined pass to the (group, bin) cell
+    * grid (n_b, o_b exact longs); the Brier score itself clears to an
+    * EXACT integer numerator over denominator 4K²·N
+    * (Σ_b n_b(2b+1)² − 4K(2b+1)o_b + 4K²o_b, using y² = y), so BS is
+    * drift-free; reliability/resolution are K-term sums of
+    * non-negative doubles off exact cell counts (no cancellation —
+    * reassociation error ~ulp, far below the 1e-6 rounding) and
+    * uncertainty is one division. `bin` must evaluate to an integer
+    * in [0, K).
+    */
   def brierDecomposition(df: DataFrame, group: Seq[String], bin: Column,
       k: Int, y: Column): DataFrame = {
     val gc = group.map(col)

@@ -1805,7 +1805,9 @@ private[graft] object QueriesStats {
 
 
       // contingency grid + grid margins; per-cell χ² tower mirrors
-      // Inference.cramersV op for op
+      // Inference.cramersV op for op — including the round-13
+      // empty-cell correction (N² − Σ_observed ri·cj)/N, exact-long
+      // numerator, so structural zeros contribute their expected count
       "q_cramers_v" ->
         """WITH cells AS (
           |  SELECT l_returnflag AS a, l_linestatus AS b,
@@ -1827,14 +1829,20 @@ private[graft] object QueriesStats {
           |                - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
           |                  / CAST(n AS DOUBLE))
           |             / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
-          |                / CAST(n AS DOUBLE))) AS chi2
-          |  FROM m)
+          |                / CAST(n AS DOUBLE))) AS chi2obs,
+          |         CAST(sum(ri * cj) AS BIGINT) AS rcsum
+          |  FROM m),
+          |f AS (
+          |  SELECT n, r, c,
+          |         chi2obs + CAST(n * n - rcsum AS DOUBLE)
+          |                   / CAST(n AS DOUBLE) AS chi2
+          |  FROM t)
           |SELECT n, r, c, round(chi2, 6) AS chi2,
           |       CASE WHEN n > 0 AND CAST(least(r, c) AS DOUBLE) - 1.0 >= 1.0
           |            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
           |                 * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
           |       END AS cramers_v
-          |FROM t ORDER BY n""".stripMargin,
+          |FROM f ORDER BY n""".stripMargin,
 
 
       // one conditional pass to the four exact cells; OR at 6, CI

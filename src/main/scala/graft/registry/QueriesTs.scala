@@ -913,8 +913,10 @@ private[graft] object QueriesTs {
           |FROM h ORDER BY event_type""".stripMargin,
 
 
-      // same daily two-series grid and lag expansion; per-lag exact
-      // power sums, correlation tower mirrors Forecast.leadLagCorr
+      // same daily two-series grid and lag expansion; first-order sums
+      // exact, squared/cross sums accumulate as DOUBLES (the int64-
+      // overflow-proof hhi convention) — mirrors Forecast.leadLagCorr
+      // term for term
       "q_lead_lag" ->
         """WITH daily AS (
           |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -935,17 +937,17 @@ private[graft] object QueriesTs {
           |g AS (
           |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
           |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
-          |         CAST(sum(a * a) AS BIGINT) AS saa,
-          |         CAST(sum(b * b) AS BIGINT) AS sbb,
-          |         CAST(sum(a * b) AS BIGINT) AS sab
+          |         sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS saa,
+          |         sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS sbb,
+          |         sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS sab
           |  FROM j GROUP BY 1),
           |h AS (
           |  SELECT lag, n,
-          |         CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          |         CAST(n AS DOUBLE) * sab
           |           - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS covn,
-          |         CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+          |         CAST(n AS DOUBLE) * saa
           |           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS van,
-          |         CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+          |         CAST(n AS DOUBLE) * sbb
           |           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vbn
           |  FROM g)
           |SELECT lag, n AS n_overlap,

@@ -47,7 +47,7 @@ class ContractSpec extends AnyFunSuite {
     // ratchet: equals the declared surface — bump in the SAME commit
     // that adds a query, so a shard-merge error can never silently
     // drop entries (round-9 verdict item 5)
-    assert(names.size >= 357, s"query census shrank to ${names.size}")
+    assert(names.size >= 358, s"query census shrank to ${names.size}")
     val oracleNames = Seq(QueriesCore.oracles, QueriesLake.oracles,
       QueriesStream.oracles, QueriesText.oracles, QueriesSim.oracles,
       QueriesGraph.oracles, QueriesStats.oracles, QueriesTs.oracles)
