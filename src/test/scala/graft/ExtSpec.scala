@@ -275,6 +275,35 @@ class ExtSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("textstats: native CjkCount matches the regex spelling byte-for-byte") {
+    // parity fixtures: pure latin (zero matches), pure CJK, CJK mixed
+    // into latin, range boundaries (U+4E00 and U+9FFF in, U+4DFF and
+    // U+A000 out — the E4-block second-byte check and the E9 ceiling),
+    // other multi-byte scripts (é, ß, я, emoji — 2- and 4-byte
+    // sequences must never phantom-match), and empty/null
+    val fixtures = Seq(
+      (1L, "plain latin text with no ideographs at all"),
+      (2L, "今天天气很好我们一起去公园散步吧"),
+      (3L, "the 今天天气很好我们去公园散步 page"),
+      (4L, "一鿿"), // first and last in range
+      (5L, "䷿ꀀ"), // one below, one above — zero
+      (6L, "café straße язык 😀"),
+      (7L, ""),
+      (8L, null.asInstanceOf[String]))
+    val d = fixtures.toDF("id", "text")
+    val rows = d.select($"id",
+        TextStats.zhVotesText($"text").as("native"),
+        coalesce(size(regexp_extract_all($"text",
+          lit(TextStats.ZhClass), lit(0))), lit(0)).as("regex"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"CjkCount mismatch on id=${r.getLong(0)}: " +
+          s"native=${r.getInt(1)} regex=${r.getInt(2)}")
+    }
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 16, 13, 2, 0, 0, 0, 0))
+  }
+
   test("textstats: fingerprints stable under case/whitespace noise") {
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
