@@ -896,14 +896,22 @@ object Inference {
     *
     * Scale: one count to (item × category) cells — shuffle is cells,
     * bounded by N·min(n, |cats|) — then one per-item and one
-    * per-category rollup; the two scalar frames broadcast. Returns one
-    * row: (n_items, n_raters, p_bar, p_e, kappa), rounded at 6.
+    * per-category rollup; the two scalar frames broadcast. The cell
+    * grid is PERSISTED (serialized, grid-sized): both rollups consume
+    * it, and without the persist the entire upstream assignment
+    * pipeline (for q_fleiss_kappa: scans + three language-ID rater
+    * evaluations) executes twice — round-13 measured the double
+    * evaluation as ~2× the query. Callers that loop clear it with
+    * `spark.catalog.clearCache()` (the bench/verify already do).
+    * Returns one row: (n_items, n_raters, p_bar, p_e, kappa),
+    * rounded at 6.
     */
   def fleissKappa(assign: DataFrame, item: Column, category: Column,
       nRaters: Int): DataFrame = {
     require(nRaters >= 2, "Fleiss' kappa needs at least 2 raters")
     val cells = assign.select(item.as("i"), category.as("cat"))
       .groupBy("i", "cat").agg(count(lit(1)).as("nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val complete = cells.groupBy("i")
       .agg(sum("nij").as("n_i"), sum(col("nij") * col("nij")).as("sq_i"))
       .filter(col("n_i") === nRaters)

@@ -1004,14 +1004,19 @@ private[graft] object QueriesStats {
     // exact long, three divisions total (Inference.fleissKappa
     // scaladoc).
     "q_fleiss_kappa" -> ((s, dir) => {
-      val d = spread(t(s, dir, "documents"))
+      // one scan, one tokenization, all three rater labels in ONE
+      // projection, then explode to the long-form assignment — the
+      // round-12 unionAll-of-three-projections form re-scanned and
+      // re-tokenized the documents table once per rater (and the
+      // operator's two rollups doubled that again before round 13's
+      // cell-grid persist)
+      val assign = spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           TextStats.tokens(col("text")).as("l"))
-      val assign = d.select(col("doc_id"), col("lang").as("cat"))
-        .unionAll(d.select(col("doc_id"),
-          TextStats.langIdFromTokens(col("l")).as("cat")))
-        .unionAll(d.select(col("doc_id"),
-          TextStats.langIdFromTokens(slice(col("l"), 1, 16)).as("cat")))
+        .select(col("doc_id"), explode(array(
+          col("lang"),
+          TextStats.langIdFromTokens(col("l")),
+          TextStats.langIdFromTokens(slice(col("l"), 1, 16)))).as("cat"))
       Inference.fleissKappa(assign, col("doc_id"), col("cat"), nRaters = 3)
         .orderBy("n_items")
     }),
