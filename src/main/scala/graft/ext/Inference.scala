@@ -832,12 +832,20 @@ object Inference {
     *
     * Scale: one contingency pass (the [[chi2]] shape — shuffle =
     * observed cells); marginal products run over the tiny class grid.
-    * Overflow: n² < 2⁶³ holds to ~3·10⁹ rows; past that, compute on
-    * a hash sample — κ is a rate, it concentrates fast.
+    * The grid is PERSISTED: three rollups consume it (totals, row
+    * margins, column margins), and without the persist the upstream
+    * pipeline — for q_cohen_kappa, the documents scan plus a full
+    * language-ID evaluation — executed three times (round-13 30×
+    * sweep caught it as a 9.4× time ratio; the grid itself is ≤|cats|²
+    * rows). Callers that loop clear it with `clearCache()` (bench/
+    * verify already do). Overflow: n² < 2⁶³ holds to ~3·10⁹ rows;
+    * past that, compute on a hash sample — κ is a rate, it
+    * concentrates fast.
     */
   def cohenKappa(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val conf = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tot = conf.agg(sum("n").as("n_tot"),
       sum(when(col("x") === col("y"), col("n")).otherwise(0L)).as("n_agree"))
     val rm = conf.groupBy("x").agg(sum("n").as("rm"))
