@@ -796,15 +796,27 @@ object Forecast {
     * equi-join on the grid; first-order sums stay exact longs, while
     * the squared/cross terms accumulate as DOUBLES (the hhi/varC
     * convention: a² at values ~3·10⁹ — plausible daily cent totals at
-    * higher sf — silently overflows an int64 sum; similar-magnitude
-    * terms reassociate at ~ulp, far below the 1e-6 rounding), mirrored
-    * term-for-term in the oracle. Rounded at 6 (null when either side
-    * is constant over the overlap).
+    * higher sf — silently overflows an int64 sum), mirrored
+    * term-for-term in the oracle. Both series are pre-shifted by their
+    * exact integer MIN (round 14, ADVICE: the n·saa − sa² tower
+    * cancels catastrophically for near-constant large-magnitude
+    * series, where Spark's partition-order double sums and DuckDB's
+    * can diverge past the 1e-6 rounding; Pearson is shift-invariant,
+    * min is order-independent and engine-exact, and the centered
+    * magnitudes keep every squared term — integers in double — below
+    * 2⁵³ for realistic grids, making the sums themselves exact). Costs
+    * one extra scalar-agg pass over the caller's grid (broadcast
+    * 1-row join), not over the lag expansion. Rounded at 6 (null when
+    * either side is constant over the overlap).
     */
   def leadLagCorr(series: DataFrame, t: Column, a: Column, b: Column,
       maxLag: Int): DataFrame = {
-    val s = series.select(t.cast("long").as("t"), a.cast("long").as("a"),
+    val s0 = series.select(t.cast("long").as("t"), a.cast("long").as("a"),
       b.cast("long").as("b"))
+    val off = s0.agg(min("a").as("oa"), min("b").as("ob"))
+    val s = s0.crossJoin(broadcast(off))
+      .select(col("t"), (col("a") - col("oa")).as("a"),
+        (col("b") - col("ob")).as("b"))
     val la = s.select(explode(typedLit((-maxLag to maxLag).map(_.toLong)))
       .as("lag"), col("t"), col("a"))
     val sb = s.select(col("t").as("tb"), col("b"))

@@ -915,10 +915,12 @@ private[graft] object QueriesTs {
 
       // same daily two-series grid and lag expansion; first-order sums
       // exact, squared/cross sums accumulate as DOUBLES (the int64-
-      // overflow-proof hhi convention) — mirrors Forecast.leadLagCorr
+      // overflow-proof hhi convention); both series min-shifted before
+      // the power sums (round 14 — kills the n·saa − sa² cancellation
+      // for near-constant series) — mirrors Forecast.leadLagCorr
       // term for term
       "q_lead_lag" ->
-        """WITH daily AS (
+        """WITH daily0 AS (
           |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
           |         CAST(sum(CASE WHEN event_type = 'view'
           |                       THEN CAST(round(value * 100) AS BIGINT)
@@ -928,6 +930,8 @@ private[graft] object QueriesTs {
           |                       ELSE 0 END) AS BIGINT) AS b
           |  FROM events WHERE event_type IN ('view', 'purchase')
           |  GROUP BY 1),
+          |off AS (SELECT min(a) AS oa, min(b) AS ob FROM daily0),
+          |daily AS (SELECT day, a - oa AS a, b - ob AS b FROM daily0, off),
           |lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(-3, 4) r(i)),
           |j AS (
           |  SELECT l.lag AS lag, s1.a AS a, s2.b AS b

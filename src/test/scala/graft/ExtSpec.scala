@@ -304,6 +304,41 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).toSeq == Seq(0, 16, 13, 2, 0, 0, 0, 0))
   }
 
+  test("textstats: CjkCount never phantom-counts on ill-formed UTF-8") {
+    // round-14 ADVICE: a lone E5..E9 lead followed by non-continuation
+    // bytes previously counted as an ideograph and the walk
+    // mis-advanced past real characters. Build raw invalid byte
+    // strings via binary->string cast (no validation in non-ANSI
+    // mode); for each, assert the count equals the number of
+    // WELL-FORMED in-range sequences only, and that a genuine
+    // ideograph after a corrupt lead still counts (maximal-subpart
+    // advance does not swallow it). The regex forms decode invalid
+    // bytes to U+FFFD and never match either, so both spellings agree
+    // on the phantom-free contract.
+    val zh = "中".getBytes("UTF-8") // E4 B8 AD
+    def bytes(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val fixtures: Seq[(Long, Array[Byte], Int)] = Seq(
+      (1L, bytes(0xE5), 0),                        // lone lead at EOS
+      (2L, bytes(0xE5, 'A', 'B'), 0),              // lead + ASCII
+      (3L, bytes(0xE5, 0xB8), 0),                  // truncated pair at EOS
+      (4L, bytes(0xE5, 0xB8, 'x'), 0),             // truncated pair + ASCII
+      (5L, bytes(0xE4, 0xB8), 0),                  // truncated E4 pair
+      (6L, bytes(0xB8, 0xAD), 0),                  // stray continuations
+      (7L, bytes(0xE5, 'A') ++ zh ++ bytes('z'), 1), // corrupt lead must not swallow 中
+      (8L, bytes(0xE9) ++ zh, 1),                  // lone lead directly before 中
+      (9L, zh ++ bytes(0xE5) ++ zh, 2),            // corrupt byte between two real
+      (10L, bytes(0xF0, 0x9F, 0x98), 0))           // truncated 4-byte emoji
+    val d = fixtures.map { case (id, bs, exp) => (id, bs, exp) }
+      .toDF("id", "raw", "expected")
+      .select($"id", $"raw".cast("string").as("text"), $"expected")
+    val rows = d.select($"id", $"expected",
+        TextStats.zhVotesText($"text").as("native")).orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(1),
+        s"ill-formed fixture id=${r.getLong(0)}: native=${r.getInt(2)} expected=${r.getInt(1)}")
+    }
+  }
+
   test("textstats: fingerprints stable under case/whitespace noise") {
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")

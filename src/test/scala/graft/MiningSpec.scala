@@ -600,6 +600,27 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("kappa") === 0.375)
   }
 
+  test("kappa grids self-unpersist: no cache entry survives the operator call") {
+    // round-14 verdict item 3: the persisted confusion/cell grids must
+    // not outlive the operator — a library consumer composing many
+    // operators in one session must not need a clearCache convention.
+    // The unpersist rides a QueryExecutionListener (async listener
+    // bus), so poll the cache manager with a timeout.
+    spark.catalog.clearCache()
+    val cm = spark.sharedState.cacheManager
+    val two = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("xc", "yc")
+    assert(Inference.cohenKappa(two, "xc", "yc")
+      .collect().head.getAs[Double]("kappa") === 0.0)
+    val ratings = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (2L, "b")).toDF("i", "cat")
+    assert(Inference.fleissKappa(ratings, col("i"), col("cat"), 3)
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!cm.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cm.isEmpty,
+      "kappa grid persist leaked: cache manager non-empty 15 s after both results materialized")
+  }
+
   test("peakConcurrency: sweep line counts inclusive overlap; day split; exact peaks") {
     // day 1: s1 [10:00,10:30], s2 [10:15,10:45], s3 [10:45,11:00] —
     // s2/s3 touch at 10:45 (inclusive -> concurrent): peak 2, 3 starts;
