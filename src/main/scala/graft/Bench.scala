@@ -406,14 +406,20 @@ object Bench {
       t.start()
     }
     // budget pressure: remaining budget over projected remaining work,
-    // from the running average wall cost of completed queries. Until 3
-    // queries have completed the estimate is too thin — run FULL.
-    var doneWall = 0.0
+    // from the average wall cost of RECENTLY completed queries — a
+    // sliding window of the last 32, not the all-time mean (round 14:
+    // the first few queries pay one-off JVM/JIT/codegen warmup at
+    // 3-10× steady state; an all-time mean anchored on them projected
+    // a 3500 s budget as insufficient six minutes into a run whose
+    // true remaining cost was ~25 min, and the whole archive degraded
+    // to floor/reused for nothing). Until 3 queries have completed the
+    // estimate is too thin — run FULL.
+    val recentWalls = scala.collection.mutable.Queue.empty[Double]
     var doneN = 0
     def mode(queriesLeft: Int): String = {
       if (doneN < 3) "full"
       else {
-        val avg = doneWall / doneN
+        val avg = recentWalls.sum / recentWalls.size
         val p = remainingSec / math.max(1e-9, avg * queriesLeft)
         if (p >= 1.4) "full"
         else if (p >= 1.1) "no_esc"
@@ -543,7 +549,8 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       spark.catalog.clearCache()
-      doneWall += (System.nanoTime() - wall0) / 1e9
+      recentWalls.enqueue((System.nanoTime() - wall0) / 1e9)
+      if (recentWalls.size > 32) recentWalls.dequeue()
       doneN += 1
     }
     // the JSON line must be emitted even if the loop itself dies (a
@@ -601,7 +608,7 @@ object Bench {
         Thread.sleep(10000)
       }
       if (osBean.getSystemLoadAverage <= maxLoad) {
-        val avg = if (doneN > 0) doneWall / doneN else 5.0
+        val avg = if (recentWalls.nonEmpty) recentWalls.sum / recentWalls.size else 5.0
         flagged.iterator.takeWhile(_ => remainingSec > reserve + avg).foreach { n =>
           warm.remove(n); median.remove(n); reps.remove(n); cold.remove(n)
           spread.remove(n); errors.remove(n)
