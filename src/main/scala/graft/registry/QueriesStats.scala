@@ -1385,28 +1385,36 @@ private[graft] object QueriesStats {
     // feature preprocessing: quantile normalization — map each value
     // to its empirical quantile rank/(n+1) within the group, then
     // summarize per subgroup. Rank sums stay exact longs; one division.
-    // Ranks come from the DISTINCT-VALUE cumulative-count grid (min
-    // rank of value v = cum(<v) + 1 — identical to rank() for ties),
-    // not a full-row window: with a 3-value group key the row window
-    // is two-reducer-funnel territory (the q_spearman lesson), while
-    // the grid form's only group-partitioned sort is over distinct
-    // cents values and every row-sized exchange hashes on
-    // high-cardinality keys.
+    // Ranks come from the DISTINCT-VALUE cumulative counts (min rank
+    // of value v = cum(<v) + 1 — identical to rank() for ties), not a
+    // full-row window: with a 3-value group key the row window is
+    // two-reducer-funnel territory (the q_spearman lesson). Round 14
+    // (guide §2.4): the rank is attached IN PLACE by a RANGE-frame
+    // window over the (flag, status, cents) grid — cum(<v) =
+    // sum(c) over the strictly-below frame, which sums every status's
+    // multiplicity at smaller cents, exactly the old (flag, cents)
+    // axis cumsum. The previous axis-aggregate + join-back spelling
+    // computed the scan+grid chain TWICE (the join's two legs derive
+    // differently, so no ReusedExchange — 2 full scans in the plan)
+    // and broadcast a ~594k-row rank relation (cents is near-unique:
+    // grid 596,869 / axis 593,702 rows at sf0.1 — a driver-memory
+    // cliff at scale, guide §3.1). Now: one scan, no join, no
+    // broadcast; the only group-funneled sort is the same 3-partition
+    // grid sort the axis form already paid. 4.56 s → measured below.
     "q_quantile_normalize" -> ((s, dir) => {
-      val li = spread(t(s, dir, "lineitem")).select(col("l_returnflag"),
+      val li0 = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_linestatus"), floor(col("l_extendedprice") * 100).as("cents"))
+      // keyed fan-out: the exchange IS the grid's distribution (spreadBy)
+      val li = spreadBy(li0, col("l_returnflag"), col("l_linestatus"),
+        col("cents"))
       // the only pass over raw rows: (flag, status, cents) multiplicities
       val grid = li.groupBy("l_returnflag", "l_linestatus", "cents")
         .agg(count(lit(1)).as("c"))
-      val axis = grid.groupBy("l_returnflag", "cents").agg(sum("c").as("ac"))
-      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranks = axis
-        .withColumn("end", sum("ac").over(wCum))
-        .withColumn("ng", sum("ac").over(Window.partitionBy("l_returnflag")))
-        .select(col("l_returnflag"), col("cents"),
-          (col("end") - col("ac") + lit(1L)).as("rk"), col("ng"))
-      grid.join(ranks, Seq("l_returnflag", "cents"))
+      val wLt = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("rk", coalesce(sum("c").over(wLt), lit(0L)) + lit(1L))
+        .withColumn("ng", sum("c").over(Window.partitionBy("l_returnflag")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("c").as("n_rows"),
           sum(col("c") * col("rk")).as("sum_rank"), max("ng").as("ng"))
@@ -1468,9 +1476,17 @@ private[graft] object QueriesStats {
     // first and the ranks come from distinct-value cumulative counts,
     // so NO full-row sort ever runs inside the 3-value group partition
     // (the low-cardinality window funnel: 15.3 s → 4.4 s at sf1).
+    // Round 14: the fan-out keys on the PRE-CAST grid columns
+    // (spreadBy — the co-purchase lesson), so the one row-sized
+    // exchange IS the grid aggregation's distribution; the RR spread
+    // was pure overhead ahead of it (probe: grid 1.33 → 0.95 s).
     "q_spearman" -> ((s, dir) => {
-      Inference.spearman(spread(t(s, dir, "lineitem")), Seq("l_returnflag"),
-        col("l_quantity"), floor(col("l_extendedprice") * 100))
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("xv"),
+        floor(col("l_extendedprice") * 100).cast("long").as("yv"))
+      Inference.spearman(
+        spreadBy(li, col("l_returnflag"), col("xv"), col("yv")),
+        Seq("l_returnflag"), col("xv"), col("yv"))
         .orderBy("l_returnflag")
     }),
 
