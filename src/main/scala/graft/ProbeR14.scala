@@ -143,11 +143,47 @@ object ProbeR14 {
       .groupBy("d", "o", "g").agg(count(lit(1)).as("c"))
     def rougeFull = graft.ext.Corpus.rougeOverlap(docs, rougePairs)
 
+    // ---- experiment 3 (VERDICT #6): poisson-bootstrap when-chain fold —
+    // does the 26-branch foldRight over the computed mixer `u`
+    // re-evaluate u per branch (the round-12 reduce(when) trap), or
+    // does codegen CSE hoist it? A/B: inline fold (current library
+    // shape) vs u materialized once in a prior projection.
+    def bootBase = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("rk"),
+        floor(col("l_extendedprice") * 100).cast("long").as("xc"))
+      .withColumn("h", conv(substring(md5(col("rk")), 1, 8), 16, 10).cast("long"))
+      .select(col("l_returnflag"), col("xc"), col("h"),
+        explode(sequence(lit(0), lit(49))).as("rep"))
+    val cuts: Seq[Long] = { // Poisson(1) CDF in micro-units, k = 0..9
+      val e = math.exp(-1.0)
+      var c = 0.0; var f = 1.0
+      (0 to 9).map { k =>
+        if (k > 0) f *= k
+        c += e / f
+        math.min(999999L, math.round(c * 1e6))
+      }
+    }
+    def mixU: Column = {
+      val s = (col("h") + col("rep") * lit(2654435761L)) % lit(4294967296L)
+      val u1 = (s * lit(1597334677L)) % lit(4294967296L)
+      ((u1 * lit(1812433253L)) % lit(4294967296L)) % lit(1000000L)
+    }
+    def foldW(u: Column): Column = cuts.zipWithIndex
+      .foldRight(lit(cuts.length.toLong)) { case ((cut, k), rest) =>
+        when(u < cut, k.toLong).otherwise(rest)
+      }
+    def bootInline = bootBase.withColumn("w", foldW(mixU))
+      .groupBy("l_returnflag", "rep")
+      .agg(sum(col("w") * col("xc")).as("swx"), sum("w").as("sw"))
+    def bootHoisted = bootBase.withColumn("u", mixU)
+      .withColumn("w", foldW(col("u")))
+      .groupBy("l_returnflag", "rep")
+      .agg(sum(col("w") * col("xc")).as("swx"), sum("w").as("sw"))
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "docs_scan" -> (() => docs),
-      "pairs" -> (() => rougePairs),
-      "toks" -> (() => rougeToks),
-      "grams" -> (() => rougeGrams),
+      "boot_inline" -> (() => bootInline),
+      "boot_hoisted" -> (() => bootHoisted),
       "rouge_full" -> (() => rougeFull),
       "spearman_full" -> (() => sumsDec))
 

@@ -100,15 +100,22 @@ object Affinity {
     */
   def frequentTriples(df: DataFrame, basket: Column, item: Column,
       minItemCount: Long, minTripleCount: Long): DataFrame = {
-    val bi = basketItems(df, basket, item)
-    val freq = frequentItems(bi, minItemCount)
+    // persist the distinct membership and the pruned vocabulary: bi is
+    // consumed by the vocabulary, the basket total AND the triple
+    // expansion (freq twice more) — each pruning different columns, so
+    // nothing ReusedExchange can dedupe; without the cache the full
+    // scan+distinct chain replays per consumer (round 14, guide §2.4)
+    val bi = basketItems(df, basket, item).persist()
+    val freq = frequentItems(bi, minItemCount).persist()
     val total = bi.select(countDistinct(col("basket")).as("n_baskets"))
-    tripleCounts(bi, freq)
-      .filter(col("n_triple") >= minTripleCount)
-      .crossJoin(broadcast(total))
-      .select(col("item1"), col("item2"), col("item3"), col("n_triple"),
-        round(col("n_triple").cast("double") / col("n_baskets").cast("double"), 6)
-          .as("support"))
+    Caching.unpersistAfterUse(
+      tripleCounts(bi, freq)
+        .filter(col("n_triple") >= minTripleCount)
+        .crossJoin(broadcast(total))
+        .select(col("item1"), col("item2"), col("item3"), col("n_triple"),
+          round(col("n_triple").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support")),
+      bi, freq)
   }
 
   /** Association rules over baskets: for each frequent ordered pair,
@@ -119,10 +126,11 @@ object Affinity {
     */
   def associationRules(df: DataFrame, basket: Column, item: Column,
       minItemCount: Long, minPairCount: Long): DataFrame = {
-    val bi = basketItems(df, basket, item)
-    val freq = frequentItems(bi, minItemCount)
+    // bi/freq persist + self-release: see [[frequentTriples]]
+    val bi = basketItems(df, basket, item).persist()
+    val freq = frequentItems(bi, minItemCount).persist()
     val total = bi.select(countDistinct(col("basket")).as("n_baskets"))
-    pairCounts(bi, freq)
+    Caching.unpersistAfterUse(pairCounts(bi, freq)
       .filter(col("n_pair") >= minPairCount)
       .join(broadcast(freq.withColumnRenamed("item", "item1")
         .withColumnRenamed("n_item", "n1")), "item1")
@@ -137,7 +145,8 @@ object Affinity {
         round(col("n_pair").cast("double") / col("n2").cast("double"), 6)
           .as("conf_2to1"),
         round(col("n_pair").cast("double") * col("n_baskets").cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).as("lift"))
+          (col("n1") * col("n2")).cast("double"), 6).as("lift")),
+      bi, freq)
   }
 
   /** Item-item collaborative filtering: cosine (Ochiai) similarity
@@ -153,10 +162,14 @@ object Affinity {
     */
   def itemCosineTopK(df: DataFrame, basket: Column, item: Column,
       minItemCount: Long, minPairCount: Long, k: Int): DataFrame = {
-    val bi = basketItems(df, basket, item)
-    val freq = frequentItems(bi, minItemCount)
+    // bi/freq persist + self-release: see [[frequentTriples]]; pairs
+    // additionally persists because the both-directions union consumes
+    // the whole pair derivation twice
+    val bi = basketItems(df, basket, item).persist()
+    val freq = frequentItems(bi, minItemCount).persist()
     val pairs = pairCounts(bi, freq)
       .filter(col("n_pair") >= minPairCount)
+      .persist()
     val both = pairs.unionAll(pairs.select(col("item2").as("item1"),
       col("item1").as("item2"), col("n_pair")))
     val scored = both
@@ -167,12 +180,14 @@ object Affinity {
       .select(col("item1"), col("item2"), col("n_pair"),
         round(col("n_pair").cast("double") /
           sqrt((col("n1") * col("n2")).cast("double")), 6).as("cosine"))
-    scored
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("item1").orderBy(col("cosine").desc, col("item2"))))
-      .filter(col("rank") <= k)
-      .select(col("item1"), col("rank").cast("int").as("rank"),
-        col("item2"), col("n_pair"), col("cosine"))
+    Caching.unpersistAfterUse(
+      scored
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("item1").orderBy(col("cosine").desc, col("item2"))))
+        .filter(col("rank") <= k)
+        .select(col("item1"), col("rank").cast("int").as("rank"),
+          col("item2"), col("n_pair"), col("cosine")),
+      bi, freq, pairs)
   }
 
   /** Pointwise mutual information of token pairs co-occurring in
@@ -184,10 +199,11 @@ object Affinity {
     */
   def pmiPairs(df: DataFrame, doc: Column, term: Column,
       minTermCount: Long, minPairCount: Long): DataFrame = {
-    val bi = basketItems(df, doc, term)
-    val freq = frequentItems(bi, minTermCount)
+    // bi/freq persist + self-release: see [[frequentTriples]]
+    val bi = basketItems(df, doc, term).persist()
+    val freq = frequentItems(bi, minTermCount).persist()
     val total = bi.select(countDistinct(col("basket")).as("n_docs"))
-    pairCounts(bi, freq)
+    Caching.unpersistAfterUse(pairCounts(bi, freq)
       .filter(col("n_pair") >= minPairCount)
       .join(broadcast(freq.withColumnRenamed("item", "item1")
         .withColumnRenamed("n_item", "n1")), "item1")
@@ -197,7 +213,8 @@ object Affinity {
       .select(col("item1").as("term1"), col("item2").as("term2"),
         col("n_pair"), col("n1"), col("n2"),
         round(log(col("n_pair").cast("double") * col("n_docs").cast("double") /
-          (col("n1") * col("n2")).cast("double")), 6).as("pmi"))
+          (col("n1") * col("n2")).cast("double")), 6).as("pmi")),
+      bi, freq)
   }
 
   /** Last-touch attribution: each conversion event is credited to the

@@ -668,13 +668,20 @@ object Inference {
     val s = (col("h") + col("rep") * lit(2654435761L)) % lit(4294967296L)
     val u1 = (s * lit(1597334677L)) % lit(4294967296L)
     val u = ((u1 * lit(1812433253L)) % lit(4294967296L)) % lit(1000000L)
+    // the CDF fold references the mixer in EVERY branch condition, and
+    // codegen does NOT hoist it across the when-chain (round-14 A/B,
+    // VERDICT #6: inline 2.18 s vs hoisted 1.84 s min-of-3 at sf0.1 —
+    // the round-13 langId reduce(when) duplication class in miniature),
+    // so the mixer lands in its own projected column and the fold
+    // reads the materialized value once per row
     val w = poissonCdfMicro.zipWithIndex
       .foldRight(lit(poissonCdfMicro.length.toLong)) { case ((cut, k), rest) =>
-        when(u < cut, k.toLong).otherwise(rest)
+        when(col("_u") < cut, k.toLong).otherwise(rest)
       }
     val repMeans = base
       .select(gcols :+ col("rk") :+ col("xc") :+ col("h") :+
         explode(sequence(lit(0), lit(reps - 1))).as("rep"): _*)
+      .withColumn("_u", u)
       .withColumn("w", w)
       .groupBy(gcols :+ col("rep"): _*)
       .agg(sum(col("w") * col("xc")).as("swx"), sum("w").as("sw"))
@@ -1068,12 +1075,19 @@ object Inference {
   def conformalInterval(df: DataFrame, group: Seq[String], key: Column,
       y: Column, p: Double = 0.9): DataFrame = {
     val g = group.map(col)
+    // persist the split-tagged base and the per-group model: the three
+    // split filters each replayed the caller's upstream (for
+    // q_conformal, a 150k-row join — 28 parquet scans in the plan),
+    // and the model feeds the calibration join, the test join AND the
+    // final assembly (round 14, guide §2.4); both self-release
     val rows = df.select(g :+ ScaleOps.splitByKey(key).as("split")
       :+ y.cast("long").as("y"): _*)
+      .persist()
     val model = rows.filter(col("split") === "train")
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_train"), sum("y").as("sy"))
       .select(g :+ col("n_train") :+ expr("sy DIV n_train").as("y_hat"): _*)
+      .persist()
     val calScores = rows.filter(col("split") === "val")
       .join(broadcast(model), group)
       .select(g :+ abs(col("y") - col("y_hat")).as("score"): _*)
@@ -1085,10 +1099,12 @@ object Inference {
       .agg(count(lit(1)).as("n_test"),
         sum(when(abs(col("y") - col("y_hat")) <= col("qhat"), 1L).otherwise(0L))
           .as("covered"))
-    model.join(qhat, group).join(test, group)
-      .select(g ++ Seq(col("n_train"), col("y_hat"), col("qhat").cast("long").as("qhat"),
-        col("n_test"), col("covered"),
-        expr("(covered * 10000) DIV n_test").as("coverage_bp")): _*)
+    Caching.unpersistAfterUse(
+      model.join(qhat, group).join(test, group)
+        .select(g ++ Seq(col("n_train"), col("y_hat"), col("qhat").cast("long").as("qhat"),
+          col("n_test"), col("covered"),
+          expr("(covered * 10000) DIV n_test").as("coverage_bp")): _*),
+      rows, model)
   }
 
   /** Per-group ROC AUC from an INTEGER score and a boolean label, via

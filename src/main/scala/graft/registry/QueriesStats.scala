@@ -301,8 +301,17 @@ private[graft] object QueriesStats {
     // versions, and the rounded report + borderline outlier count can
     // flip on that; the cont twin stays unit-gated.
     "q_outliers" -> ((s, dir) => {
+      // keyed fan-out on the near-unique (group, value) grid keys (see
+      // q_weighted_median): the operator's first collapse barely
+      // collapses, so the keyed exchange doubles as its distribution
+      // and the single-split scan no longer funnels the partial
+      // aggregate through one task; shuffle count unchanged (2 — the
+      // operator's plan-gated contract)
       ScaleOps.robustOutliersDisc(
-          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+          spreadBy(t(s, dir, "lineitem")
+              .select(col("l_returnflag"), col("l_extendedprice")),
+            col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice")
         .orderBy("l_returnflag")
     }),
 
@@ -441,7 +450,13 @@ private[graft] object QueriesStats {
     // engines.
     "q_percentiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val qs = Quantiles.exactQuantiles(li, "l_extendedprice",
+      // keyed fan-out on the near-unique (group, value) grid keys —
+      // see q_weighted_median; the corr leg collapses to 3 rows
+      // map-side, so its single-split scan stays as-is
+      val qs = Quantiles.exactQuantiles(
+        spreadBy(li.select(col("l_returnflag"), col("l_extendedprice")),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice",
         Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50", "p95"))
       val cr = li.groupBy("l_returnflag")
         .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
@@ -461,7 +476,12 @@ private[graft] object QueriesStats {
     // window; no per-group value map, unlike Spark's percentile_disc
     // aggregate, which this reproduces bit-for-bit — unit-gated)
     "q_percentile_disc" -> ((s, dir) => {
-      Quantiles.exactQuantilesDisc(t(s, dir, "lineitem"), "l_extendedprice",
+      // keyed fan-out on the near-unique grid keys — see q_weighted_median
+      Quantiles.exactQuantilesDisc(
+          spreadBy(t(s, dir, "lineitem")
+              .select(col("l_returnflag"), col("l_extendedprice")),
+            col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice",
           Seq("l_returnflag"), Seq(0.5, 0.95), Seq("p50_disc", "p95_disc"))
         .orderBy("l_returnflag")
     }),
@@ -606,7 +626,13 @@ private[graft] object QueriesStats {
     // the winsorized mean is over ~identical magnitudes, rounded 1e-4.
     "q_winsorize" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val bounds = Quantiles.exactQuantiles(li, "l_extendedprice",
+      // keyed fan-out on the bounds leg's near-unique grid keys — see
+      // q_weighted_median; the clamp leg is scan → broadcast join →
+      // 3-row collapse, already one chain
+      val bounds = Quantiles.exactQuantiles(
+        spreadBy(li.select(col("l_returnflag"), col("l_extendedprice")),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice",
         Seq("l_returnflag"), Seq(0.05, 0.95), Seq("lo", "hi"))
       li.join(broadcast(bounds), Seq("l_returnflag"))
         .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
@@ -659,7 +685,15 @@ private[graft] object QueriesStats {
     // cumulative machinery as q_percentile_disc with Σw in place of
     // row counts (Quantiles.exactWeightedQuantilesDisc scaladoc).
     "q_weighted_median" -> ((s, dir) => {
-      Quantiles.exactWeightedQuantilesDisc(spread(t(s, dir, "lineitem")),
+      // keyed fan-out on the (group, value) grid keys: the price axis
+      // is near-unique (594k distinct at sf0.1), so the grid aggregate
+      // barely collapses and the RR spread was a second full-row
+      // exchange ahead of the grid's own (round 14 — the q_spearman
+      // probe: 0.94 s RR vs 0.56 s keyed on the same base)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      Quantiles.exactWeightedQuantilesDisc(
+          spreadBy(li, col("l_returnflag"), col("l_extendedprice")),
           "l_extendedprice", "l_quantity", Seq("l_returnflag"),
           Seq(0.5, 0.9), Seq("wp50", "wp90"))
         .orderBy("l_returnflag")
