@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Caching
 
 /** Round-14 interleaved kernel A/B probe (the SCALING.md round-13
   * measurement discipline): named variants of one query's stages run
@@ -181,11 +182,38 @@ object ProbeR14 {
       .groupBy("l_returnflag", "rep")
       .agg(sum(col("w") * col("xc")).as("swx"), sum("w").as("sw"))
 
+    // ---- experiment 4: q_kcore stage isolation ------------------------
+    def kcoreEdges = QueryShared.coPurchaseEdges(spark, sfDir, minCount = 1)
+    def kcoreFull = {
+      val e = kcoreEdges.persist()
+      val out = graft.ext.Graph.kCorePeel(e, k = 90, rounds = 3)
+      Caching.unpersistAfterUse(out, e)
+    }
+
+    // ---- experiment 5: spread() RR vs deterministic-hash fan-out ------
+    // RoundRobinPartitioning pays a local sort of the whole (single-
+    // split) input before splitting (SPARK-23207, sortBeforeRepartition
+    // — needed so retried tasks reproduce the assignment); a
+    // deterministic hash of the row needs no sort and is retry-safe by
+    // construction (guide §2.5). A/B over lineitem and events.
+    def li600k = t(spark, sfDir, "lineitem")
+    def evts = t(spark, sfDir, "events")
+    def rrSpread(df: DataFrame) =
+      df.repartition(spark.sparkContext.defaultParallelism)
+    def hashSpread(df: DataFrame) =
+      df.repartition(spark.sparkContext.defaultParallelism,
+        xxhash64(df.columns.map(col): _*))
+    def aggAfter(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)), sum("l_quantity"))
+    def aggAfterE(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)), sum("value"))
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "boot_inline" -> (() => bootInline),
-      "boot_hoisted" -> (() => bootHoisted),
-      "rouge_full" -> (() => rougeFull),
-      "spearman_full" -> (() => sumsDec))
+      "li_rr" -> (() => aggAfter(rrSpread(li600k))),
+      "li_hash" -> (() => aggAfter(hashSpread(li600k))),
+      "ev_rr" -> (() => aggAfterE(rrSpread(evts))),
+      "ev_hash" -> (() => aggAfterE(hashSpread(evts))),
+      "kcore_full" -> (() => kcoreFull))
 
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

@@ -1655,9 +1655,15 @@ private[graft] object QueriesStats {
     // accuracy audit a 100-TB deployment runs before trusting the
     // sketch. Every step exact integers.
     "q_quantile_sketch" -> ((s, dir) => {
-      val cents = t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
-          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      // keyed fan-out on the exact leg's near-unique grid keys (the
+      // double-cast matches the operator's internal grouping expression
+      // so the exchange doubles as its distribution — q_weighted_median
+      // note); the sketch leg's partial aggregate collapses to ~39 bins
+      // map-side on the same layout
+      val cents = spreadBy(t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("c")),
+        col("l_returnflag"), col("c").cast("double"))
       val bins = cents
         .groupBy(col("l_returnflag"), expr("c DIV 8192").as("bin"))
         .agg(count(lit(1)).as("bn"))
