@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parse contract (round 15): the harness archives `sbt "runMain
+// graft.Bench"` by parsing a JSON line from the tail of the output, and
+// BENCH_r10..r14 all carry parsed:null — the default fork output
+// strategy routes the child's stdout through sbt's logger, so every
+// line arrives as "[info] {...}" and the trailing "[success] Total
+// time..." banner lands after it. StdoutOutput makes the forked JVM
+// inherit sbt's own stdout/stderr (no logger prefixes), and
+// showSuccess := false drops the banner, so the bench's one JSON line
+// is byte-identical to what Bench.scala printed and is the last line
+// on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — exclude it
+// from the unused-key lint so batch runs don't print a [warn] block.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

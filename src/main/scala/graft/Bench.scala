@@ -698,26 +698,32 @@ object Bench {
       else qmode.values.toSeq.groupBy(identity).toSeq
         .sortBy { case (m, g) => (-g.size, m) }.head._1
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"queries":${jmapD(warm)},"warm_median":${jmapD(median)},"reps":$repsJson,"cold":${jmapD(cold)},"warm_spread":${jmapD(spread)},"loadavg":${jmapD(qload)},"ext_load":${jmapD(qext)},"requeued":$requeuedJson,"spread_flagged":$spreadFlaggedJson,"spread_max":${fmt(spreadMax)},"fp":$fpJson,"rows_reused":$rowsReusedJson,"times_reused":$timesReusedJson,"dominant_mode":${jstr(dominantMode)},"mode":$modeJson,"degraded":$degradedJson,"noisy":$noisyJson,"vacuous":$vacuousJson$rowsJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"noisy_runs":$noisyRuns,"wall_budget_sec":${fmt(wallBudget)},"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"load_waited_sec":${fmt(loadWaited)},"max_load":${fmt(maxLoad)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"cal_1t_start_sec":${fmt(cal1Start)},"cal_${cpus}t_start_sec":${fmt(calNStart)},"cal_1t_end_sec":${fmt(cal1End)},"heap_max_mb":$heapMax,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
-    // Full detail goes to stderr AND a repo file; the harness that
-    // archives this run keeps only a short tail of stdout, and the r2/r3
-    // archives show the full line no longer fits in it (parsed: null).
-    System.err.println(fullJson)
-    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the archived
-    // full-surface record — it lands in BENCH_SUBSET.json instead
+    // Full detail goes to a repo file ONLY (round 15, verdict item 1):
+    // it used to also be echoed to stderr, but the harness tail captures
+    // stdout and stderr combined, and the truncated full-detail line
+    // landing immediately ahead of the stdout JSON line is the prime
+    // suspect for two rounds of parsed:null. Nothing else may be printed
+    // near the stdout line.
+    // A SPARK_GRAFT_BENCH_ONLY subset run must not clobber the archived
+    // full-surface record — it lands in BENCH_SUBSET.json instead.
     val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
-    // stdout: ONE JSON line sized to survive a 2000-char tail capture.
+    System.err.println(s"[bench] full detail -> $fullPath (${fullJson.length} chars)")
+    // stdout: ONE JSON line sized to survive a 2000-char tail capture
+    // with margin for whatever stderr noise lands in the combined tail.
     // Keep every query if it fits; otherwise keep the slowest (the ones
     // worth auditing) and account for the rest explicitly rather than
-    // dropping them silently.
-    val budget = 1800
+    // dropping them silently. noisy/vacuous/degraded live in
+    // BENCH_FULL.json, not here (round-14 verdict item 1: shrink the
+    // line).
+    val budget = 1500
     def line(qs: collection.Map[String, Double], omitted: Int, omittedSec: Double): String = {
       val omitPart =
         if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_total_sec":${fmt(omittedSec)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"n_queries":${warm.size},"queries":${jmapD(qs)},"noisy":$noisyJson,"vacuous":$vacuousJson,"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"dominant_mode":${jstr(dominantMode)},"degraded":$degradedJson,"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","quiet_total":${fmt(quietTotal)},"quiet_n":${quietNames.size},"n_queries":${warm.size},"queries":${jmapD(qs)},"errors":$errJson,"n_errors":${errors.size},"runs_per_query":$runs,"dominant_mode":${jstr(dominantMode)},"wall_elapsed_sec":${fmt(elapsedSec)},"load_guard":${jstr(loadGuard)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"full":"BENCH_FULL.json","sf":${jstr(sfDir)}$omitPart}"""
     }
     val bySlow = warm.toSeq.sortBy(-_._2)
     var keep = bySlow.size
@@ -729,7 +735,11 @@ object Bench {
       out = line(scala.collection.immutable.ListMap(kept.sortBy(_._1): _*),
         dropped.size, dropped.map(_._2).sum)
     }
-    println(out)
+    // Stop Spark BEFORE printing: anything the shutdown path writes to
+    // stderr must land ahead of the JSON line in a combined tail, so the
+    // JSON line is strictly the last line of the run's output.
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }
