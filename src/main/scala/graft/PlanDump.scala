@@ -37,9 +37,12 @@ object PlanDump {
       if (args.length > 2) args.drop(2).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val fn = SparkEntry.queries.getOrElse(n,
-        sys.error(s"unknown query: $n"))
+      // registry lookup inside the try: an unknown name is reported and
+      // skipped like any other per-query failure instead of aborting the
+      // remaining dumps (round-14 ADVICE)
       try {
+        val fn = SparkEntry.queries.getOrElse(n,
+          sys.error(s"unknown query: $n"))
         val txt = fn(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted"))
         Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"), txt)

@@ -29,19 +29,37 @@ private[graft] object Caching {
     * upstream uncached — callers that loop over the same result frame
     * should persist it themselves; one evaluation per construction is
     * the operator contract everywhere in this library.
+    *
+    * Two leak/eviction guards (round-15, from round-14 ADVICE):
+    * a result that is NEVER materialized — or consumed via an RDD
+    * action, which bypasses QueryExecutionListener — would leave the
+    * listener running a sameResult tree-walk against every subsequent
+    * query forever and the frames registered in the CacheManager
+    * indefinitely, so after `missCap` non-matching executions the hook
+    * releases everything anyway (the operator result, if it runs
+    * later, recomputes uncached — fail-open, bounded). And an
+    * exception during the containment check now counts as a MISS, not
+    * a hit: failing open per-exception let any unrelated query whose
+    * traversal throws evict another operator's still-unused cache.
     */
   def unpersistAfterUse(result: DataFrame, cached: DataFrame*): DataFrame = {
     val spark = result.sparkSession
     val targets = cached.map(_.queryExecution.analyzed)
     val mgr = spark.listenerManager
+    // generous: bench/verify materialize each operator result within a
+    // handful of actions of constructing it; 128 unrelated actions in
+    // between means the result was abandoned or consumed via RDD
+    val missCap = 128
     lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
         private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
           val hit =
             try qe.analyzed.exists(p => targets.exists(p.sameResult))
-            catch { case _: Throwable => true } // fail open: never leak the cache entry
-          if (hit && done.compareAndSet(false, true)) {
+            catch { case scala.util.control.NonFatal(_) => false }
+          if ((hit || misses.incrementAndGet() >= missCap)
+              && done.compareAndSet(false, true)) {
             cached.foreach { c =>
               try c.unpersist(blocking = false) catch { case _: Throwable => () }
             }

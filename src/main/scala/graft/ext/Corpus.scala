@@ -141,7 +141,14 @@ object Corpus {
       .select(col("d"), col("og.o").as("o"), col("og.g").as("g"))
       .groupBy("d", "o", "g").agg(count(lit(1)).as("c"))
       .persist()
-    val pairsP = pairs.persist()
+    // persist `pairs` only if the CALLER hasn't: the CacheManager keys
+    // entries by plan, so persisting (and later self-releasing) a frame
+    // the caller independently cached would evict THEIR entry after this
+    // operator's first materialization (round-14 ADVICE). A
+    // caller-cached frame is reused as-is and never released here.
+    val callerCachedPairs =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairsP = if (callerCachedPairs) pairs else pairs.persist()
     val refTot = grams.groupBy(col("d").as("ref_id"), col("o"))
       .agg(sum("c").as("tot"))
     val clipped = pairsP
@@ -170,7 +177,7 @@ object Corpus {
         .select(col("cand_id"), col("ref_id"), col("ref_uni"), col("ov1"),
           rec(col("ref_uni"), col("ov1")).as("rouge1"), col("ref_bi"),
           col("ov2"), rec(col("ref_bi"), col("ov2")).as("rouge2")),
-      grams, pairsP)
+      (if (callerCachedPairs) Seq(grams) else Seq(grams, pairsP)): _*)
   }
 
   /** Fixed-size sliding-window chunks over the token array: starts at

@@ -207,33 +207,53 @@ object TextStats {
     * idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen)); the doc score
     * sums its matched terms' weights.
     *
-    * Scale: tf is one map-side-combined aggregate FILTERED to the
-    * query's terms before the shuffle (the posting-list read, not a
-    * corpus scan per query); df and avgLen are corpus statistics a
-    * real deployment precomputes once (here inline — the gate is
-    * stateless). Every input to the float tower is an exact integer,
-    * and the tower's shape is fixed, so scores are cross-engine
-    * reproducible to the last bit before rounding.
+    * Scale: ONE tokenize pass and ONE doc-keyed aggregate computes the
+    * doc length AND every query term's tf together (round 15, guide
+    * §2.4 — the rougeOverlap one-pass fold: the previous form consumed
+    * the tokenize+explode chain twice — dl keyed by doc, tf keyed by
+    * (doc, term), pruning differently so ReusedExchange could not
+    * dedupe them — and then joined dl back on). The query's terms are a
+    * FIXED small list, so per-term tfs are conditional sums in the same
+    * aggregate, unpivoted afterwards over the already-doc-partitioned
+    * grid; df and avgLen derive from that grid (corpus statistics a
+    * real deployment precomputes once — here inline, the gate is
+    * stateless; the grid persists and self-releases because its two
+    * consumers — corpus scalar and scored rows — diverge). Every input
+    * to the float tower is an exact integer, and the tower's shape is
+    * fixed, so scores are cross-engine reproducible to the last bit
+    * before rounding (the per-doc sum of ≤ |terms| weights is the one
+    * order-sensitive float reduction; callers round at 1e-6, which
+    * absorbs it — the previous join form had the same property).
     */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "query needs at least one term")
+    val qTerms = terms.distinct
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val lens = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-    val tf = toks.filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tfCols = qTerms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"_tf$i") }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .persist()
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val unpivot = array(qTerms.zipWithIndex.map { case (tm, i) =>
+      struct(lit(tm).as("term"), col(s"_tf$i").as("tf")) }: _*)
+    val tf = perDoc
+      .select(col(idCol), col("dl"), explode(unpivot).as("p"))
+      .select(col(idCol), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgLen = col("total_len").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val weight = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * (col("dl") / avgLen)))
-    tf.join(broadcast(df), "term")
-      .join(lens, idCol)
-      .crossJoin(broadcast(corpus))
-      .groupBy(idCol)
-      .agg(sum(weight).as("bm25"), count(lit(1)).as("n_terms_matched"))
+    Caching.unpersistAfterUse(
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(corpus))
+        .groupBy(idCol)
+        .agg(sum(weight).as("bm25"), count(lit(1)).as("n_terms_matched")),
+      perDoc)
   }
 
   /** Sparse TF-IDF cosine similarity between document PAIRS via the
